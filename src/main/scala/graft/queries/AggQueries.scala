@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 aggregations. All float accumulation follows the
+  * [[graft.Parity]] doctrine (exact decimal sums, identical derived-math
+  * expression trees) so results hash-match the DuckDB oracle bitwise.
+  *
+  * Scale notes: every query is a single hash-aggregate (partial map-side
+  * combine + final) over the shuffle key — no driver-side loops, no
+  * collect. Group cardinality is bounded (users/types/dates), so the final
+  * agg is tiny regardless of input scale.
+  */
+object AggQueries {
+  import Parity._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // A1: per-key min/max/count (symbol_ranges analog).
+    QueryDef(
+      "a1_group_minmax",
+      Some("""SELECT user_id, min(ts) AS ts_min, max(ts) AS ts_max,
+             |       count(*) AS n
+             |FROM events GROUP BY user_id""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d).groupBy("user_id")
+          .agg(min("ts").as("ts_min"), max("ts").as("ts_max"),
+               count(lit(1)).as("n"))),
+
+    // A2: order-sensitive OHLCV daily rollup — first/last via min_by/max_by
+    // on the unique ts ordering key (never bare first/last after a shuffle;
+    // SURVEY §4). DuckDB arg_min/arg_max are the oracle equivalents.
+    QueryDef(
+      "a2_ohlcv_rollup",
+      Some(s"""SELECT user_id, CAST(ts AS DATE) AS day,
+              |  arg_min(value, ts) AS open, max(value) AS high,
+              |  min(value) AS low, arg_max(value, ts) AS close,
+              |  ${oSum("value")} AS volume, count(*) AS trade_count
+              |FROM events GROUP BY user_id, CAST(ts AS DATE)""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min_by(col("value"), col("ts")).as("open"),
+               max("value").as("high"), min("value").as("low"),
+               max_by(col("value"), col("ts")).as("close"),
+               dsum(col("value")).as("volume"),
+               count(lit(1)).as("trade_count"))),
+
+    // A4+A5: daily sum + mean (exact-decimal path for both).
+    QueryDef(
+      "a4_daily_sum_mean",
+      Some(s"""SELECT CAST(ts AS DATE) AS day,
+              |  ${oSum("value")} AS total_value,
+              |  ${oAvg("value")} AS mean_value,
+              |  count(*) AS n
+              |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(dsum(col("value")).as("total_value"),
+               davg(col("value")).as("mean_value"),
+               count(lit(1)).as("n"))),
+
+    // A6: Herfindahl concentration index — the reference's per-day premarket
+    // volume HHI (my_stock_functions.py:569-576) rewritten algebraically as
+    // sum(v^2)/sum(v)^2: no UDAF, pure partial-aggregable sums.
+    QueryDef(
+      "a6_hhi",
+      Some(s"""SELECT user_id,
+              |  CASE WHEN ${oSum("value")} > 0.0
+              |    THEN ${oSum("value * value")} / (${oSum("value")} * ${oSum("value")})
+              |    ELSE NULL END AS hhi
+              |FROM events GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val sv = dsum(col("value")); val sv2 = dsum(col("value") * col("value"))
+        Tables.events(s, d).groupBy("user_id")
+          .agg(when(sv > 0.0, sv2 / (sv * sv)).otherwise(lit(null)).as("hhi"))
+      }),
+
+    // A7: volume-weighted mean (VWAP) with zero-volume null guard.
+    QueryDef(
+      "a7_weighted_mean",
+      Some(s"""SELECT l_returnflag,
+              |  CASE WHEN ${oSum("l_quantity", 4)} > 0.0
+              |    THEN ${oSum("l_extendedprice * l_quantity", 4)} / ${oSum("l_quantity", 4)}
+              |    ELSE NULL END AS wavg_price
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val sq = dsum(col("l_quantity"), 4)
+        val swx = dsum(col("l_extendedprice") * col("l_quantity"), 4)
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(when(sq > 0.0, swx / sq).otherwise(lit(null)).as("wavg_price"))
+      }),
+
+    // A8: multi-horizon return/std over the last-N rows per key
+    // (alpa.py:292-336): tail-N via row_number from the END, then one agg.
+    QueryDef(
+      "a8_tail_n_stats",
+      Some(s"""WITH ranked AS (
+              |  SELECT user_id, value,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+              |  FROM events)
+              |SELECT user_id,
+              |  arg_max(value, rn) AS first_value,
+              |  arg_min(value, rn) AS last_value,
+              |  arg_min(value, rn) / arg_max(value, rn) - 1.0 AS period_return,
+              |  ${oStd("value")} AS value_std
+              |FROM ranked WHERE rn <= 20 GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy("user_id")
+          .agg(max_by(col("value"), col("rn")).as("first_value"),
+               min_by(col("value"), col("rn")).as("last_value"),
+               (min_by(col("value"), col("rn")) /
+                 max_by(col("value"), col("rn")) - lit(1.0)).as("period_return"),
+               dstd(col("value")).as("value_std"))
+      }),
+
+    // A9+A10: threshold-count + all-in-range predicate aggregates
+    // (alpa.py:266-290) — bool_and/every via min/max bounds.
+    QueryDef(
+      "a10_range_predicate",
+      Some("""SELECT user_id,
+             |  CAST(SUM(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             |  (min(value) >= 5.0 AND max(value) <= 400.0) AS all_in_band
+             |FROM events GROUP BY user_id""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d).groupBy("user_id")
+          .agg(sum(when(col("value") > 150.0, 1).otherwise(0)).cast("long")
+                 .as("n_above"),
+               (min("value") >= 5.0 && max("value") <= 400.0).as("all_in_band"))),
+
+    // A11: distinct + count_distinct.
+    QueryDef(
+      "a11_distinct",
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |count(*) AS n FROM events GROUP BY event_type""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d).groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n"))),
+
+    // A13: stratified per-group sample, deterministic ordering (the seeded
+    // 5-per-sector sample of my_alpaca.py:241-246; rand(75) is not
+    // reproducible cross-engine, so the "random" order is a hash-free
+    // deterministic key).
+    QueryDef(
+      "a13_stratified_sample",
+      Some("""SELECT event_type, user_id FROM (
+             |  SELECT event_type, user_id,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY user_id) AS rn
+             |  FROM (SELECT DISTINCT event_type, user_id FROM events))
+             |WHERE rn <= 5""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("user_id")
+        Tables.events(s, d).select("event_type", "user_id").distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("event_type", "user_id")
+      }),
+
+    // A14: value counts / frequency table.
+    QueryDef(
+      "a14_value_counts",
+      Some("""SELECT event_type, count(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, d) => Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"))),
+
+    // A15: pivot aggregation — day-of-month x event_type matrix
+    // (EDA year x month pivot_table analog). Explicit pivot values keep the
+    // output schema static (required for a 100 TB plan: no driver-side
+    // distinct to discover columns).
+    QueryDef(
+      "a15_pivot",
+      Some(s"""SELECT CAST(ts AS DATE) AS day,
+              |  ${oSum("CASE WHEN event_type = 'click' THEN value ELSE NULL END")} AS v_click,
+              |  ${oSum("CASE WHEN event_type = 'view' THEN value ELSE NULL END")} AS v_view,
+              |  ${oSum("CASE WHEN event_type = 'purchase' THEN value ELSE NULL END")} AS v_purchase,
+              |  ${oSum("CASE WHEN event_type = 'signup' THEN value ELSE NULL END")} AS v_signup,
+              |  ${oSum("CASE WHEN event_type = 'error' THEN value ELSE NULL END")} AS v_error
+              |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin),
+      (s, d) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val aggs = types.map(t =>
+          dsum(when(col("event_type") === t, col("value"))).as(s"v_$t"))
+        Tables.events(s, d).groupBy(to_date(col("ts")).as("day"))
+          .agg(aggs.head, aggs.tail: _*)
+      }),
+
+    // A16: group mean over category (exact-decimal mean).
+    QueryDef(
+      "a16_group_mean",
+      Some(s"""SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+              |  ${oAvg("value")} AS mean_value
+              |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+          .agg(davg(col("value")).as("mean_value"))),
+
+    // A18: arg-max row per group — rank-and-filter with a deterministic
+    // tiebreak on the unique event_id (EDA idxmax analog).
+    QueryDef(
+      "a18_argmax_row",
+      Some("""SELECT user_id, event_id AS top_event_id, value AS top_value
+             |FROM (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY value DESC, event_id) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id"))
+        Tables.events(s, d).withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("top_event_id"),
+                  col("value").as("top_value"))
+      }),
+
+    // A19: drop first-N rows per key (grouped count-cum trim, my_model.py:59).
+    QueryDef(
+      "a19_trim_head",
+      Some("""SELECT event_id, user_id, ts FROM (
+             |  SELECT event_id, user_id, ts,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             |  FROM events) WHERE rn > 10""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(s, d).withColumn("rn", row_number().over(w))
+          .filter(col("rn") > 10).select("event_id", "user_id", "ts")
+      }),
+
+    // A20: describe/summary — count/mean/std/min/max via the exact-sum path.
+    QueryDef(
+      "a20_summary_stats",
+      Some(s"""SELECT count(value) AS n, ${oAvg("value")} AS mean,
+              |  ${oStd("value")} AS std, min(value) AS vmin,
+              |  max(value) AS vmax
+              |FROM events""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d).agg(
+          count(col("value")).as("n"), davg(col("value")).as("mean"),
+          dstd(col("value")).as("std"), min("value").as("vmin"),
+          max("value").as("vmax"))),
+
+    // A21: correlation from exact sums (identical IEEE tree both sides;
+    // builtin corr() accumulates order-dependently so is not hash-safe).
+    // Scale-4 decimals: quantity/discount products have exactly 4 decimals
+    // and the scaled sums stay far under 2^53 (see Parity doctrine).
+    QueryDef(
+      "a21_correlation",
+      Some({
+        val n = "CAST(COUNT(*) AS DOUBLE)"
+        val sx = oSum("l_quantity", 4); val sy = oSum("l_discount", 4)
+        val sxy = oSum("l_quantity * l_discount", 4)
+        val sxx = oSum("l_quantity * l_quantity", 4)
+        val syy = oSum("l_discount * l_discount", 4)
+        s"""SELECT l_returnflag,
+           |  ($sxy - $sx * $sy / $n) /
+           |  (SQRT($sxx - $sx * $sx / $n) * SQRT($syy - $sy * $sy / $n))
+           |    AS corr_qty_disc
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      }),
+      (s, d) => {
+        val n = count(lit(1)).cast("double")
+        val sx = dsum(col("l_quantity"), 4); val sy = dsum(col("l_discount"), 4)
+        val sxy = dsum(col("l_quantity") * col("l_discount"), 4)
+        val sxx = dsum(col("l_quantity") * col("l_quantity"), 4)
+        val syy = dsum(col("l_discount") * col("l_discount"), 4)
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(((sxy - sx * sy / n) /
+            (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)))
+            .as("corr_qty_disc"))
+      }),
+  )
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 scans + §2.2 projections/filters/predicates, expressed on the
+  * harness tables. Filters and projections are written so Catalyst pushes
+  * them into the parquet scan (`PushedFilters`/`ReadSchema`) — at 100 TB the
+  * scan is the dominant cost and pruning is the first-order optimization.
+  */
+object ScanFilterQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S1: columnar scan with pushed range predicate + column pruning.
+    QueryDef(
+      "s1_scan_pushdown",
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-07-01'""".stripMargin),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+          .select("l_orderkey", "l_partkey", "l_quantity")),
+
+    // P1+P2: projection + IN-list membership filter
+    // (reference: sampled-symbol isin, Procesamiento_fase_1.ipynb:121).
+    QueryDef(
+      "p2_in_filter",
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin),
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select("o_orderkey", "o_custkey", "o_orderpriority")),
+
+    // P3+P4+P5: time-range trim + time-of-day band + weekday filter
+    // (reference: premarket 04:00-09:30 NY band + Mon-Fri grid).
+    QueryDef(
+      "p4_time_of_day",
+      Some("""SELECT event_id, user_id, ts FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-27'
+             |  AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts))
+             |        BETWEEN 240 AND 570
+             |  AND (dayofweek(ts) + 1) BETWEEN 2 AND 6""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+                  col("ts") < lit("2024-01-27").cast("timestamp"))
+          .filter((hour(col("ts")) * 60 + minute(col("ts"))).between(240, 570))
+          .filter(dayofweek(col("ts")).between(2, 6))
+          .select("event_id", "user_id", "ts")),
+
+    // P6: null-guard + equality predicate (Procesamiento_fase_2.ipynb:129).
+    QueryDef(
+      "p6_null_guard",
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE value IS NOT NULL AND event_type = 'purchase'""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("value").isNotNull && col("event_type") === "purchase")
+          .select("event_id", "user_id", "value")),
+
+    // P7: regex validity predicate (ticker sanity audit from the SQL doc).
+    QueryDef(
+      "p7_regex_audit",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT regexp_matches(c_name, '^[A-Za-z]+#[0-9]+$')
+             |   OR length(c_name) > 30""".stripMargin),
+      (s, d) =>
+        Tables.customer(s, d)
+          .filter(!col("c_name").rlike("^[A-Za-z]+#[0-9]+$") ||
+                  length(col("c_name")) > 30)
+          .select("c_custkey", "c_name")),
+
+    // P8+A17: single-pass data-quality audit aggregation — the SQL doc's
+    // 14-counter null/negative + invariant audit as one partial+final agg.
+    QueryDef(
+      "p8_quality_audit",
+      Some("""SELECT
+             |  CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+             |  CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+             |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+             |  CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_tax,
+             |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ship,
+             |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem""".stripMargin),
+      (s, d) => {
+        val cnt = (c: org.apache.spark.sql.Column) =>
+          sum(when(c, 1).otherwise(0)).cast("long")
+        Tables.lineitem(s, d).agg(
+          cnt(col("l_quantity") <= 0).as("bad_qty"),
+          cnt(col("l_extendedprice") < 0).as("neg_price"),
+          cnt(col("l_discount") < 0 || col("l_discount") > 1).as("bad_disc"),
+          cnt(col("l_tax") < 0).as("neg_tax"),
+          cnt(col("l_shipdate").isNull).as("null_ship"),
+          cnt(!col("l_returnflag").isin("A", "N", "R")).as("bad_flag"),
+          count(lit(1)).as("n_rows"))
+      }),
+
+    // P11+F12: string normalization — suffix strip + char translate
+    // (reference ticker cleanup `_old` suffixes, '-' -> '.').
+    QueryDef(
+      "p11_normalize",
+      Some("""SELECT c_custkey,
+             |  replace(regexp_replace(c_name, '#[0-9]+$', ''), '-', '.') AS name_norm,
+             |  upper(c_mktsegment) AS seg_upper
+             |FROM customer""".stripMargin),
+      (s, d) =>
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          translate(regexp_replace(col("c_name"), "#[0-9]+$", ""), "-", ".")
+            .as("name_norm"),
+          upper(col("c_mktsegment")).as("seg_upper"))),
+
+    // S11: distributed range/grid source — sequence+explode replacing the
+    // reference's driver-side Python grid loop (Procesamiento_fase_1.ipynb:169).
+    QueryDef(
+      "s11_range_source",
+      Some("""SELECT CAST(d AS DATE) AS day,
+             |       CAST(dayofweek(d) + 1 AS BIGINT) AS dow
+             |FROM generate_series(DATE '2024-01-01', DATE '2024-03-31',
+             |                     INTERVAL 1 DAY) AS t(d)
+             |WHERE (dayofweek(d) + 1) BETWEEN 2 AND 6""".stripMargin),
+      (s, d) =>
+        s.range(1).select(explode(sequence(
+            lit("2024-01-01").cast("date"), lit("2024-03-31").cast("date"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+          .withColumn("dow", dayofweek(col("day")).cast("long"))
+          .filter(col("dow").between(2, 6))),
+  )
+}
