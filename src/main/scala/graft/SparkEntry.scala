@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AggQueries, ScanFilterQueries}
+import graft.queries.{AggQueries, JoinQueries, ScalarQueries,
+  ScanFilterQueries, SortSetQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +18,11 @@ object SparkEntry {
   /** All operator queries, grouped by SURVEY §2 family. */
   val defs: Seq[QueryDef] =
     ScanFilterQueries.all ++
-    AggQueries.all
+    AggQueries.all ++
+    WindowQueries.all ++
+    JoinQueries.all ++
+    ScalarQueries.all ++
+    SortSetQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own smoke shape (Procesamiento_fase_2.ipynb:129):

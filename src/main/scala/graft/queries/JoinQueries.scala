@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.{Parity, QueryDef, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 joins. Join-strategy notes for scale:
+  *  - dimension sides (region/nation/customer subsets, band tables) are
+  *    `broadcast()`-hinted — no shuffle of the fact side;
+  *  - fact-fact joins are equi-keyed so Catalyst picks shuffled hash / SMJ
+  *    on the join key, the partitioning a 1000-executor cluster wants;
+  *  - the interval join keeps an equality key (orderkey) next to its range
+  *    predicate, so it is an equi-join with a residual filter, NOT a
+  *    cartesian range scan;
+  *  - the as-of join is the union+ffill rewrite (see [[AsOfJoin]]) — one
+  *    shuffle, no candidate explosion.
+  */
+object JoinQueries {
+  import Parity._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // J1: cross join — small dim × small derived dim (the symbols×grid
+    // shape; both sides tiny => BroadcastNestedLoop, no shuffle).
+    QueryDef(
+      "j1_cross_join",
+      Some("""SELECT r.r_name, p.o_orderpriority
+             |FROM region r CROSS JOIN
+             |  (SELECT DISTINCT o_orderpriority FROM orders) p""".stripMargin),
+      (s, d) =>
+        Tables.region(s, d).crossJoin(
+          Tables.orders(s, d).select("o_orderpriority").distinct())
+          .select("r_name", "o_orderpriority")),
+
+    // J2: broadcast equi join chain through two dimensions — revenue by
+    // nation (customer and nation broadcast; orders never re-shuffled).
+    QueryDef(
+      "j2_broadcast_dim_join",
+      Some(s"""SELECT n.n_name, ${oSum("o.o_totalprice", 2)} AS revenue,
+              |  count(*) AS n_orders
+              |FROM orders o
+              |JOIN customer c ON o.o_custkey = c.c_custkey
+              |JOIN nation n ON c.c_nationkey = n.n_nationkey
+              |GROUP BY n.n_name""".stripMargin),
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+                col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+                col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(dsum(col("o_totalprice"), 2).as("revenue"),
+               count(lit(1)).as("n_orders"))),
+
+    // J3+J8: complete grid LEFT JOIN facts on a 2-part key, missing→default
+    // (the Silver grid join, Procesamiento_fase_1.ipynb:209 + the fill
+    // default of my_stock_functions.py:242). Grid = users × days, generated
+    // distributed (S11), never collected to the driver.
+    QueryDef(
+      "j3_grid_left_join",
+      Some(s"""WITH grid AS (
+              |  SELECT u.user_id, CAST(g.d AS DATE) AS day
+              |  FROM (SELECT DISTINCT user_id FROM events) u
+              |  CROSS JOIN generate_series(DATE '2024-01-01',
+              |    DATE '2024-01-30', INTERVAL 1 DAY) g(d)),
+              |daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    ${oSum("value")} AS day_value, count(*) AS n
+              |  FROM events GROUP BY 1, 2)
+              |SELECT g.user_id, g.day,
+              |  COALESCE(d.day_value, 0.0) AS day_value,
+              |  COALESCE(d.n, 0) AS n
+              |FROM grid g LEFT JOIN daily d
+              |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin),
+      (s, d) => {
+        val users = Tables.events(s, d).select("user_id").distinct()
+        val days = s.range(1).select(explode(sequence(
+          lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+        val grid = users.crossJoin(broadcast(days))
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(dsum(col("value")).as("day_value"), count(lit(1)).as("n"))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("day_value"), lit(0.0)).as("day_value"),
+            coalesce(col("n"), lit(0L)).as("n"))
+      }),
+
+    // J4: inner merge with column-subset right side (adjusted-close shape,
+    // my_alpaca.py:163) — per-row derived margin is exact IEEE both sides.
+    QueryDef(
+      "j4_inner_subset_join",
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+             |  p.p_retailprice,
+             |  l.l_extendedprice - l.l_quantity * p.p_retailprice AS margin
+             |FROM lineitem l
+             |JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_retailprice")),
+                col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("p_retailprice"),
+            (col("l_extendedprice") - col("l_quantity") * col("p_retailprice"))
+              .as("margin"))),
+
+    // J5: feature-append fold — three independently aggregated feature
+    // frames left-joined one by one onto the daily base, right side winning
+    // on overlap (my_alpaca.py:308-335 drop-then-join order). Catalyst
+    // fuses the three joins over the shared (user_id, day) partitioning.
+    QueryDef(
+      "j5_feature_fold",
+      Some(s"""WITH base AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+              |  FROM events GROUP BY 1, 2),
+              |f1 AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    ${oSum("value")} AS total_value
+              |  FROM events GROUP BY 1, 2),
+              |f2 AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    max(value) AS max_value
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              |f3 AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    count(*) AS n_errors
+              |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+              |SELECT b.user_id, b.day, b.n, f1.total_value, f2.max_value,
+              |  f3.n_errors
+              |FROM base b
+              |LEFT JOIN f1 ON b.user_id = f1.user_id AND b.day = f1.day
+              |LEFT JOIN f2 ON b.user_id = f2.user_id AND b.day = f2.day
+              |LEFT JOIN f3 ON b.user_id = f3.user_id AND b.day = f3.day""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def daily(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        val base = daily(ev).agg(count(lit(1)).as("n"))
+        val f1 = daily(ev).agg(dsum(col("value")).as("total_value"))
+        val f2 = daily(ev.filter(col("event_type") === "purchase"))
+          .agg(max("value").as("max_value"))
+        val f3 = daily(ev.filter(col("event_type") === "error"))
+          .agg(count(lit(1)).as("n_errors"))
+        // right-wins fold: drop any overlapping non-key column, then join
+        Seq(f1, f2, f3).foldLeft(base) { (acc, f) =>
+          val overlap = f.columns.toSet
+            .intersect(acc.columns.toSet) -- Seq("user_id", "day")
+          overlap.foldLeft(acc)(_ drop _).join(f, Seq("user_id", "day"), "left")
+        }
+      }),
+
+    // J6: interval (validity-range) join — equi key + range predicate, the
+    // constituents-assignment shape (my_alpaca.py:283-290): lineitems that
+    // shipped within 60 days of their order date.
+    QueryDef(
+      "j6_interval_join",
+      Some("""SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate,
+             |  CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+             |    AS ship_lag_days
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |WHERE l.l_shipdate >= o.o_orderdate
+             |  AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY""".stripMargin),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+                col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >= col("o_orderdate") &&
+                  col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"),
+            col("l_shipdate"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("ship_lag_days"))),
+
+    // J6b: non-equi band join — value banded against a generated dimension
+    // (broadcast nested loop on a tiny side; the size_index assignment
+    // flavor where no equi key exists).
+    QueryDef(
+      "j6b_band_join",
+      Some("""WITH bands AS (
+             |  SELECT CAST(g.i AS BIGINT) AS band_id,
+             |    CAST(g.i * 50 AS DOUBLE) AS lo,
+             |    CAST((g.i + 1) * 50 AS DOUBLE) AS hi
+             |  FROM generate_series(0, 9) g(i))
+             |SELECT e.event_id, e.value, b.band_id
+             |FROM events e LEFT JOIN bands b
+             |  ON e.value >= b.lo AND e.value < b.hi""".stripMargin),
+      (s, d) => {
+        val bands = s.range(0, 10).select(
+          col("id").as("band_id"),
+          (col("id") * 50).cast("double").as("lo"),
+          ((col("id") + 1) * 50).cast("double").as("hi"))
+        Tables.events(s, d)
+          .join(broadcast(bands),
+                col("value") >= col("lo") && col("value") < col("hi"), "left")
+          .select("event_id", "value", "band_id")
+      }),
+
+    // J7: as-of join — each event joined to the latest prior 'purchase' of
+    // the same user (union+ffill rewrite vs DuckDB's native ASOF JOIN).
+    QueryDef(
+      "j7_asof_join",
+      Some("""SELECT e.event_id, e.user_id, e.ts, e.value,
+             |  p.pv AS last_purchase_value
+             |FROM events e
+             |ASOF LEFT JOIN
+             |  (SELECT user_id, ts AS pts, value AS pv FROM events
+             |   WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND p.pts <= e.ts""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value").as("pv"))
+        AsOfJoin.backward(
+            ev.select("event_id", "user_id", "ts", "value"), purchases,
+            key = "user_id", leftTs = "ts", rightTs = "pts",
+            payload = Seq("pv"))
+          .withColumnRenamed("pv", "last_purchase_value")
+      }),
+
+    // Semi/anti joins (implicit membership filters in the reference, P2):
+    QueryDef(
+      "j9_semi_anti",
+      Some("""SELECT c.c_custkey, c.c_mktsegment,
+             |  EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |          AND o.o_orderpriority = '1-URGENT') AS has_urgent
+             |FROM customer c""".stripMargin),
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+        Tables.customer(s, d)
+          .join(broadcast(urgent.withColumn("has_urgent", lit(true))),
+                col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            coalesce(col("has_urgent"), lit(false)).as("has_urgent"))
+      }),
+  )
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.6 sorts/limits/top-k + §2.7 set operations. Every limit carries
+  * a full deterministic tiebreak (unique key last) — a bare
+  * `ORDER BY metric LIMIT k` is nondeterministic under ties on BOTH engines.
+  * Top-k compiles to TakeOrderedAndProject (per-partition heap + driver
+  * merge of k rows), not a global sort — the only scalable top-k shape.
+  */
+object SortSetQueries {
+  import Parity._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // O1: global sort contract (range-partitioned total order) — verified
+    // content-wise; the driver's hash compare is order-insensitive but the
+    // query exercises the range-partition exchange.
+    QueryDef(
+      "o1_global_sort",
+      Some("""SELECT user_id, ts, event_id, value FROM events
+             |ORDER BY user_id, ts""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d).select("user_id", "ts", "event_id", "value")
+          .orderBy("user_id", "ts")),
+
+    // O2+O3: top-k and bottom-k with deterministic tiebreaks.
+    QueryDef(
+      "o2_topk",
+      Some("""SELECT event_id, user_id, value FROM events
+             |ORDER BY value DESC, event_id LIMIT 100""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d).select("event_id", "user_id", "value")
+          .orderBy(col("value").desc, col("event_id")).limit(100)),
+
+    QueryDef(
+      "o3_bottomk",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice ASC, o_orderkey LIMIT 50""".stripMargin),
+      (s, d) =>
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey")).limit(50)),
+
+    // U1: union-all of two branch projections (pd.concat shape).
+    QueryDef(
+      "u1_union_all",
+      Some("""SELECT event_id, user_id, value, 'high' AS bucket FROM events
+             |WHERE value >= 200.0
+             |UNION ALL
+             |SELECT event_id, user_id, value, 'low' AS bucket FROM events
+             |WHERE value < 10.0""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("value") >= 200.0)
+          .select(col("event_id"), col("user_id"), col("value"),
+            lit("high").as("bucket"))
+          .unionByName(
+            ev.filter(col("value") < 10.0)
+              .select(col("event_id"), col("user_id"), col("value"),
+                lit("low").as("bucket")))
+      }),
+
+    // U2: dedup by key with a deterministic winner — arg_min by the unique
+    // id, NOT dropDuplicates (which keeps an arbitrary row under shuffle).
+    QueryDef(
+      "u2_dedup_by_key",
+      Some("""SELECT user_id, CAST(ts AS DATE) AS day,
+             |  arg_min(value, event_id) AS first_value,
+             |  min(event_id) AS first_event_id
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min_by(col("value"), col("event_id")).as("first_value"),
+               min("event_id").as("first_event_id"))),
+
+    // INTERSECT/EXCEPT (beyond the reference — completes the set-op family).
+    QueryDef(
+      "u3_intersect_except",
+      Some("""SELECT user_id, 'both' AS tag FROM (
+             |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+             |  INTERSECT
+             |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+             |UNION ALL
+             |SELECT user_id, 'purchase_only' AS tag FROM (
+             |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+             |  EXCEPT
+             |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def users(t: String) =
+          ev.filter(col("event_type") === t).select("user_id").distinct()
+        users("purchase").intersect(users("error"))
+          .withColumn("tag", lit("both"))
+          .unionByName(
+            users("purchase").except(users("error"))
+              .withColumn("tag", lit("purchase_only")))
+      }),
+  )
+}

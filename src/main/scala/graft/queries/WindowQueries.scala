@@ -1,0 +1,316 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2.5 window functions — the reference's workhorse family. All
+  * windows are PARTITION BY user_id ORDER BY ts ((user_id, ts) is unique, so
+  * every frame is deterministic).
+  *
+  * Scale notes: one hash-partition shuffle on user_id serves every window
+  * here; Catalyst chains same-partitioning WindowExecs without re-exchange.
+  * Frames are row-bounded so state per partition is O(frame), not O(n).
+  *
+  * Parity notes: rolling sums/means/stds go through exact DECIMAL window
+  * aggregation (order-independent in both engines); pandas `min_periods`
+  * semantics (null until the frame is full) are enforced with count-gates,
+  * which the reference requires for parity anyway (SURVEY §4).
+  */
+object WindowQueries {
+
+  private val DEC = DecimalType(30, 6)
+  private def wsum(c: Column, w: WindowSpec): Column =
+    sum(c.cast(DEC)).over(w).cast("double")
+  /** Oracle text for a decimal-exact window sum over `frame`. */
+  private def oWsum(x: String, frame: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(30,6))) OVER ($frame) AS DOUBLE)"
+
+  private val oW = "PARTITION BY user_id ORDER BY ts"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // W1+W2+W3: forward-fill / backward-fill / zero-fill battery
+    // (Procesamiento_fase_1.ipynb:241-273). The sparse column only exists on
+    // 'purchase' rows; ffill carries the last purchase value forward, bfill
+    // the next one backward, and the composite prefers ffill over bfill.
+    QueryDef(
+      "w1_fill_battery",
+      Some(s"""SELECT event_id, user_id, ts,
+              |  last_value(pv IGNORE NULLS) OVER
+              |    ($oW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+              |  first_value(pv IGNORE NULLS) OVER
+              |    ($oW ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill,
+              |  COALESCE(
+              |    last_value(pv IGNORE NULLS) OVER
+              |      ($oW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |    first_value(pv IGNORE NULLS) OVER
+              |      ($oW ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+              |    0.0) AS filled
+              |FROM (SELECT event_id, user_id, ts,
+              |        CASE WHEN event_type = 'purchase' THEN value END AS pv
+              |      FROM events)""".stripMargin),
+      (s, d) => {
+        val base = Tables.events(s, d).withColumn("pv",
+          when(col("event_type") === "purchase", col("value")))
+        val wPast = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFut = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val ff = last("pv", ignoreNulls = true).over(wPast)
+        val bf = first("pv", ignoreNulls = true).over(wFut)
+        base.select(col("event_id"), col("user_id"), col("ts"),
+          ff.as("ffill"), bf.as("bfill"),
+          coalesce(ff, bf, lit(0.0)).as("filled"))
+      }),
+
+    // W4+W6: lag(1) gap/return (Procesamiento_fase_2.ipynb:97).
+    QueryDef(
+      "w4_lag_gap",
+      Some(s"""SELECT event_id, user_id, ts, value,
+              |  lag(value, 1) OVER ($oW) AS prev_value,
+              |  (value - lag(value, 1) OVER ($oW)) /
+              |    lag(value, 1) OVER ($oW) * 100.0 AS gap_pct,
+              |  value / lag(value, 1) OVER ($oW) - 1.0 AS ret
+              |FROM events""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val prev = lag("value", 1).over(w)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          prev.as("prev_value"),
+          ((col("value") - prev) / prev * 100.0).as("gap_pct"),
+          (col("value") / prev - 1.0).as("ret"))
+      }),
+
+    // W5: multi-offset lag battery sharing ONE window spec — the 6-horizon
+    // lookback of Procesamiento_fase_2.ipynb:113 (one WindowExec, no
+    // re-shuffle per horizon).
+    QueryDef(
+      "w5_lag_battery",
+      Some {
+        val cols = Seq(1, 5, 20, 100).map { n =>
+          s"""(value - lag(value, $n) OVER ($oW)) /
+             |lag(value, $n) OVER ($oW) * 100.0 AS pct_change_$n""".stripMargin
+        }.mkString(",\n")
+        Some(s"SELECT event_id, user_id, ts, value,\n$cols\nFROM events")
+      }.get,
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val base = Seq(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val lags = Seq(1, 5, 20, 100).map { n =>
+          val l = lag("value", n).over(w)
+          ((col("value") - l) / l * 100.0).as(s"pct_change_$n")
+        }
+        Tables.events(s, d).select(base ++ lags: _*)
+      }),
+
+    // W7: previous-row feature shift (assign yesterday's range to today).
+    QueryDef(
+      "w7_feature_shift",
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    max(value) - min(value) AS day_range, count(*) AS n
+              |  FROM events GROUP BY 1, 2)
+              |SELECT user_id, day, day_range,
+              |  lag(day_range, 1) OVER (PARTITION BY user_id ORDER BY day)
+              |    AS range_last1d
+              |FROM daily""".stripMargin),
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg((max("value") - min("value")).as("day_range"),
+               count(lit(1)).as("n"))
+          .drop("n")
+        val w = Window.partitionBy("user_id").orderBy("day")
+        daily.withColumn("range_last1d", lag("day_range", 1).over(w))
+      }),
+
+    // W8: rolling std with pandas min_periods gate (null until 5 rows seen),
+    // from exact decimal window sums — identical IEEE tree to the oracle.
+    QueryDef(
+      "w8_rolling_std",
+      Some {
+        val f = s"$oW ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
+        val s1 = oWsum("value", f); val s2 = oWsum("value * value", f)
+        s"""SELECT event_id, user_id, ts,
+           |  CASE WHEN count(*) OVER ($f) >= 5 THEN
+           |    SQRT(($s2 - $s1 * $s1 / 5.0) / 4.0)
+           |  END AS std_5
+           |FROM events""".stripMargin
+      },
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, 0)
+        val s1 = wsum(col("value"), w)
+        val s2 = wsum(col("value") * col("value"), w)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(count(lit(1)).over(w) >= 5,
+            sqrt((s2 - s1 * s1 / 5.0) / 4.0)).as("std_5"))
+      }),
+
+    // W9: shifted rolling mean — 20 rows EXCLUDING current (the reference's
+    // "20-day MA excluding today", my_stock_functions.py:184).
+    QueryDef(
+      "w9_rolling_mean_shifted",
+      Some {
+        val f = s"$oW ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+        s"""SELECT event_id, user_id, ts,
+           |  CASE WHEN count(*) OVER ($f) >= 20 THEN
+           |    ${oWsum("value", f)} / 20.0
+           |  END AS ma_20
+           |FROM events""".stripMargin
+      },
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-20, -1)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(count(lit(1)).over(w) >= 20,
+            wsum(col("value"), w) / 20.0).as("ma_20"))
+      }),
+
+    // W10: exact rolling median over an odd 21-row frame (odd + full-frame
+    // gate → a single order statistic, no interpolation ambiguity).
+    QueryDef(
+      "w10_rolling_median",
+      Some {
+        val f = s"$oW ROWS BETWEEN 20 PRECEDING AND CURRENT ROW"
+        s"""SELECT event_id, user_id, ts,
+           |  CASE WHEN count(*) OVER ($f) >= 21 THEN
+           |    median(value) OVER ($f)
+           |  END AS med_21
+           |FROM events""".stripMargin
+      },
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-20, 0)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(count(lit(1)).over(w) >= 21,
+            sort_array(collect_list(col("value")).over(w)).getItem(10))
+            .as("med_21"))
+      }),
+
+    // W11: shifted rolling max + distance-from-high
+    // (my_stock_functions.py:304: dist_max_20d).
+    QueryDef(
+      "w11_dist_from_max",
+      Some {
+        val f = s"$oW ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+        s"""SELECT event_id, user_id, ts, value,
+           |  CASE WHEN count(*) OVER ($f) >= 20 THEN
+           |    (value - max(value) OVER ($f)) / max(value) OVER ($f)
+           |  END AS dist_max_20
+           |FROM events""".stripMargin
+      },
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-20, -1)
+        val mx = max("value").over(w)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          when(count(lit(1)).over(w) >= 20,
+            (col("value") - mx) / mx).as("dist_max_20"))
+      }),
+
+    // W13: true range from the daily rollup — greatest/least across prev
+    // close (alpa.py:42-46), composed on A2's order-safe rollup.
+    QueryDef(
+      "w13_true_range",
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    max(value) AS high, min(value) AS low,
+             |    arg_max(value, ts) AS close
+             |  FROM events GROUP BY 1, 2),
+             |d2 AS (
+             |  SELECT *, lag(close, 1) OVER (PARTITION BY user_id ORDER BY day)
+             |    AS prev_close FROM daily)
+             |SELECT user_id, day,
+             |  greatest(high, COALESCE(prev_close, low)) -
+             |    least(low, COALESCE(prev_close, high)) AS true_range,
+             |  CASE WHEN prev_close IS NOT NULL AND prev_close <> 0.0 THEN
+             |    (greatest(high, COALESCE(prev_close, low)) -
+             |     least(low, COALESCE(prev_close, high))) / prev_close
+             |  END AS rel_tr
+             |FROM d2""".stripMargin),
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max("value").as("high"), min("value").as("low"),
+               max_by(col("value"), col("ts")).as("close"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val d2 = daily.withColumn("prev_close", lag("close", 1).over(w))
+        val tr = greatest(col("high"), coalesce(col("prev_close"), col("low"))) -
+          least(col("low"), coalesce(col("prev_close"), col("high")))
+        d2.select(col("user_id"), col("day"), tr.as("true_range"),
+          when(col("prev_close").isNotNull && col("prev_close") =!= 0.0,
+            tr / col("prev_close")).as("rel_tr"))
+      }),
+
+    // W14: per-key cumulative row index (cumcount, my_model.py:60).
+    QueryDef(
+      "w14_row_number",
+      Some(s"""SELECT event_id, user_id, ts,
+              |  row_number() OVER ($oW) - 1 AS cumcount,
+              |  count(*) OVER ($oW ROWS BETWEEN UNBOUNDED PRECEDING AND
+              |    CURRENT ROW) AS running_n
+              |FROM events""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          (row_number().over(w) - 1).cast("long").as("cumcount"),
+          count(lit(1)).over(wRun).as("running_n"))
+      }),
+
+    // W15: intraday log-return with day-boundary reset, then daily sum
+    // (my_stock_functions.py:85-94). The log outputs are per-row
+    // deterministic, and the daily sum of logs goes through the decimal
+    // path after rounding to a fixed grid — here we keep the raw per-row
+    // values and an exact count instead, summing via DECIMAL on a
+    // quantized copy would lose the semantic; the grain keeps groups tiny.
+    QueryDef(
+      "w15_day_reset_logret",
+      // round(9) absorbs the 1-ulp libm difference between engines.
+      Some(s"""SELECT event_id, user_id, ts,
+              |  CASE WHEN CAST(ts AS DATE) =
+              |            CAST(lag(ts, 1) OVER ($oW) AS DATE) THEN
+              |    round(ln(value / lag(value, 1) OVER ($oW)), 9)
+              |  END AS log_ret
+              |FROM events""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(to_date(col("ts")) === to_date(lag("ts", 1).over(w)),
+            round(log(col("value") / lag("value", 1).over(w)), 9))
+            .as("log_ret"))
+      }),
+
+    // W16: rolling z-score — (value - mean_20) / std_20 composed from the
+    // exact-decimal rolling blocks (my_stock_functions.py:632-641).
+    QueryDef(
+      "w16_rolling_zscore",
+      Some {
+        val f = s"$oW ROWS BETWEEN 19 PRECEDING AND CURRENT ROW"
+        val s1 = oWsum("value", f); val s2 = oWsum("value * value", f)
+        s"""SELECT event_id, user_id, ts,
+           |  CASE WHEN count(*) OVER ($f) >= 20 THEN
+           |    (value - $s1 / 20.0) /
+           |    SQRT(($s2 - $s1 * $s1 / 20.0) / 19.0)
+           |  END AS z_20
+           |FROM events""".stripMargin
+      },
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-19, 0)
+        val s1 = wsum(col("value"), w)
+        val s2 = wsum(col("value") * col("value"), w)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(count(lit(1)).over(w) >= 20,
+            (col("value") - s1 / 20.0) /
+              sqrt((s2 - s1 * s1 / 20.0) / 19.0)).as("z_20"))
+      }),
+  )
+}
