@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AggQueries, JoinQueries, ScalarQueries,
-  ScanFilterQueries, SortSetQueries, WindowQueries}
+import graft.queries.{AggQueries, DedupQueries, JoinQueries, ScalarQueries,
+  ScanFilterQueries, SimilarityQueries, SortSetQueries, TextQueries,
+  WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +23,10 @@ object SparkEntry {
     WindowQueries.all ++
     JoinQueries.all ++
     ScalarQueries.all ++
-    SortSetQueries.all
+    SortSetQueries.all ++
+    DedupQueries.all ++
+    SimilarityQueries.all ++
+    TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own smoke shape (Procesamiento_fase_2.ipynb:129):

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline operators
+  * (dedup, fingerprinting, language ID, quality scoring).
+  *
+  * Everything here is a pure Catalyst expression — no UDFs — so the
+  * operators stay columnar, codegen-eligible, and pushdown-transparent at
+  * 100 TB. The string hash is the first 8 hex chars of md5 parsed as a
+  * uint32: md5 is bit-identical across engines, which makes every derived
+  * signature (minhash, simhash, LSH bucket) oracle-verifiable.
+  */
+object TextOps {
+
+  /** Portable 32-bit string hash: first 8 hex chars of md5 as a long.
+    * DuckDB equivalent: `CAST('0x' || substr(md5(x),1,8) AS BIGINT)`. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def oHash32(x: String): String =
+    s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (default 3). Guarded: Spark's `sequence(1, k)`
+    * counts DOWN when k < 1, so short docs must return an empty array
+    * explicitly. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(1), size(toks) - (n - 1))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+  /** Oracle-side shingles over a BOUND token-list column named `lst`
+    * (bind it in a prior CTE: `string_split(text, ' ') AS lst`). */
+  def oShinglesFromList(lst: String, n: Int = 3): String = {
+    val parts = (0 until n).map(k => s"$lst[i + $k]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($lst) >= $n THEN
+       |  list_transform(generate_series(1, len($lst) - ${n - 1}), i -> $parts)
+       |ELSE [] END""".stripMargin
+  }
+
+  /** MinHash permutation constants: k affine maps (a*h + b) mod p over the
+    * 32-bit shingle hash. Fixed constants → reproducible across engines and
+    * runs; a < 2^6 keeps a*h < 2^38, far inside long range. */
+  val MinhashP: Long = 2147483647L
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(j => (2L * j + 3L, 1000003L * j + 12345L))
+
+  /** One minhash signature component over a shingle array (no shuffle —
+    * per-row higher-order functions only). */
+  def minhashSig(shingleArr: Column, a: Long, b: Long): Column =
+    array_min(transform(shingleArr,
+      s => (hash32(s) * a + b) % MinhashP))
+  def oMinhashSig(arr: String, a: Long, b: Long): String =
+    s"list_min(list_transform($arr, s -> (${oHash32("s")} * $a + $b) % $MinhashP))"
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set — robust to word order and duplication (the rolling-hash
+    * fingerprint analog, exact across engines). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+  def oFingerprint(x: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(string_split($x, ' '))), ' '))"
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.TextOps._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprint reporting. All pure
+  * columnar expressions over `documents` — each scales as a single
+  * projection (+ one tiny aggregate where noted), no UDFs.
+  */
+object TextQueries {
+
+  /** Marker-token sets per language for the n-gram frequency heuristic.
+    * (Synthetic corpus → synthetic marker table; the operator structure —
+    * per-language token-hit scoring + deterministic argmax — is the real
+    * language-ID shape.) */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "table", "row"),
+    "de" -> Seq("window", "group", "sort"),
+    "fr" -> Seq("query", "filter", "merge"),
+    "zh" -> Seq("hash", "join", "scan"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TX1: language identification — count marker-token hits per language,
+    // predict argmax with deterministic tie order (list order).
+    QueryDef(
+      "tx1_lang_id",
+      Some {
+        val scores = markers.map { case (lang, ws) =>
+          val hits = ws.map(w =>
+            s"len(list_filter(string_split(text, ' '), t -> t = '$w'))")
+            .mkString(" + ")
+          s"CAST($hits AS BIGINT) AS score_$lang"
+        }.mkString(",\n    ")
+        val best = markers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+          s"CASE WHEN score_$lang >= ${markers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")} THEN '$lang' ELSE $acc END"
+        }
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang AS lang_true,
+           |    $scores
+           |  FROM documents)
+           |SELECT doc_id, lang_true,
+           |  CASE WHEN ${markers.map(m => s"score_${m._1}").mkString(" + ")} = 0
+           |    THEN 'und' ELSE $best END AS lang_pred,
+           |  ${markers.map(m => s"score_${m._1}").mkString(", ")}
+           |FROM scored""".stripMargin
+      },
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val scoreCols = markers.map { case (lang, ws) =>
+          ws.map(w => size(filter(toks, t => t === w)).cast("long"))
+            .reduce(_ + _).as(s"score_$lang")
+        }
+        val scored = Tables.documents(s, d).select(
+          col("doc_id") +: col("lang").as("lang_true") +: scoreCols: _*)
+        val maxScore = greatest(markers.map(m => col(s"score_${m._1}")): _*)
+        val best = markers.reverse.foldLeft(lit("und")) {
+          case (acc, (lang, _)) =>
+            when(col(s"score_$lang") >= maxScore, lit(lang)).otherwise(acc)
+        }
+        val total = markers.map(m => col(s"score_${m._1}")).reduce(_ + _)
+        scored.select(
+          col("doc_id") +: col("lang_true") +:
+          when(total === 0, "und").otherwise(best).as("lang_pred") +:
+          markers.map(m => col(s"score_${m._1}")): _*)
+      }),
+
+    // TX2: quality scoring — length, token stats, stopword ratio,
+    // type-token ratio, composed into one deterministic quality score.
+    QueryDef(
+      "tx2_quality_score",
+      Some("""WITH t AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS n_distinct,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+             |  FROM documents)
+             |SELECT doc_id, n_tokens, n_distinct,
+             |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |    AS avg_token_len,
+             |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |    AS stopword_ratio,
+             |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |    AS type_token_ratio,
+             |  (CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END +
+             |   CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |     BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END +
+             |   CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |     >= 0.3 THEN 0.3 ELSE 0.0 END) AS quality
+             |FROM t""".stripMargin),
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val t = Tables.documents(s, d).select(
+          col("doc_id"), col("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          size(filter(toks, w => w === "the" || w === "a")).cast("long")
+            .as("n_stop"))
+        val stopR = col("n_stop").cast("double") / col("n_tokens").cast("double")
+        val ttr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
+        t.select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("avg_token_len"),
+          stopR.as("stopword_ratio"),
+          ttr.as("type_token_ratio"),
+          (when(col("n_tokens") >= 20, 0.4).otherwise(0.0) +
+           when(stopR.between(0.01, 0.5), 0.3).otherwise(0.0) +
+           when(ttr >= 0.3, 0.3).otherwise(0.0)).as("quality"))
+      }),
+
+    // TX3: token counting — whitespace tokens + BPE-ish regex tokens
+    // (letter runs / digit runs / single punctuation) + char count.
+    QueryDef(
+      "tx3_token_count",
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |    AS BIGINT) AS bpe_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars_measured
+             |FROM documents""".stripMargin),
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars_measured"))),
+
+    // TX4: per-source corpus profile — document counts, mean length, dup
+    // rate by fingerprint (one tiny aggregate per source).
+    QueryDef(
+      "tx4_corpus_profile",
+      Some(s"""WITH fp AS (
+              |  SELECT source, n_chars, ${oFingerprint("text")} AS fp
+              |  FROM documents)
+              |SELECT source, count(*) AS n_docs,
+              |  count(DISTINCT fp) AS n_unique,
+              |  CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) /
+              |    COUNT(n_chars) AS mean_chars
+              |FROM fp GROUP BY source""".stripMargin),
+      (s, d) => {
+        import graft.Parity
+        Tables.documents(s, d)
+          .select(col("source"), col("n_chars"),
+            fingerprint(col("text")).as("fp"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct("fp").as("n_unique"),
+               Parity.davg(col("n_chars")).as("mean_chars"))
+      }),
+  )
+}
