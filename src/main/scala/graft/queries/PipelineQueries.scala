@@ -1,0 +1,298 @@
+package graft.queries
+
+import graft.{Parity, QueryDef, Tables}
+import graft.operators.{Ewm, Sessionize, TrendEvents}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** End-to-end pipeline operators mirroring the reference's Silver/Gold
+  * phases on the harness tables: complete time-grid + fill, gap
+  * sessionization, EWM, the trend-event state machine, the daily feature
+  * battery, and DML-rewrite / sample / CSV-roundtrip odds and ends.
+  */
+object PipelineQueries {
+  import Parity._
+
+  private val DEC = DecimalType(30, 6)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // SILVER GRID+FILL — the reference's phase-1 core
+    // (Procesamiento_fase_1.ipynb:169-273): per-key complete hourly grid
+    // clipped to the key's active range (J2), LEFT JOIN observed bars (J3),
+    // forward-fill close (W1), zero-fill counts (W3). Grid generated
+    // distributed via sequence+explode — never on the driver.
+    QueryDef(
+      "pl1_grid_fill",
+      Some("""WITH hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS slot,
+             |    arg_max(value, ts) AS close, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |ranges AS (
+             |  SELECT user_id, min(slot) AS lo, max(slot) AS hi
+             |  FROM hourly GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id,
+             |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+             |  FROM ranges),
+             |joined AS (
+             |  SELECT g.user_id, g.slot, h.close, COALESCE(h.n, 0) AS n_events
+             |  FROM grid g LEFT JOIN hourly h
+             |    ON g.user_id = h.user_id AND g.slot = h.slot)
+             |SELECT user_id, slot,
+             |  last_value(close IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY slot
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS close_ffill,
+             |  n_events
+             |FROM joined""".stripMargin),
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("slot"))
+          .agg(max_by(col("value"), col("ts")).as("close"),
+               count(lit(1)).as("n"))
+        val ranges = hourly.groupBy("user_id")
+          .agg(min("slot").as("lo"), max("slot").as("hi"))
+        val grid = ranges.select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+            .as("slot"))
+        val joined = grid.join(hourly, Seq("user_id", "slot"), "left")
+          .select(col("user_id"), col("slot"), col("close"),
+            coalesce(col("n"), lit(0L)).as("n_events"))
+        val w = Window.partitionBy("user_id").orderBy("slot")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined.select(col("user_id"), col("slot"),
+          last("close", ignoreNulls = true).over(w).as("close_ffill"),
+          col("n_events"))
+      }),
+
+    // SESSIONIZATION — gap > 6h starts a new session; per-event session ids
+    // plus per-session rollup (count, span, value sum).
+    QueryDef(
+      "pl2_sessionize",
+      Some(s"""WITH tagged AS (
+              |  SELECT user_id, ts, event_id, value,
+              |    CASE WHEN date_part('epoch', ts) -
+              |      date_part('epoch', lag(ts, 1) OVER
+              |        (PARTITION BY user_id ORDER BY ts)) > 21600
+              |      OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts)
+              |        IS NULL
+              |    THEN 1 ELSE 0 END AS is_new
+              |  FROM events),
+              |sess AS (
+              |  SELECT user_id, ts, event_id, value,
+              |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS session_id
+              |  FROM tagged)
+              |SELECT user_id, session_id, count(*) AS n_events,
+              |  min(ts) AS session_start, max(ts) AS session_end,
+              |  ${oSum("value")} AS session_value
+              |FROM sess GROUP BY user_id, session_id""".stripMargin),
+      (s, d) =>
+        Sessionize.withSessionIds(
+            Tables.events(s, d).select("user_id", "ts", "event_id", "value"),
+            "user_id", "ts", gapSeconds = 21600L)
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min("ts").as("session_start"), max("ts").as("session_end"),
+               dsum(col("value")).as("session_value"))),
+
+    // W12/EWM (FIR form) — 32-term truncated renormalized EWM as one
+    // WindowExec. Integer-quantized (weights 1e-9 grid, 2-decimal inputs
+    // exact at 1e-2): the dot product is exact long arithmetic, so the
+    // result is association-free and oracle-exact (a raw 32-term double
+    // chain is NOT portable across engines — see Ewm.firQ).
+    QueryDef(
+      "pl3_ewm_fir",
+      Some {
+        val k = 32; val alpha = 0.1
+        val ws = Ewm.firWeightsQ(alpha, k)
+        val oW = "PARTITION BY user_id ORDER BY ts"
+        val terms = ws.zipWithIndex.map { case (wi, i) =>
+          s"$wi * lag(xq, $i) OVER ($oW)"
+        }.mkString(" + ")
+        s"""WITH q AS (
+           |  SELECT event_id, user_id, ts, value,
+           |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xq
+           |  FROM events)
+           |SELECT event_id, user_id, ts, value,
+           |  CASE WHEN row_number() OVER ($oW) >= $k THEN
+           |    CAST($terms AS DOUBLE) / CAST(${ws.sum} AS DOUBLE) / 100.0
+           |  END AS ewm_fir
+           |FROM q""".stripMargin
+      },
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          when(row_number().over(w) >= 32,
+            Ewm.firQ(col("value"), w, alpha = 0.1, k = 32, xScale = 2))
+            .as("ewm_fir"))
+      }),
+
+    // W12/EWM (exact recursive form, pandas adjust=False) — sequential
+    // per-key scan; not expressible in SQL window algebra, so no oracle
+    // (driver records the rows-only check).
+    QueryDef(
+      "pl4_ewm_recursive",
+      None,
+      (s, d) =>
+        Ewm.recursive(Tables.events(s, d), "user_id", "ts", "value",
+          alpha = 0.1)
+          .select(col("key").as("user_id"), col("ts"), col("x").as("value"),
+                  col("ewm"))),
+
+    // TREND EVENTS — the path-dependent threshold-crossing state machine
+    // (my_alpaca.py:19-111); inherently sequential per key → no SQL oracle.
+    QueryDef(
+      "pl5_trend_events",
+      None,
+      (s, d) =>
+        TrendEvents.fromDf(Tables.events(s, d), "user_id", "ts", "value")),
+
+    // GOLD FEATURE BATTERY — the phase-2 flagship: daily rollup (A2) +
+    // prev-day gap (W4) + returns (W6) + rolling std/mean (W8/W9) +
+    // dist-from-max (W11) + wick ratios (F5/F9/F10) + cyclic weekday (F7),
+    // all over ONE per-key partitioning (single shuffle serves the whole
+    // window battery).
+    QueryDef(
+      "pl6_feature_battery",
+      Some {
+        // Derived returns are arbitrary reals; decimal casts of those can
+        // land on exact .5 ties where Spark (HALF_UP) and DuckDB
+        // (HALF_EVEN) disagree. Quantize via floor(x*1e6+0.5) — identical
+        // IEEE ops, no rounding mode — then window-sum exact integers.
+        val oW = "PARTITION BY user_id ORDER BY day"
+        val f5 = s"$oW ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
+        val f20 = s"$oW ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+        val s1 = s"(CAST(SUM(rq) OVER ($f5) AS DOUBLE) / 10000.0)"
+        val s2 = s"(CAST(SUM(rq * rq) OVER ($f5) AS DOUBLE) / 100000000.0)"
+        s"""WITH daily AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day,
+           |    arg_min(value, ts) AS open, max(value) AS high,
+           |    min(value) AS low, arg_max(value, ts) AS close,
+           |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume,
+           |    count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |retd AS (
+           |  SELECT *,
+           |    lag(close, 1) OVER ($oW) AS prev_close,
+           |    CASE WHEN lag(close, 1) OVER ($oW) > 0.0 THEN
+           |      close / lag(close, 1) OVER ($oW) - 1.0 END AS ret,
+           |    CASE WHEN lag(close, 1) OVER ($oW) > 0.0 THEN
+           |      CAST(floor((close / lag(close, 1) OVER ($oW) - 1.0)
+           |        * 10000.0 + 0.5) AS BIGINT) END AS rq
+           |  FROM daily),
+           |feat AS (
+           |  SELECT user_id, day, open, high, low, close, volume, n,
+           |    prev_close, ret AS prev_day_return,
+           |    CASE WHEN prev_close IS NOT NULL THEN
+           |      (open - prev_close) / prev_close * 100.0 END AS gap_pct,
+           |    CASE WHEN count(ret) OVER ($f5) >= 5 THEN
+           |      SQRT(($s2 - $s1 * $s1 / 5.0) / 4.0) END AS std_return_5d,
+           |    CASE WHEN count(*) OVER ($f20) >= 20 THEN
+           |      (close - max(close) OVER ($f20)) / max(close) OVER ($f20)
+           |    END AS dist_max_20d,
+           |    CASE WHEN high - low <> 0.0 THEN
+           |      (high - greatest(open, close)) / (high - low)
+           |      ELSE 0.0 END AS upper_wick_ratio,
+           |    sin(2.0 * pi() * CAST(dayofweek(day) AS DOUBLE) / 7.0)
+           |      AS weekday_sin,
+           |    cos(2.0 * pi() * CAST(dayofweek(day) AS DOUBLE) / 7.0)
+           |      AS weekday_cos
+           |  FROM retd)
+           |SELECT * FROM feat""".stripMargin
+      },
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min_by(col("value"), col("ts")).as("open"),
+               max("value").as("high"), min("value").as("low"),
+               max_by(col("value"), col("ts")).as("close"),
+               dsum(col("value")).as("volume"),
+               count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val f5 = w.rowsBetween(-4, 0)
+        val f20 = w.rowsBetween(-20, -1)
+        val prevC = lag("close", 1).over(w)
+        val withRet = daily
+          .withColumn("prev_close", prevC)
+          .withColumn("ret",
+            when(prevC > 0.0, col("close") / prevC - 1.0))
+          .withColumn("rq",
+            when(prevC > 0.0,
+              floor((col("close") / prevC - 1.0) * 10000.0 + 0.5)
+                .cast("long")))
+        val s1 = sum(col("rq")).over(f5).cast("double") / 10000.0
+        val s2 = sum(col("rq") * col("rq")).over(f5).cast("double") /
+          100000000.0
+        val mx20 = max("close").over(f20)
+        withRet.select(
+          col("user_id"), col("day"), col("open"), col("high"), col("low"),
+          col("close"), col("volume"), col("n"), col("prev_close"),
+          col("ret").as("prev_day_return"),
+          when(col("prev_close").isNotNull,
+            (col("open") - col("prev_close")) / col("prev_close") * 100.0)
+            .as("gap_pct"),
+          when(count(col("ret")).over(f5) >= 5,
+            sqrt((s2 - s1 * s1 / 5.0) / 4.0)).as("std_return_5d"),
+          when(count(lit(1)).over(f20) >= 20,
+            (col("close") - mx20) / mx20).as("dist_max_20d"),
+          when(col("high") - col("low") =!= 0.0,
+            (col("high") - greatest(col("open"), col("close"))) /
+              (col("high") - col("low"))).otherwise(0.0)
+            .as("upper_wick_ratio"),
+          sin(lit(2.0) * lit(math.Pi) * (dayofweek(col("day")) - 1)
+            .cast("double") / 7.0).as("weekday_sin"),
+          cos(lit(2.0) * lit(math.Pi) * (dayofweek(col("day")) - 1)
+            .cast("double") / 7.0).as("weekday_cos"))
+      }),
+
+    // A12: deterministic pseudo-random sample — hash-ordered limit (the
+    // engine-portable analog of orderBy(rand(seed)).limit(k)).
+    QueryDef(
+      "pl7_hash_sample",
+      Some("""SELECT user_id FROM (
+             |  SELECT DISTINCT user_id FROM events)
+             |ORDER BY md5('s42' || CAST(user_id AS VARCHAR)), user_id
+             |LIMIT 10""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d).select("user_id").distinct()
+          .orderBy(md5(concat(lit("s42"), col("user_id").cast("string"))),
+                   col("user_id"))
+          .limit(10)),
+
+    // P10: corrective UPDATE as a declarative rewrite (the vwap repair
+    // shape: SET value=(lo+hi)/2 WHERE out of band).
+    QueryDef(
+      "pl8_update_rewrite",
+      Some("""SELECT event_id, value,
+             |  CASE WHEN value < 1.0 OR value > 400.0
+             |       THEN (1.0 + 400.0) / 2.0 ELSE value END AS value_fixed,
+             |  (value < 1.0 OR value > 400.0) AS was_repaired
+             |FROM events""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d).select(
+          col("event_id"), col("value"),
+          when(col("value") < 1.0 || col("value") > 400.0,
+            (lit(1.0) + 400.0) / 2.0).otherwise(col("value"))
+            .as("value_fixed"),
+          (col("value") < 1.0 || col("value") > 400.0).as("was_repaired"))),
+
+    // S5+S6: CSV sink + source roundtrip with explicit schema and timestamp
+    // parse (per-symbol CSV bronze of my_alpaca.py:120-122,212).
+    QueryDef(
+      "pl9_csv_roundtrip",
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin),
+      (s, d) => {
+        val out = s"/tmp/graft_csv_roundtrip"
+        Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .option("header", "true").csv(out)
+      }),
+  )
+}
