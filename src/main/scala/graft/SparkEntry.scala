@@ -44,7 +44,8 @@ object SparkEntry {
     daily
       .withColumn("prev_close", lag("close", 1).over(w))
       .withColumn("gap_pct",
-        (col("open") - col("prev_close")) / col("prev_close") * 100)
+        (col("open") - col("prev_close")) /
+          nullif(col("prev_close"), lit(0.0)) * 100)
       .filter(col("gap_pct").isNotNull)
       .orderBy("user_id", "day")
   }

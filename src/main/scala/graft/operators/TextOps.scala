@@ -50,13 +50,19 @@ object TextOps {
   def minhashParams(k: Int): Seq[(Long, Long)] =
     (0 until k).map(j => (2L * j + 3L, 1000003L * j + 12345L))
 
-  /** One minhash signature component over a shingle array (no shuffle —
-    * per-row higher-order functions only). */
-  def minhashSig(shingleArr: Column, a: Long, b: Long): Column =
-    array_min(transform(shingleArr,
-      s => (hash32(s) * a + b) % MinhashP))
-  def oMinhashSig(arr: String, a: Long, b: Long): String =
-    s"list_min(list_transform($arr, s -> (${oHash32("s")} * $a + $b) % $MinhashP))"
+  /** One minhash signature component over a PRE-HASHED shingle array (no
+    * shuffle — per-row higher-order functions only). Hash the shingles once
+    * with [[hashAll]] and feed every permutation from that: md5 is ~50× the
+    * cost of the affine map, so hashing per-permutation would dominate. */
+  def minhashSig(hashArr: Column, a: Long, b: Long): Column =
+    array_min(transform(hashArr, h => (h * a + b) % MinhashP))
+  def oMinhashSig(hashArr: String, a: Long, b: Long): String =
+    s"list_min(list_transform($hashArr, h -> (h * $a + $b) % $MinhashP))"
+
+  /** Hash every element of a string array to its portable 32-bit value. */
+  def hashAll(arr: Column): Column = transform(arr, s => hash32(s))
+  def oHashAll(arr: String): String =
+    s"list_transform($arr, s -> ${oHash32("s")})"
 
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — robust to word order and duplication (the rolling-hash

@@ -106,7 +106,8 @@ object AggQueries {
               |SELECT user_id,
               |  arg_max(value, rn) AS first_value,
               |  arg_min(value, rn) AS last_value,
-              |  arg_min(value, rn) / arg_max(value, rn) - 1.0 AS period_return,
+              |  arg_min(value, rn) / NULLIF(arg_max(value, rn), 0.0) - 1.0
+              |    AS period_return,
               |  ${oStd("value")} AS value_std
               |FROM ranked WHERE rn <= 20 GROUP BY user_id""".stripMargin),
       (s, d) => {
@@ -118,7 +119,8 @@ object AggQueries {
           .agg(max_by(col("value"), col("rn")).as("first_value"),
                min_by(col("value"), col("rn")).as("last_value"),
                (min_by(col("value"), col("rn")) /
-                 max_by(col("value"), col("rn")) - lit(1.0)).as("period_return"),
+                 nullif(max_by(col("value"), col("rn")), lit(0.0)) - lit(1.0))
+                 .as("period_return"),
                dstd(col("value")).as("value_std"))
       }),
 

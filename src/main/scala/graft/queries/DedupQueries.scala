@@ -54,14 +54,15 @@ object DedupQueries {
           .groupBy(fingerprint(col("text")).as("fp"))
           .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))),
 
-    // DD3: MinHash + LSH near-duplicate pairs. Signatures per-row; bands
-    // bucket-joined; candidates verified with exact Jaccard on distinct
-    // shingle sets; emitted at jaccard >= 0.5.
+    // DD3: MinHash + LSH near-duplicate pairs. Shingles hashed ONCE to
+    // 32-bit ints (md5 is the cost center; 16 permutations reuse the hash
+    // array); bands bucket-joined; candidates verified with exact Jaccard
+    // on the distinct hashed-shingle sets; emitted at jaccard >= 0.5.
     QueryDef(
       "dd3_minhash_lsh",
       Some {
         val sigs = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
-          s"${oMinhashSig("sh", a, b)} AS sig$j"
+          s"${oMinhashSig("hs", a, b)} AS sig$j"
         }.mkString(",\n    ")
         val bandSelects = (0 until Bands).map { bIdx =>
           val parts = (0 until 4).map(r => s"CAST(sig${bIdx * 4 + r} AS VARCHAR)")
@@ -71,10 +72,11 @@ object DedupQueries {
         s"""WITH toks AS (
            |  SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
            |sh AS (
-           |  SELECT doc_id, list_distinct(${oShinglesFromList("lst")}) AS sh
+           |  SELECT doc_id,
+           |    list_distinct(${oHashAll(oShinglesFromList("lst"))}) AS hs
            |  FROM toks),
            |sig AS (
-           |  SELECT doc_id, sh,
+           |  SELECT doc_id, hs,
            |    $sigs
            |  FROM sh),
            |bands AS (
@@ -85,32 +87,37 @@ object DedupQueries {
            |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
            |   AND a.doc_id < b.doc_id)
            |SELECT c.doc_a, c.doc_b,
-           |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-           |  CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+           |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+           |  CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
            |    AS jaccard
            |FROM cand c
            |JOIN sh x ON c.doc_a = x.doc_id
            |JOIN sh y ON c.doc_b = y.doc_id
-           |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-           |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+           |WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+           |      CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
            |      >= 0.5""".stripMargin
       },
       (s, d) => {
+        // persist: the hashed-shingle sets feed four branches of the DAG
+        // (bands a/b + jaccard x/y); md5 over every shingle is the cost
+        // center and is interpreted (higher-order fn), so compute it once.
+        // Tiny frame: one row per doc with an int array.
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+          .select(col("doc_id"),
+            array_distinct(hashAll(shingles(col("text")))).as("hs"))
+          .persist()
         val sigCols = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
-          minhashSig(col("sh"), a, b).as(s"sig$j")
+          minhashSig(col("hs"), a, b).as(s"sig$j")
         }
-        val sig = docs.select(col("doc_id") +: col("sh") +: sigCols: _*)
+        val sig = docs.select(col("doc_id") +: col("hs") +: sigCols: _*)
         val bandStructs = (0 until Bands).map { bIdx =>
           val parts = (0 until 4).map(r => col(s"sig${bIdx * 4 + r}").cast("string"))
           struct(lit(bIdx).as("band_idx"),
                  md5(concat_ws(",", parts: _*)).as("band_hash"))
         }
         val bands = sig
-          .select(col("doc_id"), col("sh"),
-                  explode(array(bandStructs: _*)).as("b"))
-          .select(col("doc_id"), col("sh"),
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+          .select(col("doc_id"),
                   col("b.band_idx").as("band_idx"),
                   col("b.band_hash").as("band_hash"))
         val a = bands.select(col("doc_id").as("doc_a"),
@@ -120,10 +127,10 @@ object DedupQueries {
         val cand = a.join(b, Seq("band_idx", "band_hash"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
-        val x = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val y = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+        val x = docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+        val y = docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+        val jac = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double")
         cand.join(x, "doc_a").join(y, "doc_b")
           .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
           .filter(col("jaccard") >= 0.5)
@@ -183,7 +190,8 @@ object DedupQueries {
       Some(s"""WITH toks AS (
               |  SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
               |sets AS (
-              |  SELECT doc_id, list_distinct(${oShinglesFromList("lst")}) AS sh
+              |  SELECT doc_id,
+              |    list_distinct(${oHashAll(oShinglesFromList("lst"))}) AS sh
               |  FROM toks),
               |sz AS (SELECT doc_id, len(sh) AS n FROM sets),
               |posts AS (SELECT doc_id, unnest(sh) AS s FROM sets),
@@ -200,8 +208,11 @@ object DedupQueries {
               |WHERE CAST(cm.c AS DOUBLE) / CAST(sa.n + sb.n - cm.c AS DOUBLE)
               |      >= 0.4""".stripMargin),
       (s, d) => {
+        // persist for the same reason as dd3: one md5 pass, four consumers.
         val sets = Tables.documents(s, d)
-          .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+          .select(col("doc_id"),
+            array_distinct(hashAll(shingles(col("text")))).as("sh"))
+          .persist()
         val sz = sets.select(col("doc_id"), size(col("sh")).as("n"))
         val posts = sets.select(col("doc_id"), explode(col("sh")).as("s"))
         val common = posts.as("a")

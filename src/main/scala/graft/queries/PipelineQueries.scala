@@ -188,12 +188,13 @@ object PipelineQueries {
            |feat AS (
            |  SELECT user_id, day, open, high, low, close, volume, n,
            |    prev_close, ret AS prev_day_return,
-           |    CASE WHEN prev_close IS NOT NULL THEN
+           |    CASE WHEN prev_close > 0.0 THEN
            |      (open - prev_close) / prev_close * 100.0 END AS gap_pct,
            |    CASE WHEN count(ret) OVER ($f5) >= 5 THEN
            |      SQRT(($s2 - $s1 * $s1 / 5.0) / 4.0) END AS std_return_5d,
            |    CASE WHEN count(*) OVER ($f20) >= 20 THEN
-           |      (close - max(close) OVER ($f20)) / max(close) OVER ($f20)
+           |      (close - max(close) OVER ($f20)) /
+           |        NULLIF(max(close) OVER ($f20), 0.0)
            |    END AS dist_max_20d,
            |    CASE WHEN high - low <> 0.0 THEN
            |      (high - greatest(open, close)) / (high - low)
@@ -233,13 +234,14 @@ object PipelineQueries {
           col("user_id"), col("day"), col("open"), col("high"), col("low"),
           col("close"), col("volume"), col("n"), col("prev_close"),
           col("ret").as("prev_day_return"),
-          when(col("prev_close").isNotNull,
+          when(col("prev_close") > 0.0,
             (col("open") - col("prev_close")) / col("prev_close") * 100.0)
             .as("gap_pct"),
           when(count(col("ret")).over(f5) >= 5,
             sqrt((s2 - s1 * s1 / 5.0) / 4.0)).as("std_return_5d"),
           when(count(lit(1)).over(f20) >= 20,
-            (col("close") - mx20) / mx20).as("dist_max_20d"),
+            (col("close") - mx20) / nullif(mx20, lit(0.0)))
+            .as("dist_max_20d"),
           when(col("high") - col("low") =!= 0.0,
             (col("high") - greatest(col("open"), col("close"))) /
               (col("high") - col("low"))).otherwise(0.0)

@@ -69,20 +69,23 @@ object WindowQueries {
     // W4+W6: lag(1) gap/return (Procesamiento_fase_2.ipynb:97).
     QueryDef(
       "w4_lag_gap",
+      // NULLIF guards: value can be exactly 0 at sf0.1 and ANSI mode makes
+      // /0 an error, not Inf.
       Some(s"""SELECT event_id, user_id, ts, value,
               |  lag(value, 1) OVER ($oW) AS prev_value,
               |  (value - lag(value, 1) OVER ($oW)) /
-              |    lag(value, 1) OVER ($oW) * 100.0 AS gap_pct,
-              |  value / lag(value, 1) OVER ($oW) - 1.0 AS ret
+              |    NULLIF(lag(value, 1) OVER ($oW), 0.0) * 100.0 AS gap_pct,
+              |  value / NULLIF(lag(value, 1) OVER ($oW), 0.0) - 1.0 AS ret
               |FROM events""".stripMargin),
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts")
         val prev = lag("value", 1).over(w)
+        val prevNz = nullif(prev, lit(0.0))
         Tables.events(s, d).select(
           col("event_id"), col("user_id"), col("ts"), col("value"),
           prev.as("prev_value"),
-          ((col("value") - prev) / prev * 100.0).as("gap_pct"),
-          (col("value") / prev - 1.0).as("ret"))
+          ((col("value") - prev) / prevNz * 100.0).as("gap_pct"),
+          (col("value") / prevNz - 1.0).as("ret"))
       }),
 
     // W5: multi-offset lag battery sharing ONE window spec — the 6-horizon
@@ -93,7 +96,8 @@ object WindowQueries {
       Some {
         val cols = Seq(1, 5, 20, 100).map { n =>
           s"""(value - lag(value, $n) OVER ($oW)) /
-             |lag(value, $n) OVER ($oW) * 100.0 AS pct_change_$n""".stripMargin
+             |NULLIF(lag(value, $n) OVER ($oW), 0.0) * 100.0
+             |AS pct_change_$n""".stripMargin
         }.mkString(",\n")
         Some(s"SELECT event_id, user_id, ts, value,\n$cols\nFROM events")
       }.get,
@@ -102,7 +106,8 @@ object WindowQueries {
         val base = Seq(col("event_id"), col("user_id"), col("ts"), col("value"))
         val lags = Seq(1, 5, 20, 100).map { n =>
           val l = lag("value", n).over(w)
-          ((col("value") - l) / l * 100.0).as(s"pct_change_$n")
+          ((col("value") - l) / nullif(l, lit(0.0)) * 100.0)
+            .as(s"pct_change_$n")
         }
         Tables.events(s, d).select(base ++ lags: _*)
       }),
@@ -200,7 +205,8 @@ object WindowQueries {
         val f = s"$oW ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
         s"""SELECT event_id, user_id, ts, value,
            |  CASE WHEN count(*) OVER ($f) >= 20 THEN
-           |    (value - max(value) OVER ($f)) / max(value) OVER ($f)
+           |    (value - max(value) OVER ($f)) /
+           |      NULLIF(max(value) OVER ($f), 0.0)
            |  END AS dist_max_20
            |FROM events""".stripMargin
       },
@@ -210,7 +216,7 @@ object WindowQueries {
         Tables.events(s, d).select(
           col("event_id"), col("user_id"), col("ts"), col("value"),
           when(count(lit(1)).over(w) >= 20,
-            (col("value") - mx) / mx).as("dist_max_20"))
+            (col("value") - mx) / nullif(mx, lit(0.0))).as("dist_max_20"))
       }),
 
     // W13: true range from the daily rollup — greatest/least across prev
@@ -272,19 +278,23 @@ object WindowQueries {
     // quantized copy would lose the semantic; the grain keeps groups tiny.
     QueryDef(
       "w15_day_reset_logret",
-      // round(9) absorbs the 1-ulp libm difference between engines.
+      // round(9) absorbs the 1-ulp libm difference between engines; the
+      // positivity guard keeps ln/÷ defined when value hits 0 (sf0.1).
       Some(s"""SELECT event_id, user_id, ts,
               |  CASE WHEN CAST(ts AS DATE) =
-              |            CAST(lag(ts, 1) OVER ($oW) AS DATE) THEN
+              |            CAST(lag(ts, 1) OVER ($oW) AS DATE)
+              |        AND value > 0.0 AND lag(value, 1) OVER ($oW) > 0.0 THEN
               |    round(ln(value / lag(value, 1) OVER ($oW)), 9)
               |  END AS log_ret
               |FROM events""".stripMargin),
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts")
+        val prev = lag("value", 1).over(w)
         Tables.events(s, d).select(
           col("event_id"), col("user_id"), col("ts"),
-          when(to_date(col("ts")) === to_date(lag("ts", 1).over(w)),
-            round(log(col("value") / lag("value", 1).over(w)), 9))
+          when(to_date(col("ts")) === to_date(lag("ts", 1).over(w)) &&
+               col("value") > 0.0 && prev > 0.0,
+            round(log(col("value") / prev), 9))
             .as("log_ret"))
       }),
 
@@ -298,7 +308,7 @@ object WindowQueries {
         s"""SELECT event_id, user_id, ts,
            |  CASE WHEN count(*) OVER ($f) >= 20 THEN
            |    (value - $s1 / 20.0) /
-           |    SQRT(($s2 - $s1 * $s1 / 20.0) / 19.0)
+           |    NULLIF(SQRT(($s2 - $s1 * $s1 / 20.0) / 19.0), 0.0)
            |  END AS z_20
            |FROM events""".stripMargin
       },
@@ -310,7 +320,8 @@ object WindowQueries {
           col("event_id"), col("user_id"), col("ts"),
           when(count(lit(1)).over(w) >= 20,
             (col("value") - s1 / 20.0) /
-              sqrt((s2 - s1 * s1 / 20.0) / 19.0)).as("z_20"))
+              nullif(sqrt((s2 - s1 * s1 / 20.0) / 19.0), lit(0.0)))
+            .as("z_20"))
       }),
   )
 }
