@@ -48,7 +48,10 @@ object PipelineQueries {
              |  n_events
              |FROM joined""".stripMargin),
       (s, d) => {
+        // one shuffle serves the whole pipeline: hash(user_id) satisfies
+        // the (user_id, slot) agg, the grid join, and the fill window.
         val hourly = Tables.events(s, d)
+          .repartition(col("user_id"))
           .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("slot"))
           .agg(max_by(col("value"), col("ts")).as("close"),
                count(lit(1)).as("n"))
@@ -207,7 +210,10 @@ object PipelineQueries {
            |SELECT * FROM feat""".stripMargin
       },
       (s, d) => {
+        // hash(user_id) up front: the (user_id, day) agg and every window
+        // below share ONE exchange instead of two.
         val daily = Tables.events(s, d)
+          .repartition(col("user_id"))
           .groupBy(col("user_id"), to_date(col("ts")).as("day"))
           .agg(min_by(col("value"), col("ts")).as("open"),
                max("value").as("high"), min("value").as("low"),

@@ -125,6 +125,7 @@ object WindowQueries {
               |FROM daily""".stripMargin),
       (s, d) => {
         val daily = Tables.events(s, d)
+          .repartition(col("user_id"))
           .groupBy(col("user_id"), to_date(col("ts")).as("day"))
           .agg((max("value") - min("value")).as("day_range"),
                count(lit(1)).as("n"))
@@ -241,6 +242,7 @@ object WindowQueries {
              |FROM d2""".stripMargin),
       (s, d) => {
         val daily = Tables.events(s, d)
+          .repartition(col("user_id"))
           .groupBy(col("user_id"), to_date(col("ts")).as("day"))
           .agg(max("value").as("high"), min("value").as("low"),
                max_by(col("value"), col("ts")).as("close"))
