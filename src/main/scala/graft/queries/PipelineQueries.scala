@@ -289,6 +289,38 @@ object PipelineQueries {
             .as("value_fixed"),
           (col("value") < 1.0 || col("value") > 400.0).as("was_repaired"))),
 
+    // S2+S3+S4: partitioned columnar sink with dynamic partition overwrite
+    // (the writeTo(...).overwritePartitions() shape on plain parquet) +
+    // scan-back. Partition pruning on the read side comes free.
+    QueryDef(
+      "pl10_partitioned_sink",
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val out = "/tmp/graft_partitioned_sink"
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        // read back; partition column returns as string -> restore order/type
+        s.read.parquet(out).select(
+          col("event_type"), col("day"), col("n"))
+      }),
+
+    // P9: DELETE-by-predicate as a declarative rewrite (drop rows before a
+    // cutoff + audit count of survivors; the Delta DELETE shape on views).
+    QueryDef(
+      "pl11_delete_rewrite",
+      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n_kept
+             |FROM events WHERE ts >= TIMESTAMP '2024-01-05'
+             |GROUP BY 1""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("ts") >= lit("2024-01-05").cast("timestamp"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_kept"))),
+
     // S5+S6: CSV sink + source roundtrip with explicit schema and timestamp
     // parse (per-symbol CSV bronze of my_alpaca.py:120-122,212).
     QueryDef(

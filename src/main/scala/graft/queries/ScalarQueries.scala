@@ -176,6 +176,8 @@ object ScalarQueries {
       "f12_json_extract_cast",
       Some("""SELECT event_id,
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2
+             |    AS k_doubled,
              |  TRY_CAST(event_type AS DOUBLE) AS type_as_num,
              |  CAST(event_id AS VARCHAR) AS id_str
              |FROM events""".stripMargin),
@@ -183,6 +185,10 @@ object ScalarQueries {
         Tables.events(s, d).select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k_value"),
+          // S8 REST-payload shape: structured parse via from_json + schema
+          from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").multiply(2).as("k_doubled"),
           expr("try_cast(event_type AS double)").as("type_as_num"),
           col("event_id").cast("string").as("id_str"))),
 
