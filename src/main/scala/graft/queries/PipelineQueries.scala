@@ -147,6 +147,21 @@ object PipelineQueries {
           .select(col("key").as("user_id"), col("ts"), col("x").as("value"),
                   col("ewm"))),
 
+    // W12/EWM (native Catalyst form) — the custom AggregateWindowFunction
+    // (graft.functions.EwmNr) registered via the session registry /
+    // SparkSessionExtensions and invoked through SQL. Same recurrence as
+    // pl4 (spec-asserted bit-equal); recursion is not SQL-window
+    // expressible, so rows-only for the oracle.
+    QueryDef(
+      "pl12_ewm_native",
+      None,
+      (s, d) => {
+        graft.functions.EwmNative.register(s)
+        Tables.events(s, d).selectExpr(
+          "event_id", "user_id", "ts", "value",
+          "ewm_nr(value, 0.1) OVER (PARTITION BY user_id ORDER BY ts) AS ewm")
+      }),
+
     // TREND EVENTS — the path-dependent threshold-crossing state machine
     // (my_alpaca.py:19-111); inherently sequential per key → no SQL oracle.
     QueryDef(

@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{Sessionize, TrendEvents}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants from SURVEY §5: the reference's SQL-doc audit
+  * rules (OHLC invariants), grid completeness, fill totality, and state-
+  * machine partition laws, over generated random event frames.
+  */
+class PropertySpecs extends SparkSpec {
+
+  /** scalatestplus bridge is not in the offline cache: drive the ScalaCheck
+    * generator directly with fixed seeds (deterministic across runs). */
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1L to 5L).foreach { seed =>
+      gen.apply(Gen.Parameters.default, Seed(seed)).foreach(body)
+    }
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val eventsGen: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.choose(5, 60)
+    rows <- Gen.listOfN(n, for {
+      key <- Gen.choose(0L, 3L)
+      off <- Gen.choose(0L, 100000L)
+      v <- Gen.choose(1, 49000).map(_ / 100.0) // 2-decimal positive prices
+    } yield (key, off, v))
+  } yield rows.distinctBy(r => (r._1, r._2))
+
+  private def toDf(rows: List[(Long, Long, Double)]) = {
+    import spark.implicits._
+    rows.map { case (k, off, v) =>
+      (k, new java.sql.Timestamp(1704067200000L + off * 1000L), v)
+    }.toDF("user_id", "ts", "value")
+  }
+
+  test("OHLC rollup invariants: low <= open,close <= high; count positive") {
+    forAll(eventsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val daily = toDf(rows)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min_by(col("value"), col("ts")).as("open"),
+               max("value").as("high"), min("value").as("low"),
+               max_by(col("value"), col("ts")).as("close"),
+               count(lit(1)).as("n"))
+          .collect()
+        daily.foreach { r =>
+          val (o, h, l, c, n) = (r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5), r.getLong(6))
+          assert(l <= o && o <= h, s"open out of [low,high]: $r")
+          assert(l <= c && c <= h, s"close out of [low,high]: $r")
+          assert(l <= h && n > 0)
+        }
+      }
+    }
+  }
+
+  test("grid fill: complete hourly grid per key, ffill total after first obs") {
+    forAll(eventsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val hourly = toDf(rows)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("slot"))
+          .agg(max_by(col("value"), col("ts")).as("close"))
+        val ranges = hourly.groupBy("user_id")
+          .agg(min("slot").as("lo"), max("slot").as("hi"),
+               count(lit(1)).as("n_obs"))
+        val grid = ranges.select(col("user_id"), col("n_obs"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+            .as("slot"))
+        val joined = grid.join(hourly, Seq("user_id", "slot"), "left")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("slot")
+          .rowsBetween(Long.MinValue, 0)
+        val filled = joined.withColumn("f",
+          last("close", ignoreNulls = true).over(w))
+        // completeness: slots per key == hours between lo..hi inclusive
+        val counts = filled.groupBy("user_id").agg(
+          count(lit(1)).as("n_slots"),
+          (unix_timestamp(max("slot")) - unix_timestamp(min("slot")))
+            .as("span_s"),
+          sum(when(col("f").isNull, 1).otherwise(0)).as("n_null"))
+          .collect()
+        counts.foreach { r =>
+          assert(r.getLong(1) == r.getLong(2) / 3600L + 1L,
+            s"grid not complete: $r")
+          assert(r.getLong(3) == 0L, s"ffill left nulls: $r")
+        }
+      }
+    }
+  }
+
+  test("trend segmentation partitions the path; closed events cross factor") {
+    forAll(eventsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        import spark.implicits._
+        val pts = rows.map { case (k, off, v) =>
+          TrendEvents.PricePoint(k,
+            new java.sql.Timestamp(1704067200000L + off * 1000L), v)
+        }.toDS()
+        val evs = TrendEvents.segment(pts).collect()
+        // per key: exactly one open (non-closed) tail segment at most;
+        // closed segments moved at least the tiered factor
+        evs.filter(_.closed).foreach { e =>
+          val factor = TrendEvents.targetFactor(e.open)
+          assert(math.abs(e.close / e.open - 1.0) >= factor,
+            s"closed segment under threshold: $e")
+          assert(e.low <= e.open && e.open <= e.high)
+          assert(e.low <= e.close && e.close <= e.high)
+          assert(e.start_ts.getTime <= e.end_ts.getTime)
+        }
+        evs.groupBy(_.key).foreach { case (_, ks) =>
+          assert(ks.count(!_.closed) <= 1)
+        }
+      }
+    }
+  }
+
+  test("sessionization: session ids contiguous from 1; gaps within session <= gap") {
+    forAll(eventsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val out = Sessionize.withSessionIds(toDf(rows), "user_id", "ts", 3600L)
+          .select("user_id", "ts", "session_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L,
+            r.getLong(2)))
+          .groupBy(_._1)
+        out.foreach { case (_, rs) =>
+          val sorted = rs.sortBy(_._2)
+          val ids = sorted.map(_._3)
+          assert(ids.head == 1L)
+          sorted.sliding(2).foreach {
+            case Array((_, t1, s1), (_, t2, s2)) =>
+              if (s2 == s1) assert(t2 - t1 <= 3600L)
+              else assert(s2 == s1 + 1 && t2 - t1 > 3600L)
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+}
