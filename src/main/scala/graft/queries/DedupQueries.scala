@@ -25,6 +25,59 @@ object DedupQueries {
   private val K = 16          // minhash permutations
   private val Bands = 4       // LSH bands (4 rows each)
   private val SimBits = 16    // simhash width
+  /** LSH bucket-size cap: buckets larger than this are dropped from the
+    * candidate join (documented recall tradeoff — a bucket this hot is
+    * either a degenerate shingle distribution or an un-collapsed dup
+    * cluster, and with exact-dup collapse first neither occurs in
+    * practice). Natural collision buckets on the fixtures max out at ~15;
+    * the cap only engages under pathological skew at scale. */
+  private val MaxBucket = 1000
+  /** dd5 postings cap (stop-shingle guard): shingles appearing in more
+    * docs than this are dropped from the candidate self-join — they
+    * contribute O(df²) candidate pairs while carrying no discriminative
+    * signal. Sized far above fixture document frequencies (max df ~10)
+    * so oracle parity holds; at 100 TB this is the knob that keeps the
+    * postings join sub-quadratic. */
+  private val MaxPostingDf = 1000
+
+  /** Shared dedup-first preamble for dd3/dd5.
+    *
+    * Returns (membership, hashed):
+    *  - membership: (doc_id, th) — th = md5(text), the 16-byte identity
+    *    that travels on every shuffle instead of raw text;
+    *  - hashed: (th, rep_id, n_copies, h) — DISTINCT hashed shingles of one
+    *    representative per distinct text. h is null for shingle-less docs
+    *    (kept so group metadata survives).
+    *
+    * Two deliberate physical choices:
+    *  1. explicit `repartition(n, th)` — AQE would coalesce a plain groupBy
+    *     exchange to 1 partition at fixture size, serializing the expensive
+    *     md5 work onto one core; explicit counts are exempt, and the
+    *     downstream groupBy/dropDuplicates reuse the same exchange
+    *     (hash(th) satisfies their clustering requirement);
+    *  2. shingle md5 runs as a TOP-LEVEL projection after explode, not
+    *     inside `transform` — top-level md5/conv are whole-stage-codegen'd,
+    *     while lambdas inside higher-order functions are interpreted
+    *     (≈10× slower and JIT-warmup-sensitive).
+    */
+  private def repShingleHashes(s: org.apache.spark.sql.SparkSession,
+                               d: String) = {
+    val withTh = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("th"))
+    val membership = withTh.select("doc_id", "th")
+    val par = s.sparkContext.defaultParallelism
+    val reps = withTh.repartition(par, col("th"))
+      .groupBy("th")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"),
+           min_by(col("text"), col("doc_id")).as("text"))
+    val hashed = reps
+      .select(col("th"), col("rep_id"), col("n_copies"),
+              explode_outer(shingles(col("text"))).as("sg"))
+      .select(col("th"), col("rep_id"), col("n_copies"),
+              hash32(col("sg")).as("h"))
+      .dropDuplicates("th", "h") // exchange-reusing: still hash(th)
+    (membership, hashed)
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -98,42 +151,82 @@ object DedupQueries {
            |      >= 0.5""".stripMargin
       },
       (s, d) => {
-        // persist: the hashed-shingle sets feed four branches of the DAG
-        // (bands a/b + jaccard x/y); md5 over every shingle is the cost
-        // center and is interpreted (higher-order fn), so compute it once.
-        // Tiny frame: one row per doc with an int array.
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"),
-            array_distinct(hashAll(shingles(col("text")))).as("hs"))
+        // Exact-dup collapse FIRST (the 100 TB structure): shingle-hash and
+        // LSH-band only one representative per distinct text, then expand
+        // surviving representative pairs back to member pairs. Identical
+        // docs share every band, so without the collapse a dup group of
+        // size g contributes g² candidates on all 4 bands; with it, each
+        // distinct text is hashed once and the pair space is over distinct
+        // texts only. Expansion is exact: members carry their rep's
+        // signature, so (a,b) is an oracle candidate iff (rep_a, rep_b) is,
+        // with the identical jaccard (identical shingle sets).
+        val (membership, hashed) = repShingleHashes(s, d)
+        // persist: the hashed-shingle sets feed the band build + both
+        // jaccard sides; the md5 pass is the cost center, so compute it
+        // once. collect_list drops the null marker row → [] for
+        // shingle-less docs. Element order is nondeterministic, but every
+        // consumer (array_min per permutation, intersect/union sizes) is
+        // order-insensitive. (Bench/Verify clearCache() releases the
+        // persist after the action.)
+        val docs = hashed
+          .groupBy("th")
+          .agg(min("rep_id").as("rep_id"), min("n_copies").as("n_copies"),
+               collect_list(col("h")).as("hs"))
           .persist()
         val sigCols = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
           minhashSig(col("hs"), a, b).as(s"sig$j")
         }
-        val sig = docs.select(col("doc_id") +: col("hs") +: sigCols: _*)
+        val sig = docs.select(col("th") +: col("rep_id") +: sigCols: _*)
         val bandStructs = (0 until Bands).map { bIdx =>
           val parts = (0 until 4).map(r => col(s"sig${bIdx * 4 + r}").cast("string"))
           struct(lit(bIdx).as("band_idx"),
                  md5(concat_ws(",", parts: _*)).as("band_hash"))
         }
+        val bandW = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash")
         val bands = sig
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-          .select(col("doc_id"),
+          .select(col("th"), col("rep_id"),
+                  explode(array(bandStructs: _*)).as("b"))
+          .select(col("th"), col("rep_id"),
                   col("b.band_idx").as("band_idx"),
                   col("b.band_hash").as("band_hash"))
-        val a = bands.select(col("doc_id").as("doc_a"),
+          .withColumn("bucket_n", count(lit(1)).over(bandW))
+          .filter(col("bucket_n") <= MaxBucket)
+          .persist()
+        val a = bands.select(col("th").as("th_a"), col("rep_id").as("rep_a"),
           col("band_idx"), col("band_hash"))
-        val b = bands.select(col("doc_id").as("doc_b"),
+        val b = bands.select(col("th").as("th_b"), col("rep_id").as("rep_b"),
           col("band_idx"), col("band_hash"))
         val cand = a.join(b, Seq("band_idx", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val x = docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-        val y = docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+          .filter(col("rep_a") < col("rep_b"))
+          .select("th_a", "th_b").distinct()
+        val x = docs.select(col("th").as("th_a"), col("hs").as("hs_a"))
+        val y = docs.select(col("th").as("th_b"), col("hs").as("hs_b"))
         val jac = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
           size(array_union(col("hs_a"), col("hs_b"))).cast("double")
-        cand.join(x, "doc_a").join(y, "doc_b")
-          .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        val survivors = cand.join(x, "th_a").join(y, "th_b")
+          .select(col("th_a"), col("th_b"), jac.as("jaccard"))
           .filter(col("jaccard") >= 0.5)
+        // Cross-group expansion: every member-pair across two surviving
+        // representative groups, ordered by doc_id.
+        val ma = membership.select(col("th").as("th_a"), col("doc_id").as("id_a"))
+        val mb = membership.select(col("th").as("th_b"), col("doc_id").as("id_b"))
+        val cross = survivors.join(ma, "th_a").join(mb, "th_b")
+          .select(least(col("id_a"), col("id_b")).as("doc_a"),
+                  greatest(col("id_a"), col("id_b")).as("doc_b"),
+                  col("jaccard"))
+        // Within-group pairs: identical texts → jaccard exactly 1.0
+        // (oracle computes n/n over identical sets). Empty shingle sets
+        // are excluded — their sigs are NULL in the oracle (no candidates)
+        // and NaN-jaccard in Spark (filtered), so neither engine emits them.
+        val dupTh = docs.filter(col("n_copies") > 1 && size(col("hs")) > 0)
+          .select("th")
+        val m1 = membership.join(dupTh, "th")
+        val within = m1.select(col("th"), col("doc_id").as("doc_a"))
+          .join(m1.select(col("th"), col("doc_id").as("doc_b")), "th")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+        cross.unionByName(within)
       }),
 
     // DD4: SimHash signatures + collision groups. Token hashes computed
@@ -208,25 +301,54 @@ object DedupQueries {
               |WHERE CAST(cm.c AS DOUBLE) / CAST(sa.n + sb.n - cm.c AS DOUBLE)
               |      >= 0.4""".stripMargin),
       (s, d) => {
-        // persist for the same reason as dd3: one md5 pass, four consumers.
-        val sets = Tables.documents(s, d)
-          .select(col("doc_id"),
-            array_distinct(hashAll(shingles(col("text")))).as("sh"))
-          .persist()
-        val sz = sets.select(col("doc_id"), size(col("sh")).as("n"))
-        val posts = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+        // Same dedup-first structure as dd3: postings are built over one
+        // representative per distinct text (identical docs are the postings
+        // hotspot — a dup group of size g puts g copies on every one of its
+        // shingles), surviving rep pairs expand back to member pairs.
+        val (membership, hashed) = repShingleHashes(s, d)
+        // hashed IS the postings list (one row per distinct (doc, shingle));
+        // persist: feeds sizes + both self-join sides + the dup-group scan.
+        val sets = hashed.persist()
+        val sz = sets.filter(col("h").isNotNull)
+          .groupBy("th").agg(count(lit(1)).as("n"))
+        // Stop-shingle guard: drop postings whose document frequency
+        // exceeds MaxPostingDf before the self-join (df² candidate blowup,
+        // no discriminative value). Never fires at fixture scale.
+        val postW = org.apache.spark.sql.expressions.Window.partitionBy("s")
+        val posts = sets.filter(col("h").isNotNull)
+          .select(col("th"), col("rep_id"), col("h").as("s"))
+          .withColumn("df", count(lit(1)).over(postW))
+          .filter(col("df") <= MaxPostingDf)
+          .select("th", "rep_id", "s")
         val common = posts.as("a")
           .join(posts.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            col("a.s") === col("b.s") && col("a.rep_id") < col("b.rep_id"))
+          .groupBy(col("a.th").as("th_a"), col("b.th").as("th_b"))
           .agg(count(lit(1)).as("c"))
         val jac = col("c").cast("double") /
           (col("na") + col("nb") - col("c")).cast("double")
-        common
-          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        val survivors = common
+          .join(sz.select(col("th").as("th_a"), col("n").as("na")), "th_a")
+          .join(sz.select(col("th").as("th_b"), col("n").as("nb")), "th_b")
+          .select(col("th_a"), col("th_b"), jac.as("jaccard"))
           .filter(col("jaccard") >= 0.4)
+        val ma = membership.select(col("th").as("th_a"), col("doc_id").as("id_a"))
+        val mb = membership.select(col("th").as("th_b"), col("doc_id").as("id_b"))
+        val cross = survivors.join(ma, "th_a").join(mb, "th_b")
+          .select(least(col("id_a"), col("id_b")).as("doc_a"),
+                  greatest(col("id_a"), col("id_b")).as("doc_b"),
+                  col("jaccard"))
+        // identical texts share all shingles → jaccard exactly 1.0 ≥ 0.4;
+        // empty shingle sets have no postings on either engine.
+        val dupTh = sets
+          .filter(col("n_copies") > 1 && col("h").isNotNull)
+          .select("th").distinct()
+        val m1 = membership.join(dupTh, "th")
+        val within = m1.select(col("th"), col("doc_id").as("doc_a"))
+          .join(m1.select(col("th"), col("doc_id").as("doc_b")), "th")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+        cross.unionByName(within)
       }),
   )
 }

@@ -312,12 +312,25 @@ object PipelineQueries {
       Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, d) => {
-        val out = "/tmp/graft_partitioned_sink"
+        // Sink path derived from the input dir: concurrent runs (or a
+        // warmup pass at another SF) must never share a sink — dynamic
+        // overwrite would leave stale partitions from the other run.
+        val out = s"/tmp/graft_partitioned_sink_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        Tables.events(s, d)
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n"))
-          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        try {
+          Tables.events(s, d)
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        } finally {
+          // restore session conf — a query must not silently change engine
+          // behavior for everything that runs after it.
+          prev match {
+            case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
         // read back; partition column returns as string -> restore order/type
         s.read.parquet(out).select(
           col("event_type"), col("day"), col("n"))
@@ -342,7 +355,8 @@ object PipelineQueries {
       "pl9_csv_roundtrip",
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin),
       (s, d) => {
-        val out = s"/tmp/graft_csv_roundtrip"
+        // per-input-dir sink: see pl10.
+        val out = s"/tmp/graft_csv_roundtrip_${d.replaceAll("[^A-Za-z0-9]", "_")}"
         Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
           .write.mode("overwrite").option("header", "true").csv(out)
         s.read
