@@ -20,6 +20,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // default codegen cache is 100 compiled classes — the 84-query suite
+      // needs several hundred, so the warmup pass's classes would be
+      // evicted before the timed pass reuses them (re-paying janino
+      // compilation inside timed queries).
+      .config("spark.sql.codegenCacheMaxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -42,18 +47,25 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // Median of 3 timed iterations per query: single-shot timings on this
+    // host swing ±2× (GC, page cache, scheduler); the median is stable.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val results = defs.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
-        }
-      // release any persist() the query registered (cache is per-query
-      // scratch, not cross-query state — leaking it skews later timings).
-      spark.catalog.clearCache()
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        // release any persist() the query registered (cache is per-query
+        // scratch, not cross-query state — leaking it skews later timings).
+        spark.catalog.clearCache()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      if (times.isEmpty) (q.name, -1.0, false)
+      else (q.name, times.sorted.apply(times.size / 2), true)
     }
     // Failed queries are reported with value -1 (sentinel) and listed in
     // "failed" — time-to-failure must not masquerade as a duration.

@@ -1,38 +1,50 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-key high-watermark incremental sync — the reference's `bars.py`
   * pattern (S12: find `max(session_date)` per symbol, fetch/append only
-  * newer rows; S10: idempotent `ON CONFLICT DO NOTHING` upsert), expressed
-  * as a Delta-style MERGE-WHEN-NOT-MATCHED over plain parquet.
+  * newer rows; S10: idempotent `ON CONFLICT DO NOTHING` upsert on
+  * (symbol, time_utc), `bars.py:196-198`).
   *
-  * Scale notes: the watermark table is one groupBy over the sink's key
-  * column (column-pruned scan: key + ts only) and is broadcast to filter
-  * the source — the source is never shuffled. Appends are partitioned
-  * writes; re-running with the same source is a no-op (idempotence test in
-  * the spec).
+  * Two-stage design:
+  *  1. watermark PRUNE (performance): per-key max(ts) from a column-pruned
+  *    scan of the sink, broadcast against the source — at 100 TB this
+  *    drops the already-synced bulk before any wide operation. `>=` keeps
+  *    boundary rows: the watermark row itself must survive to stage 2 so
+  *    exactness never depends on the prune.
+  *  2. keyed anti-join MERGE (correctness): [[MergeUpsert.insertIfAbsent]]
+  *    on (key, ts) — same-key-same-timestamp conflicts are dropped, not
+  *    duplicated, and a re-run appends nothing (idempotent).
+  *
+  * The appended row count comes from an `Observation` on the write — the
+  * source pipeline executes exactly once. All filesystem access goes
+  * through the Hadoop FileSystem API (works on HDFS/S3A, not just local).
   */
 object IncrementalSync {
 
-  /** Append source rows strictly newer than the sink's per-key watermark.
-    * Returns the number of rows appended. */
+  /** Merge source rows newer than the sink's per-key watermark (plus any
+    * rows for unseen keys) into the sink, ON CONFLICT (key, ts) DO
+    * NOTHING. Returns the number of rows appended. */
   def appendNewer(spark: SparkSession, source: DataFrame, sinkPath: String,
-                  keyCol: String, tsCol: String): Long = {
-    val sinkExists = new java.io.File(sinkPath).exists()
-    val fresh = if (!sinkExists) source else {
+                  keyCol: String, tsCol: String, orderCol: String): Long = {
+    if (!MergeUpsert.tableExists(spark, sinkPath)) {
+      val obs = new Observation()
+      source.observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Append).parquet(sinkPath)
+      obs.get("n").asInstanceOf[Long]
+    } else {
       val wm = spark.read.parquet(sinkPath)
         .select(col(keyCol), col(tsCol))
         .groupBy(keyCol)
         .agg(max(tsCol).as("__wm"))
-      source
+      val pruned = source
         .join(broadcast(wm), Seq(keyCol), "left")
-        .filter(col("__wm").isNull || col(tsCol) > col("__wm"))
+        .filter(col("__wm").isNull || col(tsCol) >= col("__wm"))
         .drop("__wm")
+      MergeUpsert.insertIfAbsent(spark, pruned, sinkPath,
+        Seq(keyCol, tsCol), orderCol)
     }
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(sinkPath)
-    n
   }
 }

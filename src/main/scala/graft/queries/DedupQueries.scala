@@ -168,15 +168,22 @@ object DedupQueries {
         // consumer (array_min per permutation, intersect/union sizes) is
         // order-insensitive. (Bench/Verify clearCache() releases the
         // persist after the action.)
+        // The K permutation minima come out of the SAME aggregate as the
+        // shingle-set rebuild: min((h*a+b) mod p) per key is a codegen'd
+        // hash-agg expression, vs the interpreted array_min(transform(...))
+        // lambda over a collected array (≈10× slower + allocation-heavy).
+        // min() ignores the null marker rows → null sigs for shingle-less
+        // docs, same as the oracle's list_min([]).
+        val sigAggs = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
+          min((col("h") * a + b) % MinhashP).as(s"sig$j")
+        }
         val docs = hashed
           .groupBy("th")
-          .agg(min("rep_id").as("rep_id"), min("n_copies").as("n_copies"),
-               collect_list(col("h")).as("hs"))
+          .agg(min("rep_id").as("rep_id"),
+               (min("n_copies").as("n_copies") +:
+                collect_list(col("h")).as("hs") +: sigAggs): _*)
           .persist()
-        val sigCols = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
-          minhashSig(col("hs"), a, b).as(s"sig$j")
-        }
-        val sig = docs.select(col("th") +: col("rep_id") +: sigCols: _*)
+        val sig = docs
         val bandStructs = (0 until Bands).map { bIdx =>
           val parts = (0 until 4).map(r => col(s"sig${bIdx * 4 + r}").cast("string"))
           struct(lit(bIdx).as("band_idx"),

@@ -349,6 +349,46 @@ object PipelineQueries {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n_kept"))),
 
+    // S10: keyed MERGE (ON CONFLICT DO NOTHING, bars.py:196-198) as a real
+    // table mutation: seed a parquet table with the pre-cutoff slice, MERGE
+    // in an overlapping window (same-key conflicts dropped, new keys
+    // appended), read the mutated table back. The oracle replays the same
+    // merge declaratively (target ∪ source-not-in-target).
+    QueryDef(
+      "pl13_merge_upsert",
+      Some("""WITH target AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-15'),
+             |src0 AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-10'),
+             |src AS (
+             |  SELECT event_id, user_id, ts, value FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY user_id, ts ORDER BY event_id) AS rn
+             |    FROM src0) WHERE rn = 1),
+             |merged AS (
+             |  SELECT * FROM target
+             |  UNION ALL
+             |  SELECT event_id, user_id, ts, value FROM src s
+             |  WHERE NOT EXISTS (SELECT 1 FROM target t
+             |    WHERE t.user_id = s.user_id AND t.ts = s.ts))
+             |SELECT event_id, user_id, ts, value FROM merged""".stripMargin),
+      (s, d) => {
+        val base = s"/tmp/graft_merge_table_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value")
+        // seed (overwrite resets any previous run)
+        ev.filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+          .write.mode("overwrite").parquet(base)
+        // merge the overlapping window: [01-10, 01-15) all conflict,
+        // [01-15, …) all insert
+        val src = ev.filter(col("ts") >= lit("2024-01-10").cast("timestamp"))
+        graft.operators.MergeUpsert.insertIfAbsent(
+          s, src, base, Seq("user_id", "ts"), "event_id")
+        s.read.parquet(base).select("event_id", "user_id", "ts", "value")
+      }),
+
     // S5+S6: CSV sink + source roundtrip with explicit schema and timestamp
     // parse (per-symbol CSV bronze of my_alpaca.py:120-122,212).
     QueryDef(

@@ -153,15 +153,119 @@ class IncrementalSyncSpec extends SparkSpec {
     val day1 = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
                    (2L, ts("2024-01-01 00:00:00"), 2.0))
       .toDF("user_id", "ts", "value")
-    assert(IncrementalSync.appendNewer(spark, day1, sink, "user_id", "ts") == 2)
+    assert(IncrementalSync.appendNewer(spark, day1, sink, "user_id", "ts", "value") == 2)
     // re-run same source: nothing new
-    assert(IncrementalSync.appendNewer(spark, day1, sink, "user_id", "ts") == 0)
+    assert(IncrementalSync.appendNewer(spark, day1, sink, "user_id", "ts", "value") == 0)
     // newer rows + a new key
     val day2 = day1.union(Seq(
       (1L, ts("2024-01-02 00:00:00"), 3.0),
       (3L, ts("2024-01-01 00:00:00"), 4.0)).toDF("user_id", "ts", "value"))
-    assert(IncrementalSync.appendNewer(spark, day2, sink, "user_id", "ts") == 2)
+    assert(IncrementalSync.appendNewer(spark, day2, sink, "user_id", "ts", "value") == 2)
     assert(spark.read.parquet(sink).count() == 4)
+  }
+
+  test("same-key-same-timestamp conflicts do nothing (no duplicates)") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_sync").toString + "/t"
+    val first = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    assert(IncrementalSync.appendNewer(spark, first, sink, "user_id", "ts", "value") == 1)
+    // same (key, ts) but a DIFFERENT value: ON CONFLICT DO NOTHING — the
+    // original row wins, nothing is appended (the old watermark-only
+    // implementation duplicated this case).
+    val conflict = Seq((1L, ts("2024-01-01 00:00:00"), 99.0))
+      .toDF("user_id", "ts", "value")
+    assert(IncrementalSync.appendNewer(spark, conflict, sink, "user_id", "ts", "value") == 0)
+    val rows = spark.read.parquet(sink).collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("value") == 1.0)
+  }
+
+  test("source pipeline is evaluated exactly once per merge") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_sync").toString + "/t"
+    val evals = spark.sparkContext.longAccumulator("evals")
+    val tick = org.apache.spark.sql.functions.udf { (v: Double) =>
+      evals.add(1); v
+    }
+    val src = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
+                  (2L, ts("2024-01-01 00:00:00"), 2.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("value", tick(org.apache.spark.sql.functions.col("value")))
+    assert(IncrementalSync.appendNewer(spark, src, sink, "user_id", "ts", "value") == 2)
+    // 2 rows, one pass: the count comes from an Observation on the write,
+    // not a separate count() action re-running the pipeline.
+    assert(evals.value == 2, s"source evaluated ${evals.value} times, want 2")
+  }
+}
+
+class BatchedIngestSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("batch boundaries respect batchSize; load is idempotent per batch") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_ingest").toString + "/t"
+    // fixture "upstream": 5 keys × 2 rows each
+    val upstream = (for (k <- 1 to 5; h <- 0 to 1) yield
+      (s"SYM$k", ts(f"2024-01-01 0$h:00:00"), k * 10.0 + h))
+      .toDF("symbol", "ts", "value")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val fetch = (batch: Seq[String]) => {
+      seen += batch
+      upstream.filter(col("symbol").isin(batch: _*))
+    }
+    val keys = (1 to 5).map(k => s"SYM$k")
+    val res = graft.sources.BatchedIngest.run(spark, keys, batchSize = 2,
+      fetch, sink, "symbol", "ts", "value")
+    // 5 keys / batchSize 2 → batches of 2,2,1 in key order
+    assert(seen.map(_.length).toSeq == Seq(2, 2, 1))
+    assert(seen.flatten.toSeq == keys)
+    assert(res.map(_.rowsInserted).sum == 10)
+    assert(spark.read.parquet(sink).count() == 10)
+    // re-run the whole ingest: every batch merges to zero inserts
+    val again = graft.sources.BatchedIngest.run(spark, keys, batchSize = 2,
+      fetch, sink, "symbol", "ts", "value")
+    assert(again.map(_.rowsInserted).sum == 0)
+    assert(spark.read.parquet(sink).count() == 10)
+  }
+}
+
+class MergeUpsertSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("insertIfAbsent: dedups source on key, idempotent under re-run") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    // source carries an internal key conflict: first by event_id wins
+    val src = Seq((10L, 1L, ts("2024-01-01 00:00:00"), 1.0),
+                  (11L, 1L, ts("2024-01-01 00:00:00"), 2.0),
+                  (12L, 2L, ts("2024-01-01 00:00:00"), 3.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(MergeUpsert.insertIfAbsent(spark, src, path,
+      Seq("user_id", "ts"), "event_id") == 2)
+    val kept = spark.read.parquet(path).filter(col("user_id") === 1L).collect()
+    assert(kept.length == 1 && kept(0).getAs[Long]("event_id") == 10L)
+    // re-run: no-op
+    assert(MergeUpsert.insertIfAbsent(spark, src, path,
+      Seq("user_id", "ts"), "event_id") == 0)
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("upsertPartitioned: source wins on conflict, untouched partitions survive") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val base = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+                   (3L, "2024-01-02", 3.0))
+      .toDF("user_id", "day", "value")
+    MergeUpsert.upsertPartitioned(spark, base, path,
+      Seq("user_id", "day"), "day", "user_id")
+    // update key 1, insert key 4 — only partition 2024-01-01 is touched
+    val delta = Seq((1L, "2024-01-01", 10.0), (4L, "2024-01-01", 4.0))
+      .toDF("user_id", "day", "value")
+    MergeUpsert.upsertPartitioned(spark, delta, path,
+      Seq("user_id", "day"), "day", "user_id")
+    val out = spark.read.parquet(path).orderBy("user_id").collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+      .toSeq == Seq((1L, 10.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
   }
 }
 
