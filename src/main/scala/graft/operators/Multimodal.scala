@@ -31,10 +31,13 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true)))
 
   /** STUB decode: a real implementation would decode the media payload.
-    * Deterministic stand-in: k floats derived from a rolling byte hash. */
-  private[operators] def stubDecode(payload: Array[Byte], k: Int): Array[Float] = {
+    * Deterministic stand-in: k floats derived from a rolling byte hash.
+    * `seed` distinguishes sub-reads of one payload (e.g. frame offsets)
+    * without copying the payload bytes. */
+  private[operators] def stubDecode(payload: Array[Byte], k: Int,
+                                    seed: Long = 0L): Array[Float] = {
     val out = new Array[Float](k)
-    var h = 1125899906842597L
+    var h = 1125899906842597L ^ (seed * 0x9E3779B97F4A7C15L)
     var i = 0
     while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
     var j = 0
@@ -82,8 +85,10 @@ object Multimodal {
           val dur = if (row.isNullAt(1)) 0L else row.getLong(1)
           val payload = row.getAs[Array[Byte]](2)
           (0L until math.max(dur, 1L) by math.max(everyMs, 1L)).map { off =>
+            // offset goes into the hash seed — never copy the payload per
+            // frame (a g-frame video would otherwise allocate g copies).
             val feats = if (payload == null) null
-              else stubDecode(payload ++ BigInt(off).toByteArray, dim)
+              else stubDecode(payload, dim, seed = off)
             Row(id, off, feats)
           }
         }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-table sign-LSH over quantized embedding vectors — the scale path
+  * for ANN search and embedding near-dup detection (reference analog: the
+  * pgvector-style similarity lookups in the reference's feature store; the
+  * LSH family is the standard random-hyperplane scheme of Charikar 2002).
+  *
+  * Each of `tables` independent hash tables assigns a `bits`-bit bucket;
+  * bit i of table t is the sign of a fixed difference hyperplane
+  * `e_p1 - e_p2` (two coordinate axes), i.e. `qv[p1] >= qv[p2]`. The
+  * (p1, p2) index pairs are pseudo-randomly derived from (t, i) at PLAN
+  * time with integer arithmetic, so the same literal indices can be baked
+  * into an equivalent DuckDB oracle — portability without a shared RNG.
+  *
+  * OR-amplification: a pair is a candidate if it collides in ANY table.
+  * For true near-duplicates (cosine ≥ 0.99, collision prob per bit
+  * p = 1 - θ/π ≈ 0.955) a 4×16-bit configuration recovers
+  * 1-(1-p^16)^4 ≈ 93% of pairs; recall decays fast below cosine ~0.9 —
+  * that is the designed behavior for near-DUP detection (dissimilar pairs
+  * must not collide). For top-k ANN over weakly-similar corpora, shrink
+  * `bits` toward log2(n / wanted_bucket_size) instead.
+  *
+  * Skew guard: buckets larger than `maxBucket` are dropped from the
+  * candidate join (a bucket of size m contributes m² pairs). Use
+  * [[overflow]] to observe what a given cap would drop — the operator
+  * never drops silently in a pipeline where the caller logs that frame.
+  */
+object SignLsh {
+
+  /** Fixed per-(table, bit) coordinate pairs. Deterministic, collision-free
+    * (p1 ≠ p2), spread over the dim axes. */
+  def planes(tables: Int, bits: Int, dim: Int): Seq[Seq[(Int, Int)]] =
+    (0 until tables).map { t =>
+      (0 until bits).map { i =>
+        val idx = t * bits + i
+        val p1 = (11 * idx + 3) % dim
+        val p2r = (17 * idx + 29) % dim
+        val p2 = if (p2r == p1) (p2r + 1) % dim else p2r
+        (p1, p2)
+      }
+    }
+
+  /** Bucket id of table `t` for a quantized array<long> column (1-based
+    * element_at, matching SQL list indexing). */
+  def bucket(qv: Column, plane: Seq[(Int, Int)]): Column =
+    plane.zipWithIndex.map { case ((p1, p2), i) =>
+      when(element_at(qv, p1 + 1) >= element_at(qv, p2 + 1), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB text equivalent of [[bucket]] over a list column named `qv`. */
+  def oracleBucket(qv: String, plane: Seq[(Int, Int)]): String =
+    plane.zipWithIndex.map { case ((p1, p2), i) =>
+      s"(CASE WHEN $qv[${p1 + 1}] >= $qv[${p2 + 1}] THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** (id, table_id, bucket) — one row per table per vector, buckets larger
+    * than `maxBucket` removed. Input must carry `idCol` and the quantized
+    * vector column `qvCol`. */
+  def bucketize(df: DataFrame, idCol: String, qvCol: String,
+                tables: Int, bits: Int, dim: Int,
+                maxBucket: Long = Long.MaxValue): DataFrame = {
+    val ps = planes(tables, bits, dim)
+    val structs = (0 until tables).map { t =>
+      struct(lit(t).as("table_id"), bucket(col(qvCol), ps(t)).as("bucket"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("table_id", "bucket")
+    df.select(col(idCol), explode(array(structs: _*)).as("b"))
+      .select(col(idCol), col("b.table_id").as("table_id"),
+              col("b.bucket").as("bucket"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+  }
+
+  /** Buckets a cap would drop: (table_id, bucket, n) with n > maxBucket —
+    * the "logged overflow" companion to [[bucketize]]. */
+  def overflow(df: DataFrame, idCol: String, qvCol: String,
+               tables: Int, bits: Int, dim: Int,
+               maxBucket: Long): DataFrame =
+    bucketize(df, idCol, qvCol, tables, bits, dim)
+      .groupBy("table_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+
+  /** Distinct unordered candidate pairs (id_a < id_b) colliding in at
+    * least one table. */
+  def candidatePairs(df: DataFrame, idCol: String, qvCol: String,
+                     tables: Int, bits: Int, dim: Int,
+                     maxBucket: Long = Long.MaxValue): DataFrame = {
+    val bk = bucketize(df, idCol, qvCol, tables, bits, dim, maxBucket)
+    val a = bk.select(col(idCol).as("id_a"), col("table_id"), col("bucket"))
+    val b = bk.select(col(idCol).as("id_b"), col("table_id"), col("bucket"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+}

@@ -101,7 +101,8 @@ object AggQueries {
       "a8_tail_n_stats",
       Some(s"""WITH ranked AS (
               |  SELECT user_id, value,
-              |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+              |    row_number() OVER (PARTITION BY user_id
+              |      ORDER BY ts DESC, event_id DESC) AS rn
               |  FROM events)
               |SELECT user_id,
               |  arg_max(value, rn) AS first_value,
@@ -111,7 +112,10 @@ object AggQueries {
               |  ${oStd("value")} AS value_std
               |FROM ranked WHERE rn <= 20 GROUP BY user_id""".stripMargin),
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+        // event_id tiebreak: (user_id, ts) dupes would otherwise make the
+        // tail-20 pick nondeterministic across engines (Parity rule 3).
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
         Tables.events(s, d)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 20)

@@ -16,15 +16,26 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: sim1 is the brute-force baseline — broadcast the (small)
   * query set against the full corpus, per-partition heap via
-  * row_number+filter (TakeOrdered shape), no all-pairs shuffle. sim2 is the
-  * scale path: sign-LSH buckets (axis hyperplanes on the first 8 dims)
-  * restrict candidates to one bucket before scoring — the IVF-style
-  * partition-pruned search.
+  * row_number+filter (TakeOrdered shape), no all-pairs shuffle. sim2/sim3
+  * are the scale path: multi-table sign-LSH (graft.operators.SignLsh,
+  * 4 independent tables OR-amplified, bucket-size caps) restricts
+  * candidates to same-bucket collisions before exact scoring — the
+  * IVF-style partition-pruned search. Recall mechanics are spec-tested on
+  * planted near-duplicates (SignLshSpec).
   */
 object SimilarityQueries {
 
   private val NQ = 5   // query vectors: vec_id < NQ
   private val TopK = 10
+  private val Dim = 64        // embedding dimensionality (TESTDATA.md)
+  private val LshTables = 4   // independent hash tables (OR-amplification)
+  private val LshBits = 8     // bits/table ≈ log2(n/bucket) at fixture size;
+                              // scale toward 16-20 at 1e9 vectors
+  /** Bucket-size cap for the candidate joins; a bucket of m rows costs m²
+    * pairs. ~n/2^bits expected at fixture scale, so this never fires
+    * locally; at scale it is the skew guard (SignLsh.overflow reports what
+    * a cap drops). */
+  private val MaxLshBucket = 100000L
 
   /** Quantized embedding as array<long>/list<BIGINT>. */
   private def quant(c: Column): Column =
@@ -78,99 +89,112 @@ object SimilarityQueries {
           .select("query_id", "cand_id", "cosine")
       }),
 
-    // SIM2: sign-LSH bucketed ANN — candidates restricted to the query's
-    // bucket (8 axis-hyperplane bits), then exact scoring inside the bucket.
+    // SIM2: multi-table sign-LSH ANN — candidates are vectors colliding
+    // with the query in ANY of 4 independent hash tables (OR-amplification,
+    // graft.operators.SignLsh: difference-hyperplane sign bits with
+    // plan-time constant indices so the oracle can replay them), then
+    // exact scoring on the candidate set only.
     QueryDef(
       "sim2_ann_lsh",
       Some {
-        val oBucket = (0 until 8).map { i =>
-          s"(CASE WHEN qv[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
-        }.mkString(" + ")
+        val ps = graft.operators.SignLsh.planes(LshTables, LshBits, Dim)
+        val tableSelects = (0 until LshTables).map { t =>
+          s"SELECT vec_id, $t AS t, CAST(${graft.operators.SignLsh.oracleBucket("qv", ps(t))} AS BIGINT) AS bucket FROM qv"
+        }.mkString("\n  UNION ALL ")
         s"""WITH qv AS (
            |  SELECT vec_id, $oQuant AS qv FROM embeddings),
            |bk AS (
-           |  SELECT vec_id, qv, CAST($oBucket AS BIGINT) AS bucket FROM qv),
+           |  $tableSelects),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+           |  FROM bk q JOIN bk c
+           |    ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < $NQ),
            |scored AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+           |  SELECT cd.query_id, cd.cand_id,
            |    CAST($oDot AS DOUBLE) /
            |      (sqrt(CAST(${oNorm("q")} AS DOUBLE)) *
            |       sqrt(CAST(${oNorm("c")} AS DOUBLE))) AS cosine
-           |  FROM bk q JOIN bk c
-           |    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-           |  WHERE q.vec_id < $NQ)
-           |SELECT query_id, cand_id, bucket, cosine FROM (
+           |  FROM cand cd
+           |  JOIN qv q ON cd.query_id = q.vec_id
+           |  JOIN qv c ON cd.cand_id = c.vec_id)
+           |SELECT query_id, cand_id, cosine FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |    ORDER BY cosine DESC, cand_id) AS rn
            |  FROM scored) WHERE rn <= $TopK""".stripMargin
       },
       (s, d) => {
-        val bucketOf: Column => Column = qv => (0 until 8).map { i =>
-          when(element_at(qv, i + 1) >= 0L, lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _).cast("long")
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), quant(col("embedding")).as("qv"))
-          .withColumn("bucket", bucketOf(col("qv")))
-        val q = emb.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
-                  col("bucket"))
-        val c = emb.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"),
-                  col("bucket").as("bucket_c"))
+        val bk = graft.operators.SignLsh.bucketize(
+          emb, "vec_id", "qv", LshTables, LshBits, Dim, MaxLshBucket)
+        val qb = bk.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
+        val cb = bk.select(col("vec_id").as("cand_id"), col("table_id"),
+          col("bucket"))
+        // query-side buckets are NQ×tables rows — broadcast; the distinct
+        // collapses multi-table collisions before the (expensive) scoring.
+        val cand = cb.join(broadcast(qb), Seq("table_id", "bucket"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select("query_id", "cand_id").distinct()
+        val q = emb.select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
+        val c = emb.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"))
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
           (sqrt(normSq(col("qv_q")).cast("double")) *
            sqrt(normSq(col("qv_c")).cast("double")))
-        val scored = broadcast(q)
-          .join(c, col("bucket") === col("bucket_c") &&
-                   col("cand_id") =!= col("query_id"))
-          .select(col("query_id"), col("cand_id"), col("bucket"),
-                  cosine.as("cosine"))
+        val scored = cand.join(broadcast(q), "query_id").join(c, "cand_id")
+          .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("cand_id"))
         scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= TopK)
-          .select("query_id", "cand_id", "bucket", "cosine")
+          .select("query_id", "cand_id", "cosine")
       }),
 
-    // SIM3: pairwise high-similarity detection (embedding near-dup dedup) —
-    // all pairs above the similarity threshold within sign-LSH buckets, the
-    // embedding-based near-duplicate operator. (Threshold 0.4 because the
-    // synthetic corpus has no planted embedding near-dups — max pairwise
-    // cosine is ~0.6 — and an always-empty result would verify nothing.)
+    // SIM3: pairwise high-similarity detection (embedding near-dup dedup)
+    // over the same 4-table OR-amplified sign-LSH candidates as sim2 —
+    // multi-table collision replaces the old single 8-bit table whose
+    // within-bucket all-pairs join was n²/256 with unquantified recall
+    // loss. (Threshold 0.4 because the synthetic corpus has no planted
+    // embedding near-dups — max pairwise cosine is ~0.6 — and an
+    // always-empty result would verify nothing.)
     QueryDef(
       "sim3_embedding_neardup",
       Some {
-        val oBucket = (0 until 8).map { i =>
-          s"(CASE WHEN qv[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
-        }.mkString(" + ")
+        val ps = graft.operators.SignLsh.planes(LshTables, LshBits, Dim)
+        val tableSelects = (0 until LshTables).map { t =>
+          s"SELECT vec_id, $t AS t, CAST(${graft.operators.SignLsh.oracleBucket("qv", ps(t))} AS BIGINT) AS bucket FROM qv"
+        }.mkString("\n  UNION ALL ")
         s"""WITH qv AS (
-           |  SELECT vec_id, $oQuant AS qv,
-           |    CAST($oBucket AS BIGINT) AS bucket
-           |  FROM embeddings)
-           |SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |bk AS (
+           |  $tableSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bk a JOIN bk b
+           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT cd.id_a, cd.id_b,
            |  CAST($oDot AS DOUBLE) /
            |    (sqrt(CAST(${oNorm("q")} AS DOUBLE)) *
            |     sqrt(CAST(${oNorm("c")} AS DOUBLE))) AS cosine
-           |FROM qv q JOIN qv c
-           |  ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+           |FROM cand cd
+           |JOIN qv q ON cd.id_a = q.vec_id
+           |JOIN qv c ON cd.id_b = c.vec_id
            |WHERE CAST($oDot AS DOUBLE) /
            |    (sqrt(CAST(${oNorm("q")} AS DOUBLE)) *
            |     sqrt(CAST(${oNorm("c")} AS DOUBLE))) >= 0.4""".stripMargin
       },
       (s, d) => {
-        val bucketOf: Column => Column = qv => (0 until 8).map { i =>
-          when(element_at(qv, i + 1) >= 0L, lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _).cast("long")
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), quant(col("embedding")).as("qv"))
-          .withColumn("bucket", bucketOf(col("qv")))
-        val a = emb.select(col("vec_id").as("id_a"), col("qv").as("qv_q"),
-          col("bucket"))
-        val b = emb.select(col("vec_id").as("id_b"), col("qv").as("qv_c"),
-          col("bucket").as("bucket_b"))
+        val cand = graft.operators.SignLsh.candidatePairs(
+          emb, "vec_id", "qv", LshTables, LshBits, Dim, MaxLshBucket)
+        val q = emb.select(col("vec_id").as("id_a"), col("qv").as("qv_q"))
+        val c = emb.select(col("vec_id").as("id_b"), col("qv").as("qv_c"))
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
           (sqrt(normSq(col("qv_q")).cast("double")) *
            sqrt(normSq(col("qv_c")).cast("double")))
-        a.join(b, col("bucket") === col("bucket_b") &&
-                  col("id_a") < col("id_b"))
+        cand.join(q, "id_a").join(c, "id_b")
           .select(col("id_a"), col("id_b"), cosine.as("cosine"))
           .filter(col("cosine") >= 0.4)
       }),

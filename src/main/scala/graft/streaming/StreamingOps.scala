@@ -39,41 +39,58 @@ object StreamingOps {
   final case class SessState(
       start: Long, last: Long, n: Long, sum: Double)
 
-  /** Stateful gap sessionization via `flatMapGroupsWithState`: closes and
-    * emits a session when the key's gap exceeds `gapSeconds` (processing-
-    * time timeout closes idle sessions in continuous mode). Works in batch
-    * too (state lives within the batch), which is how the spec exercises it
-    * deterministically.
+  /** Stateful gap sessionization via `flatMapGroupsWithState`.
+    *
+    * Closed sessions (gap exceeded by a newer event) are emitted exactly
+    * once. The still-open session is handled by MODE:
+    *  - streaming (`emitOpenAtEnd = false`, the default): the open session
+    *    stays in state; a processing-time timeout of `gapSeconds` fires
+    *    when the key goes idle, emitting it once and clearing state. It is
+    *    NEVER emitted while still open — re-emitting a growing session
+    *    every micro-batch would produce duplicate/overlapping rows under
+    *    OutputMode.Append.
+    *  - batch (`emitOpenAtEnd = true`): timeouts never fire in batch
+    *    execution, so the final open session is emitted at end-of-group —
+    *    matching the batch sessionizer ([[graft.operators.Sessionize]]).
     */
-  def sessionize(ds: Dataset[Ev], gapSeconds: Long): Dataset[SessionAgg] = {
+  def sessionize(ds: Dataset[Ev], gapSeconds: Long,
+                 emitOpenAtEnd: Boolean = false): Dataset[SessionAgg] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionAgg](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val rows = it.toIndexedSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-          var st = state.getOption.orNull
-          rows.foreach { e =>
-            val t = e.ts.getTime
-            st match {
-              case null =>
-                st = SessState(t, t, 1L, e.value)
-              case s if (t - s.last) / 1000L > gapSeconds =>
-                out += SessionAgg(uid, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.last), s.n, s.sum)
-                st = SessState(t, t, 1L, e.value)
-              case s =>
-                st = SessState(s.start, t, s.n + 1L, s.sum + e.value)
+          def close(s: SessState) = SessionAgg(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, s.sum)
+          if (state.hasTimedOut) {
+            // idle key: the open session is now closed by time, not data.
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val rows = it.toIndexedSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+            var st = state.getOption.orNull
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null =>
+                  st = SessState(t, t, 1L, e.value)
+                case s if (t - s.last) / 1000L > gapSeconds =>
+                  out += close(s)
+                  st = SessState(t, t, 1L, e.value)
+                case s =>
+                  st = SessState(s.start, t, s.n + 1L, s.sum + e.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutDuration(gapSeconds * 1000L)
+            }
+            if (emitOpenAtEnd && st != null) out += close(st)
+            out.iterator
           }
-          if (st != null) state.update(st)
-          // in batch mode the final open session is emitted too
-          if (st != null) {
-            out += SessionAgg(uid, new java.sql.Timestamp(st.start),
-              new java.sql.Timestamp(st.last), st.n, st.sum)
-          }
-          out.iterator
       }
   }
 }

@@ -85,10 +85,28 @@ class SessionizeSpec extends SparkSpec {
     assert(batch.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
 
     val ds = rows.map(r => graft.streaming.StreamingOps.Ev(r._1, r._2, r._3)).toDS()
-    val streamed = graft.streaming.StreamingOps.sessionize(ds, 3600L)
+    val streamed = graft.streaming.StreamingOps
+      .sessionize(ds, 3600L, emitOpenAtEnd = true)
       .collect().sortBy(s => (s.user_id, s.session_start.getTime))
       .map(s => (s.user_id, s.n_events, s.value_sum))
     assert(streamed.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+
+  test("streaming-mode emission withholds the open session (append-safe)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:10:00"), 2.0),
+      (1L, ts("2024-01-01 05:00:00"), 3.0),   // gap > 1h closes session 1
+      (2L, ts("2024-01-01 00:00:00"), 4.0))   // open-only key
+    val ds = rows.map(r => graft.streaming.StreamingOps.Ev(r._1, r._2, r._3)).toDS()
+    // default emitOpenAtEnd=false = streaming semantics: a still-open
+    // session is NEVER emitted inline (it would be re-emitted with growing
+    // bounds every micro-batch under OutputMode.Append); it stays in state
+    // for the processing-time timeout to close.
+    val out = graft.streaming.StreamingOps.sessionize(ds, 3600L)
+      .collect().map(s => (s.user_id, s.n_events, s.value_sum))
+    assert(out.toSeq == Seq((1L, 2L, 3.0)))
   }
 }
 
