@@ -5,23 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** Throwaway profiling main (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "dd3_minhash_lsh")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "pl14_gold_full")
       .split(",").map(_.trim)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.documents(spark, d).count() // warmup
-    for (r <- 1 to reps; n <- names) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, d)
-        .write.format("noop").mode("overwrite").save()
-      spark.catalog.clearCache()
-      println(f"[scratch] run$r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    for (n <- names) {
+      val plan = SparkEntry.queries(n)(spark, d)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      println(s"[scratch] $n: $exchanges hash exchanges")
+      plan.linesIterator.filter(_.contains("Exchange"))
+        .foreach(l => println("[scratch]   " + l.trim.take(120)))
     }
     spark.stop()
   }
