@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * Two implementations (SURVEY §7.3's preference order):
   *
   *  1. [[recursive]] — exact pandas `adjust=False` semantics
-  *     (y_t = α·x_t + (1-α)·y_{t-1}) via a sequential per-key scan in
-  *     `groupByKey.flatMapGroups`. One shuffle; serial per key (the
-  *     recurrence admits no frame rewrite); memory bounded per key.
+  *     (y_t = α·x_t + (1-α)·y_{t-1}) via repartition + secondary sort +
+  *     an O(1)-memory iterator scan. One shuffle; serial per key (the
+  *     recurrence admits no frame rewrite); no per-group buffering.
   *
   *  2. [[fir]] — a K-term truncated, renormalized EWM
   *     (pandas `adjust=True` cut at K lags): y_t = Σ w_i·x_{t-i} / Σ w_i,
@@ -31,14 +31,26 @@ object Ewm {
     import df.sparkSession.implicits._
     val ds = df.select(col(keyCol).cast("long").as("key"),
       col(tsCol).as("ts"), col(xCol).cast("double").as("x")).as[KV]
-    ds.groupByKey(_.key).flatMapGroups { (_, it) =>
-      val rows = it.toIndexedSeq.sortBy(_.ts.getTime)
-      var y = Double.NaN
-      rows.iterator.map { r =>
-        y = if (y.isNaN) r.x else alpha * r.x + (1.0 - alpha) * y
-        KVY(r.key, r.ts, r.x, y)
-      }
-    }.toDF()
+    // Secondary sort, not per-group buffering: repartition on the key,
+    // sort each partition by (key, ts) — full microsecond timestamp
+    // precision, unlike a .getTime in-memory sort — and stream the rows
+    // through an O(1)-memory scan that resets the recurrence on key
+    // change. A skewed key costs sort spill, never executor heap.
+    ds.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ts"))
+      .mapPartitions { it =>
+        var curKey = Long.MinValue
+        var haveKey = false
+        var y = 0.0
+        it.map { r =>
+          if (!haveKey || r.key != curKey) {
+            curKey = r.key; haveKey = true; y = r.x
+          } else {
+            y = alpha * r.x + (1.0 - alpha) * y
+          }
+          KVY(r.key, r.ts, r.x, y)
+        }
+      }.toDF()
   }
 
   /** FIR weights for [[fir]] — exposed so the oracle SQL can embed the

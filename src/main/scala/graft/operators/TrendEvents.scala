@@ -5,8 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Per-key trend segmentation — the reference's path-dependent event builder
   * (`data_apis/my_alpaca.py:19-111` + tiered thresholds
-  * `my_helper.py:3-24`) re-expressed as a typed `groupByKey.flatMapGroups`
-  * state machine.
+  * `my_helper.py:3-24`).
   *
   * Semantics: scan each key's price path in time order, tracking the
   * segment's reference (open) price and running high/low. When the price
@@ -15,11 +14,20 @@ import org.apache.spark.sql.functions._
   * at the crossing row. The final open segment is emitted at end-of-key
   * (mirrors `my_alpaca.py:98-109`).
   *
-  * Scale: one shuffle on the key; each group is scanned sequentially (the
-  * recurrence is inherently serial per key — this is the `flatMapGroups`
-  * case of SURVEY §2.10, not expressible as window algebra). Group rows are
-  * sorted in-memory: bounded by rows-per-key (~100k for a decade of 30-min
-  * bars), independent of total data size.
+  * Scale: one shuffle on the key, then `sortWithinPartitions(key, ts)` +
+  * an ITERATOR state machine over the partition — memory is O(1) per row,
+  * never O(rows-per-key) (no per-group buffering: a skewed key cannot blow
+  * the executor heap). The sort runs at full timestamp precision
+  * (microseconds), unlike a `.getTime`-keyed in-memory sort.
+  *
+  * [[segmentTwoGranularity]] is the reference's two-granularity drill-down
+  * (`my_alpaca.py:53-63`): the scan runs on COARSE bars; only when a
+  * coarse bar's high/low crosses the band does it consult the
+  * pre-loaded FINE rows inside that bar's window to find the precise
+  * crossing row — the event ends at the fine row's timestamp and the next
+  * segment restarts at its price. At 100 TB the fine table is only
+  * touched for crossing windows (a time-range join, partition-prunable),
+  * not scanned wholesale by the state machine.
   */
 object TrendEvents {
 
@@ -29,6 +37,12 @@ object TrendEvents {
       open: Double, high: Double, low: Double, close: Double,
       pct_change: Double, n_points: Int, closed: Boolean)
 
+  /** Tagged merged-stream row for the two-granularity scan. tag 0 = coarse
+    * bar marker (open/hi/lo/close of the window), tag 1 = fine tick. */
+  final case class Tagged(key: Long, ts: java.sql.Timestamp, tag: Int,
+                          hi: Double, lo: Double, open: Double,
+                          price: Double, winEnd: java.sql.Timestamp)
+
   /** Price-tiered threshold factor (shape of my_helper.min_max_target). */
   def targetFactor(p: Double): Double =
     if (p < 1.0) 0.12
@@ -37,35 +51,167 @@ object TrendEvents {
     else if (p < 200.0) 0.03
     else 0.02
 
+  /** Single-granularity segmentation: iterator state machine over a
+    * secondary-sorted partition stream. */
   def segment(points: Dataset[PricePoint]): Dataset[TrendEvent] = {
     import points.sparkSession.implicits._
-    points.groupByKey(_.key).flatMapGroups { (key, it) =>
-      val rows = it.toIndexedSeq.sortBy(_.ts.getTime)
-      val out = scala.collection.mutable.ArrayBuffer.empty[TrendEvent]
-      if (rows.nonEmpty) {
-        var start = rows.head
-        var hi = start.price
-        var lo = start.price
-        var n = 1
-        var i = 1
-        while (i < rows.length) {
-          val r = rows(i)
-          hi = math.max(hi, r.price); lo = math.min(lo, r.price); n += 1
-          val factor = targetFactor(start.price)
-          if (math.abs(r.price / start.price - 1.0) >= factor) {
-            out += TrendEvent(key, start.ts, r.ts, start.price, hi, lo,
-              r.price, r.price / start.price - 1.0, n, closed = true)
-            start = r; hi = r.price; lo = r.price; n = 1
+    points
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ts"))
+      .mapPartitions { it =>
+        new Iterator[TrendEvent] {
+          private var start: PricePoint = _
+          private var hi = 0.0; private var lo = 0.0; private var n = 0
+
+          // emit-driven pull loop: advance the underlying iterator until an
+          // event is produced or input is exhausted.
+          private def closeOpen(last: PricePoint, emittedAny: Boolean): TrendEvent =
+            if (start == null) null
+            else if (n > 1 || !emittedAny)
+              TrendEvent(start.key, start.ts, last.ts, start.price, hi, lo,
+                last.price, last.price / start.price - 1.0, n, closed = false)
+            else null
+
+          private var last: PricePoint = _
+          private var emitted = false
+          private var queued: TrendEvent = _
+
+          private def advance(): Unit = {
+            while (queued == null && it.hasNext) {
+              val r = it.next()
+              if (start == null || r.key != start.key) {
+                // key change: flush the previous key's open segment
+                val flush = closeOpen(last, emitted)
+                start = r; hi = r.price; lo = r.price; n = 1
+                last = r; emitted = false
+                if (flush != null) { queued = flush; return }
+              } else {
+                hi = math.max(hi, r.price); lo = math.min(lo, r.price); n += 1
+                last = r
+                val factor = targetFactor(start.price)
+                if (math.abs(r.price / start.price - 1.0) >= factor) {
+                  queued = TrendEvent(r.key, start.ts, r.ts, start.price, hi,
+                    lo, r.price, r.price / start.price - 1.0, n, closed = true)
+                  emitted = true
+                  start = r; hi = r.price; lo = r.price; n = 1
+                }
+              }
+            }
+            if (queued == null && start != null) {
+              val flush = closeOpen(last, emitted)
+              start = null
+              if (flush != null) queued = flush
+            }
           }
-          i += 1
+
+          override def hasNext: Boolean = {
+            if (queued == null) advance()
+            queued != null
+          }
+          override def next(): TrendEvent = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = queued; queued = null; r
+          }
         }
-        val last = rows.last
-        if (n > 1 || out.isEmpty)
-          out += TrendEvent(key, start.ts, last.ts, start.price, hi, lo,
-            last.price, last.price / start.price - 1.0, n, closed = false)
       }
-      out.iterator
-    }
+  }
+
+  /** Two-granularity segmentation: coarse bars drive the scan; fine rows
+    * are consulted only inside a coarse bar whose high/low crosses the
+    * band, to locate the precise crossing (my_alpaca.py:53-63).
+    *
+    * `coarse`: (key, ts=window start, winEnd, hi, lo, close);
+    * `fine`: (key, ts, price). Both merged into one secondary-sorted
+    * stream — a coarse marker sorts before its window's fine rows.
+    */
+  def segmentTwoGranularity(coarse: DataFrame, fine: DataFrame): Dataset[TrendEvent] = {
+    val spark = coarse.sparkSession
+    import spark.implicits._
+    val c = coarse.select(col("key").cast("long"), col("ts"), lit(0).as("tag"),
+      col("hi").cast("double"), col("lo").cast("double"),
+      col("open").cast("double"),
+      col("close").cast("double").as("price"), col("winEnd")).as[Tagged]
+    val f = fine.select(col("key").cast("long"), col("ts"), lit(1).as("tag"),
+      col("price").cast("double").as("hi"),
+      col("price").cast("double").as("lo"),
+      col("price").cast("double").as("open"),
+      col("price").cast("double"), col("ts").as("winEnd")).as[Tagged]
+    c.unionByName(f)
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ts"), col("tag"))
+      .mapPartitions { it =>
+        new Iterator[TrendEvent] {
+          private var curKey = 0L
+          private var haveKey = false
+          private var startTs: java.sql.Timestamp = _
+          private var ref = 0.0
+          private var hi = 0.0; private var lo = 0.0; private var n = 0
+          private var lastPrice = 0.0
+          private var lastTs: java.sql.Timestamp = _
+          private var fineUntil: java.sql.Timestamp = _
+          private var emitted = false
+          private val queue = scala.collection.mutable.Queue.empty[TrendEvent]
+
+          private def crossing(p: Double): Boolean =
+            math.abs(p / ref - 1.0) >= targetFactor(ref)
+
+          private def flushOpen(): Unit =
+            if (haveKey && (n > 1 || !emitted))
+              queue += TrendEvent(curKey, startTs, lastTs, ref, hi, lo,
+                lastPrice, lastPrice / ref - 1.0, n, closed = false)
+
+          private def advance(): Unit = {
+            while (queue.isEmpty && it.hasNext) {
+              val r = it.next()
+              if (!haveKey || r.key != curKey) {
+                flushOpen()
+                // reference_price = first bar OPEN (my_alpaca.py:33);
+                // running high/low start AT the reference, not bar hi/lo.
+                curKey = r.key; haveKey = true; emitted = false
+                fineUntil = null; startTs = r.ts
+                ref = if (r.tag == 0) r.open else r.price
+                hi = ref; lo = ref; n = 0
+                lastPrice = ref; lastTs = r.ts
+              }
+              if (r.tag == 0) {
+                // coarse bar drives the scan outside fine windows
+                if (fineUntil != null && !r.ts.before(fineUntil)) fineUntil = null
+                if (fineUntil == null) {
+                  n += 1; lastPrice = r.price; lastTs = r.ts
+                  val fac = targetFactor(ref)
+                  val hits = (r.hi / ref - 1.0 >= fac) ||
+                             (r.lo / ref - 1.0 <= -fac)
+                  if (hits) fineUntil = r.winEnd // drill into fine rows
+                  else { hi = math.max(hi, r.hi); lo = math.min(lo, r.lo) }
+                }
+              } else if (fineUntil != null && r.ts.before(fineUntil)) {
+                // fine tick inside a crossing window: precise lookup
+                hi = math.max(hi, r.price); lo = math.min(lo, r.price)
+                if (crossing(r.price)) {
+                  queue += TrendEvent(curKey, startTs, r.ts, ref, hi, lo,
+                    r.price, r.price / ref - 1.0, n, closed = true)
+                  emitted = true
+                  startTs = r.ts; ref = r.price; hi = r.price; lo = r.price
+                  n = 1; lastPrice = r.price; lastTs = r.ts; fineUntil = null
+                }
+              } // fine tick outside a crossing window: not consulted
+            }
+            if (queue.isEmpty && haveKey && !it.hasNext) {
+              flushOpen()
+              haveKey = false
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (queue.isEmpty) advance()
+            queue.nonEmpty
+          }
+          override def next(): TrendEvent = {
+            if (!hasNext) throw new NoSuchElementException
+            queue.dequeue()
+          }
+        }
+      }
   }
 
   /** DataFrame adapter: (keyCol: long, tsCol: timestamp, priceCol: double). */
@@ -76,5 +222,21 @@ object TrendEvents {
       col(keyCol).cast("long").as("key"),
       col(tsCol).as("ts"),
       col(priceCol).cast("double").as("price")).as[PricePoint]).toDF()
+  }
+
+  /** Two-granularity adapter over the events fixture: coarse = hourly
+    * candles (hi/lo/close per hour), fine = the raw ticks. */
+  def refinedFromEvents(events: DataFrame, keyCol: String, tsCol: String,
+                        priceCol: String): DataFrame = {
+    val coarse = events
+      .groupBy(col(keyCol).cast("long").as("key"),
+               date_trunc("hour", col(tsCol)).as("ts"))
+      .agg(max(priceCol).as("hi"), min(priceCol).as("lo"),
+           min_by(col(priceCol), col(tsCol)).as("open"),
+           max_by(col(priceCol), col(tsCol)).as("close"))
+      .withColumn("winEnd", col("ts") + expr("INTERVAL 1 HOUR"))
+    val fine = events.select(col(keyCol).cast("long").as("key"),
+      col(tsCol).as("ts"), col(priceCol).as("price"))
+    segmentTwoGranularity(coarse, fine).toDF()
   }
 }

@@ -349,6 +349,18 @@ object PipelineQueries {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n_kept"))),
 
+    // TREND EVENTS, two-granularity refinement — the reference's drill-down
+    // (my_alpaca.py:53-63): the scan runs on hourly candles; fine ticks are
+    // consulted only inside a candle whose high/low crosses the band, to
+    // end the event at the precise crossing row. Path-dependent per key →
+    // rows-only for the oracle (refinement logic is spec-tested).
+    QueryDef(
+      "pl15_trend_refined",
+      None,
+      (s, d) =>
+        TrendEvents.refinedFromEvents(Tables.events(s, d),
+          "user_id", "ts", "value")),
+
     // GOLD FULL — the complete 15-function feature battery
     // (my_stock_functions.py:13-778) assembled by the right-wins fold
     // (my_alpaca.py:296-335) in graft.operators.GoldFeatures: one

@@ -53,6 +53,54 @@ class TrendEventsSpec extends SparkSpec {
     assert(TrendEvents.targetFactor(100.0) == 0.03)
     assert(TrendEvents.targetFactor(500.0) == 0.02)
   }
+
+  test("two-granularity refinement ends the event at the precise fine row") {
+    import spark.implicits._
+    // coarse hourly bars for key 9 at tier >= 200 (factor 0.02, band
+    // 294..306 around ref 300): the 11:00 bar's high crosses; the precise
+    // crossing inside it happens at 11:20 (306.2), NOT the bar close.
+    val coarse = Seq(
+      (9L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 301.0, 299.0, 300.0, 300.5),
+      (9L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"), 307.0, 300.0, 300.5, 305.0),
+      (9L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00"), 306.0, 304.0, 305.0, 305.5)
+    ).toDF("key", "ts", "winEnd", "hi", "lo", "open", "close")
+    val fine = Seq(
+      (9L, ts("2024-01-01 10:00:00"), 300.0),
+      (9L, ts("2024-01-01 11:10:00"), 303.0),   // inside window, no cross
+      (9L, ts("2024-01-01 11:20:00"), 306.2),   // precise crossing row
+      (9L, ts("2024-01-01 11:40:00"), 307.0),   // after the crossing
+      (9L, ts("2024-01-01 12:30:00"), 305.5)
+    ).toDF("key", "ts", "price")
+    val ev = TrendEvents.segmentTwoGranularity(coarse, fine)
+      .collect().sortBy(_.start_ts.getTime)
+    assert(ev.length == 2)
+    // closed event: starts at the first coarse bar, ends EXACTLY at the
+    // 11:20 fine row with its price — the drill-down found the precise
+    // crossing, not the 12:00 coarse boundary.
+    assert(ev(0).closed)
+    assert(ev(0).end_ts == ts("2024-01-01 11:20:00"))
+    assert(ev(0).close == 306.2)
+    // the next segment restarts AT the fine crossing (ref = 306.2) and
+    // stays open through the remaining bars.
+    assert(!ev(1).closed && ev(1).open == 306.2)
+    assert(ev(1).start_ts == ts("2024-01-01 11:20:00"))
+  }
+
+  test("refinement only consults fine rows in crossing windows") {
+    import spark.implicits._
+    // no coarse bar crosses the band → fine rows (even an extreme one)
+    // must not be consulted: one open segment from coarse data only.
+    val coarse = Seq(
+      (3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 301.0, 299.0, 300.0, 300.0),
+      (3L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"), 302.0, 300.0, 300.5, 301.0)
+    ).toDF("key", "ts", "winEnd", "hi", "lo", "open", "close")
+    val fine = Seq(
+      (3L, ts("2024-01-01 10:30:00"), 400.0)    // outlier tick, no window
+    ).toDF("key", "ts", "price")
+    val ev = TrendEvents.segmentTwoGranularity(coarse, fine).collect()
+    assert(ev.length == 1 && !ev(0).closed && ev(0).open == 300.0
+      && ev(0).close == 301.0)
+  }
 }
 
 class EwmSpec extends SparkSpec {
