@@ -26,6 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // The bench/verify mains execute ~90 queries several times in one JVM;
+  // janino emits thousands of generated classes and the default 240m
+  // JIT code cache fills mid-run — the JIT then silently stops compiling
+  // and interpreted-expression-heavy queries (dedup md5 paths) go 5-10x
+  // slower in the tail of the run.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
   // 24g default: the bench/verify mains run 84 queries (plus a warmup
   // pass) in one JVM; at 8g, G1 full-GC pauses hit mid-query and add
   // multi-second noise to individual timings. The host has 128 GiB.

@@ -136,11 +136,23 @@ object PipelineQueries {
       }),
 
     // W12/EWM (exact recursive form, pandas adjust=False) — sequential
-    // per-key scan; not expressible in SQL window algebra, so no oracle
-    // (driver records the rows-only check).
+    // per-key scan; not expressible in SQL WINDOW algebra.
+    // Oracle: DuckDB replays the exact recurrence via a recursive CTE —
+    // 0.1*x + (1.0-0.1)*y is the same IEEE multiply/multiply/add tree the
+    // Scala scan evaluates, so the doubles match bitwise.
     QueryDef(
       "pl4_ewm_recursive",
-      None,
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT user_id, ts, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, ts, value, rn, value AS ewm FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.ts, o.value, o.rn,
+             |    0.1 * o.value + (1.0 - 0.1) * r.ewm AS ewm
+             |  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+             |SELECT user_id, ts, value, ewm FROM r""".stripMargin),
       (s, d) =>
         Ewm.recursive(Tables.events(s, d), "user_id", "ts", "value",
           alpha = 0.1)
@@ -154,19 +166,84 @@ object PipelineQueries {
     // expressible, so rows-only for the oracle.
     QueryDef(
       "pl12_ewm_native",
-      None,
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT event_id, user_id, ts, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |r AS (
+             |  SELECT event_id, user_id, ts, value, rn, value AS ewm
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.event_id, o.user_id, o.ts, o.value, o.rn,
+             |    0.1 * o.value + (1.0 - 0.1) * r.ewm AS ewm
+             |  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+             |SELECT event_id, user_id, ts, value, ewm FROM r""".stripMargin),
       (s, d) => {
         graft.functions.EwmNative.register(s)
         Tables.events(s, d).selectExpr(
           "event_id", "user_id", "ts", "value",
-          "ewm_nr(value, 0.1) OVER (PARTITION BY user_id ORDER BY ts) AS ewm")
+          "ewm_nr(value, 0.1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ewm")
       }),
 
     // TREND EVENTS — the path-dependent threshold-crossing state machine
     // (my_alpaca.py:19-111); inherently sequential per key → no SQL oracle.
+    // Oracle: the path-dependent state machine as a state-carrying
+    // recursive CTE — (ref, hi, lo, n, emitted) advance row by row with
+    // the same update order (hi/lo/n first, then the crossing test), so
+    // events and the final open segment match the iterator bitwise.
     QueryDef(
       "pl5_trend_events",
-      None,
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT user_id AS key, ts, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             |  FROM events),
+             |s AS (
+             |  SELECT key, rn, ts, value,
+             |    value AS ref, ts AS ref_ts, value AS hi, value AS lo,
+             |    1 AS n, FALSE AS crossed, FALSE AS any_emitted,
+             |    CAST(NULL AS DOUBLE) AS ev_open,
+             |    CAST(NULL AS TIMESTAMP) AS ev_start,
+             |    CAST(NULL AS DOUBLE) AS ev_hi, CAST(NULL AS DOUBLE) AS ev_lo,
+             |    CAST(NULL AS INT) AS ev_n
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.key, o.rn, o.ts, o.value,
+             |    CASE WHEN x.cr THEN o.value ELSE s.ref END,
+             |    CASE WHEN x.cr THEN o.ts ELSE s.ref_ts END,
+             |    CASE WHEN x.cr THEN o.value ELSE x.hi2 END,
+             |    CASE WHEN x.cr THEN o.value ELSE x.lo2 END,
+             |    CASE WHEN x.cr THEN 1 ELSE s.n + 1 END,
+             |    x.cr, s.any_emitted OR x.cr,
+             |    s.ref, s.ref_ts, x.hi2, x.lo2, s.n + 1
+             |  FROM o
+             |  JOIN s ON o.key = s.key AND o.rn = s.rn + 1
+             |  CROSS JOIN LATERAL (
+             |    SELECT greatest(s.hi, o.value) AS hi2,
+             |      least(s.lo, o.value) AS lo2,
+             |      abs(o.value / s.ref - 1.0) >=
+             |        (CASE WHEN s.ref < 1.0 THEN 0.12
+             |              WHEN s.ref < 10.0 THEN 0.08
+             |              WHEN s.ref < 50.0 THEN 0.05
+             |              WHEN s.ref < 200.0 THEN 0.03
+             |              ELSE 0.02 END) AS cr) x),
+             |closed_ev AS (
+             |  SELECT key, ev_start AS start_ts, ts AS end_ts,
+             |    ev_open AS open, ev_hi AS high, ev_lo AS low,
+             |    value AS close, value / ev_open - 1.0 AS pct_change,
+             |    ev_n AS n_points, TRUE AS closed
+             |  FROM s WHERE crossed),
+             |last_state AS (
+             |  SELECT * FROM (SELECT *, row_number() OVER (
+             |    PARTITION BY key ORDER BY rn DESC) AS rr FROM s)
+             |  WHERE rr = 1),
+             |open_ev AS (
+             |  SELECT key, ref_ts AS start_ts, ts AS end_ts, ref AS open,
+             |    hi AS high, lo AS low, value AS close,
+             |    value / ref - 1.0 AS pct_change, n AS n_points,
+             |    FALSE AS closed
+             |  FROM last_state WHERE n > 1 OR NOT any_emitted)
+             |SELECT * FROM closed_ev UNION ALL SELECT * FROM open_ev""".stripMargin),
       (s, d) =>
         TrendEvents.fromDf(Tables.events(s, d), "user_id", "ts", "value")),
 

@@ -32,6 +32,59 @@ object WindowQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // W5b: the lag battery at the REFERENCE's offsets over the reference's
+    // grid (Procesamiento_fase_2.ipynb:113): a 32-slot-per-day New-York
+    // WALL-CLOCK grid (30-min slots from 04:00, the trading-day band that
+    // never touches the 2-3am DST skip) spanning BOTH 2023/2024 US DST
+    // transitions, so lag(32)=same slot prev day, lag(224)=prev week,
+    // lag(11680)=same wall-clock slot 365 grid-days back — all DST-exact.
+    // Grid generated DISTRIBUTED (sequence+explode per key from the events
+    // key universe); values are portable hashes so both engines agree.
+    QueryDef(
+      "w5b_lag_battery_dst",
+      Some {
+        val lags = Seq(1, 32, 224, 11680).map(k =>
+          s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY utc) AS lag_$k")
+          .mkString(",\n  ")
+        s"""WITH users AS (
+           |  SELECT DISTINCT user_id FROM events WHERE user_id < 3),
+           |grid AS (
+           |  SELECT user_id, d AS day, CAST(s AS INT) AS slot,
+           |    CAST(d AS TIMESTAMP) + INTERVAL 4 HOUR +
+           |      s * (INTERVAL 30 MINUTE) AS wall
+           |  FROM users,
+           |    unnest(CAST(generate_series(DATE '2023-04-01',
+           |      DATE '2024-04-30', INTERVAL 1 DAY) AS DATE[])) t(d),
+           |    unnest(generate_series(0, 31)) u(s)),
+           |vals AS (
+           |  SELECT user_id, day, slot, wall,
+           |    CAST(timezone('America/New_York', wall) AS TIMESTAMP) AS utc,
+           |    CAST('0x' || substr(md5(concat_ws(':', user_id, day, slot)),
+           |      1, 8) AS BIGINT) AS value
+           |  FROM grid)
+           |SELECT user_id, day, slot, wall, utc, value,
+           |  $lags
+           |FROM vals""".stripMargin
+      },
+      (s, d) => {
+        val lags = Seq(1, 32, 224, 11680)
+        // 3 keys keep the verify dump small; each key still carries the
+        // full 396-day x 32-slot grid (12,672 rows > the 11,680 max lag).
+        val users = Tables.events(s, d)
+          .filter(col("user_id") < 3).select("user_id").distinct()
+        val vals = graft.operators.TradingGrid.nyGrid(users,
+            java.time.LocalDate.parse("2023-04-01"),
+            java.time.LocalDate.parse("2024-04-30"))
+          .withColumn("value",
+            conv(substring(md5(concat_ws(":", col("user_id"), col("day"),
+              col("slot"))), 1, 8), 16, 10).cast("long"))
+        val w = Window.partitionBy("user_id").orderBy("utc")
+        vals.select(
+          (Seq(col("user_id"), col("day"), col("slot"), col("wall"),
+            col("utc"), col("value")) ++
+           lags.map(k => lag("value", k).over(w).as(s"lag_$k"))): _*)
+      }),
+
     // W1+W2+W3: forward-fill / backward-fill / zero-fill battery
     // (Procesamiento_fase_1.ipynb:241-273). The sparse column only exists on
     // 'purchase' rows; ffill carries the last purchase value forward, bfill

@@ -117,6 +117,42 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("NY trading grid: complete, strictly increasing, DST-correct (SURVEY §7.4 #1)") {
+    import org.apache.spark.sql.functions.lit
+    // random ranges biased to cross the 2024-03-10 (spring) and 2023-11-05
+    // (fall) US DST transitions
+    val rangeGen: Gen[(java.time.LocalDate, Int)] = for {
+      anchor <- Gen.oneOf("2024-03-03", "2023-10-29", "2024-01-10")
+      back <- Gen.choose(0, 10)
+      len <- Gen.choose(3, 21)
+    } yield (java.time.LocalDate.parse(anchor).minusDays(back), len)
+    val users = spark.range(1).select(lit(1L).as("user_id"))
+    forAll(rangeGen) { case (start, len) =>
+      val end = start.plusDays(len - 1)
+      val rows = graft.operators.TradingGrid.nyGrid(users, start, end)
+        .orderBy("utc").collect()
+      // completeness: days × 32, no slot lost to the DST skip
+      assert(rows.length == len * graft.operators.TradingGrid.SlotsPerDay)
+      // strict monotonicity of UTC instants (no repeat across fall-back)
+      val utcs = rows.map(_.getAs[java.sql.Timestamp]("utc").getTime)
+      utcs.sliding(2).foreach { case Array(a, b) => assert(a < b); case _ => }
+      // DST correctness: same slot on consecutive days is 23/24/25h apart,
+      // and both non-24h gaps only occur at a transition
+      val bySlot = rows.groupBy(_.getAs[Int]("slot"))
+      bySlot.values.foreach { sr =>
+        sr.sortBy(_.getAs[java.sql.Timestamp]("utc").getTime)
+          .sliding(2).foreach {
+            case Array(a, b) =>
+              val gapH = (b.getAs[java.sql.Timestamp]("utc").getTime -
+                a.getAs[java.sql.Timestamp]("utc").getTime) / 3600000.0
+              assert(gapH == 23.0 || gapH == 24.0 || gapH == 25.0,
+                s"slot gap $gapH h at ${a.getAs[java.sql.Date]("day")}")
+            case _ =>
+          }
+      }
+    }
+  }
+
   test("sessionization: session ids contiguous from 1; gaps within session <= gap") {
     forAll(eventsGen) { rows =>
       whenever(rows.nonEmpty) {
