@@ -35,4 +35,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Fan a narrow scan out to all cores when the source arrives as fewer
+    * input splits than the cluster has slots — a single small parquet file
+    * is ONE split, which would serialize expensive per-row expressions
+    * (md5 shingles, 64-dim dot products) onto one core. At scale the
+    * condition is false (real tables have thousands of splits) and this is
+    * a no-op; locally it costs one shuffle of a sub-MB frame. Explicit
+    * partition count, so AQE cannot coalesce it back down. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }

@@ -266,7 +266,7 @@ object DedupQueries {
            |FROM sigs GROUP BY simhash""".stripMargin
       },
       (s, d) => {
-        val hs = Tables.documents(s, d).select(col("doc_id"),
+        val hs = Tables.fanOut(Tables.documents(s, d)).select(col("doc_id"),
           transform(tokens(col("text")), t => hash32(t)).as("hs"))
         val bitCols = (0 until SimBits).map { i =>
           aggregate(col("hs"), lit(0L), (acc, h) =>

@@ -71,7 +71,7 @@ object SimilarityQueries {
               |    ORDER BY cosine DESC, cand_id) AS rn
               |  FROM scored) WHERE rn <= $TopK""".stripMargin),
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.fanOut(Tables.embeddings(s, d))
           .select(col("vec_id"), quant(col("embedding")).as("qv"))
         val q = emb.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
@@ -124,7 +124,7 @@ object SimilarityQueries {
            |  FROM scored) WHERE rn <= $TopK""".stripMargin
       },
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.fanOut(Tables.embeddings(s, d))
           .select(col("vec_id"), quant(col("embedding")).as("qv"))
         val bk = graft.operators.SignLsh.bucketize(
           emb, "vec_id", "qv", LshTables, LshBits, Dim, MaxLshBucket)
@@ -185,7 +185,7 @@ object SimilarityQueries {
            |     sqrt(CAST(${oNorm("c")} AS DOUBLE))) >= 0.4""".stripMargin
       },
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.fanOut(Tables.embeddings(s, d))
           .select(col("vec_id"), quant(col("embedding")).as("qv"))
         val cand = graft.operators.SignLsh.candidatePairs(
           emb, "vec_id", "qv", LshTables, LshBits, Dim, MaxLshBucket)

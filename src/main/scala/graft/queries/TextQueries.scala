@@ -55,7 +55,7 @@ object TextQueries {
           ws.map(w => size(filter(toks, t => t === w)).cast("long"))
             .reduce(_ + _).as(s"score_$lang")
         }
-        val scored = Tables.documents(s, d).select(
+        val scored = Tables.fanOut(Tables.documents(s, d)).select(
           col("doc_id") +: col("lang").as("lang_true") +: scoreCols: _*)
         val maxScore = greatest(markers.map(m => col(s"score_${m._1}")): _*)
         val best = markers.reverse.foldLeft(lit("und")) {
@@ -96,7 +96,7 @@ object TextQueries {
              |FROM t""".stripMargin),
       (s, d) => {
         val toks = tokens(col("text"))
-        val t = Tables.documents(s, d).select(
+        val t = Tables.fanOut(Tables.documents(s, d)).select(
           col("doc_id"), col("n_chars"),
           size(toks).cast("long").as("n_tokens"),
           size(array_distinct(toks)).cast("long").as("n_distinct"),
@@ -126,7 +126,7 @@ object TextQueries {
              |  CAST(length(text) AS BIGINT) AS n_chars_measured
              |FROM documents""".stripMargin),
       (s, d) =>
-        Tables.documents(s, d).select(
+        Tables.fanOut(Tables.documents(s, d)).select(
           col("doc_id"),
           size(tokens(col("text"))).cast("long").as("ws_tokens"),
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
@@ -147,7 +147,7 @@ object TextQueries {
               |FROM fp GROUP BY source""".stripMargin),
       (s, d) => {
         import graft.Parity
-        Tables.documents(s, d)
+        Tables.fanOut(Tables.documents(s, d))
           .select(col("source"), col("n_chars"),
             fingerprint(col("text")).as("fp"))
           .groupBy("source")
