@@ -324,6 +324,12 @@ class MergeUpsertSpec extends SparkSpec {
       .toDF("user_id", "day", "value")
     MergeUpsert.upsertPartitioned(spark, base, path,
       Seq("user_id", "day"), "day", "user_id")
+    def partFiles(day: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$path/day=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = partFiles("2024-01-02")
     // update key 1, insert key 4 — only partition 2024-01-01 is touched
     val delta = Seq((1L, "2024-01-01", 10.0), (4L, "2024-01-01", 4.0))
       .toDF("user_id", "day", "value")
@@ -332,6 +338,11 @@ class MergeUpsertSpec extends SparkSpec {
     val out = spark.read.parquet(path).orderBy("user_id").collect()
     assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value")))
       .toSeq == Seq((1L, 10.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+    // partition-pruned copy-on-write at the FILE level: the 2024-01-02
+    // partition's files are byte-identical and untouched (same names,
+    // same mtimes) — dynamic overwrite only rewrote the source's partition.
+    assert(partFiles("2024-01-02") == untouchedBefore,
+      "untouched partition was rewritten")
   }
 }
 
