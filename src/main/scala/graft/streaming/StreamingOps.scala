@@ -32,6 +32,26 @@ object StreamingOps {
       .select(col("user_id"), col("win.start").as("win_start"),
         col("open"), col("high"), col("low"), col("close"), col("n_events"))
 
+  /** Streaming incremental ingest (SURVEY §2.9 / bars.py MERGE flavor):
+    * every micro-batch is MERGEd into the sink with ON CONFLICT (key, ts)
+    * DO NOTHING semantics via [[graft.operators.MergeUpsert]]. Because the
+    * merge is idempotent on the key, replayed or overlapping micro-batches
+    * (at-least-once sources, restarts) cannot double-load a row — the
+    * standard exactly-once-to-table pattern built from an idempotent sink
+    * rather than sink-side transactions. */
+  def mergeSink(stream: DataFrame, sinkPath: String, keyCols: Seq[String],
+                orderCol: String,
+                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.MergeUpsert.insertIfAbsent(
+          batch.sparkSession, batch, sinkPath, keyCols, orderCol)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionAgg(
       user_id: Long, session_start: java.sql.Timestamp,

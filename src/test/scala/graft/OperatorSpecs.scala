@@ -264,6 +264,35 @@ class IncrementalSyncSpec extends SparkSpec {
   }
 }
 
+class StreamingMergeSpec extends SparkSpec {
+  test("foreachBatch MERGE sink: overlapping micro-batches never double-load") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_smerge").toString
+    val sink = s"$dir/t"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.StreamingOps.mergeSink(
+      mem.toDF().toDF("user_id", "ts", "value"), sink,
+      Seq("user_id", "ts"), "value", s"$dir/cp")
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:00"), 1.0),
+                  (2L, ts("2024-01-01 00:00:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(sink).count() == 2)
+      // second micro-batch overlaps the first (replay/at-least-once) and
+      // adds one genuinely new row → exactly one insert
+      mem.addData((1L, ts("2024-01-01 00:00:00"), 99.0),
+                  (3L, ts("2024-01-01 00:00:00"), 3.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(sink).orderBy("user_id").collect()
+      assert(rows.length == 3)
+      // the conflicting replay did NOT overwrite the original row
+      assert(rows(0).getAs[Double]("value") == 1.0)
+    } finally q.stop()
+  }
+}
+
 class BatchedIngestSpec extends SparkSpec {
   import org.apache.spark.sql.functions.col
 
@@ -360,6 +389,36 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getAs[Double]("open") == 10.0 &&
            out(0).getAs[Double]("close") == 12.0 &&
            out(0).getAs[Long]("n_events") == 2L)
+  }
+
+  test("watermark finalizes windows and drops too-late events (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.StreamingOps
+      .tumblingResample(mem.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: fills the 10:00 window; watermark = 10:55 - 2h → nothing
+      // finalized yet, append emits nothing
+      mem.addData((1L, ts("2024-01-01 10:05:00"), 10.0),
+                  (1L, ts("2024-01-01 10:55:00"), 12.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM wm_out").count() == 0)
+      // batch 2: event time jumps to 13:30 → watermark 11:30 passes the
+      // 10:00 window's end → that window is finalized and emitted once
+      mem.addData((1L, ts("2024-01-01 13:30:00"), 9.0))
+      q.processAllAvailable()
+      val fin = spark.sql("SELECT * FROM wm_out").collect()
+      assert(fin.length == 1 && fin(0).getAs[Long]("n_events") == 2L)
+      // batch 3: an event older than the watermark is DROPPED — no new
+      // output, and the finalized window is not re-emitted or amended
+      mem.addData((1L, ts("2024-01-01 10:10:00"), 99.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM wm_out").count() == 1)
+    } finally q.stop()
   }
 
   test("tumbling resample runs as a real stream (memory source and sink)") {
