@@ -153,6 +153,26 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("lookback identity: pct_change_0d == (close-open)/open*100 (SURVEY §5)") {
+    forAll(eventsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        import org.apache.spark.sql.expressions.Window
+        val df = toDf(rows)
+        val daily = df.groupBy(col("user_id"),
+            org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
+          .agg(org.apache.spark.sql.functions.min_by(col("value"), col("ts")).as("open"),
+               org.apache.spark.sql.functions.max_by(col("value"), col("ts")).as("close"))
+        val out = daily.withColumn("pct_change_0d",
+            (col("close") - col("open")) / col("open") * 100.0)
+          .collect()
+        out.foreach { r =>
+          val o = r.getAs[Double]("open"); val c = r.getAs[Double]("close")
+          assert(r.getAs[Double]("pct_change_0d") == (c - o) / o * 100.0)
+        }
+      }
+    }
+  }
+
   test("sessionization: session ids contiguous from 1; gaps within session <= gap") {
     forAll(eventsGen) { rows =>
       whenever(rows.nonEmpty) {
