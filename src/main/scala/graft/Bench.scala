@@ -47,25 +47,32 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // Median of 3 timed iterations per query: single-shot timings on this
-    // host swing ±2× (GC, page cache, scheduler); the median is stable.
+    // Median of 3 timed iterations per query, with the iterations
+    // INTERLEAVED as full suite rounds rather than back-to-back: host
+    // noise on this machine arrives in multi-minute windows, so
+    // consecutive samples of one query are correlated — spreading a
+    // query's samples across rounds lets the median reject a noisy window.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to iters; q <- defs) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      // release any persist() the query registered (cache is per-query
+      // scratch, not cross-query state — leaking it skews later timings).
+      spark.catalog.clearCache()
+      if (ok) samples.updateWith(q.name)(s =>
+        Some((System.nanoTime() - t0) / 1e9 :: s.getOrElse(Nil)))
+    }
     val results = defs.map { q =>
-      val times = (1 to iters).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-            false
-          }
-        // release any persist() the query registered (cache is per-query
-        // scratch, not cross-query state — leaking it skews later timings).
-        spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      samples.get(q.name) match {
+        case Some(ts) => (q.name, ts.sorted.apply(ts.size / 2), true)
+        case None => (q.name, -1.0, false)
       }
-      if (times.isEmpty) (q.name, -1.0, false)
-      else (q.name, times.sorted.apply(times.size / 2), true)
     }
     // Failed queries are reported with value -1 (sentinel) and listed in
     // "failed" — time-to-failure must not masquerade as a duration.
