@@ -278,6 +278,90 @@ object GoldFeatures {
       (vwapPm / prevRegClose - 1.0).as("pm_vwap_return"))
   }
 
+  /** Fused single-pass form: all 15 features as window/scalar expressions
+    * in ONE select over the substrate — no joins at all; the whole Gold
+    * table is substrate + one WindowExec chain. Bit-identical to
+    * [[goldTable]] (pl16 verifies against the same oracle as pl14): the
+    * fold is the reference-shaped composition, this is the scale path. */
+  def goldTableFused(events: DataFrame): DataFrame = {
+    val sub = dailySubstrate(events)
+    val f5 = wDay.rowsBetween(-4, 0)
+    val f20m = wDay.rowsBetween(-20, -1)
+    val f20 = wDay.rowsBetween(-19, 0)
+    // temps once (windows over them dedupe into the shared WindowExec)
+    val lr = log(col("d_last") / col("d_first"))
+    val lrq = when(col("d_first") > 0.0 && col("d_last") > 0.0,
+      floor(lr * 1e6 + 0.5).cast("long"))
+    val dq = floor(col("d_vol") * 100.0 + 0.5).cast("long")
+    val dr = col("d_last") / nullif(lag("d_last", 1).over(wDay), lit(0.0)) - 1.0
+    val drq = floor(dr * 1e4 + 0.5).cast("long")
+    val ats = col("pm_vol") / col("pm_n")
+    val withTemps = sub
+      .withColumn("__rq5", lrq).withColumn("__dq", dq)
+      .withColumn("__rq20", drq).withColumn("__ats", ats)
+      .withColumn("__lst", sort_array(collect_list(col("__ats")).over(f20)))
+    val s1_5 = sum(col("__rq5")).over(f5).cast("double") / 1e6
+    val s2_5 = sum(col("__rq5") * col("__rq5")).over(f5).cast("double") / 1e12
+    val n5 = count(col("__rq5")).over(f5)
+    val ma = sum(col("__dq")).over(f20m).cast("double") / 20.0 / 100.0
+    val n20m = count(col("__dq")).over(f20m)
+    val m20 = max("d_last").over(f20m)
+    val nd20m = count(col("d_last")).over(f20m)
+    val s1_20 = sum(col("__rq20")).over(f20).cast("double") / 1e4
+    val s2_20 = sum(col("__rq20") * col("__rq20")).over(f20).cast("double") / 1e8
+    val n20 = count(col("__rq20")).over(f20)
+    val mu = s1_20 / 20.0
+    val sd = sqrt((s2_20 - s1_20 * s1_20 / 20.0) / 19.0)
+    val rpm = (col("pm_last") - col("pm_open")) / nullif(col("pm_open"), lit(0.0))
+    val prevClose = lag("d_last", 1).over(wDay)
+    val wd = ((dayofweek(col("day")) + 5) % 7)
+    val holidayExpr = Holidays.sorted.foldLeft(lit(null).cast("int")) {
+      (acc, h) => when(col("day") >= lit(h).cast("date"),
+        datediff(col("day"), lit(h).cast("date"))).otherwise(acc)
+    }
+    val med = (element_at(col("__lst"), 10) + element_at(col("__lst"), 11)) / 2.0
+    val vwapPm = when(col("pm_vol_sum") > 0.0,
+      col("pm_vt_sum").cast("double") / 1e6 / col("pm_vol_sum"))
+    withTemps.select(
+      col("user_id"), col("day"),
+      (lag("d_last", 1).over(wDay) /
+        nullif(lag("d_last", 2).over(wDay), lit(0.0)) - 1.0)
+        .as("prev_day_return"),
+      when(n5 >= 5, sqrt((s2_5 - s1_5 * s1_5 / 5.0) / 4.0))
+        .as("std_return_last5d"),
+      lag((col("d_high") - col("d_low")) / nullif(col("d_last"), lit(0.0)), 1)
+        .over(wDay).as("range_rel_last1d"),
+      when(n20m >= 20, col("d_vol") / nullif(ma, lit(0.0))).as("rvol_20d"),
+      when(prevClose.isNotNull && prevClose =!= 0.0 &&
+           col("pm_open").isNotNull && col("pm_open") =!= 0.0,
+        (col("pm_open") - prevClose) / prevClose).otherwise(0.0).as("gap_pct"),
+      when(nd20m >= 20,
+        (lag("d_last", 1).over(wDay) - m20) / nullif(m20, lit(0.0)))
+        .as("dist_max_20d"),
+      lag(col("uq_sum").cast("double") / col("n_candles") / 1e9, 1)
+        .over(wDay).as("upper_wick_ratio_last1d"),
+      lag(col("lq_sum").cast("double") / col("n_candles") / 1e9, 1)
+        .over(wDay).as("lower_wick_ratio_last1d"),
+      (wd === 0).cast("int").as("weekday_0"),
+      (wd === 1).cast("int").as("weekday_1"),
+      (wd === 2).cast("int").as("weekday_2"),
+      (wd === 3).cast("int").as("weekday_3"),
+      (wd === 4).cast("int").as("weekday_4"),
+      when(wd < 5, sin(lit(2.0) * lit(math.Pi) * wd.cast("double") / 5.0))
+        .as("weekday_sin"),
+      when(wd < 5, cos(lit(2.0) * lit(math.Pi) * wd.cast("double") / 5.0))
+        .as("weekday_cos"),
+      holidayExpr.as("days_since_holiday"),
+      when(col("pm_vol_sum") > 0.0,
+        col("pm_vol_sq_sum") / (col("pm_vol_sum") * col("pm_vol_sum")))
+        .as("hhi_premarket_volume"),
+      when(n20 >= 20, (rpm - mu) / nullif(sd, lit(0.0))).as("z_pm"),
+      when(size(col("__lst")) >= 20,
+        log((col("__ats") + 0.01) / (med + 0.01))).as("r_pm_hist"),
+      (vwapPm / nullif(lag("reg_close", 1).over(wDay), lit(0.0)) - 1.0)
+        .as("pm_vwap_return"))
+  }
+
   /** The right-wins fold (my_alpaca.py:296-335): start from the daily
     * spine, merge each feature frame on (user_id, day), dropping any
     * overlapping non-key column from the left first. All frames share the

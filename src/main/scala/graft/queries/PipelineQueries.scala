@@ -16,6 +16,140 @@ object PipelineQueries {
 
   private val DEC = DecimalType(30, 6)
 
+  /** Shared oracle for pl14 (fold) and pl16 (fused) — identical output
+    * contract; any drift between the two compositions fails the hash. */
+  private lazy val goldOracleSql: String = {
+        val w = "PARTITION BY user_id ORDER BY day"
+        val f5 = s"$w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
+        val f20m = s"$w ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+        val f20 = s"$w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW"
+        val s1_5 = s"(CAST(SUM(lrq) OVER ($f5) AS DOUBLE) / 1e6)"
+        val s2_5 = s"(CAST(SUM(lrq * lrq) OVER ($f5) AS DOUBLE) / 1e12)"
+        val s1_20 = s"(CAST(SUM(drq) OVER ($f20) AS DOUBLE) / 1e4)"
+        val s2_20 = s"(CAST(SUM(drq * drq) OVER ($f20) AS DOUBLE) / 1e8)"
+        val holidayExpr = graft.operators.GoldFeatures.Holidays.sorted.reverse
+          .foldRight("CAST(NULL AS INT)") { (h, acc) =>
+            s"CASE WHEN day >= DATE '$h' THEN CAST(day - DATE '$h' AS INT) ELSE $acc END"
+          }
+        s"""WITH ev AS (
+           |  SELECT user_id, ts, value, CAST(ts AS DATE) AS day,
+           |    date_part('hour', ts) AS hh
+           |  FROM events),
+           |candles AS (
+           |  SELECT user_id, day, date_trunc('hour', ts) AS slot,
+           |    arg_min(value, ts) AS c_open, arg_max(value, ts) AS c_close,
+           |    max(value) AS c_high, min(value) AS c_low,
+           |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS c_vol,
+           |    count(*) AS c_n
+           |  FROM ev GROUP BY 1, 2, 3),
+           |cd AS (
+           |  SELECT user_id, day,
+           |    sum(CAST(floor((CASE WHEN c_high - c_low = 0 THEN 0.0
+           |      ELSE (c_high - greatest(c_open, c_close)) / (c_high - c_low)
+           |      END) * 1e9 + 0.5) AS BIGINT)) AS uq_sum,
+           |    sum(CAST(floor((CASE WHEN c_high - c_low = 0 THEN 0.0
+           |      ELSE (least(c_open, c_close) - c_low) / (c_high - c_low)
+           |      END) * 1e9 + 0.5) AS BIGINT)) AS lq_sum,
+           |    count(*) AS n_candles,
+           |    sum(CASE WHEN date_part('hour', slot) < 9 THEN
+           |      CAST(floor(c_vol * c_vol / c_n * 1e6 + 0.5) AS BIGINT)
+           |      END) AS pm_vt_sum,
+           |    CAST(sum(CASE WHEN date_part('hour', slot) < 9 THEN
+           |      CAST(c_vol AS DECIMAL(30,6)) END) AS DOUBLE) AS pm_vol_sum,
+           |    CAST(sum(CASE WHEN date_part('hour', slot) < 9 THEN
+           |      CAST(c_vol * c_vol AS DECIMAL(30,4)) END) AS DOUBLE)
+           |      AS pm_vol_sq_sum
+           |  FROM candles GROUP BY 1, 2),
+           |daily AS (
+           |  SELECT user_id, day,
+           |    arg_min(value, ts) AS d_first, arg_max(value, ts) AS d_last,
+           |    max(value) AS d_high, min(value) AS d_low,
+           |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS d_vol,
+           |    count(*) AS d_n,
+           |    arg_min(value, CASE WHEN hh < 9 THEN ts END) AS pm_open,
+           |    arg_max(value, CASE WHEN hh < 9 THEN ts END) AS pm_last,
+           |    CAST(sum(CASE WHEN hh < 9 THEN
+           |      CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS pm_vol,
+           |    sum(CASE WHEN hh < 9 THEN 1 END) AS pm_n,
+           |    arg_max(value, CASE WHEN hh >= 9 AND hh < 16 THEN ts END)
+           |      AS reg_close
+           |  FROM ev GROUP BY 1, 2),
+           |sub AS (
+           |  SELECT * FROM daily JOIN cd USING (user_id, day)),
+           |retd AS (
+           |  SELECT *,
+           |    CASE WHEN d_first > 0 AND d_last > 0 THEN
+           |      CAST(floor(ln(d_last / d_first) * 1e6 + 0.5) AS BIGINT)
+           |      END AS lrq,
+           |    CAST(floor(d_vol * 100.0 + 0.5) AS BIGINT) AS dq,
+           |    CASE WHEN lag(d_last, 1) OVER ($w) IS NOT NULL THEN
+           |      CAST(floor((d_last / NULLIF(lag(d_last, 1) OVER ($w), 0.0) - 1.0)
+           |        * 1e4 + 0.5) AS BIGINT) END AS drq,
+           |    lag(d_last, 1) OVER ($w) AS prev_close,
+           |    lag(reg_close, 1) OVER ($w) AS prev_reg_close,
+           |    lag(d_last, 1) OVER ($w) / NULLIF(lag(d_last, 2) OVER ($w), 0.0)
+           |      - 1.0 AS prev_day_return,
+           |    lag((d_high - d_low) / NULLIF(d_last, 0.0), 1) OVER ($w)
+           |      AS range_rel_last1d,
+           |    lag(CAST(uq_sum AS DOUBLE) / n_candles / 1e9, 1) OVER ($w)
+           |      AS upper_wick_ratio_last1d,
+           |    lag(CAST(lq_sum AS DOUBLE) / n_candles / 1e9, 1) OVER ($w)
+           |      AS lower_wick_ratio_last1d,
+           |    (dayofweek(day) + 6) % 7 AS wd,
+           |    CASE WHEN pm_n IS NOT NULL THEN pm_vol / pm_n END AS ats
+           |  FROM sub),
+           |feat AS (
+           |  SELECT user_id, day, prev_day_return,
+           |    CASE WHEN count(lrq) OVER ($f5) >= 5 THEN
+           |      SQRT(($s2_5 - $s1_5 * $s1_5 / 5.0) / 4.0)
+           |    END AS std_return_last5d,
+           |    range_rel_last1d,
+           |    CASE WHEN count(dq) OVER ($f20m) >= 20 THEN
+           |      d_vol / NULLIF(CAST(SUM(dq) OVER ($f20m) AS DOUBLE) / 20.0 / 100.0,
+           |        0.0)
+           |    END AS rvol_20d,
+           |    CASE WHEN prev_close IS NOT NULL AND prev_close <> 0
+           |         AND pm_open IS NOT NULL AND pm_open <> 0 THEN
+           |      (pm_open - prev_close) / prev_close ELSE 0.0
+           |    END AS gap_pct,
+           |    CASE WHEN count(d_last) OVER ($f20m) >= 20 THEN
+           |      (prev_close - max(d_last) OVER ($f20m))
+           |        / NULLIF(max(d_last) OVER ($f20m), 0.0)
+           |    END AS dist_max_20d,
+           |    upper_wick_ratio_last1d, lower_wick_ratio_last1d,
+           |    CAST(wd = 0 AS INT) AS weekday_0,
+           |    CAST(wd = 1 AS INT) AS weekday_1,
+           |    CAST(wd = 2 AS INT) AS weekday_2,
+           |    CAST(wd = 3 AS INT) AS weekday_3,
+           |    CAST(wd = 4 AS INT) AS weekday_4,
+           |    CASE WHEN wd < 5 THEN
+           |      sin(2.0 * pi() * CAST(wd AS DOUBLE) / 5.0) END AS weekday_sin,
+           |    CASE WHEN wd < 5 THEN
+           |      cos(2.0 * pi() * CAST(wd AS DOUBLE) / 5.0) END AS weekday_cos,
+           |    $holidayExpr AS days_since_holiday,
+           |    CASE WHEN pm_vol_sum > 0.0 THEN
+           |      pm_vol_sq_sum / (pm_vol_sum * pm_vol_sum)
+           |    END AS hhi_premarket_volume,
+           |    CASE WHEN count(drq) OVER ($f20) >= 20 THEN
+           |      ((pm_last - pm_open) / NULLIF(pm_open, 0.0) - $s1_20 / 20.0)
+           |        / NULLIF(SQRT(($s2_20 - $s1_20 * $s1_20 / 20.0) / 19.0),
+           |            0.0)
+           |    END AS z_pm,
+           |    CASE WHEN len(list_filter(list(ats) OVER ($f20),
+           |        x -> x IS NOT NULL)) >= 20 THEN
+           |      ln((ats + 0.01) /
+           |        ((list_sort(list_filter(list(ats) OVER ($f20),
+           |            x -> x IS NOT NULL))[10] +
+           |          list_sort(list_filter(list(ats) OVER ($f20),
+           |            x -> x IS NOT NULL))[11]) / 2.0 + 0.01))
+           |    END AS r_pm_hist,
+           |    (CASE WHEN pm_vol_sum > 0.0 THEN
+           |      CAST(pm_vt_sum AS DOUBLE) / 1e6 / pm_vol_sum END)
+           |      / NULLIF(prev_reg_close, 0.0) - 1.0 AS pm_vwap_return
+           |  FROM retd)
+           |SELECT * FROM feat""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // SILVER GRID+FILL — the reference's phase-1 core
@@ -445,138 +579,17 @@ object PipelineQueries {
     // and the fold's joins. The oracle replays all 15 features in SQL.
     QueryDef(
       "pl14_gold_full",
-      Some {
-        val w = "PARTITION BY user_id ORDER BY day"
-        val f5 = s"$w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
-        val f20m = s"$w ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
-        val f20 = s"$w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW"
-        val s1_5 = s"(CAST(SUM(lrq) OVER ($f5) AS DOUBLE) / 1e6)"
-        val s2_5 = s"(CAST(SUM(lrq * lrq) OVER ($f5) AS DOUBLE) / 1e12)"
-        val s1_20 = s"(CAST(SUM(drq) OVER ($f20) AS DOUBLE) / 1e4)"
-        val s2_20 = s"(CAST(SUM(drq * drq) OVER ($f20) AS DOUBLE) / 1e8)"
-        val holidayExpr = graft.operators.GoldFeatures.Holidays.sorted.reverse
-          .foldRight("CAST(NULL AS INT)") { (h, acc) =>
-            s"CASE WHEN day >= DATE '$h' THEN CAST(day - DATE '$h' AS INT) ELSE $acc END"
-          }
-        s"""WITH ev AS (
-           |  SELECT user_id, ts, value, CAST(ts AS DATE) AS day,
-           |    date_part('hour', ts) AS hh
-           |  FROM events),
-           |candles AS (
-           |  SELECT user_id, day, date_trunc('hour', ts) AS slot,
-           |    arg_min(value, ts) AS c_open, arg_max(value, ts) AS c_close,
-           |    max(value) AS c_high, min(value) AS c_low,
-           |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS c_vol,
-           |    count(*) AS c_n
-           |  FROM ev GROUP BY 1, 2, 3),
-           |cd AS (
-           |  SELECT user_id, day,
-           |    sum(CAST(floor((CASE WHEN c_high - c_low = 0 THEN 0.0
-           |      ELSE (c_high - greatest(c_open, c_close)) / (c_high - c_low)
-           |      END) * 1e9 + 0.5) AS BIGINT)) AS uq_sum,
-           |    sum(CAST(floor((CASE WHEN c_high - c_low = 0 THEN 0.0
-           |      ELSE (least(c_open, c_close) - c_low) / (c_high - c_low)
-           |      END) * 1e9 + 0.5) AS BIGINT)) AS lq_sum,
-           |    count(*) AS n_candles,
-           |    sum(CASE WHEN date_part('hour', slot) < 9 THEN
-           |      CAST(floor(c_vol * c_vol / c_n * 1e6 + 0.5) AS BIGINT)
-           |      END) AS pm_vt_sum,
-           |    CAST(sum(CASE WHEN date_part('hour', slot) < 9 THEN
-           |      CAST(c_vol AS DECIMAL(30,6)) END) AS DOUBLE) AS pm_vol_sum,
-           |    CAST(sum(CASE WHEN date_part('hour', slot) < 9 THEN
-           |      CAST(c_vol * c_vol AS DECIMAL(30,4)) END) AS DOUBLE)
-           |      AS pm_vol_sq_sum
-           |  FROM candles GROUP BY 1, 2),
-           |daily AS (
-           |  SELECT user_id, day,
-           |    arg_min(value, ts) AS d_first, arg_max(value, ts) AS d_last,
-           |    max(value) AS d_high, min(value) AS d_low,
-           |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS d_vol,
-           |    count(*) AS d_n,
-           |    arg_min(value, CASE WHEN hh < 9 THEN ts END) AS pm_open,
-           |    arg_max(value, CASE WHEN hh < 9 THEN ts END) AS pm_last,
-           |    CAST(sum(CASE WHEN hh < 9 THEN
-           |      CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS pm_vol,
-           |    sum(CASE WHEN hh < 9 THEN 1 END) AS pm_n,
-           |    arg_max(value, CASE WHEN hh >= 9 AND hh < 16 THEN ts END)
-           |      AS reg_close
-           |  FROM ev GROUP BY 1, 2),
-           |sub AS (
-           |  SELECT * FROM daily JOIN cd USING (user_id, day)),
-           |retd AS (
-           |  SELECT *,
-           |    CASE WHEN d_first > 0 AND d_last > 0 THEN
-           |      CAST(floor(ln(d_last / d_first) * 1e6 + 0.5) AS BIGINT)
-           |      END AS lrq,
-           |    CAST(floor(d_vol * 100.0 + 0.5) AS BIGINT) AS dq,
-           |    CASE WHEN lag(d_last, 1) OVER ($w) IS NOT NULL THEN
-           |      CAST(floor((d_last / NULLIF(lag(d_last, 1) OVER ($w), 0.0) - 1.0)
-           |        * 1e4 + 0.5) AS BIGINT) END AS drq,
-           |    lag(d_last, 1) OVER ($w) AS prev_close,
-           |    lag(reg_close, 1) OVER ($w) AS prev_reg_close,
-           |    lag(d_last, 1) OVER ($w) / NULLIF(lag(d_last, 2) OVER ($w), 0.0)
-           |      - 1.0 AS prev_day_return,
-           |    lag((d_high - d_low) / NULLIF(d_last, 0.0), 1) OVER ($w)
-           |      AS range_rel_last1d,
-           |    lag(CAST(uq_sum AS DOUBLE) / n_candles / 1e9, 1) OVER ($w)
-           |      AS upper_wick_ratio_last1d,
-           |    lag(CAST(lq_sum AS DOUBLE) / n_candles / 1e9, 1) OVER ($w)
-           |      AS lower_wick_ratio_last1d,
-           |    (dayofweek(day) + 6) % 7 AS wd,
-           |    CASE WHEN pm_n IS NOT NULL THEN pm_vol / pm_n END AS ats
-           |  FROM sub),
-           |feat AS (
-           |  SELECT user_id, day, prev_day_return,
-           |    CASE WHEN count(lrq) OVER ($f5) >= 5 THEN
-           |      SQRT(($s2_5 - $s1_5 * $s1_5 / 5.0) / 4.0)
-           |    END AS std_return_last5d,
-           |    range_rel_last1d,
-           |    CASE WHEN count(dq) OVER ($f20m) >= 20 THEN
-           |      d_vol / NULLIF(CAST(SUM(dq) OVER ($f20m) AS DOUBLE) / 20.0 / 100.0,
-           |        0.0)
-           |    END AS rvol_20d,
-           |    CASE WHEN prev_close IS NOT NULL AND prev_close <> 0
-           |         AND pm_open IS NOT NULL AND pm_open <> 0 THEN
-           |      (pm_open - prev_close) / prev_close ELSE 0.0
-           |    END AS gap_pct,
-           |    CASE WHEN count(d_last) OVER ($f20m) >= 20 THEN
-           |      (prev_close - max(d_last) OVER ($f20m))
-           |        / NULLIF(max(d_last) OVER ($f20m), 0.0)
-           |    END AS dist_max_20d,
-           |    upper_wick_ratio_last1d, lower_wick_ratio_last1d,
-           |    CAST(wd = 0 AS INT) AS weekday_0,
-           |    CAST(wd = 1 AS INT) AS weekday_1,
-           |    CAST(wd = 2 AS INT) AS weekday_2,
-           |    CAST(wd = 3 AS INT) AS weekday_3,
-           |    CAST(wd = 4 AS INT) AS weekday_4,
-           |    CASE WHEN wd < 5 THEN
-           |      sin(2.0 * pi() * CAST(wd AS DOUBLE) / 5.0) END AS weekday_sin,
-           |    CASE WHEN wd < 5 THEN
-           |      cos(2.0 * pi() * CAST(wd AS DOUBLE) / 5.0) END AS weekday_cos,
-           |    $holidayExpr AS days_since_holiday,
-           |    CASE WHEN pm_vol_sum > 0.0 THEN
-           |      pm_vol_sq_sum / (pm_vol_sum * pm_vol_sum)
-           |    END AS hhi_premarket_volume,
-           |    CASE WHEN count(drq) OVER ($f20) >= 20 THEN
-           |      ((pm_last - pm_open) / NULLIF(pm_open, 0.0) - $s1_20 / 20.0)
-           |        / NULLIF(SQRT(($s2_20 - $s1_20 * $s1_20 / 20.0) / 19.0),
-           |            0.0)
-           |    END AS z_pm,
-           |    CASE WHEN len(list_filter(list(ats) OVER ($f20),
-           |        x -> x IS NOT NULL)) >= 20 THEN
-           |      ln((ats + 0.01) /
-           |        ((list_sort(list_filter(list(ats) OVER ($f20),
-           |            x -> x IS NOT NULL))[10] +
-           |          list_sort(list_filter(list(ats) OVER ($f20),
-           |            x -> x IS NOT NULL))[11]) / 2.0 + 0.01))
-           |    END AS r_pm_hist,
-           |    (CASE WHEN pm_vol_sum > 0.0 THEN
-           |      CAST(pm_vt_sum AS DOUBLE) / 1e6 / pm_vol_sum END)
-           |      / NULLIF(prev_reg_close, 0.0) - 1.0 AS pm_vwap_return
-           |  FROM retd)
-           |SELECT * FROM feat""".stripMargin
-      },
+      Some(goldOracleSql),
       (s, d) => graft.operators.GoldFeatures.goldTable(Tables.events(s, d))),
+
+    // GOLD FUSED — the same 15 features as ONE single-pass select over the
+    // substrate (no joins; substrate + one WindowExec chain). Verified
+    // against the SAME oracle as pl14: the fold is the reference-shaped
+    // composition, this is the scale path.
+    QueryDef(
+      "pl16_gold_fused",
+      Some(goldOracleSql),
+      (s, d) => graft.operators.GoldFeatures.goldTableFused(Tables.events(s, d))),
 
     // S10: keyed MERGE (ON CONFLICT DO NOTHING, bars.py:196-198) as a real
     // table mutation: seed a parquet table with the pre-cutoff slice, MERGE
