@@ -326,11 +326,14 @@ object DedupQueries {
         // exceeds MaxPostingDf before the self-join (df² candidate blowup,
         // no discriminative value). Never fires at fixture scale.
         val postW = org.apache.spark.sql.expressions.Window.partitionBy("s")
+        // persist: both sides of the self-join read the df-filtered
+        // postings; without it the window (shuffle+sort on s) runs twice.
         val posts = sets.filter(col("h").isNotNull)
           .select(col("th"), col("rep_id"), col("h").as("s"))
           .withColumn("df", count(lit(1)).over(postW))
           .filter(col("df") <= MaxPostingDf)
           .select("th", "rep_id", "s")
+          .persist()
         val common = posts.as("a")
           .join(posts.as("b"),
             col("a.s") === col("b.s") && col("a.rep_id") < col("b.rep_id"))
