@@ -565,9 +565,106 @@ object PipelineQueries {
     // consulted only inside a candle whose high/low crosses the band, to
     // end the event at the precise crossing row. Path-dependent per key →
     // rows-only for the oracle (refinement logic is spec-tested).
+    // Oracle: the merged-stream two-granularity state machine as a
+    // state-carrying recursive CTE (same transition order as the
+    // iterator: window-expiry first, coarse hits arm the fine window,
+    // fine rows inside it update hi/lo then test the crossing).
     QueryDef(
       "pl15_trend_refined",
-      None,
+      Some("""WITH RECURSIVE coarse AS (
+             |  SELECT user_id AS key, date_trunc('hour', ts) AS ts,
+             |    max(value) AS r_hi, min(value) AS r_lo,
+             |    arg_min(value, ts) AS r_open, arg_max(value, ts) AS r_price,
+             |    date_trunc('hour', ts) + INTERVAL 1 HOUR AS winEnd, 0 AS tag
+             |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+             |fine AS (
+             |  SELECT user_id AS key, ts, value AS r_hi, value AS r_lo,
+             |    value AS r_open, value AS r_price, ts AS winEnd, 1 AS tag
+             |  FROM events),
+             |o AS (
+             |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts, tag) AS rn
+             |  FROM (SELECT * FROM coarse UNION ALL SELECT * FROM fine)),
+             |s AS (
+             |  SELECT key, rn, ts, r_price,
+             |    ts AS start_ts,
+             |    CASE WHEN tag = 0 THEN r_open ELSE r_price END AS ref,
+             |    CASE WHEN tag = 0 THEN
+             |      (CASE WHEN (r_hi / r_open - 1.0 >= (CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |              OR (r_lo / r_open - 1.0 <= -(CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |       THEN r_open ELSE greatest(r_open, r_hi) END)
+             |    ELSE r_price END AS hi,
+             |    CASE WHEN tag = 0 THEN
+             |      (CASE WHEN (r_hi / r_open - 1.0 >= (CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |              OR (r_lo / r_open - 1.0 <= -(CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |       THEN r_open ELSE least(r_open, r_lo) END)
+             |    ELSE r_price END AS lo,
+             |    CASE WHEN tag = 0 THEN 1 ELSE 0 END AS n,
+             |    r_price AS last_price,
+             |    ts AS last_ts,
+             |    CASE WHEN tag = 0 AND
+             |      ((r_hi / r_open - 1.0 >= (CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |        OR (r_lo / r_open - 1.0 <= -(CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END)))
+             |      THEN winEnd END AS fine_until,
+             |    FALSE AS crossed, FALSE AS emitted,
+             |    CAST(NULL AS TIMESTAMP) AS ev_start, CAST(NULL AS DOUBLE) AS ev_open,
+             |    CAST(NULL AS DOUBLE) AS ev_hi, CAST(NULL AS DOUBLE) AS ev_lo,
+             |    CAST(NULL AS INT) AS ev_n
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.key, o.rn, o.ts, o.r_price,
+             |    CASE WHEN x.cross THEN o.ts ELSE s.start_ts END,
+             |    CASE WHEN x.cross THEN o.r_price ELSE s.ref END,
+             |    CASE WHEN x.cross THEN o.r_price
+             |         WHEN x.is_coarse_live THEN (CASE WHEN x.hits THEN s.hi ELSE greatest(s.hi, o.r_hi) END)
+             |         WHEN x.is_fine_live THEN x.hi2
+             |         ELSE s.hi END,
+             |    CASE WHEN x.cross THEN o.r_price
+             |         WHEN x.is_coarse_live THEN (CASE WHEN x.hits THEN s.lo ELSE least(s.lo, o.r_lo) END)
+             |         WHEN x.is_fine_live THEN x.lo2
+             |         ELSE s.lo END,
+             |    CASE WHEN x.cross THEN 1
+             |         WHEN x.is_coarse_live THEN s.n + 1
+             |         ELSE s.n END,
+             |    CASE WHEN x.cross OR x.is_coarse_live THEN o.r_price
+             |         ELSE s.last_price END,
+             |    CASE WHEN x.cross OR x.is_coarse_live THEN o.ts ELSE s.last_ts END,
+             |    CASE WHEN x.cross THEN CAST(NULL AS TIMESTAMP)
+             |         WHEN x.is_coarse_live THEN (CASE WHEN x.hits THEN o.winEnd END)
+             |         ELSE x.fu END,
+             |    x.cross, s.emitted OR x.cross,
+             |    s.start_ts, s.ref, x.hi2, x.lo2, CAST(s.n AS INT)
+             |  FROM o JOIN s ON o.key = s.key AND o.rn = s.rn + 1
+             |  CROSS JOIN LATERAL (
+             |    SELECT fu, is_coarse_live, is_fine_live, hits, hi2, lo2,
+             |      (is_fine_live AND abs(o.r_price / s.ref - 1.0) >= fac) AS cross
+             |    FROM (SELECT
+             |      CASE WHEN s.fine_until IS NOT NULL AND o.ts >= s.fine_until
+             |           THEN CAST(NULL AS TIMESTAMP) ELSE s.fine_until END AS fu,
+             |      (CASE WHEN s.ref < 1.0 THEN 0.12 WHEN s.ref < 10.0 THEN 0.08 WHEN s.ref < 50.0 THEN 0.05 WHEN s.ref < 200.0 THEN 0.03 ELSE 0.02 END) AS fac) f,
+             |    LATERAL (SELECT
+             |      (o.tag = 0 AND f.fu IS NULL) AS is_coarse_live,
+             |      (o.tag = 1 AND f.fu IS NOT NULL) AS is_fine_live,
+             |      (o.tag = 0 AND f.fu IS NULL AND
+             |        ((o.r_hi / s.ref - 1.0 >= f.fac) OR (o.r_lo / s.ref - 1.0 <= -f.fac)))
+             |        AS hits,
+             |      greatest(s.hi, o.r_price) AS hi2, least(s.lo, o.r_price) AS lo2) g) x),
+             |closed_ev AS (
+             |  SELECT key, ev_start AS start_ts, ts AS end_ts, ev_open AS open,
+             |    ev_hi AS high, ev_lo AS low, r_price AS close,
+             |    r_price / ev_open - 1.0 AS pct_change, ev_n AS n_points,
+             |    TRUE AS closed
+             |  FROM s WHERE crossed),
+             |last_state AS (
+             |  SELECT * FROM (SELECT *, row_number() OVER (
+             |    PARTITION BY key ORDER BY rn DESC) AS rr FROM s)
+             |  WHERE rr = 1),
+             |open_ev AS (
+             |  SELECT key, start_ts, last_ts AS end_ts, ref AS open,
+             |    hi AS high, lo AS low, last_price AS close,
+             |    last_price / ref - 1.0 AS pct_change, CAST(n AS INT) AS n_points,
+             |    FALSE AS closed
+             |  FROM last_state WHERE n > 1 OR NOT emitted)
+             |SELECT * FROM closed_ev UNION ALL SELECT * FROM open_ev""".stripMargin),
       (s, d) =>
         TrendEvents.refinedFromEvents(Tables.events(s, d),
           "user_id", "ts", "value")),
