@@ -15,11 +15,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
       // default codegen cache is 100 compiled classes — the 84-query suite
       // needs several hundred, so the warmup pass's classes would be
       // evicted before the timed pass reuses them (re-paying janino
@@ -81,7 +77,22 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Cap telemetry (CapTelemetry): dropped-row counts behind every skew
+    // cap, from the last timed iteration. All zeros at fixture scale —
+    // the caps are sized never to fire there.
+    val tel = CapTelemetry.snapshot().toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"telemetry":$tel,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full line to a file: the driver captures only the
+    // tail of stdout, which truncated 28 of 89 per-query timings in round 2.
+    // A file artifact survives regardless of capture window.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

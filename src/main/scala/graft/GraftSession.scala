@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place that knows the session configuration every graft entrypoint
+  * (Bench / Verify / Smoke / Plans / Scratch / specs) needs. Nothing in the
+  * query code mutates session conf at runtime — configs that change how
+  * storage is *read* (like parquet NANOS handling) belong at session build,
+  * where they apply uniformly to planning AND execution, instead of leaking
+  * from one table loader into every later read in the session.
+  */
+object GraftSession {
+  /** Session-build configs required by graft readers.
+    *
+    * `nanosAsLong`: the `events` fixture stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark 4 otherwise refuses to scan; reading the
+    * raw nanos and truncating (see [[Tables.events]]) matches DuckDB's view
+    * of the same file. This is consulted both at schema inference and at
+    * physical-scan construction, so it must be set before the first action —
+    * a save/restore around the (lazy) read would be restored before the scan
+    * ever runs.
+    */
+  val requiredConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+  )
+
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    requiredConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+}

@@ -13,11 +13,8 @@ object Scratch {
     val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "dd3_minhash_lsh")
       .split(",").map(_.trim)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = GraftSession.builder("local[32]", "32")
       .config("spark.sql.codegenCacheMaxEntries", "5000")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (r <- 1 to reps; n <- names) {

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AggQueries, DedupQueries, JoinQueries, PipelineQueries,
-  ScalarQueries, ScanFilterQueries, SimilarityQueries, SortSetQueries,
-  TextQueries, WindowQueries}
+import graft.queries.{AggQueries, DedupQueries, JoinQueries, MlPrepQueries,
+  PipelineQueries, ScalarQueries, ScanFilterQueries, SimilarityQueries,
+  SortSetQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,8 @@ object SparkEntry {
     DedupQueries.all ++
     SimilarityQueries.all ++
     TextQueries.all ++
-    PipelineQueries.all
+    PipelineQueries.all ++
+    MlPrepQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own smoke shape (Procesamiento_fase_2.ipynb:129):

@@ -26,9 +26,19 @@ object Tables {
     * to read as a timestamp. Read it as raw nanos (`nanosAsLong`) and truncate
     * to microseconds — exactly what DuckDB does when scanning the same file,
     * so oracle comparisons see identical instants.
+    *
+    * The conf must come from session construction ([[GraftSession.builder]]):
+    * it is consulted again when the physical scan is built, so setting it
+    * here (a global mutation from a table loader) or save/restoring around
+    * this lazy read would either leak into unrelated reads or be gone before
+    * the scan executes. Fail fast with the fix rather than mutate.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftSession.requiredConfigs.foreach { case (k, v) =>
+      require(s.conf.getOption(k).contains(v),
+        s"Tables.events needs session conf $k=$v (set at session build, " +
+        "e.g. via graft.GraftSession.builder)")
+    }
     t(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
@@ -42,9 +52,16 @@ object Tables {
     * (md5 shingles, 64-dim dot products) onto one core. At scale the
     * condition is false (real tables have thousands of splits) and this is
     * a no-op; locally it costs one shuffle of a sub-MB frame. Explicit
-    * partition count, so AQE cannot coalesce it back down. */
+    * partition count, so AQE cannot coalesce it back down.
+    *
+    * Gated on `inputFiles` (analysis-only file listing) rather than
+    * `df.rdd.getNumPartitions`, which would force a full physical-plan→RDD
+    * conversion per call just to count splits. Files under-count splits for
+    * large multi-rowgroup files, but that errs the cheap way: many files →
+    * no-op (correct at scale), one small fixture file → fan out (the case
+    * this exists for). */
   def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    if (df.inputFiles.length < par) df.repartition(par) else df
   }
 }

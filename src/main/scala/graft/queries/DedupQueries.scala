@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{CapTelemetry, QueryDef, Tables}
 import graft.operators.TextOps._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline — graded as
@@ -16,64 +16,89 @@ import org.apache.spark.sql.functions._
   *  - LSH banding turns the O(n²) pair space into per-bucket joins — the
   *    only join is on (band_idx, band_hash), and exact Jaccard runs only on
   *    surviving candidates;
+  *  - every pair-space frame is keyed by the representative's integer
+  *    doc id (`rep_id`), never the 32-char md5 text hash — an 8-byte key
+  *    on the candidate shuffles instead of a 32-byte string;
+  *  - skew caps (LSH bucket size, shingle document frequency) drop via a
+  *    tiny hash-agg + broadcast anti-join (no window sort over the full
+  *    postings), and every drop is counted through [[CapTelemetry]] — at
+  *    100 TB the caps are recall knobs, and the count is their price tag;
   *  - the inverted-index Jaccard (dd5) is the honest quadratic fallback,
-  *    bounded by shingle-postings lengths — at 100 TB you run dd3 first and
-  *    dd5 only on its candidates. (Measured: prefix filtering [AllPairs]
-  *    plus the J≥0.4 length-ratio filter only cut this corpus's candidate
-  *    pairs 1.13M → 0.58M at sf0.1 — its pairwise shingle overlap is dense
-  *    at low similarity, so candidate verification dominates any exact
-  *    algorithm; the bench cost is intrinsic, not a plan defect.)
+  *    bounded by shingle-postings lengths — at 100 TB you run the staged
+  *    operator (dd6): LSH candidates first, exact verification second.
+  *    (Measured: prefix filtering [AllPairs] plus the J≥0.4 length-ratio
+  *    filter only cut this corpus's candidate pairs 1.13M → 0.58M at
+  *    sf0.1 — its pairwise shingle overlap is dense at low similarity, so
+  *    candidate verification dominates any exact algorithm; dd6 is the
+  *    structural answer, not more filtering.)
   */
 object DedupQueries {
 
   private val K = 16          // minhash permutations
-  private val Bands = 4       // LSH bands (4 rows each)
+  private val Bands = 4       // dd3 LSH bands (4 rows each)
   private val SimBits = 16    // simhash width
+  /** dd6 banding: same 16 signatures re-banded 8×2 — at the staged
+    * operator's lower verify threshold (J ≥ 0.4) 4-row bands would keep
+    * only ~10% of qualifying pairs (0.4⁴ per band), while 2-row bands keep
+    * 1-(1-0.4²)⁸ ≈ 75% — the recall/candidate-volume knob of
+    * Leskovec-Rajaraman-Ullman ch.3, chosen per threshold. */
+  private val StagedBands = 8
+  private val StagedThreshold = 0.4
   /** LSH bucket-size cap: buckets larger than this are dropped from the
-    * candidate join (documented recall tradeoff — a bucket this hot is
-    * either a degenerate shingle distribution or an un-collapsed dup
-    * cluster, and with exact-dup collapse first neither occurs in
-    * practice). Natural collision buckets on the fixtures max out at ~15;
-    * the cap only engages under pathological skew at scale. */
+    * candidate join (a bucket this hot is either a degenerate shingle
+    * distribution or an un-collapsed dup cluster, and with exact-dup
+    * collapse first neither occurs in practice). Natural collision buckets
+    * on the fixtures max out at ~15; the cap only engages under
+    * pathological skew at scale — and reports what it dropped via
+    * [[CapTelemetry]]. */
   private val MaxBucket = 1000
   /** dd5 postings cap (stop-shingle guard): shingles appearing in more
     * docs than this are dropped from the candidate self-join — they
     * contribute O(df²) candidate pairs while carrying no discriminative
     * signal. Sized far above fixture document frequencies (max df ~10)
     * so oracle parity holds; at 100 TB this is the knob that keeps the
-    * postings join sub-quadratic. */
+    * postings join sub-quadratic, with the dropped-postings count
+    * observable per run. */
   private val MaxPostingDf = 1000
 
-  /** Shared dedup-first preamble for dd3/dd5.
+  /** Shared dedup-first preamble for dd3/dd5/dd6.
     *
     * Returns (membership, hashed):
-    *  - membership: (doc_id, th) — th = md5(text), the 16-byte identity
-    *    that travels on every shuffle instead of raw text;
+    *  - membership: (doc_id, rep_id) — each document mapped to the integer
+    *    id of its exact-duplicate representative (min doc_id of the
+    *    identical-text group). Everything downstream joins on this 8-byte
+    *    key; the md5 text hash exists only inside this method;
     *  - hashed: (th, rep_id, n_copies, h) — DISTINCT hashed shingles of one
     *    representative per distinct text. h is null for shingle-less docs
-    *    (kept so group metadata survives).
+    *    (kept so group metadata survives). `th` is retained ONLY because
+    *    the frame arrives hash(th)-partitioned, letting downstream
+    *    `groupBy("th")` aggregations reuse the exchange (hash(th) satisfies
+    *    their clustering); consumers aggregate by th and OUTPUT rep_id.
     *
-    * Two deliberate physical choices:
+    * Three deliberate physical choices:
     *  1. explicit `repartition(n, th)` — AQE would coalesce a plain groupBy
     *     exchange to 1 partition at fixture size, serializing the expensive
     *     md5 work onto one core; explicit counts are exempt, and the
-    *     downstream groupBy/dropDuplicates reuse the same exchange
-    *     (hash(th) satisfies their clustering requirement);
+    *     downstream groupBy/dropDuplicates reuse the same exchange;
     *  2. shingle md5 runs as a TOP-LEVEL projection after explode, not
     *     inside `transform` — top-level md5/conv are whole-stage-codegen'd,
     *     while lambdas inside higher-order functions are interpreted
-    *     (≈10× slower and JIT-warmup-sensitive).
+    *     (≈10× slower and JIT-warmup-sensitive);
+    *  3. membership reuses the same hash(th) exchange for its rep_id
+    *     lookup join (both sides th-clustered → zero extra shuffles).
     */
-  private def repShingleHashes(s: org.apache.spark.sql.SparkSession,
-                               d: String) = {
+  private def repShingleHashes(s: SparkSession, d: String) = {
+    val par = s.sparkContext.defaultParallelism
     val withTh = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), md5(col("text")).as("th"))
-    val membership = withTh.select("doc_id", "th")
-    val par = s.sparkContext.defaultParallelism
-    val reps = withTh.repartition(par, col("th"))
+      .repartition(par, col("th"))
+    val reps = withTh
       .groupBy("th")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"),
            min_by(col("text"), col("doc_id")).as("text"))
+    val membership = withTh.select("doc_id", "th")
+      .join(reps.select("th", "rep_id"), "th")
+      .select("doc_id", "rep_id")
     val hashed = reps
       .select(col("th"), col("rep_id"), col("n_copies"),
               explode_outer(shingles(col("text"))).as("sg"))
@@ -81,6 +106,145 @@ object DedupQueries {
               hash32(col("sg")).as("h"))
       .dropDuplicates("th", "h") // exchange-reusing: still hash(th)
     (membership, hashed)
+  }
+
+  /** Expand surviving representative pairs (rep_a < rep_b, jaccard) to
+    * member pairs, plus the within-group pairs of duplicate groups
+    * (identical texts → jaccard exactly 1.0). `dupReps` = rep_ids of
+    * groups with >1 copy and ≥1 shingle — empty shingle sets are excluded
+    * on both engines (no sigs/postings in the oracle, filtered here). */
+  private def expandPairs(membership: DataFrame, survivors: DataFrame,
+                          dupReps: DataFrame): DataFrame = {
+    val ma = membership.select(col("rep_id").as("rep_a"),
+      col("doc_id").as("id_a"))
+    val mb = membership.select(col("rep_id").as("rep_b"),
+      col("doc_id").as("id_b"))
+    val cross = survivors.join(ma, "rep_a").join(mb, "rep_b")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+              greatest(col("id_a"), col("id_b")).as("doc_b"),
+              col("jaccard"))
+    val m1 = membership.join(dupReps, "rep_id")
+    val within = m1.select(col("rep_id"), col("doc_id").as("doc_a"))
+      .join(m1.select(col("rep_id"), col("doc_id").as("doc_b")), "rep_id")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: band the K signatures `bands` ways,
+    * bucket-join for candidates, verify with EXACT Jaccard over the full
+    * hashed-shingle sets, emit at `threshold`. The engine's staged-dedup
+    * core — dd3 (4×4 bands, J≥0.5) and dd6 (8×2 bands, J≥0.4) are two
+    * parameterizations of this one operator. */
+  private def lshNearDup(s: SparkSession, d: String, bands: Int,
+                         threshold: Double, capMetric: String): DataFrame = {
+    val rowsPerBand = K / bands
+    val (membership, hashed) = repShingleHashes(s, d)
+    // persist: the hashed-shingle sets feed the band build + both
+    // jaccard sides; the md5 pass is the cost center, so compute it
+    // once. collect_list drops the null marker row → [] for
+    // shingle-less docs. Element order is nondeterministic, but every
+    // consumer (intersect/union sizes) is order-insensitive.
+    // (Bench/Verify clearCache() releases the persist after the action.)
+    // The K permutation minima come out of the SAME aggregate as the
+    // shingle-set rebuild: min((h*a+b) mod p) per key is a codegen'd
+    // hash-agg expression, vs the interpreted array_min(transform(...))
+    // lambda over a collected array (≈10× slower + allocation-heavy).
+    // min() ignores the null marker rows → null sigs for shingle-less
+    // docs, same as the oracle's list_min([]).
+    val sigAggs = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % MinhashP).as(s"sig$j")
+    }
+    val docs = hashed
+      .groupBy("th") // exchange-reusing aggregate; outputs rep_id
+      .agg(min("rep_id").as("rep_id"),
+           (min("n_copies").as("n_copies") +:
+            collect_list(col("h")).as("hs") +: sigAggs): _*)
+      .drop("th")
+      .persist()
+    val bandStructs = (0 until bands).map { bIdx =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"sig${bIdx * rowsPerBand + r}").cast("string"))
+      struct(lit(bIdx).as("band_idx"),
+             md5(concat_ws(",", parts: _*)).as("band_hash"))
+    }
+    val allBands = docs
+      .select(col("rep_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("rep_id"), col("b.band_idx").as("band_idx"),
+              col("b.band_hash").as("band_hash"))
+      .persist()
+    // Skew cap as hash-agg + broadcast anti-join (not a window sort over
+    // every band row), with the dropped-row count observed.
+    val bucketSizes = allBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+    val hotBuckets = CapTelemetry.observed(
+        bucketSizes, capMetric,
+        coalesce(sum(when(col("bucket_n") > MaxBucket, col("bucket_n"))),
+                 lit(0L)))
+      .filter(col("bucket_n") > MaxBucket)
+      .select("band_idx", "band_hash")
+    val bandsKept = allBands
+      .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
+    val a = bandsKept.select(col("rep_id").as("rep_a"),
+      col("band_idx"), col("band_hash"))
+    val b = bandsKept.select(col("rep_id").as("rep_b"),
+      col("band_idx"), col("band_hash"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b").distinct()
+    val x = docs.select(col("rep_id").as("rep_a"), col("hs").as("hs_a"))
+    val y = docs.select(col("rep_id").as("rep_b"), col("hs").as("hs_b"))
+    val jac = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+      size(array_union(col("hs_a"), col("hs_b"))).cast("double")
+    val survivors = cand.join(x, "rep_a").join(y, "rep_b")
+      .select(col("rep_a"), col("rep_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val dupReps = docs.filter(col("n_copies") > 1 && size(col("hs")) > 0)
+      .select("rep_id")
+    expandPairs(membership, survivors, dupReps)
+  }
+
+  /** DuckDB mirror of [[lshNearDup]] (no dedup-first collapse — identical
+    * docs share every band, so member-pair output equals rep-pair output
+    * expanded; the collapse is a pure physical optimization). */
+  private def oLshNearDup(bands: Int, threshold: Double): String = {
+    val rowsPerBand = K / bands
+    val sigs = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
+      s"${oMinhashSig("hs", a, b)} AS sig$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { bIdx =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"CAST(sig${bIdx * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bIdx AS band_idx, md5($parts) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(${oHashAll(oShinglesFromList("lst"))}) AS hs
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, hs,
+       |    $sigs
+       |  FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
+       |    AS jaccard
+       |FROM cand c
+       |JOIN sh x ON c.doc_a = x.doc_id
+       |JOIN sh y ON c.doc_b = y.doc_id
+       |WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
+       |      >= $threshold""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -113,132 +277,12 @@ object DedupQueries {
 
     // DD3: MinHash + LSH near-duplicate pairs. Shingles hashed ONCE to
     // 32-bit ints (md5 is the cost center; 16 permutations reuse the hash
-    // array); bands bucket-joined; candidates verified with exact Jaccard
-    // on the distinct hashed-shingle sets; emitted at jaccard >= 0.5.
+    // array); 4×4 bands bucket-joined; candidates verified with exact
+    // Jaccard on the distinct hashed-shingle sets; emitted at J >= 0.5.
     QueryDef(
       "dd3_minhash_lsh",
-      Some {
-        val sigs = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
-          s"${oMinhashSig("hs", a, b)} AS sig$j"
-        }.mkString(",\n    ")
-        val bandSelects = (0 until Bands).map { bIdx =>
-          val parts = (0 until 4).map(r => s"CAST(sig${bIdx * 4 + r} AS VARCHAR)")
-            .mkString(" || ',' || ")
-          s"SELECT doc_id, $bIdx AS band_idx, md5($parts) AS band_hash FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
-           |sh AS (
-           |  SELECT doc_id,
-           |    list_distinct(${oHashAll(oShinglesFromList("lst"))}) AS hs
-           |  FROM toks),
-           |sig AS (
-           |  SELECT doc_id, hs,
-           |    $sigs
-           |  FROM sh),
-           |bands AS (
-           |  $bandSelects),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           |   AND a.doc_id < b.doc_id)
-           |SELECT c.doc_a, c.doc_b,
-           |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
-           |  CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
-           |    AS jaccard
-           |FROM cand c
-           |JOIN sh x ON c.doc_a = x.doc_id
-           |JOIN sh y ON c.doc_b = y.doc_id
-           |WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
-           |      CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
-           |      >= 0.5""".stripMargin
-      },
-      (s, d) => {
-        // Exact-dup collapse FIRST (the 100 TB structure): shingle-hash and
-        // LSH-band only one representative per distinct text, then expand
-        // surviving representative pairs back to member pairs. Identical
-        // docs share every band, so without the collapse a dup group of
-        // size g contributes g² candidates on all 4 bands; with it, each
-        // distinct text is hashed once and the pair space is over distinct
-        // texts only. Expansion is exact: members carry their rep's
-        // signature, so (a,b) is an oracle candidate iff (rep_a, rep_b) is,
-        // with the identical jaccard (identical shingle sets).
-        val (membership, hashed) = repShingleHashes(s, d)
-        // persist: the hashed-shingle sets feed the band build + both
-        // jaccard sides; the md5 pass is the cost center, so compute it
-        // once. collect_list drops the null marker row → [] for
-        // shingle-less docs. Element order is nondeterministic, but every
-        // consumer (array_min per permutation, intersect/union sizes) is
-        // order-insensitive. (Bench/Verify clearCache() releases the
-        // persist after the action.)
-        // The K permutation minima come out of the SAME aggregate as the
-        // shingle-set rebuild: min((h*a+b) mod p) per key is a codegen'd
-        // hash-agg expression, vs the interpreted array_min(transform(...))
-        // lambda over a collected array (≈10× slower + allocation-heavy).
-        // min() ignores the null marker rows → null sigs for shingle-less
-        // docs, same as the oracle's list_min([]).
-        val sigAggs = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
-          min((col("h") * a + b) % MinhashP).as(s"sig$j")
-        }
-        val docs = hashed
-          .groupBy("th")
-          .agg(min("rep_id").as("rep_id"),
-               (min("n_copies").as("n_copies") +:
-                collect_list(col("h")).as("hs") +: sigAggs): _*)
-          .persist()
-        val sig = docs
-        val bandStructs = (0 until Bands).map { bIdx =>
-          val parts = (0 until 4).map(r => col(s"sig${bIdx * 4 + r}").cast("string"))
-          struct(lit(bIdx).as("band_idx"),
-                 md5(concat_ws(",", parts: _*)).as("band_hash"))
-        }
-        val bandW = org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_hash")
-        val bands = sig
-          .select(col("th"), col("rep_id"),
-                  explode(array(bandStructs: _*)).as("b"))
-          .select(col("th"), col("rep_id"),
-                  col("b.band_idx").as("band_idx"),
-                  col("b.band_hash").as("band_hash"))
-          .withColumn("bucket_n", count(lit(1)).over(bandW))
-          .filter(col("bucket_n") <= MaxBucket)
-          .persist()
-        val a = bands.select(col("th").as("th_a"), col("rep_id").as("rep_a"),
-          col("band_idx"), col("band_hash"))
-        val b = bands.select(col("th").as("th_b"), col("rep_id").as("rep_b"),
-          col("band_idx"), col("band_hash"))
-        val cand = a.join(b, Seq("band_idx", "band_hash"))
-          .filter(col("rep_a") < col("rep_b"))
-          .select("th_a", "th_b").distinct()
-        val x = docs.select(col("th").as("th_a"), col("hs").as("hs_a"))
-        val y = docs.select(col("th").as("th_b"), col("hs").as("hs_b"))
-        val jac = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          size(array_union(col("hs_a"), col("hs_b"))).cast("double")
-        val survivors = cand.join(x, "th_a").join(y, "th_b")
-          .select(col("th_a"), col("th_b"), jac.as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-        // Cross-group expansion: every member-pair across two surviving
-        // representative groups, ordered by doc_id.
-        val ma = membership.select(col("th").as("th_a"), col("doc_id").as("id_a"))
-        val mb = membership.select(col("th").as("th_b"), col("doc_id").as("id_b"))
-        val cross = survivors.join(ma, "th_a").join(mb, "th_b")
-          .select(least(col("id_a"), col("id_b")).as("doc_a"),
-                  greatest(col("id_a"), col("id_b")).as("doc_b"),
-                  col("jaccard"))
-        // Within-group pairs: identical texts → jaccard exactly 1.0
-        // (oracle computes n/n over identical sets). Empty shingle sets
-        // are excluded — their sigs are NULL in the oracle (no candidates)
-        // and NaN-jaccard in Spark (filtered), so neither engine emits them.
-        val dupTh = docs.filter(col("n_copies") > 1 && size(col("hs")) > 0)
-          .select("th")
-        val m1 = membership.join(dupTh, "th")
-        val within = m1.select(col("th"), col("doc_id").as("doc_a"))
-          .join(m1.select(col("th"), col("doc_id").as("doc_b")), "th")
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
-        cross.unionByName(within)
-      }),
+      Some(oLshNearDup(Bands, 0.5)),
+      (s, d) => lshNearDup(s, d, Bands, 0.5, "dd3_dropped_band_rows")),
 
     // DD4: SimHash signatures + collision groups. Token hashes computed
     // once per row; 16 per-bit weighted sums as higher-order aggregates
@@ -288,7 +332,8 @@ object DedupQueries {
 
     // DD5: inverted-index n-gram Jaccard — exact pairwise similarity via a
     // postings self-join on shingles (candidates = pairs sharing >= 1
-    // shingle), the quadratic-fallback dedup.
+    // shingle), the quadratic-fallback dedup. At 100 TB this runs only as
+    // dd6's verify stage; standalone it is exact on small corpora.
     QueryDef(
       "dd5_ngram_jaccard",
       Some(s"""WITH toks AS (
@@ -317,52 +362,81 @@ object DedupQueries {
         // hotspot — a dup group of size g puts g copies on every one of its
         // shingles), surviving rep pairs expand back to member pairs.
         val (membership, hashed) = repShingleHashes(s, d)
-        // hashed IS the postings list (one row per distinct (doc, shingle));
-        // persist: feeds sizes + both self-join sides + the dup-group scan.
+        // persist: feeds sizes + postings + the dup-group scan.
         val sets = hashed.persist()
+        // set sizes, keyed by rep_id via the exchange-reusing th aggregate
         val sz = sets.filter(col("h").isNotNull)
-          .groupBy("th").agg(count(lit(1)).as("n"))
+          .groupBy("th").agg(min("rep_id").as("rep_id"),
+                             count(lit(1)).as("n"))
+          .drop("th")
         // Stop-shingle guard: drop postings whose document frequency
         // exceeds MaxPostingDf before the self-join (df² candidate blowup,
-        // no discriminative value). Never fires at fixture scale.
-        val postW = org.apache.spark.sql.expressions.Window.partitionBy("s")
-        // persist: both sides of the self-join read the df-filtered
-        // postings; without it the window (shuffle+sort on s) runs twice.
+        // no discriminative value). Hash-agg the df counts, broadcast the
+        // (tiny, normally empty) hot set as an anti-join, and observe how
+        // many postings the cap removed — never silent.
         val posts = sets.filter(col("h").isNotNull)
-          .select(col("th"), col("rep_id"), col("h").as("s"))
-          .withColumn("df", count(lit(1)).over(postW))
-          .filter(col("df") <= MaxPostingDf)
-          .select("th", "rep_id", "s")
+          .select(col("rep_id"), col("h").as("s"))
+        val dfCounts = posts.groupBy("s").agg(count(lit(1)).as("df"))
+        val hotShingles = CapTelemetry.observed(
+            dfCounts, "dd5_dropped_postings",
+            coalesce(sum(when(col("df") > MaxPostingDf, col("df"))),
+                     lit(0L)))
+          .filter(col("df") > MaxPostingDf)
+          .select("s")
+        // persist: both sides of the self-join read the capped postings;
+        // 16-byte rows (two longs), the cheapest possible pair-join input.
+        // Cached PRE-CLUSTERED on the join key (explicit repartition, so
+        // AQE cannot coalesce the tiny shuffle to one partition): the
+        // self-join then needs no exchange at all — both sides are the
+        // same hash(s)-partitioned cache.
+        val par = s.sparkContext.defaultParallelism
+        val postsKept = posts
+          .join(broadcast(hotShingles), Seq("s"), "left_anti")
+          .repartition(par, col("s"))
           .persist()
-        val common = posts.as("a")
-          .join(posts.as("b"),
+        // The pair aggregate sees ~O(Σdf²) rows (1.1M at sf0.1) — its
+        // shuffle is only ~tens of MB, which AQE would coalesce to ONE
+        // partition, serializing the 1M-group hash aggregate onto one
+        // core (measured: that single-core agg was most of dd5's round-2
+        // 6.4s). Explicit repartition keeps it parallel; the groupBy
+        // reuses the exchange (same clustering).
+        val common = postsKept.as("a")
+          .join(postsKept.as("b"),
             col("a.s") === col("b.s") && col("a.rep_id") < col("b.rep_id"))
-          .groupBy(col("a.th").as("th_a"), col("b.th").as("th_b"))
+          .select(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
+          .repartition(par, col("rep_a"), col("rep_b"))
+          .groupBy("rep_a", "rep_b")
           .agg(count(lit(1)).as("c"))
         val jac = col("c").cast("double") /
           (col("na") + col("nb") - col("c")).cast("double")
+        // sz is one row per distinct text — always broadcast-size relative
+        // to the pair frame it annotates.
         val survivors = common
-          .join(sz.select(col("th").as("th_a"), col("n").as("na")), "th_a")
-          .join(sz.select(col("th").as("th_b"), col("n").as("nb")), "th_b")
-          .select(col("th_a"), col("th_b"), jac.as("jaccard"))
+          .join(broadcast(sz.select(col("rep_id").as("rep_a"),
+                                    col("n").as("na"))), "rep_a")
+          .join(broadcast(sz.select(col("rep_id").as("rep_b"),
+                                    col("n").as("nb"))), "rep_b")
+          .select(col("rep_a"), col("rep_b"), jac.as("jaccard"))
           .filter(col("jaccard") >= 0.4)
-        val ma = membership.select(col("th").as("th_a"), col("doc_id").as("id_a"))
-        val mb = membership.select(col("th").as("th_b"), col("doc_id").as("id_b"))
-        val cross = survivors.join(ma, "th_a").join(mb, "th_b")
-          .select(least(col("id_a"), col("id_b")).as("doc_a"),
-                  greatest(col("id_a"), col("id_b")).as("doc_b"),
-                  col("jaccard"))
         // identical texts share all shingles → jaccard exactly 1.0 ≥ 0.4;
         // empty shingle sets have no postings on either engine.
-        val dupTh = sets
+        val dupReps = sets
           .filter(col("n_copies") > 1 && col("h").isNotNull)
-          .select("th").distinct()
-        val m1 = membership.join(dupTh, "th")
-        val within = m1.select(col("th"), col("doc_id").as("doc_a"))
-          .join(m1.select(col("th"), col("doc_id").as("doc_b")), "th")
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
-        cross.unionByName(within)
+          .select("rep_id").distinct()
+        expandPairs(membership, survivors, dupReps)
       }),
+
+    // DD6: STAGED near-dup — the 100 TB composition the dd3/dd5 scaladocs
+    // prescribe: LSH banding generates candidates (8×2 bands sized for the
+    // J≥0.4 operating point), exact n-gram Jaccard verifies them. Same
+    // verify math as dd5, candidate volume bounded like dd3 — the operator
+    // a pipeline actually runs at scale, where the all-pairs-sharing-a-
+    // shingle join (dd5) is quadratic in hot-shingle document frequency
+    // but band buckets stay O(n/buckets).
+    QueryDef(
+      "dd6_staged_neardup",
+      Some(oLshNearDup(StagedBands, StagedThreshold)),
+      (s, d) => lshNearDup(s, d, StagedBands, StagedThreshold,
+        "dd6_dropped_band_rows")),
   )
 }

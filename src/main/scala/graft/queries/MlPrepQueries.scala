@@ -1,0 +1,296 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ml.prep — the reference's model-preparation surface re-expressed as
+  * distributed, verifiable queries (reference:
+  * `/root/reference/data_apis/my_model.py`):
+  *
+  *  - chronological cutoff split (`temporal_split`, my_model.py:426-444):
+  *    test = last N months before the max date, train = everything earlier;
+  *  - rolling-window splits (`get_rolling_window_splits`,
+  *    my_model.py:446-482): fixed-size train window + following test
+  *    window, both sliding forward by the test span until the test window
+  *    would pass the max date;
+  *  - year-based split (`temporal_split_by_years`, my_model.py:484-520):
+  *    train = a consecutive-year range, test = the following year;
+  *  - median fill (`fill_empty_dsh`, my_model.py:63-66): nulls in
+  *    days-since-holiday replaced by the column median;
+  *  - `df_preparation` (my_model.py:68-90): per-key head-trim → median
+  *    fill → flag cast, composed as one pipeline.
+  *
+  * Scale notes:
+  *  - Split boundaries derive from a 1-row bounds aggregate that is
+  *    broadcast — no driver-side `.collect()`, no date constants baked in.
+  *    Candidate split indices come from `sequence`+`explode` on that row
+  *    (distributed generation, same pattern as S11) and invalid indices are
+  *    filtered by the data-driven stop condition, mirroring the reference's
+  *    while-loop without sequential iteration.
+  *  - Role labeling is a broadcast range join (splits frame is tiny by
+  *    construction: one row per window, not per data row).
+  *  - The exact median comes from a VALUE-HISTOGRAM, not a global sort: a
+  *    groupBy on the (small-domain) value followed by a cumulative count
+  *    locates the two middle order statistics. The full data never passes
+  *    through one partition — only the histogram does. Median = mean of the
+  *    two middle order statistics, the same interpolation pandas and DuckDB
+  *    use, computed from exact integer sums so the double is bit-identical
+  *    cross-engine.
+  */
+object MlPrepQueries {
+
+  private val TestMonths = 12   // temporal_split default test span
+  private val TrainMonths = 12  // rolling: fixed train window
+  private val StepMonths = 3    // rolling: test span == slide step
+  /** Upper bound on candidate rolling windows; the data-driven filter
+    * (test_end <= max date) keeps only valid ones. 600 months = 50 years,
+    * far beyond any fixture span; raise for longer archives. */
+  private val MaxWindows = 200
+
+  /** (median) 1-row frame of the exact median of an integral column,
+    * via value histogram + two middle order statistics. */
+  private def histogramMedian(vals: DataFrame, c: String): DataFrame = {
+    val cumW = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, 0)
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    vals.filter(col(c).isNotNull)
+      .groupBy(c).agg(count(lit(1)).as("cnt"))
+      // the histogram is tiny (distinct values of a bounded-domain column);
+      // the single-partition windows below run over it, not the data
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("total", sum("cnt").over(allW))
+      .withColumn("lo_pos", expr("(total + 1) DIV 2"))
+      .withColumn("hi_pos", expr("(total + 2) DIV 2"))
+      .agg(((min(when(col("cum") >= col("lo_pos"), col(c))) +
+             min(when(col("cum") >= col("hi_pos"), col(c)))) / 2.0)
+        .as("median"))
+  }
+
+  /** Oracle-side mirror of [[histogramMedian]] as a CTE body: expects a
+    * relation `vals(v)`, yields `med(median)`. */
+  private def oHistogramMedian: String =
+    """hist AS (
+      |  SELECT v, count(*) AS cnt FROM vals WHERE v IS NOT NULL GROUP BY v),
+      |cum AS (
+      |  SELECT v, sum(cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER () AS total
+      |  FROM hist),
+      |med AS (
+      |  SELECT (min(CASE WHEN cum >= (total + 1) // 2 THEN v END) +
+      |          min(CASE WHEN cum >= (total + 2) // 2 THEN v END)) / 2.0
+      |    AS median
+      |  FROM cum)""".stripMargin
+
+  /** Tiny inline holiday dimension whose first entry falls mid-range of the
+    * events fixture, so days before it get NULL days-since-holiday — the
+    * fill_empty_dsh precondition (my_model.py:63-66). */
+  private def holidayDim(s: SparkSession): DataFrame =
+    s.createDataFrame(Seq(Tuple1("2024-01-08"), Tuple1("2024-01-20")))
+      .toDF("h").select(col("h").cast("date").as("holiday"))
+  private val oHolidays =
+    """holidays AS (
+      |  SELECT CAST(h AS DATE) AS holiday FROM (VALUES
+      |    (DATE '2024-01-08'), (DATE '2024-01-20')) t(h))""".stripMargin
+
+  /** day → days-since-most-recent-holiday (NULL before the first holiday),
+    * the f16 as-of shape over an arbitrary day frame. */
+  private def daysSinceHoliday(days: DataFrame, s: SparkSession): DataFrame =
+    days.join(broadcast(holidayDim(s)), col("holiday") <= col("day"), "left")
+      .groupBy("day")
+      .agg(max("holiday").as("last_holiday"))
+      .select(col("day"),
+        datediff(col("day"), col("last_holiday")).cast("long").as("dsh"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // MLP1: chronological cutoff split (my_model.py:426-444) — cutoff is
+    // max(date) minus the test span; strict `<` on the train side exactly
+    // as the reference masks it.
+    QueryDef(
+      "mlprep_temporal_split",
+      Some(s"""WITH mx AS (
+              |  SELECT CAST(max(CAST(o_orderdate AS DATE))
+              |    - INTERVAL $TestMonths MONTH AS DATE) AS cutoff
+              |  FROM orders)
+              |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+              |  CASE WHEN CAST(o_orderdate AS DATE) < cutoff
+              |    THEN 'train' ELSE 'test' END AS role
+              |FROM orders, mx""".stripMargin),
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"))
+        val cutoff = orders
+          .agg(add_months(max(col("day")), -TestMonths).as("cutoff"))
+        orders.crossJoin(broadcast(cutoff))
+          .select(col("o_orderkey"), col("day"),
+            when(col("day") < col("cutoff"), "train").otherwise("test")
+              .as("role"))
+      }),
+
+    // MLP2: rolling-window splits (my_model.py:446-482). One row per
+    // (window, role) with count + date bounds + an exact integer checksum —
+    // the verifiable fingerprint of each emitted train/test frame.
+    QueryDef(
+      "mlprep_rolling_splits",
+      Some(s"""WITH bounds AS (
+              |  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+              |         max(CAST(o_orderdate AS DATE)) AS hi
+              |  FROM orders),
+              |splits AS (
+              |  SELECT k AS split_id,
+              |    CAST(lo + INTERVAL ($StepMonths * k) MONTH AS DATE)
+              |      AS train_start,
+              |    CAST(lo + INTERVAL ($StepMonths * k + $TrainMonths) MONTH
+              |      AS DATE) AS train_end,
+              |    CAST(lo + INTERVAL
+              |      ($StepMonths * k + $TrainMonths + $StepMonths) MONTH
+              |      AS DATE) AS test_end
+              |  FROM bounds, generate_series(0, $MaxWindows) t(k)
+              |  WHERE lo + INTERVAL
+              |      ($StepMonths * k + $TrainMonths + $StepMonths) MONTH
+              |    <= hi),
+              |labeled AS (
+              |  SELECT s.split_id,
+              |    CASE WHEN CAST(o.o_orderdate AS DATE) < s.train_end
+              |      THEN 'train' ELSE 'test' END AS role,
+              |    CAST(o.o_orderdate AS DATE) AS day, o.o_orderkey
+              |  FROM orders o JOIN splits s
+              |    ON CAST(o.o_orderdate AS DATE) >= s.train_start
+              |   AND CAST(o.o_orderdate AS DATE) < s.test_end)
+              |SELECT split_id, role, count(*) AS n_rows,
+              |  min(day) AS first_day, max(day) AS last_day,
+              |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+              |FROM labeled GROUP BY split_id, role""".stripMargin),
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"))
+        val bounds = orders.agg(min("day").as("lo"), max("day").as("hi"))
+        val splits = bounds
+          .select(explode(sequence(lit(0), lit(MaxWindows))).as("k"),
+                  col("lo"), col("hi"))
+          .select(col("k").cast("long").as("split_id"),
+            add_months(col("lo"), col("k") * StepMonths).as("train_start"),
+            add_months(col("lo"), col("k") * StepMonths + TrainMonths)
+              .as("train_end"),
+            add_months(col("lo"),
+              col("k") * StepMonths + TrainMonths + StepMonths)
+              .as("test_end"),
+            col("hi"))
+          .filter(col("test_end") <= col("hi"))
+          .drop("hi")
+        orders.join(broadcast(splits),
+            col("day") >= col("train_start") && col("day") < col("test_end"))
+          .select(col("split_id"),
+            when(col("day") < col("train_end"), "train").otherwise("test")
+              .as("role"),
+            col("day"), col("o_orderkey"))
+          .groupBy("split_id", "role")
+          .agg(count(lit(1)).as("n_rows"),
+               min("day").as("first_day"), max("day").as("last_day"),
+               sum("o_orderkey").as("key_checksum"))
+      }),
+
+    // MLP3: year-range split (my_model.py:484-520) — train on two
+    // consecutive years, test on the next; rows outside are excluded.
+    QueryDef(
+      "mlprep_year_split",
+      Some("""SELECT o_orderkey,
+             |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+             |  CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
+             |    THEN 'train' ELSE 'test' END AS role
+             |FROM orders
+             |WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1996 AND 1998""".stripMargin),
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            year(to_date(col("o_orderdate"))).as("yr"))
+          .filter(col("yr").between(1996, 1998))
+          .select(col("o_orderkey"), col("yr"),
+            when(col("yr") <= 1997, "train").otherwise("test").as("role"))),
+
+    // MLP4: median fill (my_model.py:63-66) — days-since-holiday per day
+    // with the pre-first-holiday NULLs replaced by the exact column median
+    // (value-histogram order statistics; see scaladoc).
+    QueryDef(
+      "mlprep_median_fill",
+      Some(s"""WITH $oHolidays,
+              |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+              |dsh AS (
+              |  SELECT d.day,
+              |    CAST(datediff('day',
+              |      (SELECT max(holiday) FROM holidays WHERE holiday <= d.day),
+              |      d.day) AS BIGINT) AS dsh
+              |  FROM days d),
+              |vals AS (SELECT dsh AS v FROM dsh),
+              |$oHistogramMedian
+              |SELECT day, dsh,
+              |  coalesce(CAST(dsh AS DOUBLE), median) AS dsh_filled
+              |FROM dsh, med""".stripMargin),
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day")).distinct()
+        val dsh = daysSinceHoliday(days, s)
+        val med = histogramMedian(dsh.select(col("dsh")), "dsh")
+        dsh.crossJoin(broadcast(med))
+          .select(col("day"), col("dsh"),
+            coalesce(col("dsh").cast("double"), col("median"))
+              .as("dsh_filled"))
+      }),
+
+    // MLP5: df_preparation composition (my_model.py:68-90): per-key head
+    // trim (trim_top_rows, 20 rows) → days-since-holiday lookup → median
+    // fill OVER THE TRIMMED FRAME (the reference fills after trimming, so
+    // the median is computed on what survives) → boolean flag cast to int
+    // → chronological role. Cutoff span is days instead of months because
+    // the events fixture covers one month; the mask shape is identical.
+    QueryDef(
+      "mlprep_prepare",
+      Some(s"""WITH $oHolidays,
+              |trimmed AS (
+              |  SELECT event_id, user_id, value, CAST(ts AS DATE) AS day
+              |  FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY user_id
+              |      ORDER BY ts, event_id) AS rn
+              |    FROM events) WHERE rn > 20),
+              |dsh AS (
+              |  SELECT t.*,
+              |    CAST(datediff('day',
+              |      (SELECT max(holiday) FROM holidays WHERE holiday <= t.day),
+              |      t.day) AS BIGINT) AS dsh
+              |  FROM trimmed t),
+              |vals AS (SELECT dsh AS v FROM dsh),
+              |$oHistogramMedian,
+              |mx AS (
+              |  SELECT CAST(max(day) - INTERVAL 7 DAY AS DATE) AS cutoff
+              |  FROM trimmed)
+              |SELECT event_id, day,
+              |  coalesce(CAST(dsh AS DOUBLE), median) AS dsh_filled,
+              |  CAST(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS BIGINT)
+              |    AS high_flag,
+              |  CASE WHEN day < cutoff THEN 'train' ELSE 'test' END AS role
+              |FROM dsh, med, mx""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trimmed = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"), col("ts"),
+            to_date(col("ts")).as("day"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") > 20)
+        val withDsh = trimmed
+          .join(broadcast(
+            daysSinceHoliday(trimmed.select("day").distinct(), s)), "day")
+        val med = histogramMedian(withDsh.select(col("dsh")), "dsh")
+        val cutoff = trimmed.agg(date_sub(max(col("day")), 7).as("cutoff"))
+        withDsh.crossJoin(broadcast(med)).crossJoin(broadcast(cutoff))
+          .select(col("event_id"), col("day"),
+            coalesce(col("dsh").cast("double"), col("median"))
+              .as("dsh_filled"),
+            when(col("value") >= 50.0, 1L).otherwise(0L).as("high_flag"),
+            when(col("day") < col("cutoff"), "train").otherwise("test")
+              .as("role"))
+      }),
+  )
+}
