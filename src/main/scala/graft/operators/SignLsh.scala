@@ -59,23 +59,56 @@ object SignLsh {
 
   /** (id, table_id, bucket) — one row per table per vector, buckets larger
     * than `maxBucket` removed. Input must carry `idCol` and the quantized
-    * vector column `qvCol`. */
+    * vector column `qvCol`.
+    *
+    * The cap is a hash-agg of bucket sizes + a broadcast anti-join of the
+    * (tiny, normally empty) hot set — not a window sort over every bucket
+    * row. When `capMetric` is set, the dropped-row count is observed
+    * through [[graft.CapTelemetry]] so the cap never drops silently. */
   def bucketize(df: DataFrame, idCol: String, qvCol: String,
                 tables: Int, bits: Int, dim: Int,
-                maxBucket: Long = Long.MaxValue): DataFrame = {
+                maxBucket: Long = Long.MaxValue,
+                capMetric: Option[String] = None): DataFrame = {
     val ps = planes(tables, bits, dim)
     val structs = (0 until tables).map { t =>
       struct(lit(t).as("table_id"), bucket(col(qvCol), ps(t)).as("bucket"))
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("table_id", "bucket")
-    df.select(col(idCol), explode(array(structs: _*)).as("b"))
+    // persist: the bucket computation (quantize + per-bit sign tests) is
+    // the cost center and every consumer reads it at least twice — the
+    // cap's size-count branch + the kept branch here, and both sides of
+    // the candidate self-join in [[candidatePairs]]. (Bench/Verify
+    // clearCache() releases it after each query's action.)
+    val bk = df.select(col(idCol), explode(array(structs: _*)).as("b"))
       .select(col(idCol), col("b.table_id").as("table_id"),
               col("b.bucket").as("bucket"))
-      .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+      .persist()
+    if (maxBucket == Long.MaxValue) bk
+    else {
+      val sizes = bk.groupBy("table_id", "bucket")
+        .agg(count(lit(1)).as("__n"))
+      val observed = capMetric.fold(sizes)(m =>
+        graft.CapTelemetry.observed(sizes, m,
+          coalesce(sum(when(col("__n") > maxBucket, col("__n"))), lit(0L))))
+      val hot = observed.filter(col("__n") > maxBucket)
+        .select("table_id", "bucket")
+      bk.join(broadcast(hot), Seq("table_id", "bucket"), "left_anti")
+    }
   }
+
+  /** Multiprobe set for a query bucket: the bucket itself plus every
+    * 1-bit flip (Lv-et-al-2007-style probing restricted to Hamming
+    * distance 1). Lets `bits` rise — smaller buckets, fewer candidates —
+    * at equal recall: a near-neighbor differing in exactly one sign bit
+    * is still probed. bits+1 probes per (query, table), query-side only. */
+  def probeBuckets(bucketCol: Column, bits: Int): Column =
+    array((bucketCol +: (0 until bits).map(i =>
+      bucketCol.bitwiseXOR(lit(1L << i)))): _*)
+
+  /** DuckDB list equivalent of [[probeBuckets]]. */
+  def oracleProbeBuckets(bucket: String, bits: Int): String =
+    ((bucket +: (0 until bits).map(i =>
+      s"xor($bucket, CAST(${1L << i} AS BIGINT))")))
+      .mkString("[", ", ", "]")
 
   /** Buckets a cap would drop: (table_id, bucket, n) with n > maxBucket —
     * the "logged overflow" companion to [[bucketize]]. */
@@ -91,8 +124,10 @@ object SignLsh {
     * least one table. */
   def candidatePairs(df: DataFrame, idCol: String, qvCol: String,
                      tables: Int, bits: Int, dim: Int,
-                     maxBucket: Long = Long.MaxValue): DataFrame = {
-    val bk = bucketize(df, idCol, qvCol, tables, bits, dim, maxBucket)
+                     maxBucket: Long = Long.MaxValue,
+                     capMetric: Option[String] = None): DataFrame = {
+    val bk = bucketize(df, idCol, qvCol, tables, bits, dim, maxBucket,
+      capMetric)
     val a = bk.select(col(idCol).as("id_a"), col("table_id"), col("bucket"))
     val b = bk.select(col(idCol).as("id_b"), col("table_id"), col("bucket"))
     a.join(b, Seq("table_id", "bucket"))

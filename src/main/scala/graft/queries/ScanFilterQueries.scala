@@ -130,5 +130,36 @@ object ScanFilterQueries {
             expr("INTERVAL 1 DAY"))).as("day"))
           .withColumn("dow", dayofweek(col("day")).cast("long"))
           .filter(col("dow").between(2, 6))),
+
+    // S7: ETF holdings spreadsheet source (my_ishares.py:11-19) — the
+    // workbook pre-converted to CSV with an explicit file-order index
+    // (graft.sources.HoldingsSource), vendor headers normalized, duplicate
+    // tickers dropped keep-first exactly like the reference's
+    // drop_duplicates(subset=['Ticker']).
+    QueryDef(
+      "s7_holdings_dedup",
+      Some(s"""WITH h AS (
+              |  SELECT row_idx, Ticker AS ticker, Name AS name,
+              |    Sector AS sector, "Asset Class" AS asset_class,
+              |    "Market Value" AS market_value, "Weight (%)" AS weight_pct,
+              |    Shares AS shares, Price AS price
+              |  FROM read_csv('${graft.sources.HoldingsSource.FixturePath}',
+              |    header=true,
+              |    columns={'row_idx':'BIGINT','Ticker':'VARCHAR',
+              |      'Name':'VARCHAR','Sector':'VARCHAR',
+              |      'Asset Class':'VARCHAR','Market Value':'DOUBLE',
+              |      'Weight (%)':'DOUBLE','Shares':'DOUBLE',
+              |      'Price':'DOUBLE'})),
+              |r AS (
+              |  SELECT *, row_number() OVER (PARTITION BY ticker
+              |    ORDER BY row_idx) AS rn
+              |  FROM h)
+              |SELECT row_idx, ticker, name, sector, asset_class,
+              |  market_value, weight_pct, shares, price
+              |FROM r WHERE rn = 1""".stripMargin),
+      (s, d) =>
+        graft.sources.HoldingsSource.dedupByTicker(
+          graft.sources.HoldingsSource.load(
+            s, graft.sources.HoldingsSource.FixturePath))),
   )
 }

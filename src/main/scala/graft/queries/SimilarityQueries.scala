@@ -29,8 +29,16 @@ object SimilarityQueries {
   private val TopK = 10
   private val Dim = 64        // embedding dimensionality (TESTDATA.md)
   private val LshTables = 4   // independent hash tables (OR-amplification)
-  private val LshBits = 8     // bits/table ≈ log2(n/bucket) at fixture size;
-                              // scale toward 16-20 at 1e9 vectors
+  private val LshBits = 8     // sim3 bits/table ≈ log2(n/bucket) at fixture
+                              // size; scale toward 16-20 at 1e9 vectors
+  /** sim2 bits/table: multiprobe (1-bit flips on the query side) buys the
+    * recall that longer codes would otherwise cost, so the query path runs
+    * finer buckets than the pairwise path — 2^12 buckets ≈ 2× the fixture
+    * corpus, the regime a 1e9-vector deployment sizes for. Per-table hit
+    * prob at cosine≈0.999 (p≈0.99/bit): single-probe 12-bit ≈ p^12 ≈ 0.89;
+    * +12 one-flip probes ≈ p^12 + 12·p^11·(1-p) ≈ 0.99, OR'd over 4
+    * tables ≈ 1-1e-8. */
+  private val Sim2Bits = 12
   /** Bucket-size cap for the candidate joins; a bucket of m rows costs m²
     * pairs. ~n/2^bits expected at fixture scale, so this never fires
     * locally; at scale it is the skew guard (SignLsh.overflow reports what
@@ -89,15 +97,19 @@ object SimilarityQueries {
           .select("query_id", "cand_id", "cosine")
       }),
 
-    // SIM2: multi-table sign-LSH ANN — candidates are vectors colliding
-    // with the query in ANY of 4 independent hash tables (OR-amplification,
-    // graft.operators.SignLsh: difference-hyperplane sign bits with
-    // plan-time constant indices so the oracle can replay them), then
-    // exact scoring on the candidate set only.
+    // SIM2: multi-table sign-LSH ANN with query-side MULTIPROBE —
+    // candidates are vectors whose bucket matches the query's bucket OR
+    // any 1-bit flip of it, in ANY of 4 independent hash tables
+    // (OR-amplification, graft.operators.SignLsh: difference-hyperplane
+    // sign bits with plan-time constant indices so the oracle can replay
+    // them), then exact scoring on the candidate set only. Probing lets
+    // the table run 12-bit codes (finer buckets → fewer corpus-side
+    // collisions) at the recall 8-bit single-probe had; the probe fan-out
+    // rides the tiny query side, never the corpus.
     QueryDef(
       "sim2_ann_lsh",
       Some {
-        val ps = graft.operators.SignLsh.planes(LshTables, LshBits, Dim)
+        val ps = graft.operators.SignLsh.planes(LshTables, Sim2Bits, Dim)
         val tableSelects = (0 until LshTables).map { t =>
           s"SELECT vec_id, $t AS t, CAST(${graft.operators.SignLsh.oracleBucket("qv", ps(t))} AS BIGINT) AS bucket FROM qv"
         }.mkString("\n  UNION ALL ")
@@ -105,11 +117,15 @@ object SimilarityQueries {
            |  SELECT vec_id, $oQuant AS qv FROM embeddings),
            |bk AS (
            |  $tableSelects),
+           |qp AS (
+           |  SELECT vec_id, t,
+           |    unnest(${graft.operators.SignLsh.oracleProbeBuckets("bucket", Sim2Bits)})
+           |      AS bucket
+           |  FROM bk WHERE vec_id < $NQ),
            |cand AS (
            |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
-           |  FROM bk q JOIN bk c
-           |    ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
-           |  WHERE q.vec_id < $NQ),
+           |  FROM qp q JOIN bk c
+           |    ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
            |scored AS (
            |  SELECT cd.query_id, cd.cand_id,
            |    CAST($oDot AS DOUBLE) /
@@ -124,16 +140,24 @@ object SimilarityQueries {
            |  FROM scored) WHERE rn <= $TopK""".stripMargin
       },
       (s, d) => {
-        val emb = Tables.fanOut(Tables.embeddings(s, d))
+        // no fanOut here: the embeddings table is one narrow scan whose
+        // per-row bucket math is light; at fixture scale the repartition's
+        // extra stage costs more than the parallelism buys (sim1, which
+        // scores EVERY row against every query, keeps it).
+        val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), quant(col("embedding")).as("qv"))
         val bk = graft.operators.SignLsh.bucketize(
-          emb, "vec_id", "qv", LshTables, LshBits, Dim, MaxLshBucket)
+          emb, "vec_id", "qv", LshTables, Sim2Bits, Dim, MaxLshBucket,
+          Some("sim2_dropped_bucket_rows"))
         val qb = bk.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
+          .select(col("vec_id").as("query_id"), col("table_id"),
+            explode(graft.operators.SignLsh.probeBuckets(col("bucket"),
+              Sim2Bits)).as("bucket"))
         val cb = bk.select(col("vec_id").as("cand_id"), col("table_id"),
           col("bucket"))
-        // query-side buckets are NQ×tables rows — broadcast; the distinct
-        // collapses multi-table collisions before the (expensive) scoring.
+        // probe buckets are NQ×tables×(bits+1) rows — broadcast; the
+        // distinct collapses multi-probe/multi-table collisions before
+        // the (expensive) scoring.
         val cand = cb.join(broadcast(qb), Seq("table_id", "bucket"))
           .filter(col("cand_id") =!= col("query_id"))
           .select("query_id", "cand_id").distinct()
@@ -185,10 +209,13 @@ object SimilarityQueries {
            |     sqrt(CAST(${oNorm("c")} AS DOUBLE))) >= 0.4""".stripMargin
       },
       (s, d) => {
-        val emb = Tables.fanOut(Tables.embeddings(s, d))
+        // no fanOut: same stage-count tradeoff as sim2 — the bucketize
+        // persist already parallelizes every reuse of the bucket frame.
+        val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), quant(col("embedding")).as("qv"))
         val cand = graft.operators.SignLsh.candidatePairs(
-          emb, "vec_id", "qv", LshTables, LshBits, Dim, MaxLshBucket)
+          emb, "vec_id", "qv", LshTables, LshBits, Dim, MaxLshBucket,
+          Some("sim3_dropped_bucket_rows"))
         val q = emb.select(col("vec_id").as("id_a"), col("qv").as("qv_q"))
         val c = emb.select(col("vec_id").as("id_b"), col("qv").as("qv_c"))
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /

@@ -58,6 +58,37 @@ class SignLshSpec extends SparkSpec {
       "extra tables should contribute extra candidates on this corpus")
   }
 
+  test("12-bit multiprobe query path recovers planted near-duplicates") {
+    // the sim2 shape: queries are the planted originals, candidates come
+    // from exact-bucket OR any 1-bit-flip probe, per table.
+    val (df, pairs) = planted(n = 200, dups = 50, noise = 0.02)
+    val bits = 12
+    val bk = SignLsh.bucketize(df, "vec_id", "qv",
+      tables = 4, bits = bits, dim = 64)
+    val qb = bk.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("table_id"),
+        explode(SignLsh.probeBuckets(col("bucket"), bits)).as("bucket"))
+    val cand = bk.select(col("vec_id").as("cand_id"), col("table_id"),
+        col("bucket"))
+      .join(qb, Seq("table_id", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recovered = pairs.count { case (orig, dup) => cand((orig, dup)) }
+    assert(recovered >= 48,
+      s"multiprobe recovered only $recovered/50 planted pairs")
+    // structural: multiprobe at the same bits never loses exact-bucket hits
+    val exact = bk.select(col("vec_id").as("cand_id"), col("table_id"),
+        col("bucket"))
+      .join(bk.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("table_id"),
+          col("bucket")), Seq("table_id", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cand))
+  }
+
   test("bucket cap drops exactly the overflowing buckets and reports them") {
     val (df, _) = planted(n = 50, dups = 0, noise = 0.0)
     val over = SignLsh.overflow(df, "vec_id", "qv",
