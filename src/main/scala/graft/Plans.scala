@@ -46,6 +46,44 @@ object Plans {
     check("o2: TakeOrderedAndProject") {
       planOf("o2_topk").contains("TakeOrdered")
     }
+    // the fused Gold pass: the daily substrate joins broadcast (never a
+    // shuffle join), and the whole window battery shares ONE sort — a
+    // second Sort would mean a feature broke the shared (user, ts) frame
+    val pl16 = planOf("pl16_gold_fused")
+    check("pl16: substrate joins broadcast, no shuffle join") {
+      pl16.contains("BroadcastHashJoin") && !pl16.contains("SortMergeJoin")
+    }
+    check("pl16: one shared Sort under the window chain") {
+      "\\bSort \\[".r.findAllIn(pl16).length == 1 &&
+        "\\bWindow \\[".r.findAllIn(pl16).length >= 3
+    }
+    // dd5: the skew cap is a hash-agg + broadcast anti-join — NO window
+    // sort over the postings; both self-join sides read the same cache
+    val dd5 = planOf("dd5_ngram_jaccard")
+    check("dd5: no window sort in the postings pipeline") {
+      !dd5.contains("Window [")
+    }
+    check("dd5: both self-join sides read the postings cache") {
+      "InMemoryTableScan".r.findAllIn(dd5).length >= 2
+    }
+    // pl13's merge primitive: the anti-join's target side scans ONLY the
+    // key columns (keys-not-rows build side at 100 TB)
+    check("pl13: keys-only target scan in insertIfAbsent") {
+      val tmp = "/tmp/graft_plans_merge_target"
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").parquet(tmp)
+      val src = Tables.events(spark, "/root/testdata/sf0.001").limit(10)
+      val plan = graft.operators.MergeUpsert
+        .newRows(spark, src, tmp, Seq("user_id", "ts"), "event_id")
+        .queryExecution.executedPlan.toString
+      val targetScans = plan.linesIterator
+        .filter(l => l.contains(tmp) && l.contains("ReadSchema")).toSeq
+      targetScans.nonEmpty && targetScans.forall { l =>
+        val schema = l.substring(l.indexOf("ReadSchema"))
+        schema.contains("user_id") && !schema.contains("value") &&
+          !schema.contains("event_type") && !schema.contains("props")
+      }
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -66,20 +66,27 @@ object MergeUpsert {
   def insertIfAbsent(spark: SparkSession, source: DataFrame,
                      tablePath: String, keyCols: Seq[String],
                      orderCol: String): Long = {
-    val deduped = dedupSource(source, keyCols, orderCol)
-    val fresh =
-      if (!tableExists(spark, tablePath)) deduped
-      else {
-        // keys-only target scan: the anti-join build side carries the key
-        // columns, never full rows.
-        val targetKeys = spark.read.parquet(tablePath)
-          .select(keyCols.map(col): _*).distinct()
-        deduped.join(targetKeys, keyCols, "left_anti")
-      }
+    val fresh = newRows(spark, source, tablePath, keyCols, orderCol)
     val obs = new Observation()
     fresh.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Append).parquet(tablePath)
     obs.get("n").asInstanceOf[Long]
+  }
+
+  /** The WHEN-NOT-MATCHED row set [[insertIfAbsent]] appends. Public so
+    * plan audits (graft.Plans) can assert the scale-critical property:
+    * the target side of the anti-join scans ONLY the key columns. */
+  def newRows(spark: SparkSession, source: DataFrame, tablePath: String,
+              keyCols: Seq[String], orderCol: String): DataFrame = {
+    val deduped = dedupSource(source, keyCols, orderCol)
+    if (!tableExists(spark, tablePath)) deduped
+    else {
+      // keys-only target scan: the anti-join build side carries the key
+      // columns, never full rows.
+      val targetKeys = spark.read.parquet(tablePath)
+        .select(keyCols.map(col): _*).distinct()
+      deduped.join(targetKeys, keyCols, "left_anti")
+    }
   }
 
   /** MERGE ... WHEN MATCHED THEN UPDATE (source-wins) WHEN NOT MATCHED
