@@ -15,6 +15,10 @@ object Scratch {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = GraftSession.builder("local[32]", "32")
       .config("spark.sql.codegenCacheMaxEntries", "5000")
+      // mirror Bench's split emulation (see Bench.scala) so Scratch
+      // timings predict Bench timings
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (r <- 1 to reps; n <- names) {

@@ -86,10 +86,9 @@ object SignLsh {
     else {
       val sizes = bk.groupBy("table_id", "bucket")
         .agg(count(lit(1)).as("__n"))
-      val observed = capMetric.fold(sizes)(m =>
-        graft.CapTelemetry.observed(sizes, m,
-          coalesce(sum(when(col("__n") > maxBucket, col("__n"))), lit(0L))))
-      val hot = observed.filter(col("__n") > maxBucket)
+      val hotRaw = sizes.filter(col("__n") > maxBucket)
+      val hot = capMetric.fold(hotRaw)(m =>
+        graft.CapTelemetry.counted(hotRaw, m, "__n"))
         .select("table_id", "bucket")
       bk.join(broadcast(hot), Seq("table_id", "bucket"), "left_anti")
     }

@@ -177,11 +177,9 @@ object DedupQueries {
     // every band row), with the dropped-row count observed.
     val bucketSizes = allBands.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bucket_n"))
-    val hotBuckets = CapTelemetry.observed(
-        bucketSizes, capMetric,
-        coalesce(sum(when(col("bucket_n") > MaxBucket, col("bucket_n"))),
-                 lit(0L)))
-      .filter(col("bucket_n") > MaxBucket)
+    val hotBuckets = CapTelemetry.counted(
+        bucketSizes.filter(col("bucket_n") > MaxBucket),
+        capMetric, "bucket_n")
       .select("band_idx", "band_hash")
     val bandsKept = allBands
       .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
@@ -377,11 +375,9 @@ object DedupQueries {
         val posts = sets.filter(col("h").isNotNull)
           .select(col("rep_id"), col("h").as("s"))
         val dfCounts = posts.groupBy("s").agg(count(lit(1)).as("df"))
-        val hotShingles = CapTelemetry.observed(
-            dfCounts, "dd5_dropped_postings",
-            coalesce(sum(when(col("df") > MaxPostingDf, col("df"))),
-                     lit(0L)))
-          .filter(col("df") > MaxPostingDf)
+        val hotShingles = CapTelemetry.counted(
+            dfCounts.filter(col("df") > MaxPostingDf),
+            "dd5_dropped_postings", "df")
           .select("s")
         // persist: both sides of the self-join read the capped postings;
         // 16-byte rows (two longs), the cheapest possible pair-join input.

@@ -101,4 +101,19 @@ class SignLshSpec extends SparkSpec {
       .groupBy("bucket").agg(count(lit(1)).as("n")).collect()
     assert(kept.forall(_.getAs[Long]("n") <= 10))
   }
+
+  test("cap telemetry counts the dropped rows, not just that a drop happened") {
+    val (df, _) = planted(n = 50, dups = 0, noise = 0.0)
+    val dropped = SignLsh.overflow(df, "vec_id", "qv",
+      tables = 1, bits = 2, dim = 64, maxBucket = 10)
+      .agg(sum("n")).collect()(0).getLong(0)
+    // run the capped bucketize with a metric attached; the counter must
+    // equal the overflow report's total
+    SignLsh.bucketize(df, "vec_id", "qv",
+      tables = 1, bits = 2, dim = 64, maxBucket = 10,
+      capMetric = Some("spec_cap_metric"))
+      .write.format("noop").mode("overwrite").save()
+    assert(CapTelemetry.snapshot().get("spec_cap_metric").contains(dropped))
+    spark.catalog.clearCache()
+  }
 }
