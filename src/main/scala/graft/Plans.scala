@@ -66,6 +66,12 @@ object Plans {
     check("dd5: both self-join sides read the postings cache") {
       "InMemoryTableScan".r.findAllIn(dd5).length >= 2
     }
+    // the rolling-splits range join broadcasts the (one-row-per-window)
+    // splits frame — never a shuffle or cartesian of the data side
+    check("mlprep_rolling: splits side broadcast, no cartesian") {
+      val p = planOf("mlprep_rolling_splits")
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+    }
     // pl13's merge primitive: the anti-join's target side scans ONLY the
     // key columns (keys-not-rows build side at 100 TB)
     check("pl13: keys-only target scan in insertIfAbsent") {
