@@ -95,7 +95,11 @@ object DedupQueries {
     val reps = withTh
       .groupBy("th")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"),
-           min_by(col("text"), col("doc_id")).as("text"))
+           // every text in a th-group is IDENTICAL (th = md5(text)), so
+           // min(text) picks "the" text — and unlike min_by (an
+           // object-based aggregate that forces SortAggregate), plain min
+           // keeps the whole preamble in hash aggregation
+           min("text").as("text"))
     val membership = withTh.select("doc_id", "th")
       .join(reps.select("th", "rep_id"), "th")
       .select("doc_id", "rep_id")
