@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index over quantized embeddings — the
+  * partition-pruned complement to [[SignLsh]] (reference analog: the
+  * pgvector-style similarity lookups; structure per Jégou et al.'s
+  * IVF-ADC, coarse quantizer + probed exact scoring).
+  *
+  * Every vector is ASSIGNED to its nearest coarse centroid (argmax inner
+  * product over `C` fixed centroids); a query scores only vectors whose
+  * assigned centroid is among its `P` best centroids. Unlike LSH (where a
+  * vector lands in `tables` buckets), assignment is a PARTITION of the
+  * corpus: each vector appears in exactly one inverted list, so the
+  * candidate join needs no distinct — and at 100 TB the inverted lists
+  * are the partition layout (write the corpus bucketed by `cid` and a
+  * probe touches P/C of the data).
+  *
+  * Centroids are PLAN-TIME integer constants on the same 1e-6 grid as the
+  * quantized vectors — a production system k-means-trains them; the
+  * operator's correctness contract (exact integer dots, deterministic
+  * argmax with first-index tie-break) is identical either way, and fixed
+  * constants make the assignment replayable by the DuckDB oracle
+  * bit-for-bit. Dots stay in long arithmetic: |qv|≤~5e6 per axis,
+  * centroid axes ≤1e6, 64 axes → |dot| ≤ 3.2e14 « 2^63.
+  *
+  * The C dots are computed through ONE higher-order expression over the
+  * centroid-matrix literal, not C unrolled dim-term sums: a 16×64
+  * unrolled tree is ~1000 Catalyst nodes whose per-query analysis/
+  * optimization costs seconds of driver time, dwarfing the (tiny)
+  * interpreted-lambda execution cost it was avoiding.
+  */
+object IvfIndex {
+
+  val C = 16 // coarse centroids
+  val P = 4  // probed centroids per query
+
+  /** Deterministic centroid axis values on the 1e-6 quantization grid,
+    * in [-1e6, 1e6] (an LCG over the flattened index — fixed plan
+    * constants, see scaladoc). */
+  def centroid(j: Int, dim: Int): IndexedSeq[Long] =
+    (0 until dim).map { k =>
+      val idx = j * dim + k
+      ((1103515245L * idx + 12345L) % 2000001L) - 1000000L
+    }
+
+  def matrix(dim: Int): Seq[Seq[Long]] =
+    (0 until C).map(j => centroid(j, dim): Seq[Long])
+
+  /** All C centroid inner products of a quantized array<long> column, as
+    * one array<long> column (index = centroid id). */
+  def dots(qv: Column, dim: Int): Column = {
+    val cmat = typedLit(matrix(dim))
+    transform(cmat, c =>
+      aggregate(zip_with(qv, c, (x, w) => x * w), lit(0L), (a, v) => a + v))
+  }
+
+  /** DuckDB text of [[dots]] over a list column expression `qv`. */
+  def oracleDots(qv: String, dim: Int): String = {
+    val lit = matrix(dim)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"list_transform($lit, c -> list_sum(" +
+      s"list_transform(generate_series(1, len($qv)), i -> $qv[i] * c[i])))"
+  }
+
+  /** Assigned centroid id from the dot array: argmax, ties to the LOWEST
+    * index (first-occurrence position — identical in SQL). */
+  def assign(dl: Column): Column =
+    (array_position(dl, array_max(dl)) - 1).cast("int")
+
+  /** DuckDB text of [[assign]] over a list column expression `dl`. */
+  def oracleAssign(dl: String): String =
+    s"CAST(list_position($dl, list_max($dl)) - 1 AS INT)"
+}

@@ -225,5 +225,81 @@ object SimilarityQueries {
           .select(col("id_a"), col("id_b"), cosine.as("cosine"))
           .filter(col("cosine") >= 0.4)
       }),
+
+    // SIM4: IVF ANN — the second scale path next to LSH (sim2). Every
+    // corpus vector sits in exactly ONE inverted list (argmax-centroid
+    // assignment, graft.operators.IvfIndex); a query exact-scores only
+    // the P=4 lists its own best centroids name. At 100 TB the lists are
+    // the partition layout (bucket the table by cid); locally the join is
+    // one broadcast of NQ×P probe rows. No distinct needed anywhere —
+    // assignment is a partition, so a candidate pair arises exactly once.
+    QueryDef(
+      "sim4_ivf_topk",
+      Some {
+        import graft.operators.IvfIndex
+        val oDotQC =
+          "list_sum(list_transform(generate_series(1, len(p.qv_q)), i -> p.qv_q[i] * c.qv[i]))"
+        val oNormQ = "list_sum(list_transform(p.qv_q, v -> v * v))"
+        val oNormC = "list_sum(list_transform(c.qv, v -> v * v))"
+        s"""WITH qv AS (
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |d AS (
+           |  SELECT vec_id, qv, ${IvfIndex.oracleDots("qv", Dim)} AS dl
+           |  FROM qv),
+           |asg AS (
+           |  SELECT vec_id, qv, ${IvfIndex.oracleAssign("dl")} AS cid
+           |  FROM d),
+           |qd AS (
+           |  SELECT vec_id, qv, dl FROM d WHERE vec_id < $NQ),
+           |qp AS (
+           |  SELECT query_id, qv_q, cid FROM (
+           |    SELECT q.vec_id AS query_id, q.qv AS qv_q,
+           |      CAST(t.j AS INT) AS cid,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY q.dl[t.j + 1] DESC, t.j) AS rn
+           |    FROM qd q, generate_series(0, ${IvfIndex.C - 1}) t(j))
+           |  WHERE rn <= ${IvfIndex.P}),
+           |scored AS (
+           |  SELECT p.query_id, c.vec_id AS cand_id,
+           |    CAST($oDotQC AS DOUBLE) /
+           |      (sqrt(CAST($oNormQ AS DOUBLE)) *
+           |       sqrt(CAST($oNormC AS DOUBLE))) AS cosine
+           |  FROM qp p JOIN asg c ON p.cid = c.cid AND c.vec_id <> p.query_id)
+           |SELECT query_id, cand_id, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, cand_id) AS rn
+           |  FROM scored) WHERE rn <= $TopK""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qv"))
+        val dots = emb.select(col("vec_id"), col("qv"),
+            IvfIndex.dots(col("qv"), Dim).as("dl"))
+          // persist: the centroid-dot pass feeds both the corpus
+          // assignment and the query probe ranking
+          .persist()
+        val corpus = dots.select(col("vec_id").as("cand_id"),
+          col("qv").as("qv_c"), IvfIndex.assign(col("dl")).as("cid"))
+        val qd = dots.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+            posexplode(col("dl")))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("col").desc, col("pos").asc)
+        val probes = qd.withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= IvfIndex.P)
+          .select(col("query_id"), col("qv_q"), col("pos").as("cid"))
+        val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
+          (sqrt(normSq(col("qv_q")).cast("double")) *
+           sqrt(normSq(col("qv_c")).cast("double")))
+        val scored = corpus.join(broadcast(probes), "cid")
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        scored.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= TopK)
+          .select("query_id", "cand_id", "cosine")
+      }),
   )
 }
