@@ -155,5 +155,73 @@ object TextQueries {
                countDistinct("fp").as("n_unique"),
                Parity.davg(col("n_chars")).as("mean_chars"))
       }),
+
+    // TX5: rolling-hash document fingerprinting — the ORDER-SENSITIVE
+    // complement to dd2's sorted-token fingerprint. Karp-Rabin polynomial
+    // hash over the token-hash stream for the whole-document identity,
+    // plus a winnowing fingerprint (Schleimer et al. 2003): the rolling
+    // hash of every token 3-gram, thinned to the minimum of each 4-gram
+    // window — the selection a plagiarism/containment detector indexes.
+    // All pure per-row expressions; long arithmetic throughout
+    // (th < 2^32, B ≈ 2^20, one mod per step keeps products < 2^52).
+    QueryDef(
+      "tx5_rolling_fingerprint",
+      Some {
+        val B = 1000003L; val M = 2147483647L; val W = 4
+        val th = s"list_transform(string_split(text, ' '), t -> ${oHash32("t")})"
+        s"""WITH th AS (
+           |  SELECT doc_id, $th AS th FROM documents),
+           |g AS (
+           |  SELECT doc_id, th,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+           |      (a, x) -> (a * $B + x) % $M) AS doc_hash,
+           |    list_transform(generate_series(1, len(th) - 2), i ->
+           |      (((th[i] * $B + th[i + 1]) % $M) * $B + th[i + 2]) % $M)
+           |      AS grams
+           |  FROM th),
+           |fp AS (
+           |  SELECT doc_id, doc_hash, len(grams) AS n_grams,
+           |    CASE WHEN len(grams) >= $W THEN
+           |      list_distinct(list_transform(
+           |        generate_series(1, len(grams) - ${W - 1}),
+           |        i -> list_min(grams[i:i + ${W - 1}])))
+           |    WHEN len(grams) > 0 THEN [list_min(grams)]
+           |    ELSE [] END AS winnowed
+           |  FROM g)
+           |SELECT doc_id, doc_hash, CAST(n_grams AS BIGINT) AS n_grams,
+           |  md5(array_to_string(list_sort(winnowed), ',')) AS fp_digest,
+           |  CAST(len(winnowed) AS BIGINT) AS n_fp
+           |FROM fp""".stripMargin
+      },
+      (s, d) => {
+        val B = 1000003L; val M = 2147483647L; val W = 4
+        val th = transform(tokens(col("text")), t => hash32(t))
+        val docHash = aggregate(col("th"), lit(0L),
+          (a, x) => (a * B + x) % M)
+        val grams = transform(
+          sequence(lit(1), greatest(size(col("th")) - 2, lit(0))),
+          i => (((element_at(col("th"), i) * B +
+                  element_at(col("th"), i + 1)) % M) * B +
+                element_at(col("th"), i + 2)) % M)
+        val winnowed =
+          when(size(col("grams")) >= W,
+            array_distinct(transform(
+              sequence(lit(1), size(col("grams")) - (W - 1)),
+              i => array_min(slice(col("grams"), i, lit(W))))))
+          .when(size(col("grams")) > 0, array(array_min(col("grams"))))
+          .otherwise(array().cast("array<long>"))
+        Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), th.as("th"))
+          .select(col("doc_id"), docHash.as("doc_hash"),
+            when(size(col("th")) >= 3, grams)
+              .otherwise(array().cast("array<long>")).as("grams"))
+          .select(col("doc_id"), col("doc_hash"),
+            size(col("grams")).cast("long").as("n_grams"),
+            winnowed.as("winnowed"))
+          .select(col("doc_id"), col("doc_hash"), col("n_grams"),
+            md5(concat_ws(",", transform(array_sort(col("winnowed")),
+              x => x.cast("string")))).as("fp_digest"),
+            size(col("winnowed")).cast("long").as("n_fp"))
+      }),
   )
 }
