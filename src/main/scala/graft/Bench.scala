@@ -52,12 +52,12 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // Median of 3 timed iterations per query, with the iterations
+    // Median of 5 timed iterations per query, with the iterations
     // INTERLEAVED as full suite rounds rather than back-to-back: host
     // noise on this machine arrives in multi-minute windows, so
     // consecutive samples of one query are correlated — spreading a
     // query's samples across rounds lets the median reject a noisy window.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to iters; q <- defs) {
       val t0 = System.nanoTime()
@@ -73,26 +73,54 @@ object Bench {
       if (ok) samples.updateWith(q.name)(s =>
         Some((System.nanoTime() - t0) / 1e9 :: s.getOrElse(Nil)))
     }
+    // Per-query {min, median, max} over the interleaved rounds. The spread
+    // is the point: round 3's artifact showed a uniform +20-35% drift on
+    // sub-second queries that read as 25 regressions but was host noise —
+    // a single median can't distinguish a real 1.3x regression from a
+    // noisy measurement window, min/max can.
+    case class Stat(min: Double, med: Double, max: Double)
     val results = defs.map { q =>
       samples.get(q.name) match {
-        case Some(ts) => (q.name, ts.sorted.apply(ts.size / 2), true)
-        case None => (q.name, -1.0, false)
+        case Some(ts) =>
+          val s = ts.sorted
+          (q.name, Some(Stat(s.head, s(s.size / 2), s.last)))
+        case None => (q.name, None)
       }
     }
     // Failed queries are reported with value -1 (sentinel) and listed in
     // "failed" — time-to-failure must not masquerade as a duration.
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    def r(v: Double) = math.rint(v * 10000) / 10000
+    val qs = results.map { case (k, st) =>
+      "\"" + k + "\":" + st.fold("-1")(s => r(s.med).toString) }.mkString("{", ",", "}")
+    val statsJson = results.collect { case (k, Some(s)) =>
+      "\"" + k + s"""":{"min":${r(s.min)},"med":${r(s.med)},"max":${r(s.max)}}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, Some(s)) => s.med }.sum
+    // Noise floor: median (med/min - 1) over the 10 cheapest queries.
+    // These queries' plans don't change round-to-round, so their drift vs
+    // their own best observation is a direct read of host interference —
+    // compare any apparent cross-round regression against this number
+    // before calling it real.
+    val cheap = results.collect { case (_, Some(s)) => s }.sortBy(_.min).take(10)
+    val noiseFloor =
+      if (cheap.isEmpty) 0.0
+      else {
+        val drifts = cheap.map(s => s.med / s.min - 1.0).sorted
+        r(drifts(drifts.size / 2))
+      }
     // Cap telemetry (CapTelemetry): dropped-row counts behind every skew
     // cap, from the last timed iteration. All zeros at fixture scale —
     // the caps are sized never to fire there.
     val tel = CapTelemetry.snapshot().toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // One-off cost of materializing the shared dedup signature stage
+    // (operators.DedupStage) this JVM — paid during warmup here, reported
+    // so the dd-family steady-state timings can't hide it.
+    val stageSec = r(graft.operators.DedupStage.buildSeconds)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"telemetry":$tel,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"stats":$statsJson,"noise_floor":$noiseFloor,"iters":$iters,"dedup_stage_build_sec":$stageSec,"failed":$failed,"telemetry":$tel,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line to a file: the driver captures only the
     // tail of stdout, which truncated 28 of 89 per-query timings in round 2.

@@ -72,6 +72,35 @@ object Plans {
       val p = planOf("mlprep_rolling_splits")
       p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
     }
+    // sim4: the IVF probe join broadcasts the (NQ×P)-row probe frame
+    // against the corpus — never a corpus shuffle join; the only hash
+    // exchanges are the two tiny windows (probe ranking over NQ queries,
+    // final top-k over the scored candidates)
+    val sim4 = planOf("sim4_ivf_topk")
+    check("sim4: probes broadcast against the corpus, no shuffle join") {
+      sim4.contains("BroadcastHashJoin") && !sim4.contains("SortMergeJoin") &&
+        !sim4.contains("CartesianProduct")
+    }
+    check("sim4: only the two small-side window exchanges") {
+      "Exchange hashpartitioning".r.findAllIn(sim4).length == 2
+    }
+    // dd3/dd6 consume the MATERIALIZED signature stage (operators.DedupStage)
+    // instead of re-running the md5-shingle preamble, and their banding
+    // path has no window sort anywhere
+    val dd6 = planOf("dd6_staged_neardup")
+    check("dd6: reads the materialized signature stage") {
+      dd6.contains("graft_dedup_stage") &&
+        planOf("dd3_minhash_lsh").contains("graft_dedup_stage")
+    }
+    check("dd6: no window sort in the banding pipeline") {
+      !dd6.contains("Window [")
+    }
+    // mlprep_prepare: every join is broadcast (the two 1-row crossJoins
+    // ride BroadcastNestedLoopJoin) — no cartesian, no shuffle join
+    check("mlprep_prepare: broadcasts only, no cartesian/shuffle join") {
+      val p = planOf("mlprep_prepare")
+      !p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+    }
     // pl13's merge primitive: the anti-join's target side scans ONLY the
     // key columns (keys-not-rows build side at 100 TB)
     check("pl13: keys-only target scan in insertIfAbsent") {

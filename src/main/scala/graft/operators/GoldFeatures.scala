@@ -35,8 +35,15 @@ object GoldFeatures {
     sum(c.cast(DecimalType(30, scale))).cast("double")
 
   /** Holidays covering the fixture range (USFederalHolidayCalendar over
-    * [data min, data max] — reference my_stock_functions.py:513). */
-  val Holidays: Seq[String] = Seq("2024-01-01", "2024-01-15", "2024-02-19")
+    * [data min, data max] — reference my_stock_functions.py:513).
+    * Sourced from the committed calendar fixture via
+    * [[graft.sources.CalendarSource]] so this fold, the f16/mlprep
+    * broadcast dims, and every oracle share ONE row set; kept as a Seq
+    * because the fused Gold plan folds it into a literal when-chain (zero
+    * joins — a handful of literals beats a broadcast for a dim this
+    * small). */
+  val Holidays: Seq[String] =
+    graft.sources.CalendarSource.holidays("us_federal")
 
   private val wDay = Window.partitionBy("user_id").orderBy("day")
 

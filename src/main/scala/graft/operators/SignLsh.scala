@@ -68,20 +68,25 @@ object SignLsh {
   def bucketize(df: DataFrame, idCol: String, qvCol: String,
                 tables: Int, bits: Int, dim: Int,
                 maxBucket: Long = Long.MaxValue,
-                capMetric: Option[String] = None): DataFrame = {
+                capMetric: Option[String] = None,
+                persist: Boolean = true): DataFrame = {
     val ps = planes(tables, bits, dim)
     val structs = (0 until tables).map { t =>
       struct(lit(t).as("table_id"), bucket(col(qvCol), ps(t)).as("bucket"))
     }
-    // persist: the bucket computation (quantize + per-bit sign tests) is
-    // the cost center and every consumer reads it at least twice — the
-    // cap's size-count branch + the kept branch here, and both sides of
-    // the candidate self-join in [[candidatePairs]]. (Bench/Verify
-    // clearCache() releases it after each query's action.)
-    val bk = df.select(col(idCol), explode(array(structs: _*)).as("b"))
+    // persist (default): the bucket computation (quantize + per-bit sign
+    // tests) is the cost center and every consumer reads it at least
+    // twice — the cap's size-count branch + the kept branch here, and both
+    // sides of the candidate self-join in [[candidatePairs]]. Callers that
+    // already cache the quantized input and touch the bucket frame only
+    // lightly (sim2's query path) pass persist=false: recomputing the
+    // bucket bits from the cached input costs less than a materialization
+    // barrier. (Bench/Verify clearCache() releases it after each query's
+    // action.)
+    val bkRaw = df.select(col(idCol), explode(array(structs: _*)).as("b"))
       .select(col(idCol), col("b.table_id").as("table_id"),
               col("b.bucket").as("bucket"))
-      .persist()
+    val bk = if (persist) bkRaw.persist() else bkRaw
     if (maxBucket == Long.MaxValue) bk
     else {
       val sizes = bk.groupBy("table_id", "bucket")

@@ -285,5 +285,107 @@ object AggQueries {
             (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)))
             .as("corr_qty_disc"))
       }),
+
+    // A21b: the reference's full PAIRWISE correlation matrix — all
+    // k*(k-1)/2 pairs of k feature columns in ONE aggregate pass, upper
+    // triangle filtered to |r| > 0.7 (EDA - parte 2.ipynb:447-453). a21
+    // above is the single-pair miniature; this is the reference's query.
+    //
+    // Features are INTEGER-QUANTIZED (cents) derived measures. Integers,
+    // not scaled decimals, because sums of squares of 1e7-magnitude values
+    // blow far past 2^53 where the Parity doctrine's decimal trick loses
+    // bit-parity (DuckDB's int128/10^scale double-rounds); an exact integer
+    // sum in DECIMAL(38,0) converts to double in ONE correctly-rounded step
+    // on both engines at any magnitude — same trick as sim1's quantized
+    // dot products. The quantization itself is exact: inputs carry 2
+    // decimals, all derivation stays in decimal arithmetic until floor.
+    //
+    // Scale shape: one hash-aggregate (map-side partial combine) emitting
+    // 1+k+k*(k+1)/2 sums per group; the pair expansion explodes k*(k-1)/2
+    // structs per GROUP (3 groups here), never per data row — at 100 TB
+    // the matrix cost is the one scan + tiny shuffle, same as a21.
+    {
+      val featSql: Seq[(String, String)] = {
+        val e = "CAST(l_extendedprice AS DECIMAL(18,2))"
+        val di = "CAST(l_discount AS DECIMAL(18,2))"
+        val tx = "CAST(l_tax AS DECIMAL(18,2))"
+        Seq(
+          "qty_c" -> s"CAST(floor(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)",
+          "price_c" -> s"CAST(floor($e * 100) AS BIGINT)",
+          "rev_c" -> s"CAST(floor($e * (1 - $di) * 100) AS BIGINT)",
+          "charge_c" -> s"CAST(floor($e * (1 - $di) * (1 + $tx) * 100) AS BIGINT)",
+          "disc_c" -> s"CAST(floor($e * $di * 100) AS BIGINT)")
+      }
+      val names = featSql.map(_._1)
+      val pairs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
+      def iSum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(38,0))) AS DOUBLE)"
+      val sumCols =
+        names.map(a => s"${iSum(a)} AS s_$a") ++
+        (for { i <- names.indices; j <- names.indices if i <= j }
+          yield { val (a, b) = (names(i), names(j))
+            s"${iSum(s"$a * $b")} AS s_${a}_$b" })
+      def oR(a: String, b: String) =
+        s"(s_${a}_$b - s_$a * s_$b / n) / " +
+        s"(SQRT(s_${a}_$a - s_$a * s_$a / n) * SQRT(s_${b}_$b - s_$b * s_$b / n))"
+      val oracle =
+        s"""WITH f AS (
+           |  SELECT l_returnflag,
+           |    ${featSql.map { case (n2, x) => s"$x AS $n2" }.mkString(",\n    ")}
+           |  FROM lineitem),
+           |sums AS (
+           |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+           |    ${sumCols.mkString(",\n    ")}
+           |  FROM f GROUP BY l_returnflag),
+           |pairs AS (
+           |  ${pairs.map { case (a, b) =>
+                s"SELECT l_returnflag, '$a' AS col_a, '$b' AS col_b, ${oR(a, b)} AS r FROM sums"
+              }.mkString("\n  UNION ALL\n  ")})
+           |SELECT l_returnflag, col_a, col_b, r FROM pairs
+           |WHERE abs(r) > 0.7""".stripMargin
+      QueryDef(
+        "a21b_corr_matrix",
+        Some(oracle),
+        (s, d) => {
+          import org.apache.spark.sql.types.DecimalType
+          val e = col("l_extendedprice").cast(DecimalType(18, 2))
+          val di = col("l_discount").cast(DecimalType(18, 2))
+          val tx = col("l_tax").cast(DecimalType(18, 2))
+          val feats: Seq[(String, Column)] = Seq(
+            "qty_c" ->
+              floor(col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long"),
+            "price_c" -> floor(e * 100).cast("long"),
+            "rev_c" -> floor(e * (lit(1) - di) * 100).cast("long"),
+            "charge_c" ->
+              floor(e * (lit(1) - di) * (lit(1) + tx) * 100).cast("long"),
+            "disc_c" -> floor(e * di * 100).cast("long"))
+          val base = Tables.lineitem(s, d).select(
+            col("l_returnflag") +: feats.map { case (n2, c) => c.as(n2) }: _*)
+          def iSumC(c: Column) = sum(c.cast(DecimalType(38, 0))).cast("double")
+          val aggs =
+            names.map(a => iSumC(col(a)).as(s"s_$a")) ++
+            (for { i <- names.indices; j <- names.indices if i <= j }
+              yield { val (a, b) = (names(i), names(j))
+                iSumC(col(a) * col(b)).as(s"s_${a}_$b") })
+          val sums = base.groupBy("l_returnflag")
+            .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+          def rr(a: String, b: String): Column = {
+            val (sx, sy) = (col(s"s_$a"), col(s"s_$b"))
+            val (sxy, sxx, syy) =
+              (col(s"s_${a}_$b"), col(s"s_${a}_$a"), col(s"s_${b}_$b"))
+            (sxy - sx * sy / col("n")) /
+              (sqrt(sxx - sx * sx / col("n")) * sqrt(syy - sy * sy / col("n")))
+          }
+          sums.select(col("l_returnflag"),
+              explode(array(pairs.map { case (a, b) =>
+                struct(lit(a).as("col_a"), lit(b).as("col_b"),
+                  rr(a, b).as("r"))
+              }: _*)).as("p"))
+            .select(col("l_returnflag"), col("p.col_a").as("col_a"),
+              col("p.col_b").as("col_b"), col("p.r").as("r"))
+            .filter(abs(col("r")) > 0.7)
+        })
+    },
   )
 }

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val K = 16          // minhash permutations
+  private val K = graft.operators.DedupParams.K // minhash permutations
   private val Bands = 4       // dd3 LSH bands (4 rows each)
   private val SimBits = 16    // simhash width
   /** dd6 banding: same 16 signatures re-banded 8×2 — at the staged
@@ -61,56 +61,12 @@ object DedupQueries {
     * observable per run. */
   private val MaxPostingDf = 1000
 
-  /** Shared dedup-first preamble for dd3/dd5/dd6.
-    *
-    * Returns (membership, hashed):
-    *  - membership: (doc_id, rep_id) — each document mapped to the integer
-    *    id of its exact-duplicate representative (min doc_id of the
-    *    identical-text group). Everything downstream joins on this 8-byte
-    *    key; the md5 text hash exists only inside this method;
-    *  - hashed: (th, rep_id, n_copies, h) — DISTINCT hashed shingles of one
-    *    representative per distinct text. h is null for shingle-less docs
-    *    (kept so group metadata survives). `th` is retained ONLY because
-    *    the frame arrives hash(th)-partitioned, letting downstream
-    *    `groupBy("th")` aggregations reuse the exchange (hash(th) satisfies
-    *    their clustering); consumers aggregate by th and OUTPUT rep_id.
-    *
-    * Three deliberate physical choices:
-    *  1. explicit `repartition(n, th)` — AQE would coalesce a plain groupBy
-    *     exchange to 1 partition at fixture size, serializing the expensive
-    *     md5 work onto one core; explicit counts are exempt, and the
-    *     downstream groupBy/dropDuplicates reuse the same exchange;
-    *  2. shingle md5 runs as a TOP-LEVEL projection after explode, not
-    *     inside `transform` — top-level md5/conv are whole-stage-codegen'd,
-    *     while lambdas inside higher-order functions are interpreted
-    *     (≈10× slower and JIT-warmup-sensitive);
-    *  3. membership reuses the same hash(th) exchange for its rep_id
-    *     lookup join (both sides th-clustered → zero extra shuffles).
-    */
-  private def repShingleHashes(s: SparkSession, d: String) = {
-    val par = s.sparkContext.defaultParallelism
-    val withTh = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), md5(col("text")).as("th"))
-      .repartition(par, col("th"))
-    val reps = withTh
-      .groupBy("th")
-      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"),
-           // every text in a th-group is IDENTICAL (th = md5(text)), so
-           // min(text) picks "the" text — and unlike min_by (an
-           // object-based aggregate that forces SortAggregate), plain min
-           // keeps the whole preamble in hash aggregation
-           min("text").as("text"))
-    val membership = withTh.select("doc_id", "th")
-      .join(reps.select("th", "rep_id"), "th")
-      .select("doc_id", "rep_id")
-    val hashed = reps
-      .select(col("th"), col("rep_id"), col("n_copies"),
-              explode_outer(shingles(col("text"))).as("sg"))
-      .select(col("th"), col("rep_id"), col("n_copies"),
-              hash32(col("sg")).as("h"))
-      .dropDuplicates("th", "h") // exchange-reusing: still hash(th)
-    (membership, hashed)
-  }
+  // The shared dedup-first preamble (md5 text hash → representative per
+  // distinct text → hashed shingle sets → K minhash minima) lives in
+  // [[graft.operators.DedupStage]], MATERIALIZED once per (session, corpus)
+  // and read by all three operators below — the silver-layer signature
+  // table a 100 TB pipeline would maintain, instead of three full
+  // per-token-md5 corpus scans per dedup pass.
 
   /** Expand surviving representative pairs (rep_a < rep_b, jaccard) to
     * member pairs, plus the within-group pairs of duplicate groups
@@ -143,29 +99,11 @@ object DedupQueries {
   private def lshNearDup(s: SparkSession, d: String, bands: Int,
                          threshold: Double, capMetric: String): DataFrame = {
     val rowsPerBand = K / bands
-    val (membership, hashed) = repShingleHashes(s, d)
-    // persist: the hashed-shingle sets feed the band build + both
-    // jaccard sides; the md5 pass is the cost center, so compute it
-    // once. collect_list drops the null marker row → [] for
-    // shingle-less docs. Element order is nondeterministic, but every
-    // consumer (intersect/union sizes) is order-insensitive.
+    val stage = graft.operators.DedupStage(s, d)
+    val membership = stage.membership
+    // persist: the profiles feed the band build + both jaccard sides.
     // (Bench/Verify clearCache() releases the persist after the action.)
-    // The K permutation minima come out of the SAME aggregate as the
-    // shingle-set rebuild: min((h*a+b) mod p) per key is a codegen'd
-    // hash-agg expression, vs the interpreted array_min(transform(...))
-    // lambda over a collected array (≈10× slower + allocation-heavy).
-    // min() ignores the null marker rows → null sigs for shingle-less
-    // docs, same as the oracle's list_min([]).
-    val sigAggs = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * a + b) % MinhashP).as(s"sig$j")
-    }
-    val docs = hashed
-      .groupBy("th") // exchange-reusing aggregate; outputs rep_id
-      .agg(min("rep_id").as("rep_id"),
-           (min("n_copies").as("n_copies") +:
-            collect_list(col("h")).as("hs") +: sigAggs): _*)
-      .drop("th")
-      .persist()
+    val docs = stage.profiles.persist()
     val bandStructs = (0 until bands).map { bIdx =>
       val parts = (0 until rowsPerBand)
         .map(r => col(s"sig${bIdx * rowsPerBand + r}").cast("string"))
@@ -362,22 +300,23 @@ object DedupQueries {
         // Same dedup-first structure as dd3: postings are built over one
         // representative per distinct text (identical docs are the postings
         // hotspot — a dup group of size g puts g copies on every one of its
-        // shingles), surviving rep pairs expand back to member pairs.
-        val (membership, hashed) = repShingleHashes(s, d)
-        // persist: feeds sizes + postings + the dup-group scan.
-        val sets = hashed.persist()
-        // set sizes, keyed by rep_id via the exchange-reusing th aggregate
-        val sz = sets.filter(col("h").isNotNull)
-          .groupBy("th").agg(min("rep_id").as("rep_id"),
-                             count(lit(1)).as("n"))
-          .drop("th")
+        // shingles), surviving rep pairs expand back to member pairs. The
+        // shingle sets come from the materialized signature stage; postings
+        // are just their explode, sizes their array length.
+        val stage = graft.operators.DedupStage(s, d)
+        val membership = stage.membership
+        val profiles = stage.profiles.persist()
+        // set sizes per representative (empty shingle sets excluded —
+        // they have no postings on either engine)
+        val sz = profiles.filter(size(col("hs")) > 0)
+          .select(col("rep_id"), size(col("hs")).cast("long").as("n"))
         // Stop-shingle guard: drop postings whose document frequency
         // exceeds MaxPostingDf before the self-join (df² candidate blowup,
         // no discriminative value). Hash-agg the df counts, broadcast the
         // (tiny, normally empty) hot set as an anti-join, and observe how
         // many postings the cap removed — never silent.
-        val posts = sets.filter(col("h").isNotNull)
-          .select(col("rep_id"), col("h").as("s"))
+        val posts = profiles
+          .select(col("rep_id"), explode(col("hs")).as("s"))
         val dfCounts = posts.groupBy("s").agg(count(lit(1)).as("df"))
         val hotShingles = CapTelemetry.counted(
             dfCounts.filter(col("df") > MaxPostingDf),
@@ -420,9 +359,9 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.4)
         // identical texts share all shingles → jaccard exactly 1.0 ≥ 0.4;
         // empty shingle sets have no postings on either engine.
-        val dupReps = sets
-          .filter(col("n_copies") > 1 && col("h").isNotNull)
-          .select("rep_id").distinct()
+        val dupReps = profiles
+          .filter(col("n_copies") > 1 && size(col("hs")) > 0)
+          .select("rep_id")
         expandPairs(membership, survivors, dupReps)
       }),
 

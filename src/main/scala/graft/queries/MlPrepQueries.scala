@@ -49,12 +49,31 @@ object MlPrepQueries {
     * far beyond any fixture span; raise for longer archives. */
   private val MaxWindows = 200
 
+  /** Histogram rows above which [[histogramMedian]] refuses to run: the
+    * single-partition cumulative window below is sound ONLY because it runs
+    * over the value HISTOGRAM, not the data — 100k distinct values is far
+    * past any bounded-domain column (days-since-holiday tops out at ~366)
+    * while still trivial for one partition, so the guard never fires on
+    * legitimate input and always fires on a mistaken high-cardinality
+    * double column. */
+  private[graft] val MaxMedianDomain = 100000L
+
   /** (median) 1-row frame of the exact median of an integral column,
     * via value histogram + two middle order statistics. */
-  private def histogramMedian(vals: DataFrame, c: String): DataFrame = {
+  private[graft] def histogramMedian(vals: DataFrame, c: String,
+      maxDomain: Long = MaxMedianDomain): DataFrame = {
     val cumW = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, 0)
     val allW = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
+    // Cardinality guard as part of the PLAN (assert_true → runtime error),
+    // not prose: the final aggregate sees every histogram row, so
+    // count(*) there IS the domain size. Wrapped so the median is only
+    // emitted after the assertion evaluates (assert_true yields NULL on
+    // success), and the output schema stays the single `median` column.
+    val guard = assert_true(count(lit(1)) <= maxDomain,
+      lit(s"histogramMedian: value domain exceeds $maxDomain distinct " +
+        "values — this exact-median path is for bounded-domain columns; " +
+        "use approx_percentile for continuous ones"))
     vals.filter(col(c).isNotNull)
       .groupBy(c).agg(count(lit(1)).as("cnt"))
       // the histogram is tiny (distinct values of a bounded-domain column);
@@ -63,8 +82,9 @@ object MlPrepQueries {
       .withColumn("total", sum("cnt").over(allW))
       .withColumn("lo_pos", expr("(total + 1) DIV 2"))
       .withColumn("hi_pos", expr("(total + 2) DIV 2"))
-      .agg(((min(when(col("cum") >= col("lo_pos"), col(c))) +
-             min(when(col("cum") >= col("hi_pos"), col(c)))) / 2.0)
+      .agg(when(guard.isNull,
+        (min(when(col("cum") >= col("lo_pos"), col(c))) +
+         min(when(col("cum") >= col("hi_pos"), col(c)))) / 2.0)
         .as("median"))
   }
 
@@ -84,16 +104,16 @@ object MlPrepQueries {
       |    AS median
       |  FROM cum)""".stripMargin
 
-  /** Tiny inline holiday dimension whose first entry falls mid-range of the
-    * events fixture, so days before it get NULL days-since-holiday — the
-    * fill_empty_dsh precondition (my_model.py:63-66). */
+  /** The `exchange_maintenance` calendar from the committed fixture
+    * ([[graft.sources.CalendarSource]]): its first entry falls mid-range of
+    * the events fixture, so days before it get NULL days-since-holiday —
+    * the fill_empty_dsh precondition (my_model.py:63-66). */
   private def holidayDim(s: SparkSession): DataFrame =
-    s.createDataFrame(Seq(Tuple1("2024-01-08"), Tuple1("2024-01-20")))
-      .toDF("h").select(col("h").cast("date").as("holiday"))
+    graft.sources.CalendarSource.dim(s, "exchange_maintenance")
   private val oHolidays =
-    """holidays AS (
-      |  SELECT CAST(h AS DATE) AS holiday FROM (VALUES
-      |    (DATE '2024-01-08'), (DATE '2024-01-20')) t(h))""".stripMargin
+    s"""holidays AS (
+      |  SELECT CAST(h AS DATE) AS holiday FROM
+      |    ${graft.sources.CalendarSource.valuesSql("exchange_maintenance")})""".stripMargin
 
   /** day → days-since-most-recent-holiday (NULL before the first holiday),
     * the f16 as-of shape over an arbitrary day frame. */

@@ -182,23 +182,30 @@ object ScalarQueries {
              |  CAST(event_id AS VARCHAR) AS id_str
              |FROM events""".stripMargin),
       (s, d) =>
-        Tables.events(s, d).select(
-          col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k_value"),
-          // S8 REST-payload shape: structured parse via from_json + schema
-          from_json(col("props"),
-              org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
-            .getField("k").multiply(2).as("k_doubled"),
-          expr("try_cast(event_type AS double)").as("type_as_num"),
-          col("event_id").cast("string").as("id_str"))),
+        // ONE from_json per row; both k columns derive from the parsed
+        // struct. The two-projection shape is load-bearing: `j` is used
+        // twice downstream and from_json is non-cheap, so CollapseProject
+        // keeps the parse in its own projection instead of inlining (and
+        // thus re-evaluating) it per consumer — at 100 TB the JSON parse
+        // IS this query's cost, everything else is arithmetic.
+        Tables.events(s, d)
+          .withColumn("j", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+          .select(
+            col("event_id"),
+            col("j").getField("k").as("k_value"),
+            (col("j").getField("k") * 2).as("k_doubled"),
+            expr("try_cast(event_type AS double)").as("type_as_num"),
+            col("event_id").cast("string").as("id_str"))),
 
-    // F16: days-since-holiday — as-of lookup against a tiny inline holiday
+    // F16: days-since-holiday — as-of lookup against the committed calendar
     // dimension (broadcast; the searchsorted of my_stock_functions.py:509).
+    // Both sides read sources/CalendarSource so Spark and oracle can't drift.
     QueryDef(
       "f16_days_since_holiday",
-      Some("""WITH holidays AS (
-             |  SELECT CAST(h AS DATE) AS holiday FROM (VALUES
-             |    (DATE '2024-01-01'), (DATE '2024-01-15')) t(h)),
+      Some(s"""WITH holidays AS (
+             |  SELECT CAST(h AS DATE) AS holiday FROM
+             |    ${graft.sources.CalendarSource.valuesSql("us_federal")}),
              |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
              |SELECT d.day,
              |  CAST(datediff('day',
@@ -206,9 +213,7 @@ object ScalarQueries {
              |    d.day) AS BIGINT) AS days_since_holiday
              |FROM days d""".stripMargin),
       (s, d) => {
-        val holidays = s.createDataFrame(
-          Seq(Tuple1("2024-01-01"), Tuple1("2024-01-15")))
-          .toDF("h").select(col("h").cast("date").as("holiday"))
+        val holidays = graft.sources.CalendarSource.dim(s, "us_federal")
         val days = Tables.events(s, d)
           .select(to_date(col("ts")).as("day")).distinct()
         days.join(broadcast(holidays), col("holiday") <= col("day"), "left")

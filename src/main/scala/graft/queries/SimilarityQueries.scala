@@ -144,11 +144,15 @@ object SimilarityQueries {
         // per-row bucket math is light; at fixture scale the repartition's
         // extra stage costs more than the parallelism buys (sim1, which
         // scores EVERY row against every query, keeps it).
+        // persist: three consumers read the quantized frame (bucket build,
+        // query-vector broadcast, corpus scoring side) — without it each
+        // re-scans the parquet and re-runs the interpreted quant lambda.
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), quant(col("embedding")).as("qv"))
+          .persist()
         val bk = graft.operators.SignLsh.bucketize(
           emb, "vec_id", "qv", LshTables, Sim2Bits, Dim, MaxLshBucket,
-          Some("sim2_dropped_bucket_rows"))
+          Some("sim2_dropped_bucket_rows"), persist = false)
         val qb = bk.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("query_id"), col("table_id"),
             explode(graft.operators.SignLsh.probeBuckets(col("bucket"),
@@ -166,7 +170,12 @@ object SimilarityQueries {
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
           (sqrt(normSq(col("qv_q")).cast("double")) *
            sqrt(normSq(col("qv_c")).cast("double")))
-        val scored = cand.join(broadcast(q), "query_id").join(c, "cand_id")
+        // scoring join direction matters at 100 TB: the corpus is the
+        // STREAM side scanned once, the (candidate × query-vector) frame —
+        // small by LSH construction — broadcasts. Explicit, so neither AQE
+        // estimation stages nor a corpus shuffle appear.
+        val candq = cand.join(broadcast(q), "query_id")
+        val scored = c.join(broadcast(candq), "cand_id")
           .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("cand_id"))

@@ -438,3 +438,97 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class CalendarSourceSpec extends SparkSpec {
+  import graft.sources.CalendarSource
+
+  test("fixture parses: federal calendar sorted, maintenance mid-range") {
+    val fed = CalendarSource.holidays("us_federal")
+    assert(fed.nonEmpty && fed == fed.sorted)
+    assert(fed.contains("2024-01-01") && fed.contains("2024-01-15"))
+    // the ml.prep median-fill precondition: first maintenance closure
+    // falls strictly inside the events fixture's January range
+    val maint = CalendarSource.holidays("exchange_maintenance")
+    assert(maint.head > "2024-01-01" && maint.head < "2024-01-30")
+  }
+
+  test("unknown calendar fails fast, not empty") {
+    val e = intercept[IllegalArgumentException] {
+      CalendarSource.holidays("no_such_calendar")
+    }
+    assert(e.getMessage.contains("us_federal"))
+  }
+
+  test("dim yields one date row per fixture holiday") {
+    val rows = CalendarSource.dim(spark, "us_federal").collect()
+    assert(rows.length == CalendarSource.holidays("us_federal").length)
+    assert(rows.forall(_.get(0).isInstanceOf[java.sql.Date]))
+  }
+
+  test("oracle VALUES fragment carries the same dates as the dim") {
+    val sql = CalendarSource.valuesSql("us_federal")
+    CalendarSource.holidays("us_federal").foreach { h =>
+      assert(sql.contains(s"DATE '$h'"))
+    }
+  }
+}
+
+class HistogramMedianSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("exact median via histogram order statistics (odd and even n)") {
+    import spark.implicits._
+    val odd = graft.queries.MlPrepQueries
+      .histogramMedian(Seq(1L, 5L, 2L, 2L, 9L).toDF("v"), "v")
+      .collect()(0).getDouble(0)
+    assert(odd == 2.0)
+    val even = graft.queries.MlPrepQueries
+      .histogramMedian(Seq(1L, 3L, 5L, 9L).toDF("v"), "v")
+      .collect()(0).getDouble(0)
+    assert(even == 4.0) // mean of the two middle order statistics
+  }
+
+  test("cardinality guard: unbounded domain fails instead of degrading") {
+    import spark.implicits._
+    val wide = (1L to 50L).toDF("v")
+    val e = intercept[Exception] {
+      graft.queries.MlPrepQueries
+        .histogramMedian(wide, "v", maxDomain = 10L).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("histogramMedian")))
+  }
+}
+
+class DedupStageSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("stage builds once per corpus and serves both tables") {
+    val d = "/root/testdata/sf0.001"
+    val before = graft.operators.DedupStage.buildSeconds
+    val s1 = graft.operators.DedupStage(spark, d)
+    val nDocs = Tables.documents(spark, d).count()
+    assert(s1.membership.count() == nDocs) // every doc has a representative
+    val profiles = s1.profiles
+    // one profile row per DISTINCT text; duplicate groups collapse
+    val nDistinct = Tables.documents(spark, d)
+      .select(md5(col("text"))).distinct().count()
+    assert(profiles.count() == nDistinct)
+    assert(profiles.columns.contains("sig0") &&
+      profiles.columns.contains(s"sig${graft.operators.DedupParams.K - 1}"))
+    val afterFirst = graft.operators.DedupStage.buildSeconds
+    // second apply must hit the materialized stage, not rebuild
+    graft.operators.DedupStage(spark, d)
+    assert(graft.operators.DedupStage.buildSeconds == afterFirst)
+    assert(afterFirst >= before)
+  }
+
+  test("membership maps duplicate docs to the min doc_id representative") {
+    val d = "/root/testdata/sf0.001"
+    val stage = graft.operators.DedupStage(spark, d)
+    val bad = stage.membership.filter(col("rep_id") > col("doc_id")).count()
+    assert(bad == 0)
+  }
+}
