@@ -377,5 +377,50 @@ object DedupQueries {
       Some(oLshNearDup(StagedBands, StagedThreshold)),
       (s, d) => lshNearDup(s, d, StagedBands, StagedThreshold,
         "dd6_dropped_band_rows")),
+
+    // DD7: duplicate CLUSTERS — the step after pair generation that makes
+    // dedup actionable: near-dup pairs are evidence, the unit a pipeline
+    // drops by is the transitive-closure cluster (a~b, b~c ⇒ keep one of
+    // {a,b,c}). dd6's pairs feed iterative min-label propagation
+    // (operators.ConnectedComponents); the cluster id IS the canonical
+    // keep id (min doc_id). Oracle: the same closure as a recursive-CTE
+    // label walk over the same pair query.
+    QueryDef(
+      "dd7_dup_clusters",
+      Some {
+        val pairsSql = oLshNearDup(StagedBands, StagedThreshold)
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |$pairsSql
+           |  )),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs),
+           |walk(doc_id, label) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, w.label FROM walk w JOIN edges e
+           |    ON w.doc_id = e.src),
+           |comp AS (
+           |  SELECT doc_id, min(label) AS cluster_id FROM walk
+           |  GROUP BY doc_id),
+           |sizes AS (
+           |  SELECT cluster_id, count(*) AS cluster_size FROM comp
+           |  GROUP BY cluster_id)
+           |SELECT c.doc_id, c.cluster_id, s.cluster_size
+           |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin
+      },
+      (s, d) => {
+        val pairs = lshNearDup(s, d, StagedBands, StagedThreshold,
+          "dd7_dropped_band_rows").select("doc_a", "doc_b")
+        val comp = graft.operators.ConnectedComponents.run(pairs)
+        // cluster sizes ride a tiny groupBy on the (already small) label
+        // frame; broadcast back onto the per-doc rows
+        val sizes = comp.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        comp.join(broadcast(sizes), "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      }),
   )
 }

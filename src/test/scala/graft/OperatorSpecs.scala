@@ -532,3 +532,45 @@ class DedupStageSpec extends SparkSpec {
     assert(bad == 0)
   }
 }
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.ConnectedComponents
+
+  private def pairs(ps: (Long, Long)*) = {
+    import spark.implicits._
+    ps.toDF("doc_a", "doc_b")
+  }
+
+  test("chain merges transitively to the min id") {
+    // 1-2, 2-3, 3-4: one component labeled 1, found in diameter rounds
+    val out = ConnectedComponents.run(pairs((1L, 2L), (2L, 3L), (3L, 4L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep distinct canonical ids") {
+    val out = ConnectedComponents
+      .run(pairs((10L, 11L), (20L, 22L), (22L, 21L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("round cap fails fast on a chain deeper than the budget") {
+    // path of 8 nodes has diameter 7 > 3 rounds
+    val chain = (1L to 7L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.run(pairs(chain: _*), maxRounds = 3)
+    }
+    assert(e.getMessage.contains("large-star"))
+  }
+
+  test("star graph converges in one round regardless of size") {
+    // the near-dup shape: hub 1 with 30 spokes — 1 propagation round + 1
+    // fixpoint-confirm round, far under any cap
+    val star = (2L to 31L).map(i => (1L, i))
+    val out = ConnectedComponents.run(pairs(star: _*), maxRounds = 2)
+    assert(out.filter(col("cluster_id") === 1L).count() == 31)
+  }
+}
