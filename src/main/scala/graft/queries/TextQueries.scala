@@ -223,5 +223,62 @@ object TextQueries {
               x => x.cast("string")))).as("fp_digest"),
             size(col("winnowed")).cast("long").as("n_fp"))
       }),
+
+    // TX6: the curation COMPOSITION a training-data pipeline actually
+    // runs — quality gate (tx2's scoring) first, then exact dedup
+    // keep-first over the survivors — emitting one row per kept document
+    // with its collapsed-copy count. Order matters at scale: the cheap
+    // per-row quality filter cuts the corpus before anything shuffles, and
+    // the dedup groupBy keys on the 16-byte md5, never the text.
+    QueryDef(
+      "tx6_corpus_curation",
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS n_distinct,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+             |  FROM documents),
+             |q AS (
+             |  SELECT *,
+             |    (CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END +
+             |     CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |       BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END +
+             |     CASE WHEN CAST(n_distinct AS DOUBLE)
+             |         / CAST(n_tokens AS DOUBLE)
+             |       >= 0.3 THEN 0.3 ELSE 0.0 END) AS quality
+             |  FROM t)
+             |SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+             |  min(n_tokens) AS n_tokens, min(quality) AS quality,
+             |  count(*) AS n_copies
+             |FROM q WHERE quality >= 0.7
+             |GROUP BY md5(text)""".stripMargin),
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val t = Tables.fanOut(Tables.documents(s, d)).select(
+          col("doc_id"), col("lang"), col("text"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          size(filter(toks, w => w === "the" || w === "a")).cast("long")
+            .as("n_stop"))
+        val stopR =
+          col("n_stop").cast("double") / col("n_tokens").cast("double")
+        val ttr =
+          col("n_distinct").cast("double") / col("n_tokens").cast("double")
+        t.withColumn("quality",
+            when(col("n_tokens") >= 20, 0.4).otherwise(0.0) +
+            when(stopR.between(0.01, 0.5), 0.3).otherwise(0.0) +
+            when(ttr >= 0.3, 0.3).otherwise(0.0))
+          .filter(col("quality") >= 0.7)
+          // identical text ⇒ identical derived features, so plain min
+          // stays in hash aggregation (no object-agg SortAggregate) and
+          // picks the keep-first doc_id + its metadata
+          .groupBy(md5(col("text")).as("th"))
+          .agg(min("doc_id").as("doc_id"), min("lang").as("lang"),
+               min("n_tokens").as("n_tokens"), min("quality").as("quality"),
+               count(lit(1)).as("n_copies"))
+          .drop("th")
+      }),
   )
 }

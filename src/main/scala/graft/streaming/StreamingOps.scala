@@ -52,6 +52,22 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming exact dedup — the streaming twin of dd1/u2 for a document
+    * INGEST path: keep the first arrival of each content hash, drop later
+    * identical payloads. Dedup state is the scale constraint in a stream
+    * (an unbounded `dropDuplicates` keeps every key forever); the
+    * watermarked variant bounds state to the `horizon` window, the honest
+    * contract for ingest dedup where duplicates arrive close together
+    * (retries, at-least-once sources, double-submitted crawls). Re-keyed on
+    * the 16-byte md5 BEFORE the stateful operator so the state store and
+    * its shuffle never carry document text — the same hash-first rule as
+    * the batch dedup family. */
+  def streamingDedup(docs: DataFrame, horizon: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionAgg(
       user_id: Long, session_start: java.sql.Timestamp,

@@ -558,12 +558,21 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("round cap fails fast on a chain deeper than the budget") {
-    // path of 8 nodes has diameter 7 > 3 rounds
-    val chain = (1L to 7L).map(i => (i, i + 1))
+    // path of 40 nodes: even with pointer jumping (~2^r reach) a 2-round
+    // budget cannot close diameter 39
+    val chain = (1L to 39L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException] {
-      ConnectedComponents.run(pairs(chain: _*), maxRounds = 3)
+      ConnectedComponents.run(pairs(chain: _*), maxRounds = 2)
     }
     assert(e.getMessage.contains("large-star"))
+  }
+
+  test("pointer jumping closes a deep chain in O(log diameter) rounds") {
+    // 120-node path, diameter 119: plain propagation would need 119
+    // rounds; propagation + jump doubles reach per round → well under 12
+    val chain = (1L to 119L).map(i => (i, i + 1))
+    val out = ConnectedComponents.run(pairs(chain: _*), maxRounds = 12)
+    assert(out.filter(col("cluster_id") === 1L).count() == 120)
   }
 
   test("star graph converges in one round regardless of size") {
@@ -572,5 +581,38 @@ class ConnectedComponentsSpec extends SparkSpec {
     val star = (2L to 31L).map(i => (1L, i))
     val out = ConnectedComponents.run(pairs(star: _*), maxRounds = 2)
     assert(out.filter(col("cluster_id") === 1L).count() == 31)
+  }
+}
+
+class StreamingDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("watermarked stream dedup keeps first arrival per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingOps
+      .streamingDedup(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts + one in-batch duplicate
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "alpha beta"),
+        (2L, ts("2024-01-01 10:01:00"), "gamma delta"),
+        (3L, ts("2024-01-01 10:02:00"), "alpha beta"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate (inside the watermark horizon)
+      // plus one genuinely new text
+      mem.addData(
+        (4L, ts("2024-01-01 10:30:00"), "gamma delta"),
+        (5L, ts("2024-01-01 10:31:00"), "epsilon zeta"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_out")
+        .collect().map(_.getLong(0)).sorted
+      // doc 3 (in-batch dup) and doc 4 (cross-batch dup) dropped
+      assert(ids.toSeq == Seq(1L, 2L, 5L))
+    } finally q.stop()
   }
 }
