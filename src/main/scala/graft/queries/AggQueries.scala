@@ -291,36 +291,36 @@ object AggQueries {
     // triangle filtered to |r| > 0.7 (EDA - parte 2.ipynb:447-453). a21
     // above is the single-pair miniature; this is the reference's query.
     //
-    // Features are INTEGER-QUANTIZED (cents) derived measures. Integers,
-    // not scaled decimals, because sums of squares of 1e7-magnitude values
-    // blow far past 2^53 where the Parity doctrine's decimal trick loses
-    // bit-parity (DuckDB's int128/10^scale double-rounds); an exact integer
-    // sum in DECIMAL(38,0) converts to double in ONE correctly-rounded step
-    // on both engines at any magnitude — same trick as sim1's quantized
-    // dot products. The quantization itself is exact: inputs carry 2
-    // decimals, all derivation stays in decimal arithmetic until floor.
+    // Features are INTEGER-QUANTIZED (whole currency units) derived
+    // measures, chosen so every moment sum fits comfortably in a LONG:
+    // max |x·y| ≈ 1.2e10, so ~7e8 rows per group fit under 2^63 — three
+    // orders of magnitude past this fixture family (switch the square
+    // sums to DECIMAL(38,0) beyond that). Long sums keep parity exact at
+    // zero decimal-aggregation cost: both engines sum the same integers
+    // (DuckDB's hugeint equals the unoverflowed long) and convert to
+    // double in ONE correctly-rounded step — same trick as sim1's
+    // quantized dot products — and the 21-sum aggregate stays a primitive
+    // codegen'd hash-agg instead of 21 decimal accumulators. The
+    // quantization floor runs on an IDENTICAL double expression tree both
+    // sides, so a boundary-adjacent floor lands identically.
     //
     // Scale shape: one hash-aggregate (map-side partial combine) emitting
     // 1+k+k*(k+1)/2 sums per group; the pair expansion explodes k*(k-1)/2
     // structs per GROUP (3 groups here), never per data row — at 100 TB
     // the matrix cost is the one scan + tiny shuffle, same as a21.
     {
-      val featSql: Seq[(String, String)] = {
-        val e = "CAST(l_extendedprice AS DECIMAL(18,2))"
-        val di = "CAST(l_discount AS DECIMAL(18,2))"
-        val tx = "CAST(l_tax AS DECIMAL(18,2))"
-        Seq(
-          "qty_c" -> s"CAST(floor(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)",
-          "price_c" -> s"CAST(floor($e * 100) AS BIGINT)",
-          "rev_c" -> s"CAST(floor($e * (1 - $di) * 100) AS BIGINT)",
-          "charge_c" -> s"CAST(floor($e * (1 - $di) * (1 + $tx) * 100) AS BIGINT)",
-          "disc_c" -> s"CAST(floor($e * $di * 100) AS BIGINT)")
-      }
+      val featSql: Seq[(String, String)] = Seq(
+        "qty_u" -> "CAST(floor(l_quantity) AS BIGINT)",
+        "price_u" -> "CAST(floor(l_extendedprice) AS BIGINT)",
+        "rev_u" -> "CAST(floor(l_extendedprice * (1.0 - l_discount)) AS BIGINT)",
+        "charge_u" -> ("CAST(floor(l_extendedprice * (1.0 - l_discount) " +
+          "* (1.0 + l_tax)) AS BIGINT)"),
+        "disc_u" -> "CAST(floor(l_extendedprice * l_discount) AS BIGINT)")
       val names = featSql.map(_._1)
       val pairs = for {
         i <- names.indices; j <- names.indices if i < j
       } yield (names(i), names(j))
-      def iSum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(38,0))) AS DOUBLE)"
+      def iSum(x: String) = s"CAST(SUM($x) AS DOUBLE)"
       val sumCols =
         names.map(a => s"${iSum(a)} AS s_$a") ++
         (for { i <- names.indices; j <- names.indices if i <= j }
@@ -348,21 +348,19 @@ object AggQueries {
         "a21b_corr_matrix",
         Some(oracle),
         (s, d) => {
-          import org.apache.spark.sql.types.DecimalType
-          val e = col("l_extendedprice").cast(DecimalType(18, 2))
-          val di = col("l_discount").cast(DecimalType(18, 2))
-          val tx = col("l_tax").cast(DecimalType(18, 2))
+          val e = col("l_extendedprice")
+          val di = col("l_discount")
+          val tx = col("l_tax")
           val feats: Seq[(String, Column)] = Seq(
-            "qty_c" ->
-              floor(col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long"),
-            "price_c" -> floor(e * 100).cast("long"),
-            "rev_c" -> floor(e * (lit(1) - di) * 100).cast("long"),
-            "charge_c" ->
-              floor(e * (lit(1) - di) * (lit(1) + tx) * 100).cast("long"),
-            "disc_c" -> floor(e * di * 100).cast("long"))
+            "qty_u" -> floor(col("l_quantity")).cast("long"),
+            "price_u" -> floor(e).cast("long"),
+            "rev_u" -> floor(e * (lit(1.0) - di)).cast("long"),
+            "charge_u" ->
+              floor(e * (lit(1.0) - di) * (lit(1.0) + tx)).cast("long"),
+            "disc_u" -> floor(e * di).cast("long"))
           val base = Tables.lineitem(s, d).select(
             col("l_returnflag") +: feats.map { case (n2, c) => c.as(n2) }: _*)
-          def iSumC(c: Column) = sum(c.cast(DecimalType(38, 0))).cast("double")
+          def iSumC(c: Column) = sum(c).cast("double")
           val aggs =
             names.map(a => iSumC(col(a)).as(s"s_$a")) ++
             (for { i <- names.indices; j <- names.indices if i <= j }

@@ -280,5 +280,74 @@ object TextQueries {
                count(lit(1)).as("n_copies"))
           .drop("th")
       }),
+
+    // TX7: BM25 relevance scoring — rank the corpus for a fixed query term
+    // set (Robertson-Sparck Jones BM25, k1=1.2 b=0.75). Corpus statistics
+    // (N, avgdl, per-term df) come from ONE aggregate broadcast back onto
+    // the per-doc scan; top-k is orderBy+limit (TakeOrdered — no global
+    // sort). Parity: tf/dl/df/N are exact integers, avgdl and every score
+    // term derive through identical IEEE trees, and the one transcendental
+    // (ln in the idf) is rounded at 9 decimals like f7 — ranking uses the
+    // ROUNDED score so a last-ulp libm difference cannot reorder the
+    // tiebreak (score desc, doc_id).
+    {
+      val terms = Seq("spark", "query", "stream")
+      val K1 = "1.2"; val B = "0.75"
+      val oTf = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS BIGINT) AS tf_$i"
+      }.mkString(",\n    ")
+      val oStats = terms.indices.map { i =>
+        s"CAST(count(CASE WHEN tf_$i > 0 THEN 1 END) AS BIGINT) AS df_$i"
+      }.mkString(", ")
+      val oScore = terms.indices.map { i =>
+        s"ln((n_docs - df_$i + 0.5) / (df_$i + 0.5)) * " +
+        s"(tf_$i * ($K1 + 1.0)) / " +
+        s"(tf_$i + $K1 * (1.0 - $B + $B * dl / avgdl))"
+      }.mkString(" + ")
+      QueryDef(
+        "tx7_bm25",
+        Some(s"""WITH base AS (
+                |  SELECT doc_id,
+                |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                |    $oTf
+                |  FROM documents),
+                |stats AS (
+                |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                |    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                |      AS avgdl,
+                |    $oStats
+                |  FROM base)
+                |SELECT doc_id, round($oScore, 9) AS score
+                |FROM base, stats
+                |ORDER BY score DESC, doc_id
+                |LIMIT 20""".stripMargin),
+        (s, d) => {
+          val toks = tokens(col("text"))
+          val tfCols = terms.zipWithIndex.map { case (t, i) =>
+            size(filter(toks, w => w === t)).cast("long").as(s"tf_$i")
+          }
+          val base = Tables.fanOut(Tables.documents(s, d)).select(
+            col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+          val statAggs =
+            (sum("dl").cast("double") / count(lit(1)).cast("double"))
+              .as("avgdl") +:
+            terms.indices.map { i =>
+              count(when(col(s"tf_$i") > 0, 1)).cast("long").as(s"df_$i")
+            }
+          val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
+            statAggs: _*)
+          val score = terms.indices.map { i =>
+            log((col("n_docs") - col(s"df_$i") + 0.5) /
+                (col(s"df_$i") + lit(0.5))) *
+            (col(s"tf_$i") * (lit(1.2) + 1.0)) /
+            (col(s"tf_$i") + lit(1.2) *
+              (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+          }.reduce(_ + _)
+          base.crossJoin(broadcast(stats))
+            .select(col("doc_id"), round(score, 9).as("score"))
+            .orderBy(col("score").desc, col("doc_id"))
+            .limit(20)
+        })
+    },
   )
 }
