@@ -81,8 +81,23 @@ object DedupStage {
     val done = new java.io.File(s"$dir/_DONE")
     if (!built.contains(dir) && !done.exists()) {
       val t0 = System.nanoTime()
-      build(s, d, dir)
-      done.createNewFile()
+      // Build into a process-private dir, then publish with an atomic
+      // rename: concurrent JVMs (driver's Verify and Bench, say) may race
+      // on the same stage key, and a half-written shared dir must never be
+      // readable. Loser of the rename just discards its build.
+      val tmp = new java.io.File(
+        dir + ".build." + java.lang.ProcessHandle.current().pid())
+      build(s, d, tmp.getPath)
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tmp.getPath, "_DONE"))
+      try java.nio.file.Files.move(tmp.toPath, new java.io.File(dir).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException =>
+        // another process published first — its stage is equivalent
+        // (deterministic build); drop ours
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      }
       buildSeconds += (System.nanoTime() - t0) / 1e9
     }
     built.add(dir)

@@ -197,3 +197,51 @@ class PropertySpecs extends SparkSpec {
     }
   }
 }
+
+/** Randomized cross-check of the distributed connected-components operator
+  * against a sequential union-find on the same edge list. */
+class ConnectedComponentsPropertySpec extends SparkSpec {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1L to 8L).foreach { seed =>
+      gen.apply(Gen.Parameters.default, Seed(seed)).foreach(body)
+    }
+
+  private val graphGen: Gen[List[(Long, Long)]] = for {
+    nNodes <- Gen.choose(2, 40)
+    nEdges <- Gen.choose(1, 60)
+    edges <- Gen.listOfN(nEdges, for {
+      a <- Gen.choose(0L, nNodes.toLong - 1)
+      b <- Gen.choose(0L, nNodes.toLong - 1)
+    } yield (a, b))
+  } yield edges.filter { case (a, b) => a != b }
+    .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("distributed CC equals sequential union-find on random graphs") {
+    import spark.implicits._
+    forAll(graphGen) { edges =>
+      if (edges.nonEmpty) {
+        val expected = unionFind(edges)
+        val got = graft.operators.ConnectedComponents
+          .run(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+}
