@@ -63,9 +63,15 @@ object DedupStage {
 
   private def mtime(d: String): Long = {
     val f = new java.io.File(s"$d/documents.parquet")
-    // directory-style parquet: newest part file
-    if (f.isDirectory) f.listFiles().map(_.lastModified()).max
-    else f.lastModified()
+    require(f.exists(), s"DedupStage: corpus not found at ${f.getPath}")
+    // directory-style parquet: newest part file (empty dir = corrupt
+    // fixture — fail here with a clear message, not inside the build)
+    if (f.isDirectory) {
+      val files = f.listFiles()
+      require(files != null && files.nonEmpty,
+        s"DedupStage: ${f.getPath} is an empty directory")
+      files.map(_.lastModified()).max
+    } else f.lastModified()
   }
 
   private def stageDir(s: SparkSession, d: String): String = {
@@ -90,10 +96,14 @@ object DedupStage {
       build(s, d, tmp.getPath)
       java.nio.file.Files.createFile(
         java.nio.file.Paths.get(tmp.getPath, "_DONE"))
+      // Lose-the-race shapes only (target already exists / non-empty);
+      // any other move failure is a real error and must propagate — a
+      // broad catch here would silently delete the build and surface
+      // later as a confusing missing-path read.
       try java.nio.file.Files.move(tmp.toPath, new java.io.File(dir).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.FileSystemException =>
+                   _: java.nio.file.DirectoryNotEmptyException =>
         // another process published first — its stage is equivalent
         // (deterministic build); drop ours
         org.apache.commons.io.FileUtils.deleteQuietly(tmp)

@@ -64,6 +64,27 @@ object TextOps {
   def oHashAll(arr: String): String =
     s"list_transform($arr, s -> ${oHash32("s")})"
 
+  /** Document quality score over pre-computed token stats — ONE definition
+    * per engine side, shared by the scoring query (tx2) and the curation
+    * gate (tx6) so a threshold tweak cannot silently diverge them.
+    * length ≥ 20 tokens (0.4) + stopword ratio in [0.01, 0.5] (0.3) +
+    * type-token ratio ≥ 0.3 (0.3). */
+  def qualityScore(nTokens: Column, nStop: Column,
+                   nDistinct: Column): Column = {
+    val stopR = nStop.cast("double") / nTokens.cast("double")
+    val ttr = nDistinct.cast("double") / nTokens.cast("double")
+    when(nTokens >= 20, 0.4).otherwise(0.0) +
+      when(stopR.between(0.01, 0.5), 0.3).otherwise(0.0) +
+      when(ttr >= 0.3, 0.3).otherwise(0.0)
+  }
+  def oQualityScore(nTokens: String, nStop: String,
+                    nDistinct: String): String =
+    s"""(CASE WHEN $nTokens >= 20 THEN 0.4 ELSE 0.0 END +
+       |     CASE WHEN CAST($nStop AS DOUBLE) / CAST($nTokens AS DOUBLE)
+       |       BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END +
+       |     CASE WHEN CAST($nDistinct AS DOUBLE) / CAST($nTokens AS DOUBLE)
+       |       >= 0.3 THEN 0.3 ELSE 0.0 END)""".stripMargin
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — robust to word order and duplication (the rolling-hash
     * fingerprint analog, exact across engines). */

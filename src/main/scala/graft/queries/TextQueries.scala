@@ -73,7 +73,7 @@ object TextQueries {
     // type-token ratio, composed into one deterministic quality score.
     QueryDef(
       "tx2_quality_score",
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id, n_chars,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
@@ -88,11 +88,7 @@ object TextQueries {
              |    AS stopword_ratio,
              |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
              |    AS type_token_ratio,
-             |  (CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END +
-             |   CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-             |     BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END +
-             |   CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-             |     >= 0.3 THEN 0.3 ELSE 0.0 END) AS quality
+             |  ${oQualityScore("n_tokens", "n_stop", "n_distinct")} AS quality
              |FROM t""".stripMargin),
       (s, d) => {
         val toks = tokens(col("text"))
@@ -110,9 +106,8 @@ object TextQueries {
             .as("avg_token_len"),
           stopR.as("stopword_ratio"),
           ttr.as("type_token_ratio"),
-          (when(col("n_tokens") >= 20, 0.4).otherwise(0.0) +
-           when(stopR.between(0.01, 0.5), 0.3).otherwise(0.0) +
-           when(ttr >= 0.3, 0.3).otherwise(0.0)).as("quality"))
+          qualityScore(col("n_tokens"), col("n_stop"), col("n_distinct"))
+            .as("quality"))
       }),
 
     // TX3: token counting — whitespace tokens + BPE-ish regex tokens
@@ -232,7 +227,7 @@ object TextQueries {
     // the dedup groupBy keys on the 16-byte md5, never the text.
     QueryDef(
       "tx6_corpus_curation",
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id, lang, text,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
@@ -242,12 +237,8 @@ object TextQueries {
              |  FROM documents),
              |q AS (
              |  SELECT *,
-             |    (CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END +
-             |     CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-             |       BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END +
-             |     CASE WHEN CAST(n_distinct AS DOUBLE)
-             |         / CAST(n_tokens AS DOUBLE)
-             |       >= 0.3 THEN 0.3 ELSE 0.0 END) AS quality
+             |    ${oQualityScore("n_tokens", "n_stop", "n_distinct")}
+             |      AS quality
              |  FROM t)
              |SELECT min(doc_id) AS doc_id, min(lang) AS lang,
              |  min(n_tokens) AS n_tokens, min(quality) AS quality,
@@ -262,14 +253,8 @@ object TextQueries {
           size(array_distinct(toks)).cast("long").as("n_distinct"),
           size(filter(toks, w => w === "the" || w === "a")).cast("long")
             .as("n_stop"))
-        val stopR =
-          col("n_stop").cast("double") / col("n_tokens").cast("double")
-        val ttr =
-          col("n_distinct").cast("double") / col("n_tokens").cast("double")
         t.withColumn("quality",
-            when(col("n_tokens") >= 20, 0.4).otherwise(0.0) +
-            when(stopR.between(0.01, 0.5), 0.3).otherwise(0.0) +
-            when(ttr >= 0.3, 0.3).otherwise(0.0))
+            qualityScore(col("n_tokens"), col("n_stop"), col("n_distinct")))
           .filter(col("quality") >= 0.7)
           // identical text ⇒ identical derived features, so plain min
           // stays in hash aggregation (no object-agg SortAggregate) and
@@ -326,8 +311,11 @@ object TextQueries {
           val tfCols = terms.zipWithIndex.map { case (t, i) =>
             size(filter(toks, w => w === t)).cast("long").as(s"tf_$i")
           }
+          // persist: the tokenize + per-term tf pass is the dominant cost
+          // and BOTH the stats aggregate and the scoring scan read it
           val base = Tables.fanOut(Tables.documents(s, d)).select(
             col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+            .persist()
           val statAggs =
             (sum("dl").cast("double") / count(lit(1)).cast("double"))
               .as("avgdl") +:

@@ -26,8 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object CalendarSource {
 
-  /** Committed fixture (see `fixtures/`); header `calendar,holiday,name`. */
-  val FixturePath = "/root/repo/fixtures/us_calendar_2024.csv"
+  /** Committed fixture (see `fixtures/`); header `calendar,holiday,name`.
+    * Resolved repo-relative first (tests and mains fork from the repo
+    * root), falling back to the canonical checkout path so driver-side
+    * invocations with a different cwd still work. */
+  val FixturePath: String = {
+    val rel = new java.io.File("fixtures/us_calendar_2024.csv")
+    if (rel.exists()) rel.getPath
+    else "/root/repo/fixtures/us_calendar_2024.csv"
+  }
 
   /** calendar name → sorted ISO holiday dates, parsed once per JVM. */
   lazy val byCalendar: Map[String, Seq[String]] = {
