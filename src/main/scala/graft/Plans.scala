@@ -11,6 +11,10 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // plan-string assertions match on scan locations (e.g. the stage's
+    // staged_pairs path), which the default 100-char metadata truncation
+    // would cut off
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("s1_scan_pushdown", "j2_broadcast_dim_join", "pl6_feature_battery",
                "w5_lag_battery", "w5b_lag_battery_dst", "j7_asof_join",
@@ -86,7 +90,10 @@ object Plans {
     }
     // dd3/dd6 consume the MATERIALIZED signature stage (operators.DedupStage)
     // instead of re-running the md5-shingle preamble, and their banding
-    // path has no window sort anywhere
+    // path has no window sort anywhere. dd6 additionally reads the stage's
+    // PUBLISHED pair table (band join paid once at build), so its plan
+    // must contain NO band explode — dd3 keeps the inline band join as the
+    // timed exemplar of the same core.
     val dd6 = planOf("dd6_staged_neardup")
     check("dd6: reads the materialized signature stage") {
       dd6.contains("graft_dedup_stage") &&
@@ -94,6 +101,10 @@ object Plans {
     }
     check("dd6: no window sort in the banding pipeline") {
       !dd6.contains("Window [")
+    }
+    check("dd6: reads materialized staged pairs, no inline band explode") {
+      dd6.contains("staged_pairs") && !dd6.contains("Generate explode") &&
+        planOf("dd3_minhash_lsh").contains("Generate explode")
     }
     // mlprep_prepare: every join is broadcast (the two 1-row crossJoins
     // ride BroadcastNestedLoopJoin) — no cartesian, no shuffle join

@@ -51,9 +51,17 @@ import org.apache.spark.sql.functions._
 object DedupStage {
 
   /** Bump when the stage schema or any signature constant changes. */
-  private val Version = 1
+  private val Version = 2
 
-  final case class Stage(membership: DataFrame, profiles: DataFrame)
+  /** `stagedPairs` is the staged pipeline's PUBLISHED output: surviving
+    * representative pairs `(rep_a, rep_b, jaccard)` at the
+    * [[DedupParams.StagedBands]]×/J≥[[DedupParams.StagedThreshold]]
+    * operating point — what dd6 emits (pre-member-expansion), materialized
+    * so downstream consumers (duplicate-cluster CC, corpus curation) read
+    * a table instead of re-running the band join, exactly as a production
+    * pipeline reads the previous stage's silver table. */
+  final case class Stage(membership: DataFrame, profiles: DataFrame,
+                         stagedPairs: DataFrame)
 
   /** Wall-clock seconds spent building stages in this JVM (0 when every
     * consumer hit an already-built stage). */
@@ -115,7 +123,8 @@ object DedupStage {
       s.read.parquet(s"$dir/membership"),
       // fan the single-scratch-file read out to all cores — banding and
       // jaccard expressions downstream are the per-row hot path
-      Tables.fanOut(s.read.parquet(s"$dir/profiles")))
+      Tables.fanOut(s.read.parquet(s"$dir/profiles")),
+      Tables.fanOut(s.read.parquet(s"$dir/staged_pairs")))
   }
 
   private def build(s: SparkSession, d: String, dir: String): Unit = {
@@ -162,6 +171,17 @@ object DedupStage {
       .drop("th")
       .write.mode("overwrite").parquet(s"$dir/profiles")
     reps.unpersist()
+    // Third table: the staged pipeline's verified pair set. Built from the
+    // just-written profiles parquet (clean lineage — no signature
+    // recompute), at the staged operating point. The band-join cost is
+    // paid HERE, once, inside [[buildSeconds]]; dd6 (member expansion) and
+    // dd7 (connected components) then read this table like any other
+    // upstream output.
+    val profs = Tables.fanOut(s.read.parquet(s"$dir/profiles")).persist()
+    LshBanding.repPairs(profs, DedupParams.StagedBands,
+        DedupParams.StagedThreshold, "stage_dropped_band_rows")
+      .write.mode("overwrite").parquet(s"$dir/staged_pairs")
+    profs.unpersist()
   }
 }
 
@@ -169,4 +189,74 @@ object DedupStage {
 object DedupParams {
   /** minhash permutations */
   val K = 16
+
+  /** Staged-pipeline banding: the 16 signatures re-banded 8×2 — at the
+    * staged operator's verify threshold (J ≥ 0.4) 4-row bands would keep
+    * only ~10% of qualifying pairs (0.4⁴ per band), while 2-row bands keep
+    * 1-(1-0.4²)⁸ ≈ 75% — the recall/candidate-volume knob of
+    * Leskovec-Rajaraman-Ullman ch.3, chosen per threshold. These are the
+    * parameters of the MATERIALIZED pair table ([[DedupStage]]); dd3 keeps
+    * its own inline 4×4/J≥0.5 parameterization of the same core. */
+  val StagedBands = 8
+  val StagedThreshold = 0.4
+
+  /** LSH bucket-size cap: buckets larger than this are dropped from the
+    * candidate join (a bucket this hot is either a degenerate shingle
+    * distribution or an un-collapsed dup cluster, and with exact-dup
+    * collapse first neither occurs in practice). Natural collision buckets
+    * on the fixtures max out at ~15; the cap only engages under
+    * pathological skew at scale — and reports what it dropped via
+    * [[graft.CapTelemetry]]. */
+  val MaxBucket = 1000
+}
+
+/** The LSH band-join candidate generator + exact-Jaccard verifier over a
+  * signature-profile frame — ONE core with two parameterizations: dd3 runs
+  * it inline (4×4 bands, J≥0.5), and [[DedupStage]] runs it at build time
+  * (8×2 bands, J≥0.4) to materialize the staged pipeline's pair table.
+  */
+object LshBanding {
+
+  /** Surviving representative pairs `(rep_a < rep_b, jaccard)` over
+    * `profiles(rep_id, hs, sig0..sig{K-1}, ...)`. Caller persists
+    * `profiles` (it feeds the band build AND both jaccard sides). */
+  def repPairs(profiles: DataFrame, bands: Int, threshold: Double,
+               capMetric: String): DataFrame = {
+    val rowsPerBand = DedupParams.K / bands
+    val bandStructs = (0 until bands).map { bIdx =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"sig${bIdx * rowsPerBand + r}").cast("string"))
+      struct(lit(bIdx).as("band_idx"),
+             md5(concat_ws(",", parts: _*)).as("band_hash"))
+    }
+    val allBands = profiles
+      .select(col("rep_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("rep_id"), col("b.band_idx").as("band_idx"),
+              col("b.band_hash").as("band_hash"))
+      .persist()
+    // Skew cap as hash-agg + broadcast anti-join (not a window sort over
+    // every band row), with the dropped-row count observed.
+    val bucketSizes = allBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+    val hotBuckets = graft.CapTelemetry.counted(
+        bucketSizes.filter(col("bucket_n") > DedupParams.MaxBucket),
+        capMetric, "bucket_n")
+      .select("band_idx", "band_hash")
+    val bandsKept = allBands
+      .join(broadcast(hotBuckets), Seq("band_idx", "band_hash"), "left_anti")
+    val a = bandsKept.select(col("rep_id").as("rep_a"),
+      col("band_idx"), col("band_hash"))
+    val b = bandsKept.select(col("rep_id").as("rep_b"),
+      col("band_idx"), col("band_hash"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b").distinct()
+    val x = profiles.select(col("rep_id").as("rep_a"), col("hs").as("hs_a"))
+    val y = profiles.select(col("rep_id").as("rep_b"), col("hs").as("hs_b"))
+    val jac = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+      size(array_union(col("hs_a"), col("hs_b"))).cast("double")
+    cand.join(x, "rep_a").join(y, "rep_b")
+      .select(col("rep_a"), col("rep_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

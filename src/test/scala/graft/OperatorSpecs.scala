@@ -505,7 +505,7 @@ class HistogramMedianSpec extends SparkSpec {
 class DedupStageSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
-  test("stage builds once per corpus and serves both tables") {
+  test("stage builds once per corpus and serves all three tables") {
     val d = "/root/testdata/sf0.001"
     val before = graft.operators.DedupStage.buildSeconds
     val s1 = graft.operators.DedupStage(spark, d)
@@ -530,6 +530,21 @@ class DedupStageSpec extends SparkSpec {
     val stage = graft.operators.DedupStage(spark, d)
     val bad = stage.membership.filter(col("rep_id") > col("doc_id")).count()
     assert(bad == 0)
+  }
+
+  test("materialized staged pairs equal an inline band-join recompute") {
+    import graft.operators.{DedupParams, DedupStage, LshBanding}
+    val d = "/root/testdata/sf0.001"
+    val stage = DedupStage(spark, d)
+    val mat = stage.stagedPairs
+    assert(mat.columns.toSeq == Seq("rep_a", "rep_b", "jaccard"))
+    assert(mat.filter(col("jaccard") < DedupParams.StagedThreshold)
+      .count() == 0)
+    val inline = LshBanding.repPairs(stage.profiles.persist(),
+      DedupParams.StagedBands, DedupParams.StagedThreshold, "spec_cap")
+    // identical pair sets (jaccard is a deterministic exact expression)
+    assert(mat.exceptAll(inline).count() == 0 &&
+      inline.exceptAll(mat).count() == 0)
   }
 }
 
