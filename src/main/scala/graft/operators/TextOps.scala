@@ -85,6 +85,27 @@ object TextOps {
        |     CASE WHEN CAST($nDistinct AS DOUBLE) / CAST($nTokens AS DOUBLE)
        |       >= 0.3 THEN 0.3 ELSE 0.0 END)""".stripMargin
 
+  /** PII / identifier scrub patterns. Conservative regex classes chosen to
+    * parse AND match identically under Java regex (Spark executors) and
+    * RE2 (DuckDB oracle): character classes, bounded repetition, no
+    * backrefs/lookaround (which RE2 rejects). */
+  val DigitRun = "[0-9]+"
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val SsnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Count non-overlapping matches of `pattern` (0 when none). */
+  def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+  def oCountMatches(x: String, pattern: String): String =
+    s"CAST(len(regexp_extract_all($x, '$pattern')) AS BIGINT)"
+
+  /** Replace every match of `pattern` with `repl` (Spark replaces all by
+    * default; the oracle needs RE2's explicit 'g' flag). */
+  def maskAll(c: Column, pattern: String, repl: String): Column =
+    regexp_replace(c, pattern, repl)
+  def oMaskAll(x: String, pattern: String, repl: String): String =
+    s"regexp_replace($x, '$pattern', '$repl', 'g')"
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — robust to word order and duplication (the rolling-hash
     * fingerprint analog, exact across engines). */

@@ -337,5 +337,133 @@ object TextQueries {
             .limit(20)
         })
     },
+
+    // TX8: PII / identifier scrub — the redaction pass a training-data
+    // pipeline runs before anything leaves the raw zone: mask identifier
+    // digit runs, count what each pattern class found (the scrub's audit
+    // trail), and pseudonymize the leading identifier with a deterministic
+    // surrogate (md5 tokenization) so downstream joins still work without
+    // the raw value. Pure per-row regex projections over the semi-
+    // structured `props` payload — codegen'd, no shuffle at any scale.
+    // The email/SSN classes are part of the battery and hit zero on this
+    // corpus (asserted by the oracle, not assumed): a scrub that cannot
+    // prove absence is as useless as one that cannot mask presence.
+    QueryDef(
+      "tx8_pii_scrub",
+      Some(s"""SELECT event_id, event_type,
+              |  ${oMaskAll("props", DigitRun, "<N>")} AS masked_props,
+              |  ${oCountMatches("props", DigitRun)} AS n_digit_runs,
+              |  CASE WHEN regexp_extract(props, '([0-9]+)', 1) <> ''
+              |       THEN CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)
+              |       END AS first_id,
+              |  CASE WHEN regexp_extract(props, '([0-9]+)', 1) <> ''
+              |       THEN md5('id:' || regexp_extract(props, '([0-9]+)', 1))
+              |       END AS pseudo_id,
+              |  ${oCountMatches("props", EmailPat)} AS n_emails,
+              |  ${oCountMatches("props", SsnPat)} AS n_ssns
+              |FROM events""".stripMargin),
+      (s, d) => {
+        val run = regexp_extract(col("props"), "([0-9]+)", 1)
+        Tables.events(s, d).select(
+          col("event_id"), col("event_type"),
+          maskAll(col("props"), DigitRun, "<N>").as("masked_props"),
+          countMatches(col("props"), DigitRun).as("n_digit_runs"),
+          // CASE guards the ANSI cast: the empty no-match sentinel must
+          // never reach CAST on either engine
+          when(run =!= "", run.cast("long")).as("first_id"),
+          when(run =!= "", md5(concat(lit("id:"), run))).as("pseudo_id"),
+          countMatches(col("props"), EmailPat).as("n_emails"),
+          countMatches(col("props"), SsnPat).as("n_ssns"))
+      }),
+
+    // TX9: intra-document repetition metrics (Gopher-style quality
+    // filters): duplicate-token fraction, most-frequent-bigram share, and
+    // the fraction of trigram instances that are repeats — the signals
+    // that catch boilerplate and degenerate generation inside ONE document
+    // (the cross-document dedup family can't see these). Shape: one
+    // explode to (doc, n-gram) rows, count per gram, then per-doc
+    // conditional aggregates — both shuffles are doc_id-keyed with
+    // map-side partial aggregation, so the cost scales with token count,
+    // never pairwise.
+    QueryDef(
+      "tx9_repetition",
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(text, ' ') AS lst
+              |  FROM documents),
+              |base AS (
+              |  SELECT doc_id,
+              |    CAST(len(lst) AS BIGINT) AS n_tokens,
+              |    CAST(len(list_distinct(lst)) AS BIGINT) AS n_distinct,
+              |    lst
+              |  FROM t),
+              |g AS (
+              |  SELECT doc_id, n_tokens, n_distinct, 2 AS ord,
+              |    unnest(${oShinglesFromList("lst", 2)}) AS gram
+              |  FROM base
+              |  UNION ALL
+              |  SELECT doc_id, n_tokens, n_distinct, 3,
+              |    unnest(${oShinglesFromList("lst", 3)})
+              |  FROM base),
+              |c AS (
+              |  SELECT doc_id, n_tokens, n_distinct, ord, gram,
+              |    count(*) AS n
+              |  FROM g GROUP BY ALL),
+              |a AS (
+              |  SELECT doc_id, n_tokens, n_distinct,
+              |    max(CASE WHEN ord = 2 THEN n END) AS top_bi,
+              |    CAST(sum(CASE WHEN ord = 2 THEN n ELSE 0 END) AS BIGINT)
+              |      AS tot_bi,
+              |    CAST(sum(CASE WHEN ord = 3 AND n > 1 THEN n ELSE 0 END)
+              |      AS BIGINT) AS dup_tri,
+              |    CAST(sum(CASE WHEN ord = 3 THEN n ELSE 0 END) AS BIGINT)
+              |      AS tot_tri
+              |  FROM c GROUP BY 1, 2, 3)
+              |SELECT doc_id, n_tokens,
+              |  CAST(n_tokens - n_distinct AS DOUBLE)
+              |    / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+              |  CAST(top_bi AS DOUBLE) / CAST(tot_bi AS DOUBLE)
+              |    AS top_bigram_frac,
+              |  CAST(dup_tri AS DOUBLE) / CAST(tot_tri AS DOUBLE)
+              |    AS dup_trigram_frac,
+              |  (CAST(top_bi AS DOUBLE) / CAST(tot_bi AS DOUBLE) <= 0.0625
+              |   AND CAST(dup_tri AS DOUBLE) / CAST(tot_tri AS DOUBLE)
+              |     <= 0.02) AS keep
+              |FROM a""".stripMargin),
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val gramStructs = (n: Int) =>
+          transform(shingles(col("text"), n),
+            g => struct(lit(n).as("ord"), g.as("gram")))
+        val grams = Tables.fanOut(Tables.documents(s, d)).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          explode(concat(gramStructs(2), gramStructs(3))).as("g"))
+        val counts = grams
+          .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"),
+                   col("g.ord").as("ord"), col("g.gram").as("gram"))
+          .agg(count(lit(1)).as("n"))
+        val agg = counts
+          // n_tokens/n_distinct are functionally dependent on doc_id —
+          // carrying them through the grouping keys beats a join back
+          .groupBy("doc_id", "n_tokens", "n_distinct")
+          .agg(
+            max(when(col("ord") === 2, col("n"))).as("top_bi"),
+            sum(when(col("ord") === 2, col("n")).otherwise(0L)).as("tot_bi"),
+            sum(when(col("ord") === 3 && col("n") > 1, col("n"))
+              .otherwise(0L)).as("dup_tri"),
+            sum(when(col("ord") === 3, col("n")).otherwise(0L)).as("tot_tri"))
+        val topBiFrac = col("top_bi").cast("double") /
+          col("tot_bi").cast("double")
+        val dupTriFrac = col("dup_tri").cast("double") /
+          col("tot_tri").cast("double")
+        agg.select(
+          col("doc_id"), col("n_tokens"),
+          ((col("n_tokens") - col("n_distinct")).cast("double") /
+            col("n_tokens").cast("double")).as("dup_token_frac"),
+          topBiFrac.as("top_bigram_frac"),
+          dupTriFrac.as("dup_trigram_frac"),
+          (topBiFrac <= 0.0625 && dupTriFrac <= 0.02).as("keep"))
+      }),
   )
 }

@@ -181,6 +181,29 @@ class TextOpsSpec extends SparkSpec {
       .toDF("text").select(fingerprint(col("text"))).as[String].collect()
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
+
+  test("pii scrub: maskAll replaces every match, countMatches audits them") {
+    import spark.implicits._
+    val row = Seq("call 555-12-3456 or mail a.b@test.org x9 y77")
+      .toDF("s")
+      .select(
+        maskAll(col("s"), DigitRun, "<N>").as("m"),
+        countMatches(col("s"), DigitRun).as("nd"),
+        countMatches(col("s"), EmailPat).as("ne"),
+        countMatches(col("s"), SsnPat).as("ns"))
+      .head()
+    assert(row.getString(0) == "call <N>-<N>-<N> or mail a.b@test.org x<N> y<N>")
+    assert(row.getLong(1) == 5 && row.getLong(2) == 1 && row.getLong(3) == 1)
+  }
+
+  test("pii scrub: zero matches leave text intact and count 0") {
+    import spark.implicits._
+    val row = Seq("no identifiers here").toDF("s")
+      .select(maskAll(col("s"), DigitRun, "<N>").as("m"),
+              countMatches(col("s"), SsnPat).as("n"))
+      .head()
+    assert(row.getString(0) == "no identifiers here" && row.getLong(1) == 0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
