@@ -397,5 +397,84 @@ object DedupQueries {
         comp.join(broadcast(sizes), "cluster_id")
           .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       }),
+
+    // DD8: benchmark decontamination — before a corpus trains anything,
+    // scrub it against the held-out evaluation set (the published
+    // decontamination recipe: n-gram collision against the benchmark,
+    // drop documents above an overlap threshold). Emits the audit row a
+    // compliance reviewer needs: per-document distinct n-grams, how many
+    // collide with the benchmark, the contamination fraction, and the
+    // keep/drop decision.
+    //
+    // Scale shape — a composed stage read, like dd6/dd7: the corpus's
+    // distinct 3-gram shingles are already hashed and materialized per
+    // representative in [[graft.operators.DedupStage]], so decontamination
+    // never touches raw text — it explodes the staged 32-bit gram hashes
+    // (8-byte keys on every wire), broadcast-left-joins the benchmark's
+    // distinct-gram dimension (evaluation benchmarks are MBs against the
+    // corpus's TBs, the canonical broadcast side; its hash table is built
+    // ONCE per executor), counts per representative with map-side partial
+    // aggregation, and expands rep → doc through the membership table.
+    // Two rejected shapes: per-row `array_intersect` against a one-row
+    // gram-set broadcast (rebuilds the benchmark set for EVERY corpus
+    // row — O(corpus × benchmark) work, measured ~6× slower at sf0.1);
+    // string-gram explode + join (local timing parity, but it re-shingles
+    // text this stage already paid for and shuffles ~25-byte grams
+    // instead of 8-byte hashes — both losses grow with corpus size).
+    QueryDef(
+      "dd8_decontaminate",
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(text, ' ') AS lst
+              |  FROM documents),
+              |s AS (
+              |  SELECT doc_id,
+              |    list_distinct(${oHashAll(oShinglesFromList("lst"))}) AS hs
+              |  FROM t),
+              |b AS (
+              |  SELECT list_distinct(flatten(list(hs))) AS bset
+              |  FROM s WHERE doc_id % 29 = 0),
+              |o AS (
+              |  SELECT doc_id,
+              |    CAST(len(hs) AS BIGINT) AS n_grams,
+              |    CAST(len(list_intersect(hs, bset)) AS BIGINT) AS n_hit
+              |  FROM s CROSS JOIN b),
+              |f AS (
+              |  SELECT doc_id, n_grams, n_hit,
+              |    CASE WHEN n_grams = 0 THEN CAST(0.0 AS DOUBLE)
+              |         ELSE CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+              |    END AS frac
+              |  FROM o)
+              |SELECT doc_id, n_grams, n_hit,
+              |  frac AS contamination_frac,
+              |  frac < 0.5 AS keep
+              |FROM f""".stripMargin),
+      (s, d) => {
+        val stage = graft.operators.DedupStage(s, d)
+        // benchmark subset (deterministic stand-in for the external eval
+        // set): doc → rep → staged gram hashes → distinct broadcast dim
+        // the benchmark member list is small by nature → broadcast it
+        // against profiles rather than shuffling the profile table
+        val benchDim = stage.profiles.select("rep_id", "hs")
+          .join(broadcast(stage.membership
+            .filter(col("doc_id") % 29 === 0).select("rep_id")), "rep_id")
+          .select(explode(col("hs")).as("h"))
+          .distinct()
+          .withColumn("hit", lit(1))
+        // per-representative audit counts; explode_outer keeps
+        // shingle-less reps in the output with n_grams = 0
+        val repCounts = stage.profiles
+          .select(col("rep_id"), explode_outer(col("hs")).as("h"))
+          .join(broadcast(benchDim), Seq("h"), "left")
+          .groupBy("rep_id")
+          .agg(count(col("h")).as("n_grams"),
+               count(col("hit")).as("n_hit"))
+        // exact integer ratio → identical IEEE division on both engines
+        val frac = when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") /
+            col("n_grams").cast("double"))
+        stage.membership.join(repCounts, "rep_id")
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            frac.as("contamination_frac"), (frac < 0.5).as("keep"))
+      }),
   )
 }

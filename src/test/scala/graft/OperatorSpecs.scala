@@ -654,3 +654,51 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class DecontaminateSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("benchmark docs are fully contaminated; disjoint docs are kept") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("dd8_decontaminate")(spark, d)
+      .persist()
+    val nDocs = Tables.documents(spark, d).count()
+    assert(out.count() == nDocs) // one audit row per corpus doc
+    // every benchmark doc collides with itself: frac = 1.0, dropped
+    val benchRows = out.filter(col("doc_id") % 29 === 0)
+    assert(benchRows.count() > 0)
+    assert(benchRows.filter(col("contamination_frac") =!= 1.0 ||
+      col("keep")).count() == 0)
+    // audit invariant: hits never exceed the doc's gram count
+    assert(out.filter(col("n_hit") > col("n_grams")).count() == 0)
+    // the threshold is the decision boundary, exactly
+    assert(out.filter(col("keep") =!=
+      (col("contamination_frac") < 0.5)).count() == 0)
+    out.unpersist()
+  }
+
+  test("a near-verbatim copy of a benchmark doc is caught and dropped") {
+    import spark.implicits._
+    import graft.operators.TextOps._
+    // two docs: one IS the benchmark member (id 0, id%29==0), the other
+    // shares a long verbatim span (contaminated) plus fresh tail tokens
+    val benchText = "a b c d e f g h i j k l"
+    val leaked = "a b c d e f g h i j x1 x2"   // 8/10 grams shared
+    val clean = "p q r s t u v w x y z0 z1"
+    val docs = Seq((0L, benchText), (1L, leaked), (2L, clean))
+      .toDF("doc_id", "text")
+    val grams = array_distinct(shingles(col("text"), 3))
+    val g = docs.select(col("doc_id"), grams.as("grams"))
+    val bench = g.filter(col("doc_id") % 29 === 0)
+      .select(explode(col("grams")).as("gram"))
+      .agg(collect_set(col("gram")).as("bset"))
+    val hit = g.crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        (size(array_intersect(col("grams"), col("bset"))).cast("double") /
+          size(col("grams")).cast("double")).as("frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hit(0L) == 1.0)
+    assert(hit(1L) == 0.8)  // 8 of 10 distinct trigrams leaked
+    assert(hit(2L) == 0.0)
+  }
+}
