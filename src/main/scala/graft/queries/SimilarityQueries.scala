@@ -44,6 +44,9 @@ object SimilarityQueries {
     * locally; at scale it is the skew guard (SignLsh.overflow reports what
     * a cap drops). */
   private val MaxLshBucket = 100000L
+  /** sim5 semantic-dup cosine threshold (the near-dup operating point the
+    * corpus is planted for — same τ as sim3's pair threshold). */
+  private val SemTau = 0.4
 
   /** Quantized embedding as array<long>/list<BIGINT>. */
   private def quant(c: Column): Column =
@@ -54,6 +57,13 @@ object SimilarityQueries {
   private def dotL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
   private def normSq(a: Column): Column = dotL(a, a)
+
+  // Measured dead end (sim5 pair join, sf0.1): unrolling the 64-term dot
+  // into element_at chains — nominally "codegen'd" vs the interpreted
+  // `aggregate(zip_with)` lambda — ran 1.6× SLOWER (2.33s vs 1.44s
+  // median). The ~250-node expression blows past the codegen splitting
+  // thresholds and each GetArrayItem re-checks bounds, while the lambda
+  // interpreter streams the primitive arrays once. Keep dotL everywhere.
 
   private val oDot =
     "list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i]))"
@@ -309,6 +319,85 @@ object SimilarityQueries {
         scored.withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= TopK)
           .select("query_id", "cand_id", "cosine")
+      }),
+
+    // SIM5: semantic deduplication (the SemDeDup recipe, Abbas et al.
+    // 2023): cluster the embedding space with the coarse quantizer, then
+    // dedup ONLY within clusters — a vector is dropped when a lower-id
+    // vector in ITS OWN cluster sits above the cosine threshold
+    // (deterministic keep-first greedy; no transitive closure needed,
+    // unlike the text-side dd7, because the decision is pairwise against
+    // already-kept ids). Emits the audit row: cluster id, how many kept
+    // neighbors crowded this vector out, the closest one's cosine, keep.
+    //
+    // Scale shape: the cluster assignment PARTITIONS the corpus (argmax
+    // over plan-constant centroids — same quantizer as sim4, so at
+    // 100 TB the corpus is already bucketed by `cid` and the pair join
+    // is shuffle-free); within-cluster pairing costs O(n · cluster_size),
+    // and C grows with the corpus to hold cluster_size ~constant — the
+    // quadratic term never sees the whole corpus. Exact integer dots on
+    // the 1e-6 grid keep the threshold comparison bit-identical across
+    // engines.
+    QueryDef(
+      "sim5_semdedup",
+      Some {
+        import graft.operators.IvfIndex
+        val oDotAB =
+          "list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i]))"
+        val oN = (t: String) =>
+          s"list_sum(list_transform($t.qv, v -> v * v))"
+        s"""WITH qv AS (
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |asg AS (
+           |  SELECT vec_id, qv,
+           |    ${IvfIndex.oracleAssign(IvfIndex.oracleDots("qv", Dim))}
+           |      AS cid,
+           |    sqrt(CAST(list_sum(list_transform(qv, v -> v * v))
+           |      AS DOUBLE)) AS nrm
+           |  FROM qv),
+           |near AS (
+           |  SELECT a.vec_id,
+           |    CAST(count(*) AS BIGINT) AS n_near,
+           |    max(CAST($oDotAB AS DOUBLE) / (a.nrm * b.nrm)) AS max_cos
+           |  FROM asg a JOIN asg b
+           |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+           |  WHERE CAST($oDotAB AS DOUBLE) / (a.nrm * b.nrm) >= $SemTau
+           |  GROUP BY 1)
+           |SELECT s.vec_id, s.cid,
+           |  coalesce(n.n_near, 0) AS n_near, n.max_cos,
+           |  n.vec_id IS NULL AS keep
+           |FROM asg s LEFT JOIN near n ON s.vec_id = n.vec_id""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val asg = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qv"))
+          .select(col("vec_id"), col("qv"),
+            IvfIndex.assign(IvfIndex.dots(col("qv"), Dim)).as("cid"),
+            // norm once per VECTOR, not per pair — the pair join below
+            // evaluates O(n·cluster) interpreted lambdas, and dropping
+            // the two per-pair norm recomputes cuts 2/3 of that work;
+            // sqrt of the same exact-int double is bit-identical wherever
+            // it's computed, so parity is unaffected
+            sqrt(normSq(col("qv")).cast("double")).as("nrm"))
+          // one assignment pass feeds both pair sides and the final join
+          .persist()
+        val a = asg.select(col("vec_id"), col("cid"), col("qv").as("qv_a"),
+          col("nrm").as("nrm_a"))
+        val b = asg.select(col("vec_id").as("id_b"), col("cid"),
+          col("qv").as("qv_b"), col("nrm").as("nrm_b"))
+        val cosine = dotL(col("qv_a"), col("qv_b")).cast("double") /
+          (col("nrm_a") * col("nrm_b"))
+        val near = a.join(b, "cid")
+          .filter(col("id_b") < col("vec_id"))
+          .select(col("vec_id"), cosine.as("cosine"))
+          .filter(col("cosine") >= SemTau)
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_near"), max(col("cosine")).as("max_cos"))
+        asg.join(near, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"), col("max_cos"),
+            col("n_near").isNull.as("keep"))
       }),
   )
 }

@@ -702,3 +702,26 @@ class DecontaminateSpec extends SparkSpec {
     assert(hit(2L) == 0.0)
   }
 }
+
+class SemDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("semdedup audit invariants hold on the fixture corpus") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("sim5_semdedup")(spark, d).persist()
+    val nVecs = Tables.embeddings(spark, d).count()
+    assert(out.count() == nVecs) // one decision row per vector
+    // keep ⇔ no lower-id near neighbor in the cluster
+    assert(out.filter(col("keep") =!= (col("n_near") === 0)).count() == 0)
+    // a dropped vector must name the cosine that crowded it out
+    assert(out.filter(!col("keep") &&
+      (col("max_cos").isNull || col("max_cos") < 0.4)).count() == 0)
+    // kept vectors carry no max_cos (no qualifying neighbor existed)
+    assert(out.filter(col("keep") && col("max_cos").isNotNull).count() == 0)
+    // the min vec_id of every cluster has no lower-id mate → always kept
+    val minIds = out.groupBy("cid").agg(min("vec_id").as("vec_id"))
+    assert(out.join(minIds, Seq("cid", "vec_id")).filter(!col("keep"))
+      .count() == 0)
+    out.unpersist()
+  }
+}
