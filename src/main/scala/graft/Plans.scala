@@ -130,6 +130,29 @@ object Plans {
           !schema.contains("event_type") && !schema.contains("props")
       }
     }
+    // dd8: decontamination reads the staged gram hashes (no re-shingle of
+    // raw text — no string split/explode of `text` in the plan) and the
+    // benchmark dim rides a broadcast join, never a shuffle join of the
+    // corpus side
+    val dd8 = planOf("dd8_decontaminate")
+    check("dd8: stage read + broadcast benchmark dim, no sort-merge") {
+      dd8.contains("graft_dedup_stage") &&
+        dd8.contains("BroadcastHashJoin") && !dd8.contains("SortMergeJoin")
+    }
+    // sim5: the within-cluster pair space comes from the cid equi-join —
+    // never a cartesian; the coarse assignment is a projection (no
+    // shuffle before the pair join's own cid exchange)
+    check("sim5: cid-keyed pair join, no cartesian") {
+      val p = planOf("sim5_semdedup")
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")
+    }
+    // mix1: the per-row decision is a projection over ONE corpus scan —
+    // every join in the plan is broadcast
+    check("mix1: decision is broadcast-joined projection, no shuffle join") {
+      val p = planOf("mix1_domain_mixture")
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+        p.contains("BroadcastHashJoin")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -465,5 +465,129 @@ object TextQueries {
           dupTriFrac.as("dup_trigram_frac"),
           (topBiFrac <= 0.0625 && dupTriFrac <= 0.02).as("keep"))
       }),
+
+    // TX10: unigram-surprisal quality filter (the perplexity-band filter
+    // of the CCNet recipe, with the corpus's own unigram counts standing
+    // in for the external LM): per token-instance surprisal −ln p(w) =
+    // ln(T) − ln(count(w)), per-document mean, keep the band. High mean =
+    // gibberish/rare-token soup, low mean = degenerate common-token text.
+    //
+    // Parity: the per-doc mean is a SUM of doubles, whose accumulation
+    // order differs between engines — so each token's surprisal is
+    // quantized to the 1e-6-nat grid first (floor(x·1e6 + 0.5), identical
+    // IEEE ops both sides) and the per-doc accumulation is a plain LONG
+    // sum (order-free; |sq| ≤ ln(T)·1e6 ≈ 1.3e7 per token → ~7e11 rows
+    // of headroom). One double division chain at the end.
+    //
+    // Scale shape: token counts and the total are corpus-level statistics
+    // — a tiny hash-agg (vocabulary-sized) broadcast back against the
+    // token stream, and a 1-row total via broadcast cross join; the only
+    // data-sized shuffle is the doc_id-keyed partial-agg sum. At 100 TB
+    // the count table is a staged snapshot artifact (DedupStage pattern),
+    // not a per-query recompute.
+    QueryDef(
+      "tx10_unigram_surprisal",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+             |tot AS (SELECT count(*) AS t FROM tok),
+             |q AS (
+             |  SELECT doc_id,
+             |    CAST(floor((ln(CAST(t AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+             |      * 1000000.0 + 0.5) AS BIGINT) AS sq
+             |  FROM tok JOIN cnt USING (w) CROSS JOIN tot),
+             |a AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(sq) AS BIGINT) AS s
+             |  FROM q GROUP BY 1),
+             |f AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+             |      AS ms
+             |  FROM a)
+             |SELECT doc_id, n_tokens, ms AS mean_surprisal,
+             |  ms >= 3.0 AND ms <= 3.45 AS keep
+             |FROM f""".stripMargin),
+      (s, d) => {
+        val tok = Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .persist() // feeds the count dim, the total, and the join
+        val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = tok.agg(count(lit(1)).as("t"))
+        val sq = floor((log(col("t").cast("double")) -
+          log(col("c").cast("double"))) * 1000000.0 + 0.5).cast("long")
+        val perDoc = tok.join(broadcast(cnt), "w")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), sq.as("sq"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("sq")).as("s"))
+        val ms = col("s").cast("double") /
+          col("n_tokens").cast("double") / 1000000.0
+        perDoc.select(col("doc_id"), col("n_tokens"),
+          ms.as("mean_surprisal"),
+          (ms >= 3.0 && ms <= 3.45).as("keep"))
+      }),
+
+    // MIX1: domain-mixture sampling — the data-mixing step of a training
+    // pipeline: given target mixture WEIGHTS per source (here derived
+    // from the source name as a deterministic stand-in for the config
+    // table a real run ships), find the largest corpus achievable without
+    // upsampling any source (the binding-constraint minimum), turn that
+    // into a per-source sample rate, and make a deterministic per-doc
+    // keep decision by hashing the doc id into [0,1) — reproducible
+    // across runs/engines, no RNG state (the pl7 doctrine, per-row).
+    //
+    // Scale shape: everything except the final per-row decision operates
+    // on the 20-row per-source count table — two 1-row broadcast cross
+    // joins (total weight, binding minimum) and one broadcast dim join
+    // back onto the corpus. The corpus itself is scanned once, no
+    // shuffle: the decision is a pure projection.
+    QueryDef(
+      "mix1_domain_mixture",
+      Some(s"""WITH c AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(substr(source, 4) AS INT) + 1 AS w
+              |  FROM documents GROUP BY 1),
+              |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM c),
+              |nm AS (
+              |  SELECT min(CAST(n AS DOUBLE) * CAST(tw AS DOUBLE)
+              |    / CAST(w AS DOUBLE)) AS nmix
+              |  FROM c CROSS JOIN tw),
+              |r AS (
+              |  SELECT source, n,
+              |    CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS target_frac,
+              |    least(CAST(1.0 AS DOUBLE),
+              |      nmix * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))
+              |        / CAST(n AS DOUBLE)) AS sample_rate
+              |  FROM c CROSS JOIN tw CROSS JOIN nm)
+              |SELECT d.doc_id, d.source, r.n AS n_source,
+              |  r.target_frac, r.sample_rate,
+              |  CAST(${oHash32("'mx1:' || CAST(d.doc_id AS VARCHAR)")}
+              |    AS DOUBLE) / 4294967296.0 < r.sample_rate AS keep
+              |FROM documents d JOIN r USING (source)""".stripMargin),
+      (s, d) => {
+        val docs = Tables.fanOut(Tables.documents(s, d))
+        val c = docs.groupBy("source")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w", col("source").substr(lit(4), lit(10))
+            .cast("int") + 1)
+        val tw = c.agg(sum(col("w")).as("tw"))
+        val nm = c.crossJoin(broadcast(tw))
+          .agg(min(col("n").cast("double") * col("tw").cast("double") /
+            col("w").cast("double")).as("nmix"))
+        val targetFrac = col("w").cast("double") / col("tw").cast("double")
+        val r = c.crossJoin(broadcast(tw)).crossJoin(broadcast(nm))
+          .select(col("source"), col("n").as("n_source"),
+            targetFrac.as("target_frac"),
+            least(lit(1.0), col("nmix") * targetFrac /
+              col("n").cast("double")).as("sample_rate"))
+        val u = hash32(concat(lit("mx1:"), col("doc_id").cast("string")))
+          .cast("double") / 4294967296.0
+        docs.join(broadcast(r), "source")
+          .select(col("doc_id"), col("source"), col("n_source"),
+            col("target_frac"), col("sample_rate"),
+            (u < col("sample_rate")).as("keep"))
+      }),
   )
 }

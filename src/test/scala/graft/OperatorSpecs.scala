@@ -725,3 +725,47 @@ class SemDedupSpec extends SparkSpec {
     out.unpersist()
   }
 }
+
+class SurprisalSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("surprisal audit conserves tokens and stays in the positive band") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("tx10_unigram_surprisal")(spark, d)
+      .persist()
+    import graft.operators.TextOps._
+    val total = Tables.documents(spark, d)
+      .select(explode(tokens(col("text")))).count()
+    val summed = out.agg(sum("n_tokens")).head().getLong(0)
+    assert(summed == total) // every token instance scored exactly once
+    // −ln p > 0 for any token that appears (p < 1 with vocab > 1)
+    assert(out.filter(col("mean_surprisal") <= 0.0).count() == 0)
+    assert(out.filter(col("keep") =!= (col("mean_surprisal") >= 3.0 &&
+      col("mean_surprisal") <= 3.45)).count() == 0)
+    out.unpersist()
+  }
+}
+
+class DomainMixtureSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("mixture rates respect the no-upsampling binding constraint") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("mix1_domain_mixture")(spark, d)
+      .persist()
+    val perSrc = out.select("source", "target_frac", "sample_rate")
+      .distinct().persist()
+    // no source is upsampled, and the binding source is kept whole
+    assert(perSrc.filter(col("sample_rate") > 1.0).count() == 0)
+    assert(perSrc.filter(col("sample_rate") === 1.0).count() >= 1)
+    // target fractions are a distribution over the present sources
+    val tf = perSrc.agg(sum("target_frac")).head().getDouble(0)
+    assert(math.abs(tf - 1.0) < 1e-9)
+    // the decision column follows the per-source rate deterministically:
+    // re-running the query yields the identical keep set
+    val again = graft.SparkEntry.queries("mix1_domain_mixture")(spark, d)
+    assert(out.exceptAll(again).count() == 0 &&
+      again.exceptAll(out).count() == 0)
+    perSrc.unpersist(); out.unpersist()
+  }
+}
