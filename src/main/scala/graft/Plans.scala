@@ -153,6 +153,44 @@ object Plans {
       !p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
         p.contains("BroadcastHashJoin")
     }
+    // j10: the salted join must actually exercise the salted-shuffle path —
+    // a ShuffledHashJoin keyed on (user_id, salt), NOT a broadcast (which
+    // would make the salt decorative) and NOT a sort-merge (the hint asks
+    // for hash); the replicated dim's explode is distributed
+    val j10 = planOf("j10_salted_skew_join")
+    check("j10: shuffled hash join on the salted key, no broadcast join") {
+      j10.contains("ShuffledHashJoin") && j10.contains("__salt") &&
+        !j10.contains("BroadcastHashJoin")
+    }
+    // dd9: passage stream persisted once, read by BOTH the occurrence
+    // aggregate and the join probe. The count join is deliberately
+    // UNHINTED: at fixture scale Catalyst broadcasts the (small, cached,
+    // accurately-sized) count table, at 100 TB the same declarative plan
+    // crosses the threshold and becomes a ph-keyed shuffle join — both are
+    // the right strategy for their scale, so the assertion pins only the
+    // scale-invariant properties (dual cache read, equi-join, never a
+    // cartesian or nested loop).
+    val dd9 = planOf("dd9_passage_dedup")
+    check("dd9: both count and probe read the passage cache, equi-join") {
+      "InMemoryTableScan".r.findAllIn(dd9).length >= 2 &&
+        !dd9.contains("CartesianProduct") &&
+        !dd9.contains("BroadcastNestedLoop")
+    }
+    // a22: ONE data-sized hash aggregate; the quantile windows run over
+    // the bounded histogram AFTER the aggregate (no data-sized window sort
+    // and no extra exchange beyond the group key's)
+    check("a22: histogram-first — aggregate below the quantile windows") {
+      val p = planOf("a22_grid_quantiles")
+      "Exchange hashpartitioning".r.findAllIn(p).length <= 2 &&
+        "\\bWindow \\[".r.findAllIn(p).length == 2
+    }
+    // mix2: same shape contract as mix1 — the per-row decision is a
+    // broadcast-joined projection, never a shuffle join of the corpus
+    check("mix2: decision is broadcast-joined projection, no shuffle join") {
+      val p = planOf("mix2_token_budget")
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+        p.contains("BroadcastHashJoin")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

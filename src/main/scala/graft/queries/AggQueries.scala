@@ -385,5 +385,95 @@ object AggQueries {
             .filter(abs(col("r")) > 0.7)
         })
     },
+
+    // A22: exact multi-quantile (p25/p50/p75/p95) per group via a bounded
+    // VALUE-GRID histogram — the distributed-exact-quantile shape. The
+    // data carries 2-decimal values, so the cent grid is lossless and the
+    // histogram size is bounded by RANGE/resolution, independent of row
+    // count: at 100 TB the histogram is still ~10^4-10^5 rows. Quantile
+    // definition: lower order statistic — smallest grid value whose
+    // cumulative count reaches ceil(q·n), all positions in integer math.
+    // The per-group cumulative window runs over the HISTOGRAM (same
+    // bounded-domain contract as mlprep's histogramMedian, guard included);
+    // the data-sized work is one hash aggregate.
+    QueryDef(
+      "a22_grid_quantiles",
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type, vc,
+             |    sum(cnt) OVER (PARTITION BY event_type ORDER BY vc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER (PARTITION BY event_type) AS total
+             |  FROM h)
+             |SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+             |  CAST(min(CASE WHEN cum >= (total * 25 + 99) // 100 THEN vc END)
+             |    AS DOUBLE) / 100.0 AS p25,
+             |  CAST(min(CASE WHEN cum >= (total * 50 + 99) // 100 THEN vc END)
+             |    AS DOUBLE) / 100.0 AS p50,
+             |  CAST(min(CASE WHEN cum >= (total * 75 + 99) // 100 THEN vc END)
+             |    AS DOUBLE) / 100.0 AS p75,
+             |  CAST(min(CASE WHEN cum >= (total * 95 + 99) // 100 THEN vc END)
+             |    AS DOUBLE) / 100.0 AS p95
+             |FROM c GROUP BY event_type""".stripMargin),
+      (s, d) => {
+        val cumW = Window.partitionBy("event_type").orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val allW = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        def q(pct: Int): Column =
+          min(when(col("cum") >= expr(s"(total * $pct + 99) DIV 100"),
+            col("vc"))).cast("double") / 100.0
+        // same runtime cardinality guard as histogramMedian: the windows
+        // above are per-group single partitions over the histogram, sound
+        // only while the grid stays bounded
+        val guard = assert_true(count(lit(1)) <= 100000L,
+          lit("a22_grid_quantiles: value grid exceeds 100000 distinct " +
+            "cells per group — coarsen the quantization grid"))
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+          .groupBy("event_type", "vc")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(cumW))
+          .withColumn("total", sum("cnt").over(allW))
+          .groupBy("event_type")
+          .agg(when(guard.isNull, max("total")).as("n"),
+            q(25).as("p25"), q(50).as("p50"),
+            q(75).as("p75"), q(95).as("p95"))
+      }),
+
+    // A23: exact per-group mode (most frequent value, deterministic
+    // min-value tiebreak) — the categorical summary pandas `.mode()`
+    // gives for free and a distributed engine has to earn: one hash
+    // aggregate builds the per-(group, value) histogram, then a
+    // row_number window over that HISTOGRAM (≤ |value domain| rows per
+    // group — bounded, like a22's) picks the winner. No data-sized sort.
+    QueryDef(
+      "a23_mode",
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT user_id, event_type, cnt,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY cnt DESC, event_type) AS rn
+             |  FROM c)
+             |SELECT user_id, event_type AS mode_type, cnt AS mode_count
+             |FROM r WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("cnt").desc, col("event_type"))
+        Tables.events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"),
+            col("cnt").as("mode_count"))
+      }),
   )
 }

@@ -476,5 +476,66 @@ object DedupQueries {
           .select(col("doc_id"), col("n_grams"), col("n_hit"),
             frac.as("contamination_frac"), (frac < 0.5).as("keep"))
       }),
+
+    // DD9: passage-level duplicate detection — the substring-granularity
+    // complement to the whole-document dd family (the Lee et al. 2022
+    // "Deduplicating Training Data" observation: most duplication lives
+    // INSIDE documents that are not whole-document duplicates). Documents
+    // are chunked into non-overlapping 8-token passages (partial tail
+    // kept); a passage is duplicated when its hash occurs more than once
+    // corpus-wide; each document reports its duplicated-passage fraction
+    // and a keep decision.
+    //
+    // Scale shape: one explode to (doc, passage-hash) rows — the hash is
+    // md5, so the shuffle carries 16-byte keys, never passage text; the
+    // occurrence count is a hash aggregate on that key; the count joins
+    // back on the SAME key (both sides ph-partitioned, no broadcast —
+    // the count table is corpus-sized at 100 TB); the per-doc rollup is a
+    // doc_id-keyed partial agg. Everything scales with token count, never
+    // pairwise. The passage stream is persisted because both the count
+    // aggregate and the join probe read it.
+    QueryDef(
+      "dd9_passage_dedup",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS lst
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, CAST(ceil(len(lst) / 8.0) AS INT)),
+             |    i -> md5(array_to_string(lst[(i-1)*8+1 : i*8], ' '))))
+             |    AS ph
+             |  FROM t),
+             |c AS (SELECT ph, count(*) AS occ FROM p GROUP BY ph),
+             |a AS (
+             |  SELECT p.doc_id, count(*) AS n_passages,
+             |    CAST(sum(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_dup
+             |  FROM p JOIN c USING (ph) GROUP BY 1)
+             |SELECT doc_id, n_passages, n_dup,
+             |  CAST(n_dup AS DOUBLE) / CAST(n_passages AS DOUBLE)
+             |    AS dup_frac,
+             |  n_dup * 2 <= n_passages AS keep
+             |FROM a""".stripMargin),
+      (s, d) => {
+        val P = 8
+        val chunks = transform(
+          sequence(lit(1), ceil(size(col("lst")) / lit(P.toDouble))
+            .cast("int")),
+          i => concat_ws(" ", slice(col("lst"), (i - 1) * P + 1, lit(P))))
+        val passages = Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), tokens(col("text")).as("lst"))
+          .select(col("doc_id"), explode(chunks).as("passage"))
+          .select(col("doc_id"), md5(col("passage")).as("ph"))
+          .persist()
+        val occ = passages.groupBy("ph").agg(count(lit(1)).as("occ"))
+        passages.join(occ, "ph")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_passages"),
+               sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_passages"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_passages").cast("double"))
+              .as("dup_frac"),
+            (col("n_dup") * 2 <= col("n_passages")).as("keep"))
+      }),
   )
 }

@@ -235,5 +235,36 @@ object JoinQueries {
           .select(col("c_custkey"), col("c_mktsegment"),
             coalesce(col("has_urgent"), lit(false)).as("has_urgent"))
       }),
+
+    // J10: skew-robust salted join ([[graft.operators.SaltedJoin]]) — the
+    // fact side salted by hash(event_id) mod 8, the dim side replicated ×8,
+    // equi-join on (user_id, salt). Results are IDENTICAL to the plain
+    // join (the oracle is the plain join); what changes is the shuffle
+    // layout: a hot user's rows spread over 8 partitions instead of one.
+    // `shuffle_hash`-hinted so the salted path actually materializes at
+    // fixture scale (a 150-row dim would otherwise broadcast, which is the
+    // RIGHT default — SaltedJoin is for when the dim is too big to
+    // broadcast and a key is too hot for one task; the hint makes the
+    // bench measure that regime, and Plans asserts no-broadcast).
+    QueryDef(
+      "j10_salted_skew_join",
+      Some(s"""WITH dim AS (
+              |  SELECT user_id, ${oAvg("value")} AS user_mean
+              |  FROM events GROUP BY user_id)
+              |SELECT e.event_id, e.user_id, e.value, d.user_mean,
+              |  e.value - d.user_mean AS dev
+              |FROM events e JOIN dim d USING (user_id)""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.groupBy("user_id")
+          .agg(davg(col("value")).as("user_mean"))
+          .hint("shuffle_hash")
+        graft.operators.SaltedJoin.join(
+            ev.select("event_id", "user_id", "value"), dim,
+            keys = Seq("user_id"), spreadCol = col("event_id"),
+            saltBuckets = 8)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("user_mean"), (col("value") - col("user_mean")).as("dev"))
+      }),
   )
 }

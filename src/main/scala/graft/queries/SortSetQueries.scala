@@ -97,5 +97,44 @@ object SortSetQueries {
             users("purchase").except(users("error"))
               .withColumn("tag", lit("purchase_only")))
       }),
+
+    // O5 (beyond the reference — completes the ranking family): the full
+    // rank battery in ONE window pass per ordering. Determinism under
+    // ties is the design point: rank/dense_rank/percent_rank/cume_dist
+    // are functions of the ORDERING KEY (same value ⇒ same rank), so they
+    // may share the tie-ful ordering; ntile assigns by ROW POSITION, so
+    // it gets a tie-broken total order (bucket, event_id) — an ntile over
+    // a non-unique order would be engine/partition-order-dependent and
+    // could never hash-verify. Both windows share one (user_id) exchange;
+    // the second differs only in sort key.
+    QueryDef(
+      "o5_rank_battery",
+      Some("""SELECT event_id, user_id,
+             |  CAST(floor(value) AS BIGINT) AS vbucket,
+             |  rank() OVER w1 AS rnk,
+             |  dense_rank() OVER w1 AS drnk,
+             |  percent_rank() OVER w1 AS prnk,
+             |  cume_dist() OVER w1 AS cdist,
+             |  CAST(ntile(4) OVER w2 AS BIGINT) AS quartile
+             |FROM events
+             |WINDOW
+             |  w1 AS (PARTITION BY user_id ORDER BY floor(value) DESC),
+             |  w2 AS (PARTITION BY user_id
+             |         ORDER BY floor(value) DESC, event_id)""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bucket = floor(col("value"))
+        val w1 = Window.partitionBy("user_id").orderBy(bucket.desc)
+        val w2 = Window.partitionBy("user_id")
+          .orderBy(bucket.desc, col("event_id"))
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          bucket.cast("long").as("vbucket"),
+          rank().over(w1).cast("long").as("rnk"),
+          dense_rank().over(w1).cast("long").as("drnk"),
+          percent_rank().over(w1).as("prnk"),
+          cume_dist().over(w1).as("cdist"),
+          ntile(4).over(w2).cast("long").as("quartile"))
+      }),
   )
 }

@@ -589,5 +589,113 @@ object TextQueries {
             col("target_frac"), col("sample_rate"),
             (u < col("sample_rate")).as("keep"))
       }),
+
+    // MIX2: temperature-scaled token-budget sampling — mix1's sibling with
+    // the weights DERIVED from the data (the multilingual-LM upsampling
+    // recipe: w_i ∝ T_i^α with α = 0.5, so small sources get relatively
+    // more of the budget than their raw share). Per-source token counts →
+    // sqrt weights → a global token budget B = half the corpus → per-source
+    // sample rate min(1, B·w_i/Σw / T_i) → deterministic per-doc keep.
+    //
+    // Parity: α = 0.5 means the weight is sqrt(T) — correctly rounded IEEE
+    // on both engines (no pow/exp). The weight SUM is order-dependent in
+    // doubles, so each weight is quantized to the 1e-6 grid first and the
+    // sum runs over longs (tx10's pattern; Σ√T·1e6 ≤ 20·√(10^12)·1e6 ≈
+    // 2·10^13 — long-safe headroom for any real corpus).
+    //
+    // Scale shape: the entire decision table is 20 rows (per-source counts
+    // + two 1-row broadcast cross joins); the corpus is scanned once for
+    // the counts and once for the per-row keep projection — no data-sized
+    // shuffle at all (the count agg's shuffle moves 20 rows).
+    QueryDef(
+      "mix2_token_budget",
+      Some(s"""WITH c AS (
+              |  SELECT source,
+              |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+              |  FROM documents GROUP BY 1),
+              |w AS (
+              |  SELECT source, tok,
+              |    CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000000.0 + 0.5)
+              |      AS BIGINT) AS wq
+              |  FROM c),
+              |tw AS (
+              |  SELECT CAST(sum(wq) AS BIGINT) AS twq,
+              |    CAST(sum(tok) AS BIGINT) AS ttok
+              |  FROM w),
+              |r AS (
+              |  SELECT source, tok AS n_tokens_source,
+              |    CAST(wq AS DOUBLE) / CAST(twq AS DOUBLE) AS target_frac,
+              |    least(CAST(1.0 AS DOUBLE),
+              |      0.5 * CAST(ttok AS DOUBLE)
+              |        * (CAST(wq AS DOUBLE) / CAST(twq AS DOUBLE))
+              |        / CAST(tok AS DOUBLE)) AS sample_rate
+              |  FROM w CROSS JOIN tw)
+              |SELECT d.doc_id, d.source, r.n_tokens_source, r.target_frac,
+              |  r.sample_rate,
+              |  CAST(${oHash32("'mx2:' || CAST(d.doc_id AS VARCHAR)")}
+              |    AS DOUBLE) / 4294967296.0 < r.sample_rate AS keep
+              |FROM documents d JOIN r USING (source)""".stripMargin),
+      (s, d) => {
+        val docs = Tables.fanOut(Tables.documents(s, d))
+        val c = docs
+          .select(col("source"), size(tokens(col("text"))).cast("long")
+            .as("nt"))
+          .groupBy("source").agg(sum("nt").as("tok"))
+        val w = c.withColumn("wq",
+          floor(sqrt(col("tok").cast("double")) * 1000000.0 + 0.5)
+            .cast("long"))
+        val tw = w.agg(sum("wq").as("twq"), sum("tok").as("ttok"))
+        val targetFrac = col("wq").cast("double") / col("twq").cast("double")
+        val r = w.crossJoin(broadcast(tw))
+          .select(col("source"), col("tok").as("n_tokens_source"),
+            targetFrac.as("target_frac"),
+            least(lit(1.0), lit(0.5) * col("ttok").cast("double") *
+              targetFrac / col("tok").cast("double")).as("sample_rate"))
+        val u = hash32(concat(lit("mx2:"), col("doc_id").cast("string")))
+          .cast("double") / 4294967296.0
+        docs.join(broadcast(r), "source")
+          .select(col("doc_id"), col("source"), col("n_tokens_source"),
+            col("target_frac"), col("sample_rate"),
+            (u < col("sample_rate")).as("keep"))
+      }),
+
+    // TX11: token-normalization pipeline — the canonicalization pass that
+    // runs BEFORE dedup/fingerprinting in a real corpus pipeline: strip
+    // non-alphanumerics per token, drop stopwords and sub-2-char residue,
+    // emit the kept count, survival ratio, and the md5 fingerprint of the
+    // NORMALIZED token stream (order-sensitive — the identity downstream
+    // exact dedup would key on). Pure per-row higher-order expressions;
+    // the normalized text itself never needs to materialize anywhere.
+    QueryDef(
+      "tx11_normalize_tokens",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_raw,
+             |    list_filter(
+             |      list_transform(string_split(text, ' '),
+             |        w -> regexp_replace(w, '[^a-z0-9]', '', 'g')),
+             |      w -> len(w) >= 2 AND w <> 'the' AND w <> 'a') AS kept
+             |  FROM documents)
+             |SELECT doc_id, n_raw,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  CAST(len(kept) AS DOUBLE) / CAST(n_raw AS DOUBLE)
+             |    AS kept_ratio,
+             |  md5(array_to_string(kept, ' ')) AS norm_fp
+             |FROM t""".stripMargin),
+      (s, d) => {
+        val kept = filter(
+          transform(tokens(col("text")),
+            w => regexp_replace(w, "[^a-z0-9]", "")),
+          w => length(w) >= 2 && w =!= "the" && w =!= "a")
+        Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_raw"),
+            kept.as("kept"))
+          .select(col("doc_id"), col("n_raw"),
+            size(col("kept")).cast("long").as("n_kept"),
+            (size(col("kept")).cast("double") / col("n_raw").cast("double"))
+              .as("kept_ratio"),
+            md5(concat_ws(" ", col("kept"))).as("norm_fp"))
+      }),
   )
 }

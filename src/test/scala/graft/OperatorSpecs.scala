@@ -769,3 +769,130 @@ class DomainMixtureSpec extends SparkSpec {
     perSrc.unpersist(); out.unpersist()
   }
 }
+
+class SaltedJoinSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def skewed = {
+    import spark.implicits._
+    // one hot key (80% of rows) + a cold tail — the layout salting exists for
+    (1 to 500).map(i =>
+      (i.toLong, if (i <= 400) "hot" else s"k${i % 7}", i * 1.5))
+      .toDF("row_id", "k", "v")
+  }
+  private def dim = {
+    import spark.implicits._
+    (Seq("hot") ++ (0 until 7).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 10.0) }.toDF("k", "w")
+  }
+
+  test("salted join result is identical to the plain join (inner and left)") {
+    for (jt <- Seq("inner", "left")) {
+      val plain = skewed.join(dim, Seq("k"), jt)
+      val salted = graft.operators.SaltedJoin.join(
+        skewed, dim, Seq("k"), spreadCol = col("row_id"), joinType = jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      assert(plain.exceptAll(salted).count() == 0 &&
+        salted.exceptAll(plain).count() == 0)
+    }
+  }
+
+  test("salt actually spreads the hot key across buckets") {
+    val buckets = skewed
+      .withColumn("salt", pmod(hash(col("row_id")), lit(8)))
+      .filter(col("k") === "hot")
+      .select("salt").distinct().count()
+    assert(buckets == 8) // 400 hot rows land in all 8 salt buckets
+  }
+
+  test("saltBuckets = 1 degenerates to the plain join") {
+    val plain = skewed.join(dim, Seq("k"), "inner")
+    val one = graft.operators.SaltedJoin.join(
+      skewed, dim, Seq("k"), spreadCol = col("row_id"), saltBuckets = 1)
+    assert(plain.exceptAll(one).count() == 0 &&
+      one.exceptAll(plain).count() == 0)
+  }
+}
+
+class GridQuantilesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("grid quantiles equal brute-force order statistics per group") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("a22_grid_quantiles")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val byType = Tables.events(spark, d)
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    def pick(s: Seq[Long], pct: Int): Double = {
+      val pos = (s.length * pct + 99) / 100 // ceil(pct·n/100), 1-based
+      s(pos - 1) / 100.0
+    }
+    for ((t, s) <- byType) {
+      val (n, p25, p50, p75, p95) = out(t)
+      assert(n == s.length)
+      assert(p25 == pick(s, 25) && p50 == pick(s, 50) &&
+        p75 == pick(s, 75) && p95 == pick(s, 95))
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+    }
+  }
+}
+
+class PassageDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("passage counts and duplicate fractions are consistent") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("dd9_passage_dedup")(spark, d)
+      .persist()
+    val docs = Tables.documents(spark, d)
+    assert(out.count() == docs.count())
+    // n_passages = ceil(tokens/8) for every doc
+    val expected = docs.select(col("doc_id"),
+      ceil(size(split(col("text"), " ")) / lit(8.0)).cast("long")
+        .as("exp_p"))
+    val bad = out.join(expected, "doc_id")
+      .filter(col("n_passages") =!= col("exp_p")).count()
+    assert(bad == 0)
+    assert(out.filter(col("n_dup") > col("n_passages")).count() == 0)
+    // docs whose full text duplicates another doc must be 100% duplicated
+    val dupTexts = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"), collect_list("doc_id").as("ids"))
+      .filter(col("c") > 1)
+      .select(explode(col("ids")).as("doc_id"))
+    val notFull = out.join(dupTexts, "doc_id")
+      .filter(col("dup_frac") < 1.0).count()
+    assert(notFull == 0)
+    out.unpersist()
+  }
+}
+
+class TokenBudgetSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("budget sampling: rates bounded, budget respected, sqrt tilt") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("mix2_token_budget")(spark, d)
+      .persist()
+    val perSrc = out
+      .select("source", "n_tokens_source", "target_frac", "sample_rate")
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(perSrc.forall(_._4 <= 1.0) && perSrc.forall(_._4 > 0.0))
+    assert(math.abs(perSrc.map(_._3).sum - 1.0) < 1e-9)
+    // expected sampled tokens never exceed the B = 0.5·total budget
+    val total = perSrc.map(_._2).sum.toDouble
+    val sampled = perSrc.map(p => p._4 * p._2).sum
+    assert(sampled <= 0.5 * total * (1.0 + 1e-9))
+    // temperature tilt: the smallest source keeps a larger fraction of
+    // itself than the largest source does
+    val smallest = perSrc.minBy(_._2); val largest = perSrc.maxBy(_._2)
+    assert(smallest._4 >= largest._4)
+    out.unpersist()
+  }
+}
