@@ -191,6 +191,23 @@ object Plans {
       !p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
         p.contains("BroadcastHashJoin")
     }
+    // w17: the index joins broadcast (never a data shuffle join) and the
+    // lag + rolling-moment windows share ONE Sort — a second Sort would
+    // mean the two window frames stopped sharing the (user_id, day) order
+    val w17 = planOf("w17_rolling_beta")
+    check("w17: broadcast index join, one shared Sort under both windows") {
+      w17.contains("BroadcastHashJoin") && !w17.contains("SortMergeJoin") &&
+        "\\bSort \\[".r.findAllIn(w17).length == 1 &&
+        "\\bWindow \\[".r.findAllIn(w17).length == 2
+    }
+    // sim6: every join rides a broadcast of the tiny side (probes with
+    // LUTs against the encoded corpus; pool + query dims against the
+    // rerank scan) — the corpus is never shuffle-joined or cartesian'd
+    check("sim6: probes/pool broadcast against corpus scans, no shuffle join") {
+      val p = planOf("sim6_pq_topk")
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

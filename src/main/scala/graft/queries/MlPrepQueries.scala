@@ -312,5 +312,58 @@ object MlPrepQueries {
             when(col("day") < col("cutoff"), "train").otherwise("test")
               .as("role"))
       }),
+
+    // MLP6: leakage-safe feature scaling — the fit/transform split sklearn's
+    // StandardScaler/MinMaxScaler enforce by API and a SQL pipeline has to
+    // enforce by CONSTRUCTION: scaler statistics (mean/std/min/max) come
+    // from the TRAIN ROWS ONLY (before the chronological cutoff, MLP1's
+    // rule), then apply to every row — test rows are scaled by train stats,
+    // never their own (the classic leak). Stats follow the Parity doctrine:
+    // exact decimal sums, one identical IEEE tree for mean/std on both
+    // engines. Scale shape: stats are ONE 1-row aggregate broadcast back;
+    // the corpus is scanned once for the fit and once for the transform.
+    QueryDef(
+      "mlprep_scaler",
+      Some(s"""WITH ev AS (
+              |  SELECT event_id, CAST(ts AS DATE) AS day, value FROM events),
+              |c AS (
+              |  SELECT CAST(max(day) - INTERVAL 7 DAY AS DATE) AS cutoff
+              |  FROM ev),
+              |st AS (
+              |  SELECT CAST(count(*) AS DOUBLE) AS n,
+              |    ${graft.Parity.oSum("value", 6)} AS s1,
+              |    ${graft.Parity.oSum("value * value", 4)} AS s2,
+              |    min(value) AS mn, max(value) AS mx
+              |  FROM ev, c WHERE ev.day < c.cutoff)
+              |SELECT event_id, day, value,
+              |  CASE WHEN day < cutoff THEN 'train' ELSE 'test' END AS role,
+              |  (value - s1 / n) /
+              |    nullif(sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 0.0) AS z,
+              |  (value - mn) / nullif(mx - mn, 0.0) AS minmax
+              |FROM ev, c, st""".stripMargin),
+      (s, d) => {
+        import graft.Parity
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), to_date(col("ts")).as("day"),
+            col("value"))
+          // two readers: the cutoff/fit aggregates and the transform scan
+          .persist()
+        val cutoff = ev.agg(date_sub(max("day"), 7).as("cutoff"))
+        val st = ev.crossJoin(broadcast(cutoff))
+          .filter(col("day") < col("cutoff"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            Parity.dsum(col("value"), 6).as("s1"),
+            Parity.dsum(col("value") * col("value"), 4).as("s2"),
+            min("value").as("mn"), max("value").as("mx"))
+        ev.crossJoin(broadcast(cutoff)).crossJoin(broadcast(st))
+          .select(col("event_id"), col("day"), col("value"),
+            when(col("day") < col("cutoff"), "train").otherwise("test")
+              .as("role"),
+            ((col("value") - col("s1") / col("n")) /
+              nullif(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+                (col("n") - 1.0)), lit(0.0))).as("z"),
+            ((col("value") - col("mn")) /
+              nullif(col("mx") - col("mn"), lit(0.0))).as("minmax"))
+      }),
   )
 }

@@ -47,6 +47,8 @@ object SimilarityQueries {
   /** sim5 semantic-dup cosine threshold (the near-dup operating point the
     * corpus is planted for — same τ as sim3's pair threshold). */
   private val SemTau = 0.4
+  /** sim6 ADC survivor pool reranked exactly (per query). */
+  private val PqPool = 50
 
   /** Quantized embedding as array<long>/list<BIGINT>. */
   private def quant(c: Column): Column =
@@ -398,6 +400,126 @@ object SimilarityQueries {
           .select(col("vec_id"), col("cid"),
             coalesce(col("n_near"), lit(0L)).as("n_near"), col("max_cos"),
             col("n_near").isNull.as("keep"))
+      }),
+
+    // SIM6: IVF-ADC ([[graft.operators.PqIndex]]) — the full
+    // billion-vector ANN layout: the sim4 coarse quantizer prunes to P of
+    // C inverted lists, product-quantization codes (M=8 subspaces × K=16
+    // codewords = 8 nibbles/vector, ~64× smaller than the raw vector)
+    // score the probed lists by pure table lookups, and only the top-R
+    // ADC survivors are reranked with exact cosines. Three scale levers in
+    // one operator: partition pruning (IVF), memory compression + cheap
+    // scan (PQ/ADC), and bounded exact work (R·NQ rerank rows).
+    //
+    // Parity: codes and ADC scores are exact longs (plan-constant
+    // codebooks on the data's 1e-6 grid, first-index argmin tie-break);
+    // both row_number cuts carry (score, cand_id) tiebreaks; the rerank
+    // cosine is the usual exact-integer-dots tree.
+    QueryDef(
+      "sim6_pq_topk",
+      Some {
+        import graft.operators.{IvfIndex, PqIndex}
+        val oDotQC =
+          "list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i]))"
+        s"""WITH qv AS (
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |d AS (
+           |  SELECT vec_id, qv, ${IvfIndex.oracleDots("qv", Dim)} AS dl
+           |  FROM qv),
+           |enc0 AS (
+           |  SELECT vec_id, ${IvfIndex.oracleAssign("dl")} AS cid,
+           |    ${PqIndex.oracleDls("qv", Dim)} AS dls
+           |  FROM d),
+           |enc AS (
+           |  SELECT vec_id AS cand_id, cid,
+           |    ${PqIndex.oracleEncode("dls")} AS codes
+           |  FROM enc0),
+           |qd AS (SELECT vec_id, qv, dl FROM d WHERE vec_id < $NQ),
+           |qp AS (
+           |  SELECT query_id, qv_q, cid FROM (
+           |    SELECT q.vec_id AS query_id, q.qv AS qv_q,
+           |      CAST(t.j AS INT) AS cid,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY q.dl[t.j + 1] DESC, t.j) AS rn
+           |    FROM qd q, generate_series(0, ${IvfIndex.C - 1}) t(j))
+           |  WHERE rn <= ${IvfIndex.P}),
+           |probes AS (
+           |  SELECT query_id, cid, ${PqIndex.oracleLuts("qv_q", Dim)}
+           |    AS luts
+           |  FROM qp),
+           |scored AS (
+           |  SELECT p.query_id, e.cand_id,
+           |    ${PqIndex.oracleAdc("p.luts", "e.codes")} AS adc
+           |  FROM probes p JOIN enc e
+           |    ON p.cid = e.cid AND e.cand_id <> p.query_id),
+           |pool AS (
+           |  SELECT query_id, cand_id, adc FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc DESC, cand_id) AS rn
+           |    FROM scored) WHERE rn <= $PqPool),
+           |rer AS (
+           |  SELECT pool.query_id, pool.cand_id, pool.adc,
+           |    CAST($oDotQC AS DOUBLE) /
+           |      (sqrt(CAST(list_sum(list_transform(q.qv, v -> v * v))
+           |         AS DOUBLE)) *
+           |       sqrt(CAST(list_sum(list_transform(c.qv, v -> v * v))
+           |         AS DOUBLE))) AS cosine
+           |  FROM pool
+           |  JOIN qv q ON q.vec_id = pool.query_id
+           |  JOIN qv c ON c.vec_id = pool.cand_id)
+           |SELECT query_id, cand_id, adc, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, cand_id) AS rn
+           |  FROM rer) WHERE rn <= $TopK""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.{IvfIndex, PqIndex}
+        val dots = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qv"))
+          .select(col("vec_id"), col("qv"),
+            IvfIndex.dots(col("qv"), Dim).as("dl"))
+          // one pass feeds the corpus encode, the probe ranking, and the
+          // rerank's raw-vector lookups
+          .persist()
+        val enc = dots.select(col("vec_id").as("cand_id"),
+          IvfIndex.assign(col("dl")).as("cid"),
+          PqIndex.encode(PqIndex.dls(col("qv"), Dim)).as("codes"))
+        val qd = dots.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+            posexplode(col("dl")))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("col").desc, col("pos").asc)
+        val probes = qd.withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= IvfIndex.P)
+          .select(col("query_id"), col("pos").as("cid"),
+            PqIndex.luts(col("qv_q"), Dim).as("luts"))
+        val scored = enc.join(broadcast(probes), "cid")
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            PqIndex.adc(col("codes"), col("luts")).as("adc"))
+        val wPool = Window.partitionBy("query_id")
+          .orderBy(col("adc").desc, col("cand_id"))
+        val pool = scored.withColumn("rn", row_number().over(wPool))
+          .filter(col("rn") <= PqPool).select("query_id", "cand_id", "adc")
+        // exact rerank: corpus scan joins the tiny pool/query dims —
+        // never the reverse
+        val rer = dots.select(col("vec_id"), col("qv"))
+          .join(broadcast(pool), col("vec_id") === col("cand_id"))
+          .select(col("query_id"), col("cand_id"), col("adc"),
+            col("qv").as("qv_c"))
+          .join(broadcast(dots.filter(col("vec_id") < NQ)
+            .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))),
+            "query_id")
+        val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
+          (sqrt(normSq(col("qv_q")).cast("double")) *
+           sqrt(normSq(col("qv_c")).cast("double")))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        rer.select(col("query_id"), col("cand_id"), col("adc"),
+            cosine.as("cosine"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= TopK)
+          .select("query_id", "cand_id", "adc", "cosine")
       }),
   )
 }

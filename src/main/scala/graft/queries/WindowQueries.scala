@@ -378,5 +378,94 @@ object WindowQueries {
               nullif(sqrt((s2 - s1 * s1 / 20.0) / 19.0), lit(0.0)))
             .as("z_20"))
       }),
+
+    // W17: rolling beta / correlation vs a market index (the EDA notebooks'
+    // rolling-corr shape, generalized to the cross-sectional index) — per
+    // user-day price changes regressed against the same-day changes of a
+    // market index (sum of all users' daily closes), over a trailing
+    // 10-observation window.
+    //
+    // Parity design: everything before the final ratios is INTEGER. Closes
+    // quantize losslessly to cents; the index is a cent SUM (not a mean —
+    // exact long); both diffs come off lag() on the user's own day
+    // sequence; the five rolling moments are long window-sums; corr/beta
+    // derive from them through one identical IEEE tree. Magnitude audit at
+    // fixture scale: |dm| ≤ ~8e6 cents, Σxy over 10 obs ≤ ~5e12,
+    // n·Σxy ≤ 5e13 — comfortably < 2^53, so the one long→double cast at
+    // the end is exact on both engines (at 1000× the user count, rescale
+    // the index or widen to DECIMAL — noted, not needed here).
+    //
+    // Scale shape: daily rollup shuffles once on (user, day); the index is
+    // a tiny per-day aggregate broadcast back; the rolling windows ride
+    // ONE (user_id, day) sort. No data-sized join.
+    QueryDef(
+      "w17_rolling_beta",
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(floor(arg_max(value, ts) * 100.0 + 0.5) AS BIGINT)
+             |      AS cx
+             |  FROM events GROUP BY 1, 2),
+             |mkt AS (
+             |  SELECT day, CAST(sum(cx) AS BIGINT) AS cm
+             |  FROM daily GROUP BY day),
+             |j AS (
+             |  SELECT d.user_id, d.day, d.cx, m.cm,
+             |    d.cx - lag(d.cx, 1) OVER w AS dx,
+             |    m.cm - lag(m.cm, 1) OVER w AS dm
+             |  FROM daily d JOIN mkt m USING (day)
+             |  WINDOW w AS (PARTITION BY d.user_id ORDER BY d.day)),
+             |r AS (
+             |  SELECT user_id, day, dx, dm,
+             |    CAST(count(*) OVER f AS BIGINT) AS n,
+             |    CAST(sum(dx) OVER f AS BIGINT) AS sx,
+             |    CAST(sum(dm) OVER f AS BIGINT) AS sy,
+             |    CAST(sum(dx * dm) OVER f AS BIGINT) AS sxy,
+             |    CAST(sum(dx * dx) OVER f AS BIGINT) AS sxx,
+             |    CAST(sum(dm * dm) OVER f AS BIGINT) AS syy
+             |  FROM j WHERE dx IS NOT NULL
+             |  WINDOW f AS (PARTITION BY user_id ORDER BY day
+             |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, day, dx, dm,
+             |  CASE WHEN n >= 10 THEN
+             |    CAST(n * sxy - sx * sy AS DOUBLE) /
+             |      nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |             sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+             |  END AS roll_corr,
+             |  CASE WHEN n >= 10 THEN
+             |    CAST(n * sxy - sx * sy AS DOUBLE) /
+             |      nullif(CAST(n * syy - sy * sy AS DOUBLE), 0.0)
+             |  END AS roll_beta
+             |FROM r""".stripMargin),
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(floor(max_by(col("value"), col("ts")) * 100.0 + 0.5)
+            .cast("long").as("cx"))
+          // persisted for its two readers (index aggregate + join); the
+          // windows re-key on user_id after the broadcast join, so a
+          // pre-repartition here would be a wasted second exchange
+          .persist()
+        val mkt = daily.groupBy("day").agg(sum("cx").as("cm"))
+        val wLag = Window.partitionBy("user_id").orderBy("day")
+        val j = daily.join(broadcast(mkt), "day")
+          .select(col("user_id"), col("day"), col("cx"), col("cm"))
+          .withColumn("dx", col("cx") - lag("cx", 1).over(wLag))
+          .withColumn("dm", col("cm") - lag("cm", 1).over(wLag))
+          .filter(col("dx").isNotNull)
+        val f = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(-9, 0)
+        val (n, sx, sy) = (count(lit(1)).over(f), sum("dx").over(f),
+          sum("dm").over(f))
+        val (sxy, sxx, syy) = (sum(col("dx") * col("dm")).over(f),
+          sum(col("dx") * col("dx")).over(f),
+          sum(col("dm") * col("dm")).over(f))
+        val cov = (n * sxy - sx * sy).cast("double")
+        val vx = (n * sxx - sx * sx).cast("double")
+        val vy = (n * syy - sy * sy).cast("double")
+        j.select(col("user_id"), col("day"), col("dx"), col("dm"),
+          when(n >= 10, cov / nullif(sqrt(vx) * sqrt(vy), lit(0.0)))
+            .as("roll_corr"),
+          when(n >= 10, cov / nullif(vy, lit(0.0))).as("roll_beta"))
+      }),
   )
 }

@@ -896,3 +896,95 @@ class TokenBudgetSpec extends SparkSpec {
     out.unpersist()
   }
 }
+
+class PqIndexSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.PqIndex
+
+  private val Dim = 64
+  private def qvFrame = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
+        .as("qv"))
+
+  test("codes are valid and the ADC self-score is the reconstruction dot") {
+    val rows = qvFrame
+      .select(col("vec_id"), col("qv"),
+        PqIndex.encode(PqIndex.dls(col("qv"), Dim)).as("codes"),
+        PqIndex.adc(PqIndex.encode(PqIndex.dls(col("qv"), Dim)),
+          PqIndex.luts(col("qv"), Dim)).as("self_adc"))
+      .limit(20).collect()
+    val books = PqIndex.books(Dim)
+    val sub = Dim / PqIndex.M
+    rows.foreach { r =>
+      val qv = r.getSeq[Long](1)
+      val codes = r.getSeq[Long](2)
+      assert(codes.length == PqIndex.M)
+      assert(codes.forall(c => c >= 0 && c < PqIndex.K))
+      // reference encode: per-subspace argmin of the squared distance
+      val expCodes = (0 until PqIndex.M).map { m =>
+        val sv = qv.slice(m * sub, (m + 1) * sub)
+        val dists = books(m).map(w =>
+          sv.zip(w).map { case (x, c) => (x - c) * (x - c) }.sum)
+        dists.indexOf(dists.min).toLong
+      }
+      assert(codes == expCodes)
+      // ADC(v, codes(v)) must equal dot(v, reconstruction(codes))
+      val recon = (0 until PqIndex.M).flatMap(m => books(m)(codes(m).toInt))
+      val expAdc = qv.zip(recon).map { case (x, c) => x * c }.sum
+      assert(r.getLong(3) == expAdc)
+    }
+  }
+
+  test("exact rerank recovers the IVF-exact top-k for most of the pool") {
+    // sim4 scores the SAME probed lists with exact cosines; sim6's ADC
+    // pool (R = 50 per query) + exact rerank should recover most of that
+    // top-10 — the PQ approximation only reorders the pool boundary.
+    val d = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("sim4_ivf_topk")(spark, d)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.SparkEntry.queries("sim6_pq_topk")(spark, d)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = exact.intersect(pq).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"IVF-exact recall through the ADC pool: $overlap")
+  }
+}
+
+class PartitionPruneSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("a filter on the partition column prunes files, not just rows") {
+    val d = "/root/testdata/sf0.001"
+    val out = "/tmp/graft_prune_spec"
+    Tables.events(spark, d)
+      .select(col("event_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val all = spark.read.parquet(out)
+    val one = all.filter(col("event_type") === "purchase")
+    // the predicate must land in PartitionFilters (directory-level prune),
+    // NOT PushedFilters (row-group level) — at 100 TB this is the
+    // difference between listing one directory and scanning every file
+    val plan = one.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("event_type"),
+      s"partition filter not applied: $scanLine")
+    // and the files actually read are the pruned subset — ask the scan
+    // node's own file index what survives its partition filters
+    // (DataFrame.inputFiles lists the RELATION's files, pre-prune)
+    val scan = one.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val prunedFiles = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum
+    val allFiles = all.inputFiles.length
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"expected pruning: $prunedFiles of $allFiles files")
+    assert(one.count() ==
+      Tables.events(spark, d).filter(col("event_type") === "purchase").count())
+  }
+}
