@@ -697,5 +697,96 @@ object TextQueries {
               .as("kept_ratio"),
             md5(concat_ws(" ", col("kept"))).as("norm_fp"))
       }),
+
+    // TX12: bigram-LM surprisal filter — tx10's unigram filter upgraded to
+    // a conditional model: p(w|prev) = (c2(prev,w) + 1) / (c1(prev) + V)
+    // (add-one smoothing over the corpus's own counts), per-document mean
+    // surprisal, keep = within a band of the corpus token-weighted mean —
+    // self-calibrating, no magic threshold. The signal a unigram model
+    // cannot see: scrambled text keeps its unigram profile but breaks its
+    // bigram transitions.
+    //
+    // Parity: per-token surprisal quantized to the 1e-6-nat grid (tx10's
+    // pattern — ln over identical integer-derived doubles, then floor),
+    // all accumulation in longs. Scale shape: c1/c2 are VOCABULARY-sized
+    // corpus statistics (the joins back onto the bigram stream are
+    // unhinted — Catalyst broadcasts them at fixture scale and shuffle-
+    // joins at vocab scale, both correct; the dd9 doctrine); the only
+    // data-sized shuffles are the count aggregates and the doc rollup.
+    QueryDef(
+      "tx12_bigram_surprisal",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS lst
+             |  FROM documents),
+             |bp AS (
+             |  SELECT doc_id, pr['p'] AS p, pr['w'] AS w FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      generate_series(1, len(lst) - 1),
+             |      i -> {'p': lst[i], 'w': lst[i + 1]})) AS pr
+             |    FROM t)),
+             |c2 AS (SELECT p, w, count(*) AS c2 FROM bp GROUP BY 1, 2),
+             |c1 AS (SELECT p, count(*) AS c1 FROM bp GROUP BY 1),
+             |v AS (
+             |  SELECT count(DISTINCT tk) AS v FROM (
+             |    SELECT unnest(lst) AS tk FROM t)),
+             |q AS (
+             |  SELECT doc_id,
+             |    CAST(floor((ln(CAST(c1 + v AS DOUBLE)) -
+             |      ln(CAST(c2 + 1 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+             |      AS sq
+             |  FROM bp JOIN c1 USING (p) JOIN c2 USING (p, w) CROSS JOIN v),
+             |a AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(sq) AS BIGINT) AS s
+             |  FROM q GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(s) AS BIGINT) AS ts,
+             |    CAST(sum(n_bigrams) AS BIGINT) AS tn
+             |  FROM a)
+             |SELECT doc_id, n_bigrams,
+             |  CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0
+             |    AS mean_surprisal,
+             |  abs(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0
+             |    - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) / 1000000.0)
+             |    <= 0.1 AS keep
+             |FROM a CROSS JOIN tot""".stripMargin),
+      (s, d) => {
+        val lst = tokens(col("text"))
+        val pairs = zip_with(
+          slice(col("lst"), lit(1), size(col("lst")) - 1),
+          slice(col("lst"), lit(2), size(col("lst")) - 1),
+          (a, b) => struct(a.as("p"), b.as("w")))
+        val t = Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), lst.as("lst"))
+          .persist() // feeds the bigram stream AND the vocabulary count
+        val bp = t
+          .select(col("doc_id"),
+            explode(when(size(col("lst")) >= 2, pairs)
+              .otherwise(array().cast("array<struct<p:string,w:string>>")))
+              .as("pr"))
+          .select(col("doc_id"), col("pr.p").as("p"), col("pr.w").as("w"))
+          .persist() // count dims + the surprisal join all read it
+        val c2 = bp.groupBy("p", "w").agg(count(lit(1)).as("c2"))
+        val c1 = bp.groupBy("p").agg(count(lit(1)).as("c1"))
+        val v = t.select(explode(col("lst")).as("tk"))
+          .agg(countDistinct("tk").as("v"))
+        val sq = floor((log((col("c1") + col("v")).cast("double")) -
+          log((col("c2") + 1).cast("double"))) * 1000000.0 + 0.5)
+          .cast("long")
+        val a = bp.join(c1, "p").join(c2, Seq("p", "w"))
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"), sq.as("sq"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("sq").as("s"))
+        val tot = a.agg(sum("s").as("ts"), sum("n_bigrams").as("tn"))
+        val ms = col("s").cast("double") /
+          col("n_bigrams").cast("double") / 1000000.0
+        val cms = col("ts").cast("double") /
+          col("tn").cast("double") / 1000000.0
+        a.crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_bigrams"),
+            ms.as("mean_surprisal"),
+            (abs(ms - cms) <= 0.1).as("keep"))
+      }),
   )
 }

@@ -988,3 +988,31 @@ class PartitionPruneSpec extends SparkSpec {
       Tables.events(spark, d).filter(col("event_type") === "purchase").count())
   }
 }
+
+class IncrementalGoldSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.{GoldFeatures, IncrementalGold}
+
+  private def bronze = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("old gold rows are invariant under appended data") {
+    val cutoff = bronze.agg(date_sub(max(to_date(col("ts"))), 3)).head().getDate(0)
+    val old = bronze.filter(to_date(col("ts")) < lit(cutoff))
+    val fullOld = GoldFeatures.goldTableFused(bronze)
+      .filter(col("day") < lit(cutoff))
+    val oldOnly = GoldFeatures.goldTableFused(old)
+    assert(fullOld.exceptAll(oldOnly).count() == 0 &&
+      oldOnly.exceptAll(fullOld).count() == 0)
+  }
+
+  test("bounded-lookback incremental refresh equals the full recompute") {
+    val cutoff = bronze.agg(date_sub(max(to_date(col("ts"))), 3)).head().getDate(0)
+    val batch = bronze.filter(to_date(col("ts")) >= lit(cutoff))
+    val incr = IncrementalGold.refresh(spark, bronze, batch)
+    val full = GoldFeatures.goldTableFused(bronze)
+      .filter(col("day") >= lit(cutoff))
+    assert(incr.count() > 0)
+    assert(full.exceptAll(incr).count() == 0 &&
+      incr.exceptAll(full).count() == 0)
+  }
+}
