@@ -52,6 +52,37 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
+  /** Streaming bronze → Gold: each micro-batch of bars appends to the
+    * bronze table and incrementally refreshes ONLY the touched Gold rows
+    * ([[graft.operators.IncrementalGold]] — affected users, bounded
+    * lookback), merging them with a source-wins partitioned upsert.
+    * This is the composition a production lakehouse streams through: the
+    * per-batch work is O(batch × lookback), independent of history depth,
+    * and a replayed micro-batch converges to the same gold rows (the
+    * refresh is deterministic and the upsert is source-wins on
+    * (user_id, day)) — restart-safe without sink transactions. */
+  def goldSink(stream: DataFrame, bronzePath: String, goldPath: String,
+               checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          batch.persist() // three readers: bronze append, refresh, unpersist
+          batch.write.mode("append").parquet(bronzePath)
+          val refreshed = graft.operators.IncrementalGold.refresh(
+            s, s.read.parquet(bronzePath), batch)
+          graft.operators.MergeUpsert.upsertPartitioned(
+            s, refreshed, goldPath,
+            keyCols = Seq("user_id", "day"), partitionCol = "day",
+            orderCol = "day")
+          batch.unpersist()
+        }
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming exact dedup — the streaming twin of dd1/u2 for a document
     * INGEST path: keep the first arrival of each content hash, drop later
     * identical payloads. Dedup state is the scale constraint in a stream
