@@ -475,5 +475,72 @@ object AggQueries {
           .select(col("user_id"), col("event_type").as("mode_type"),
             col("cnt").as("mode_count"))
       }),
+
+    // A24: chi-square contingency audit — the categorical complement of
+    // a21's correlation EDA: observed vs expected counts of
+    // event_type × value tier (f15's bands), per-cell contribution
+    // (o−e)²/e, and the summed statistic carried on every row. One
+    // data-sized hash aggregate builds the 25-cell table; the marginal
+    // totals and the statistic are windows over THOSE CELLS (bounded —
+    // the histogram-first doctrine again). Expected counts and
+    // contributions derive from exact integer counts through one IEEE
+    // tree, so the oracle matches bitwise.
+    QueryDef(
+      "a24_chisq",
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |    CASE WHEN value < 1.0 THEN 't0' WHEN value < 10.0 THEN 't1'
+             |         WHEN value < 50.0 THEN 't2' WHEN value < 200.0 THEN 't3'
+             |         ELSE 't4' END AS tier,
+             |    count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, tier, CAST(o AS BIGINT) AS o,
+             |    CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
+             |    CAST(sum(o) OVER (PARTITION BY tier) AS DOUBLE) AS ct,
+             |    CAST(sum(o) OVER () AS DOUBLE) AS n
+             |  FROM cells),
+             |c AS (
+             |  SELECT event_type, tier, o,
+             |    rt * ct / n AS e,
+             |    (CAST(o AS DOUBLE) - rt * ct / n) *
+             |      (CAST(o AS DOUBLE) - rt * ct / n) / (rt * ct / n)
+             |      AS contrib
+             |  FROM m)
+             |SELECT event_type, tier, o, e, contrib,
+             |  CAST(sum(CAST(floor(contrib * 1000000000.0 + 0.5) AS BIGINT))
+             |    OVER () AS DOUBLE) / 1000000000.0 AS chi2
+             |FROM c""".stripMargin),
+      (s, d) => {
+        val tier = when(col("value") < 1.0, "t0")
+          .when(col("value") < 10.0, "t1")
+          .when(col("value") < 50.0, "t2")
+          .when(col("value") < 200.0, "t3")
+          .otherwise("t4")
+        val allW = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val rt = sum("o").over(Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("double")
+        val ct = sum("o").over(Window.partitionBy("tier")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("double")
+        val n = sum("o").over(allW).cast("double")
+        val e = col("rt") * col("ct") / col("n")
+        val contrib = (col("o").cast("double") - e) *
+          (col("o").cast("double") - e) / e
+        Tables.events(s, d)
+          .groupBy(col("event_type"), tier.as("tier"))
+          .agg(count(lit(1)).as("o"))
+          .select(col("event_type"), col("tier"), col("o"),
+            rt.as("rt"), ct.as("ct"), n.as("n"))
+          .select(col("event_type"), col("tier"), col("o"),
+            e.as("e"), contrib.as("contrib"))
+          // cross-cell sum of doubles is order-dependent → quantize each
+          // contribution to the 1e-9 grid and sum longs (order-free)
+          .withColumn("chi2",
+            sum(floor(col("contrib") * 1000000000.0 + 0.5).cast("long"))
+              .over(allW).cast("double") / 1000000000.0)
+      }),
   )
 }

@@ -245,3 +245,73 @@ class ConnectedComponentsPropertySpec extends SparkSpec {
     }
   }
 }
+
+/** Property invariants for the round-4 operators: salted-join equivalence
+  * over random skew shapes, and grid-quantile order statistics vs a
+  * straight sort, over generated frames (fixed seeds — deterministic). */
+class Round4PropertySpecs extends SparkSpec {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1L to 5L).foreach { seed =>
+      gen.apply(Gen.Parameters.default, Seed(seed)).foreach(body)
+    }
+
+  private val skewGen: Gen[(List[(Long, String, Double)], Int)] = for {
+    n <- Gen.choose(10, 120)
+    hotShare <- Gen.choose(30, 90)
+    buckets <- Gen.oneOf(1, 2, 8, 16)
+    rows <- Gen.listOfN(n, for {
+      isHot <- Gen.choose(1, 100).map(_ <= hotShare)
+      key <- if (isHot) Gen.const("hot") else Gen.choose(0, 5).map(i => s"k$i")
+      v <- Gen.choose(1, 9999).map(_ / 100.0)
+    } yield (key, v))
+  } yield (rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) },
+           buckets)
+
+  test("salted join ≡ plain join over random skew shapes and bucket counts") {
+    import spark.implicits._
+    forAll(skewGen) { case (rows, buckets) =>
+      val left = rows.toDF("row_id", "k", "v")
+      // dim misses some keys on purpose (exercises unmatched-left rows)
+      val dim = Seq(("hot", 1.0), ("k0", 2.0), ("k3", 3.0)).toDF("k", "w")
+      for (jt <- Seq("inner", "left")) {
+        val plain = left.join(dim, Seq("k"), jt)
+        val salted = graft.operators.SaltedJoin.join(
+          left, dim, Seq("k"), col("row_id"), jt, buckets)
+        assert(plain.exceptAll(salted).count() == 0 &&
+          salted.exceptAll(plain).count() == 0,
+          s"salted($buckets, $jt) diverged from plain join")
+      }
+    }
+  }
+
+  private val valsGen: Gen[List[Double]] =
+    Gen.choose(5, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 56000).map(_ / 100.0)))
+
+  test("histogram grid quantiles equal sort-based order statistics") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    forAll(valsGen) { vals =>
+      val cumW = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+      val allW = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      def q(pct: Int) =
+        min(when(col("cum") >= expr(s"(total * $pct + 99) DIV 100"),
+          col("vc"))).cast("double") / 100.0
+      val out = vals.toDF("v")
+        .select(floor(col("v") * 100.0 + 0.5).cast("long").as("vc"))
+        .groupBy("vc").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(cumW))
+        .withColumn("total", sum("cnt").over(allW))
+        .agg(q(25).as("p25"), q(50).as("p50"), q(95).as("p95"))
+        .head()
+      val sorted = vals.map(v => math.floor(v * 100.0 + 0.5) / 100.0).sorted
+      def pick(pct: Int) = sorted((sorted.length * pct + 99) / 100 - 1)
+      assert(out.getDouble(0) == pick(25) && out.getDouble(1) == pick(50) &&
+        out.getDouble(2) == pick(95))
+    }
+  }
+}
