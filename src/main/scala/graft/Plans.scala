@@ -208,6 +208,21 @@ object Plans {
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         !p.contains("CartesianProduct")
     }
+    // mlprep_scaler: the fit statistics ride 1-row broadcast cross joins
+    // back onto the transform scan — never a cartesian or shuffle join
+    check("mlprep_scaler: stats broadcast onto the transform scan") {
+      val p = planOf("mlprep_scaler")
+      !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+    // a24: the contingency marginals + statistic are windows over the
+    // CELL table (one data-sized exchange for the groupBy; the window
+    // exchanges move ≤ |types|×|tiers| rows)
+    check("a24: one data-sized aggregate below the cell windows") {
+      val p = planOf("a24_chisq")
+      "\\bWindow \\[".r.findAllIn(p).length >= 3 &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -1054,3 +1054,36 @@ class StreamingGoldSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class ScalerLeakageSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("test rows are scaled by TRAIN statistics, never their own") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("mlprep_scaler")(spark, d).persist()
+    // recompute the train stats independently (plain Scala, full precision)
+    val rows = Tables.events(spark, d)
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val cutoff = rows.map(_._1).max.minusDays(7)
+    val train = rows.filter(_._1.isBefore(cutoff)).map(_._2)
+    val (mn, mx) = (train.min, train.max)
+    // a test row scaled by its own (full-data) min/max would differ
+    // whenever the test span extends the range; check the minmax column
+    // against TRAIN bounds on a test row whose value exceeds them
+    val testRows = out.filter(col("role") === "test")
+      .select("value", "minmax").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(testRows.nonEmpty)
+    testRows.foreach { case (v, m) =>
+      assert(math.abs(m - (v - mn) / (mx - mn)) < 1e-12,
+        s"test row $v scaled with non-train bounds")
+    }
+    // leakage canary: if any test value lies outside the train range, its
+    // train-scaled minmax must leave [0, 1] — by construction it cannot
+    // have been rescaled by full-data bounds
+    val outside = testRows.filter { case (v, _) => v < mn || v > mx }
+    outside.foreach { case (_, m) => assert(m < 0.0 || m > 1.0) }
+    out.unpersist()
+  }
+}
