@@ -742,5 +742,65 @@ object PipelineQueries {
           .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
           .option("header", "true").csv(out)
       }),
+
+    // PL17: SCD-2 validity intervals — collapse each user's run of
+    // consecutive days with the same dominant event type into one
+    // [valid_from, valid_to] row, the slowly-changing-dimension build a
+    // warehouse runs on every attribute feed. Three bounded stages: the
+    // per-(user, day) dominant type is a23's histogram-first mode; the
+    // run id is the classic gaps-and-islands running sum of change flags
+    // (lag over the per-user DAY sequence, not the events); the interval
+    // rollup is a tiny hash aggregate. One user-keyed sort serves both
+    // windows.
+    QueryDef(
+      "pl17_scd2_intervals",
+      Some("""WITH c AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2, 3),
+             |dom AS (
+             |  SELECT user_id, day, event_type FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+             |      ORDER BY cnt DESC, event_type) AS rn
+             |    FROM c) WHERE rn = 1),
+             |runs AS (
+             |  SELECT user_id, day, event_type,
+             |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+             |      THEN 1 ELSE 0 END AS chg
+             |  FROM dom WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+             |grp AS (
+             |  SELECT user_id, day, event_type,
+             |    sum(chg) OVER (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+             |  FROM runs)
+             |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+             |  min(day) AS valid_from, max(day) AS valid_to,
+             |  count(*) AS n_days
+             |FROM grp GROUP BY 1, 2, 3""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wMode = Window.partitionBy("user_id", "day")
+          .orderBy(col("cnt").desc, col("event_type"))
+        val wLag = Window.partitionBy("user_id").orderBy("day")
+        val wRun = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val dom = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wMode))
+          .filter(col("rn") === 1)
+          .select("user_id", "day", "event_type")
+        val prev = lag("event_type", 1).over(wLag)
+        dom
+          .withColumn("chg",
+            when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("run_id", sum("chg").over(wRun))
+          .groupBy("user_id", "run_id", "event_type")
+          .agg(min("day").as("valid_from"), max("day").as("valid_to"),
+            count(lit(1)).as("n_days"))
+          .select("user_id", "run_id", "event_type", "valid_from",
+            "valid_to", "n_days")
+      }),
   )
 }

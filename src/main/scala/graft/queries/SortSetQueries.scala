@@ -136,5 +136,32 @@ object SortSetQueries {
           cume_dist().over(w1).as("cdist"),
           ntile(4).over(w2).cast("long").as("quartile"))
       }),
+
+    // U4: schema-evolution union — the lakehouse reality that old files
+    // lack columns newer ones carry: a narrow (pre-migration) slice and
+    // the full current schema union BY NAME with missing columns
+    // null-filled (`unionByName(allowMissingColumns)`; DuckDB's
+    // `UNION ALL BY NAME`). Position-based union would silently
+    // misalign — this is the correctness-critical variant.
+    QueryDef(
+      "u4_union_evolve",
+      Some("""SELECT event_id, user_id, value, event_type, 'legacy' AS src
+             |FROM (SELECT event_id, user_id, value,
+             |        CAST(NULL AS VARCHAR) AS event_type
+             |      FROM events WHERE event_id % 3 = 0)
+             |UNION ALL BY NAME
+             |SELECT event_id, user_id, value, event_type, 'current' AS src
+             |FROM events WHERE event_id % 3 <> 0""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val legacy = ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("src", lit("legacy"))
+        val current = ev.filter(col("event_id") % 3 =!= 0)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .withColumn("src", lit("current"))
+        legacy.unionByName(current, allowMissingColumns = true)
+      }),
   )
 }

@@ -467,5 +467,38 @@ object WindowQueries {
             .as("roll_corr"),
           when(n >= 10, cov / nullif(vy, lit(0.0))).as("roll_beta"))
       }),
+
+    // W18: running peak / drawdown — the canonical equity risk curve:
+    // per-key running maximum since inception, instantaneous drawdown
+    // (peak − v)/peak, and the running MAX drawdown. All three are
+    // order-free aggregations (max) over one deterministic (ts, event_id)
+    // ordering, so ties in ts cannot flip the frame; the per-row ratio is
+    // a single IEEE tree. One window partition per key — at scale this is
+    // exactly one exchange + one sort, nothing else.
+    QueryDef(
+      "w18_drawdown",
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts, value,
+             |    max(value) OVER w AS peak
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, ts, value, peak,
+             |  (peak - value) / peak AS drawdown,
+             |  max((peak - value) / peak) OVER w AS max_drawdown
+             |FROM p
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val dd = (col("peak") - col("value")) / col("peak")
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            max("value").over(w).as("peak"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("peak"), dd.as("drawdown"),
+            max(dd).over(w).as("max_drawdown"))
+      }),
   )
 }
