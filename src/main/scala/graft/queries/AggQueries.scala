@@ -542,5 +542,60 @@ object AggQueries {
             sum(floor(col("contrib") * 1000000000.0 + 0.5).cast("long"))
               .over(allW).cast("double") / 1000000000.0)
       }),
+
+    // A25: KMV (k-minimum-values) cardinality sketch — the distinct-count
+    // sketch that, unlike HLL, is DETERMINISTIC given the hash function
+    // and therefore oracle-verifiable bit-for-bit: estimate
+    // (k−1) / (h_(k) / 2^32) from the k-th smallest distinct 32-bit hash
+    // of each source's BIGRAMS (per-source distinct bigrams ≫ k = 64, so
+    // the sketch regime — not the exact tail — is what verifies; expected
+    // relative error ~1/√(k−2) ≈ 13%). The sketch is what a 100 TB
+    // profile job ships between stages — k longs per group instead of the
+    // full distinct set. The exact count rides along as the audit column.
+    // Shape: grams are hashed per row (no text on any shuffle); one
+    // hash-agg collapses the stream to DISTINCT (source, hash) rows —
+    // gram-vocabulary-bounded, the only data-sized work; the k-th order
+    // statistic is a row_number window over that bounded set.
+    QueryDef(
+      "a25_kmv_distinct",
+      Some {
+        import graft.operators.TextOps.{oHash32, oShinglesFromList}
+        s"""WITH t AS (
+           |  SELECT source, string_split(text, ' ') AS lst FROM documents),
+           |g AS (
+           |  SELECT source, unnest(${oShinglesFromList("lst", 2)}) AS gr
+           |  FROM t),
+           |dh AS (
+           |  SELECT DISTINCT source, ${oHash32("gr")} AS h
+           |  FROM g),
+           |r AS (
+           |  SELECT source, h,
+           |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+           |    count(*) OVER (PARTITION BY source) AS n_exact
+           |  FROM dh)
+           |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+           |  CAST(rn AS BIGINT) AS k,
+           |  CAST(rn - 1 AS DOUBLE) /
+           |    (CAST(h AS DOUBLE) / 4294967296.0) AS kmv_estimate
+           |FROM r WHERE rn = least(64, n_exact)""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.TextOps.{hash32, shingles}
+        val wRn = Window.partitionBy("source").orderBy("h")
+        val wAll = Window.partitionBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.fanOut(Tables.documents(s, d))
+          .select(col("source"),
+            explode(shingles(col("text"), 2)).as("gr"))
+          .select(col("source"), hash32(col("gr")).as("h"))
+          .distinct()
+          .withColumn("rn", row_number().over(wRn))
+          .withColumn("n_exact", count(lit(1)).over(wAll))
+          .filter(col("rn") === least(lit(64), col("n_exact")))
+          .select(col("source"), col("n_exact"),
+            col("rn").cast("long").as("k"),
+            ((col("rn") - 1).cast("double") /
+              (col("h").cast("double") / 4294967296.0)).as("kmv_estimate"))
+      }),
   )
 }

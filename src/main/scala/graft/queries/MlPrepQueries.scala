@@ -365,5 +365,75 @@ object MlPrepQueries {
             ((col("value") - col("mn")) /
               nullif(col("mx") - col("mn"), lit(0.0))).as("minmax"))
       }),
+
+    // MLP7: leakage-safe quantile binning (KBinsDiscretizer, quantile
+    // strategy) — bin edges are the TRAIN split's exact quartiles (a22's
+    // lossless cent-grid histogram, ungrouped), applied to every row;
+    // test rows are binned by train edges, never their own. The edges
+    // ride one 1-row broadcast; the histogram windows run over the
+    // bounded grid.
+    QueryDef(
+      "mlprep_binning",
+      Some("""WITH ev AS (
+             |  SELECT event_id, CAST(ts AS DATE) AS day, value FROM events),
+             |c AS (
+             |  SELECT CAST(max(day) - INTERVAL 7 DAY AS DATE) AS cutoff
+             |  FROM ev),
+             |h AS (
+             |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+             |    count(*) AS cnt
+             |  FROM ev, c WHERE ev.day < c.cutoff GROUP BY 1),
+             |cm AS (
+             |  SELECT vc,
+             |    sum(cnt) OVER (ORDER BY vc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER () AS total
+             |  FROM h),
+             |e AS (
+             |  SELECT
+             |    CAST(min(CASE WHEN cum >= (total * 25 + 99) // 100
+             |      THEN vc END) AS DOUBLE) / 100.0 AS e25,
+             |    CAST(min(CASE WHEN cum >= (total * 50 + 99) // 100
+             |      THEN vc END) AS DOUBLE) / 100.0 AS e50,
+             |    CAST(min(CASE WHEN cum >= (total * 75 + 99) // 100
+             |      THEN vc END) AS DOUBLE) / 100.0 AS e75
+             |  FROM cm)
+             |SELECT event_id, day, value,
+             |  CASE WHEN day < cutoff THEN 'train' ELSE 'test' END AS role,
+             |  CAST(CASE WHEN value <= e25 THEN 0 WHEN value <= e50 THEN 1
+             |       WHEN value <= e75 THEN 2 ELSE 3 END AS BIGINT)
+             |    AS bucket,
+             |  e25, e50, e75
+             |FROM ev, c, e""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), to_date(col("ts")).as("day"),
+            col("value"))
+          .persist() // cutoff/fit aggregates + the binning scan
+        val cutoff = ev.agg(date_sub(max("day"), 7).as("cutoff"))
+        val cumW = Window.orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val allW = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        def q(pct: Int) =
+          min(when(col("cum") >= expr(s"(total * $pct + 99) DIV 100"),
+            col("vc"))).cast("double") / 100.0
+        val edges = ev.crossJoin(broadcast(cutoff))
+          .filter(col("day") < col("cutoff"))
+          .select(floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+          .groupBy("vc").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(cumW))
+          .withColumn("total", sum("cnt").over(allW))
+          .agg(q(25).as("e25"), q(50).as("e50"), q(75).as("e75"))
+        ev.crossJoin(broadcast(cutoff)).crossJoin(broadcast(edges))
+          .select(col("event_id"), col("day"), col("value"),
+            when(col("day") < col("cutoff"), "train").otherwise("test")
+              .as("role"),
+            when(col("value") <= col("e25"), 0L)
+              .when(col("value") <= col("e50"), 1L)
+              .when(col("value") <= col("e75"), 2L)
+              .otherwise(3L).as("bucket"),
+            col("e25"), col("e50"), col("e75"))
+      }),
   )
 }

@@ -708,15 +708,21 @@ object TextQueries {
     //
     // Parity: per-token surprisal quantized to the 1e-6-nat grid (tx10's
     // pattern — ln over identical integer-derived doubles, then floor),
-    // all accumulation in longs. Scale shape: c1/c2 are VOCABULARY-sized
-    // corpus statistics (the joins back onto the bigram stream are
-    // unhinted — Catalyst broadcasts them at fixture scale and shuffle-
-    // joins at vocab scale, both correct; the dd9 doctrine); the only
-    // data-sized shuffles are the count aggregates and the doc rollup.
+    // all accumulation in longs. Scale shape: tokens are HASHED once per
+    // document (hash32) and every downstream key — the bigram count
+    // groupBys, the c1/c2 joins, the vocabulary distinct — is one or two
+    // longs, never token text (the dedup-family shuffle rule; both
+    // engines hash identically, so even a collision is bit-mirrored).
+    // The c1/c2 joins back onto the bigram stream are unhinted —
+    // Catalyst broadcasts them at fixture scale and shuffle-joins at
+    // vocab scale, both correct (the dd9 doctrine); the only data-sized
+    // shuffles are the count aggregates and the doc rollup.
     QueryDef(
       "tx12_bigram_surprisal",
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS lst
+      Some(s"""WITH t AS (
+             |  SELECT doc_id,
+             |    list_transform(string_split(text, ' '),
+             |      tk -> ${graft.operators.TextOps.oHash32("tk")}) AS lst
              |  FROM documents),
              |bp AS (
              |  SELECT doc_id, pr['p'] AS p, pr['w'] AS w FROM (
@@ -751,7 +757,7 @@ object TextQueries {
              |    <= 0.1 AS keep
              |FROM a CROSS JOIN tot""".stripMargin),
       (s, d) => {
-        val lst = tokens(col("text"))
+        val lst = transform(tokens(col("text")), tk => hash32(tk))
         val pairs = zip_with(
           slice(col("lst"), lit(1), size(col("lst")) - 1),
           slice(col("lst"), lit(2), size(col("lst")) - 1),
@@ -762,7 +768,7 @@ object TextQueries {
         val bp = t
           .select(col("doc_id"),
             explode(when(size(col("lst")) >= 2, pairs)
-              .otherwise(array().cast("array<struct<p:string,w:string>>")))
+              .otherwise(array().cast("array<struct<p:bigint,w:bigint>>")))
               .as("pr"))
           .select(col("doc_id"), col("pr.p").as("p"), col("pr.w").as("w"))
           .persist() // count dims + the surprisal join all read it
