@@ -223,6 +223,13 @@ object Plans {
       "\\bWindow \\[".r.findAllIn(p).length >= 3 &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
     }
+    // o6: keyset pagination — the cursor predicate reaches the scan and
+    // the page compiles to TakeOrdered (each page is O(page), no matter
+    // how deep the cursor: the whole point vs OFFSET)
+    check("o6: cursor predicate pushed, page is TakeOrdered") {
+      val p = planOf("o6_keyset_page")
+      p.contains("TakeOrdered") && p.contains("PushedFilters: [Or(")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -137,6 +137,28 @@ object SortSetQueries {
           ntile(4).over(w2).cast("long").as("quartile"))
       }),
 
+    // O6: keyset (cursor) pagination — the scalable pagination shape:
+    // `(user_id, event_id) > cursor ORDER BY key LIMIT n`. OFFSET-based
+    // paging scans and discards offset rows on EVERY page (O(pages²)
+    // total at scale); the keyset predicate pushes to the scan and the
+    // limit compiles to TakeOrdered, so each page is O(page) work no
+    // matter how deep the cursor sits. The row-value comparison expands
+    // to the OR-form Spark pushes into parquet.
+    QueryDef(
+      "o6_keyset_page",
+      Some("""SELECT event_id, user_id, ts, value
+             |FROM events
+             |WHERE (user_id, event_id) > (75, 4000)
+             |ORDER BY user_id, event_id
+             |LIMIT 100""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("user_id") > 75 ||
+            (col("user_id") === 75 && col("event_id") > 4000))
+          .orderBy("user_id", "event_id")
+          .limit(100)
+          .select("event_id", "user_id", "ts", "value")),
+
     // U4: schema-evolution union — the lakehouse reality that old files
     // lack columns newer ones carry: a narrow (pre-migration) slice and
     // the full current schema union BY NAME with missing columns

@@ -1087,3 +1087,63 @@ class ScalerLeakageSpec extends SparkSpec {
     out.unpersist()
   }
 }
+
+class MmrSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Mmr
+
+  private def vec(xs: Double*): Array[Long] =
+    xs.map(x => math.floor(x * 1000000.0 + 0.5).toLong).toArray
+
+  test("greedy MMR: first pick is top relevance; redundant near-twin deferred") {
+    // c1 top-rel; c2 nearly identical to c1 (redundant); c3 orthogonal,
+    // lower rel. With lambda=0.5 MMR must pick c1, then c3 over c2.
+    val pool = Seq(
+      Mmr.Cand(1L, 1L, 0.95, vec(1.0, 0.0)),
+      Mmr.Cand(1L, 2L, 0.94, vec(0.999, 0.01)),
+      Mmr.Cand(1L, 3L, 0.60, vec(0.0, 1.0)))
+    val picks = Mmr.greedy(pool, 3, 0.5)
+    assert(picks.map(_.cand_id) == Seq(1L, 3L, 2L))
+    assert(picks.head.mmr_score == 0.5 * 0.95) // no redundancy on pick 1
+  }
+
+  test("lambda=1 degenerates to pure relevance ranking") {
+    val pool = Seq(
+      Mmr.Cand(1L, 10L, 0.3, vec(1.0, 0.0)),
+      Mmr.Cand(1L, 11L, 0.9, vec(1.0, 0.0)),
+      Mmr.Cand(1L, 12L, 0.6, vec(1.0, 0.0)))
+    assert(Mmr.greedy(pool, 3, 1.0).map(_.cand_id) == Seq(11L, 12L, 10L))
+  }
+
+  test("distributed rerank matches the local greedy per query") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pool = for (q <- 1L to 4L; c <- 1L to 20L) yield
+      Mmr.Cand(q, c, rnd.nextDouble(),
+        vec(rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble()))
+    val df = pool.toDF()
+    val dist = Mmr.rerank(df, k = 5, lambda = 0.7)
+      .collect().groupBy(_.query_id)
+    pool.groupBy(_.query_id).foreach { case (q, cands) =>
+      val local = Mmr.greedy(cands.toSeq, 5, 0.7)
+      assert(dist(q).sortBy(_.rank).toSeq == local)
+    }
+    // diversity property: MMR's selection has lower max pairwise
+    // similarity than the pure-relevance top-k for at least one query
+    val better = pool.groupBy(_.query_id).count { case (q, cands) =>
+      val byId = cands.map(c => c.cand_id -> c.qv).toMap
+      def maxSim(ids: Seq[Long]) =
+        (for { a <- ids; b <- ids if a < b } yield {
+          val (x, y) = (byId(a), byId(b))
+          val dot = x.zip(y).map { case (i, j) => i * j }.sum.toDouble
+          dot / (math.sqrt(x.map(i => i * i).sum.toDouble) *
+                 math.sqrt(y.map(i => i * i).sum.toDouble))
+        }).max
+      val mmrIds = Mmr.greedy(cands.toSeq, 5, 0.7).map(_.cand_id)
+      val topIds = cands.toSeq.sortBy(c => (-c.rel, c.cand_id))
+        .take(5).map(_.cand_id)
+      maxSim(mmrIds) <= maxSim(topIds)
+    }
+    assert(better == 4, s"MMR never less redundant: $better/4")
+  }
+}
