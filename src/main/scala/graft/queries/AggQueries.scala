@@ -597,5 +597,71 @@ object AggQueries {
             ((col("rn") - 1).cast("double") /
               (col("h").cast("double") / 4294967296.0)).as("kmv_estimate"))
       }),
+
+    // A26: ordered funnel analysis — per user, the earliest
+    // view → click-after-view → purchase-after-click chain and the funnel
+    // stage reached (the product-analytics sequence-match over the event
+    // stream), each step constrained to a 1-day conversion window from
+    // the previous step. Each step is ONE conditional min over the SAME user-keyed
+    // aggregate shape; the step dependency (click must follow the first
+    // view) rides a broadcast join of the previous step's tiny per-user
+    // frame — three bounded aggregates, zero windows over raw events.
+    // Timestamps are exact (µs), so min/comparison chains are
+    // deterministic on both engines.
+    QueryDef(
+      "a26_funnel",
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS first_view
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS first_click
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.first_view
+             |    AND e.ts <= v.first_view + INTERVAL 1 DAY
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS first_purchase
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+             |    AND e.ts <= c.first_click + INTERVAL 1 DAY
+             |  GROUP BY 1),
+             |u AS (SELECT DISTINCT user_id FROM events)
+             |SELECT u.user_id, v.first_view, c.first_click,
+             |  p.first_purchase,
+             |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+             |       WHEN c.user_id IS NOT NULL THEN 2
+             |       WHEN v.user_id IS NOT NULL THEN 1
+             |       ELSE 0 END AS BIGINT) AS funnel_stage
+             |FROM u
+             |LEFT JOIN v ON u.user_id = v.user_id
+             |LEFT JOIN c ON u.user_id = c.user_id
+             |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .persist() // four readers: the user dim + three step aggregates
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("first_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(broadcast(v), "user_id")
+          .filter(col("ts") > col("first_view") &&
+            col("ts") <= col("first_view") + expr("INTERVAL 1 DAY"))
+          .groupBy("user_id").agg(min("ts").as("first_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(c), "user_id")
+          .filter(col("ts") > col("first_click") &&
+            col("ts") <= col("first_click") + expr("INTERVAL 1 DAY"))
+          .groupBy("user_id").agg(min("ts").as("first_purchase"))
+        ev.select("user_id").distinct()
+          .join(broadcast(v), Seq("user_id"), "left")
+          .join(broadcast(c), Seq("user_id"), "left")
+          .join(broadcast(p), Seq("user_id"), "left")
+          .select(col("user_id"), col("first_view"), col("first_click"),
+            col("first_purchase"),
+            when(col("first_purchase").isNotNull, 3L)
+              .when(col("first_click").isNotNull, 2L)
+              .when(col("first_view").isNotNull, 1L)
+              .otherwise(0L).as("funnel_stage"))
+      }),
   )
 }
