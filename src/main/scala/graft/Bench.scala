@@ -56,9 +56,12 @@ object Bench {
     // corpus dir) was only built for warmDir — force the sfDir build here
     // so it lands in dedup_stage_build_sec, not inside the first timed
     // dd-query sample.
-    if (warmDir != sfDir)
+    if (warmDir != sfDir) {
       try graft.operators.DedupStage(spark, sfDir)
       catch { case _: Throwable => () }
+      try graft.operators.EmbedStage(spark, sfDir)
+      catch { case _: Throwable => () }
+    }
 
     // Median of 5 timed iterations per query, with the iterations
     // INTERLEAVED as full suite rounds rather than back-to-back: host
@@ -123,12 +126,13 @@ object Bench {
     // the caps are sized never to fire there.
     val tel = CapTelemetry.snapshot().toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // One-off cost of materializing the shared dedup signature stage
-    // (operators.DedupStage) this JVM — paid during warmup here, reported
-    // so the dd-family steady-state timings can't hide it.
+    // One-off cost of materializing the shared stages (dedup signatures,
+    // vector index) this JVM — paid during warmup here, reported so the
+    // dd/sim-family steady-state timings can't hide it.
     val stageSec = r(graft.operators.DedupStage.buildSeconds)
+    val embedSec = r(graft.operators.EmbedStage.buildSeconds)
     val line =
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"stats":$statsJson,"noise_floor":$noiseFloor,"iters":$iters,"dedup_stage_build_sec":$stageSec,"failed":$failed,"telemetry":$tel,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"stats":$statsJson,"noise_floor":$noiseFloor,"iters":$iters,"dedup_stage_build_sec":$stageSec,"embed_stage_build_sec":$embedSec,"failed":$failed,"telemetry":$tel,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line to a file: the driver captures only the
     // tail of stdout, which truncated 28 of 89 per-query timings in round 2.

@@ -88,6 +88,14 @@ object Plans {
     check("sim4: only the two small-side window exchanges") {
       "Exchange hashpartitioning".r.findAllIn(sim4).length == 2
     }
+    // the sim family reads the MATERIALIZED vector-index stage
+    // (operators.EmbedStage) — no inline re-quantization / re-encoding of
+    // the corpus on any query path
+    check("sim2/sim4/sim6: read the materialized vector-index stage") {
+      planOf("sim2_ann_lsh").contains("graft_embed_stage") &&
+        sim4.contains("graft_embed_stage") &&
+        planOf("sim6_pq_topk").contains("graft_embed_stage")
+    }
     // dd3/dd6 consume the MATERIALIZED signature stage (operators.DedupStage)
     // instead of re-running the md5-shingle preamble, and their banding
     // path has no window sort anywhere. dd6 additionally reads the stage's

@@ -67,58 +67,13 @@ object DedupStage {
     * consumer hit an already-built stage). */
   @volatile var buildSeconds: Double = 0.0
 
-  private val built = scala.collection.mutable.Set.empty[String]
-
-  private def mtime(d: String): Long = {
-    val f = new java.io.File(s"$d/documents.parquet")
-    require(f.exists(), s"DedupStage: corpus not found at ${f.getPath}")
-    // directory-style parquet: newest part file (empty dir = corrupt
-    // fixture — fail here with a clear message, not inside the build)
-    if (f.isDirectory) {
-      val files = f.listFiles()
-      require(files != null && files.nonEmpty,
-        s"DedupStage: ${f.getPath} is an empty directory")
-      files.map(_.lastModified()).max
-    } else f.lastModified()
-  }
-
-  private def stageDir(s: SparkSession, d: String): String = {
-    val key = s"v$Version|K=${DedupParams.K}|$d|${mtime(d)}"
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"/tmp/graft_dedup_stage/$tag"
-  }
-
-  /** Get (building if absent) the signature stage for corpus dir `d`. */
-  def apply(s: SparkSession, d: String): Stage = synchronized {
-    val dir = stageDir(s, d)
-    val done = new java.io.File(s"$dir/_DONE")
-    if (!built.contains(dir) && !done.exists()) {
-      val t0 = System.nanoTime()
-      // Build into a process-private dir, then publish with an atomic
-      // rename: concurrent JVMs (driver's Verify and Bench, say) may race
-      // on the same stage key, and a half-written shared dir must never be
-      // readable. Loser of the rename just discards its build.
-      val tmp = new java.io.File(
-        dir + ".build." + java.lang.ProcessHandle.current().pid())
-      build(s, d, tmp.getPath)
-      java.nio.file.Files.createFile(
-        java.nio.file.Paths.get(tmp.getPath, "_DONE"))
-      // Lose-the-race shapes only (target already exists / non-empty);
-      // any other move failure is a real error and must propagate — a
-      // broad catch here would silently delete the build and surface
-      // later as a confusing missing-path read.
-      try java.nio.file.Files.move(tmp.toPath, new java.io.File(dir).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.DirectoryNotEmptyException =>
-        // another process published first — its stage is equivalent
-        // (deterministic build); drop ours
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-      }
-      buildSeconds += (System.nanoTime() - t0) / 1e9
-    }
-    built.add(dir)
+  /** Get (building if absent) the signature stage for corpus dir `d` —
+    * cache mechanics (key → dir, atomic publish) in [[StageCache]]. */
+  def apply(s: SparkSession, d: String): Stage = {
+    val dir = StageCache.dir("/tmp/graft_dedup_stage",
+      s"v$Version|K=${DedupParams.K}|$d|" +
+        StageCache.parquetMtime(s"$d/documents.parquet"))
+    buildSeconds += StageCache.getOrBuild(dir)(build(s, d, _))
     Stage(
       s.read.parquet(s"$dir/membership"),
       // fan the single-scratch-file read out to all cores — banding and

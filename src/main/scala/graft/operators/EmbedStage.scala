@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared arithmetic over quantized embedding vectors (array<long> on the
+  * 1e-6 grid) — the parity-critical expressions every sim consumer and the
+  * stage builder must share EXACTLY (same IEEE tree both engines, see the
+  * quantization doctrine in `queries/SimilarityQueries.scala`).
+  */
+object VectorOps {
+  /** Embedding dimensionality of the fixture corpus (TESTDATA.md). */
+  val Dim = 64
+
+  /** Quantize a float embedding to the 1e-6 integer grid: identical IEEE
+    * double ops on both engines, then exact long arithmetic everywhere
+    * downstream. */
+  def quant(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
+
+  /** Exact integer inner product of two quantized vectors.
+    *
+    * Measured dead end (sim5 pair join, sf0.1): unrolling the 64-term dot
+    * into element_at chains — nominally "codegen'd" vs the interpreted
+    * `aggregate(zip_with)` lambda — ran 1.6× SLOWER (2.33s vs 1.44s
+    * median). The ~250-node expression blows past the codegen splitting
+    * thresholds and each GetArrayItem re-checks bounds, while the lambda
+    * interpreter streams the primitive arrays once. Keep dotL everywhere. */
+  def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact squared norm (long): 64 axes × (~3e5)² ≈ 6e12 « 2^53, so the
+    * eventual cast to double is exact on both engines. */
+  def normSq(a: Column): Column = dotL(a, a)
+}
+
+/** The MATERIALIZED vector-index stage shared by the similarity family
+  * (sim1–sim6) — reference semantics per `SURVEY.md` §2's similarity rows;
+  * the staging itself is the standard large-corpus design (index once,
+  * query many), not a reference feature.
+  *
+  * Motivation: the six similarity operators all start from the same
+  * per-vector substrate — quantize the embedding, square the norm, inner-
+  * product the [[IvfIndex]] centroids, argmin-encode the [[PqIndex]]
+  * codes, sign-test the [[SignLsh]] hyperplanes. Computed inline, each
+  * operator pays that cost again on every run; at 100 TB that is six full
+  * corpus scans with 64-dim arithmetic per row. A real vector pipeline
+  * computes the index ONCE per corpus snapshot and materializes it —
+  * exactly what FAISS/Milvus-style systems persist — and the search
+  * operators read it. The index rows are small (the quantized vector plus
+  * a few ints per vector) and immutable for an immutable corpus snapshot.
+  *
+  * Tables:
+  *  - `vectors(vec_id, qv, nsq, dl, cid, codes)` — the quantized vector,
+  *    its exact squared norm, the C centroid inner products (`dl`, kept so
+  *    query-side probe ranking reads the same column instead of
+  *    recomputing), the assigned IVF list (`cid` — at cluster scale the
+  *    table is BUCKETED by this column and a probe touches P/C of the
+  *    data), and the M PQ codes.
+  *  - `buckets(vec_id, table_id, bucket_pair, bucket_query)` — the
+  *    [[SignLsh]] bucket ids per hash table at both operating widths
+  *    (8-bit pairwise path / 12-bit multiprobe query path). Bucket-size
+  *    caps stay QUERY-side ([[SignLsh.capBuckets]]): the cap is a skew
+  *    policy of the consumer, not of the index.
+  *
+  * The DuckDB oracles keep replaying every derivation from the raw
+  * embeddings — the stage must (and does: `EmbedStageSpec`) match the
+  * inline expressions bit-for-bit, so hash verification still covers the
+  * whole derivation, not just the post-index query.
+  *
+  * Build cost is NOT hidden: [[buildSeconds]] records the wall-clock of
+  * every build in this JVM and Bench emits it as
+  * `embed_stage_build_sec` in the benchmark JSON.
+  */
+object EmbedStage {
+
+  /** Bump when the stage schema or any index constant changes. */
+  private val Version = 1
+
+  /** LSH operating points (see `queries/SimilarityQueries.scala` for the
+    * recall arithmetic): 4 OR-amplified tables; 8-bit buckets on the
+    * pairwise path (sim3), 12-bit + query-side multiprobe on the search
+    * path (sim2). */
+  val LshTables = 4
+  val BitsPair = 8
+  val BitsQuery = 12
+
+  final case class Stage(vectors: DataFrame, buckets: DataFrame)
+
+  /** Wall-clock seconds spent building stages in this JVM (0 when every
+    * consumer hit an already-built stage). */
+  @volatile var buildSeconds: Double = 0.0
+
+  /** Get (building if absent) the vector-index stage for corpus dir `d`. */
+  def apply(s: SparkSession, d: String): Stage = {
+    import VectorOps.Dim
+    val dir = StageCache.dir("/tmp/graft_embed_stage",
+      s"v$Version|D=$Dim|T=$LshTables|b=$BitsPair,$BitsQuery" +
+        s"|C=${IvfIndex.C}|M=${PqIndex.M}|$d|" +
+        StageCache.parquetMtime(s"$d/embeddings.parquet"))
+    buildSeconds += StageCache.getOrBuild(dir)(build(s, d, _))
+    // fanOut is a no-op when the stage was written with ≥ par partitions
+    // (the usual case — the build fans out); it only fires when a stage
+    // built by a smaller session is read by a larger one.
+    Stage(
+      Tables.fanOut(s.read.parquet(s"$dir/vectors")),
+      Tables.fanOut(s.read.parquet(s"$dir/buckets")))
+  }
+
+  private def build(s: SparkSession, d: String, dir: String): Unit = {
+    import VectorOps._
+    // fanOut: the per-row index math (C centroid dots, M argmin encodes,
+    // tables×bits sign tests) is the hot path — a single-file fixture
+    // must not serialize it onto one core.
+    val emb = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+    emb
+      .select(col("vec_id"), col("qv"), normSq(col("qv")).as("nsq"),
+        IvfIndex.dots(col("qv"), Dim).as("dl"),
+        PqIndex.encode(PqIndex.dls(col("qv"), Dim)).as("codes"))
+      .select(col("vec_id"), col("qv"), col("nsq"), col("dl"),
+        IvfIndex.assign(col("dl")).as("cid"), col("codes"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    val ps8 = SignLsh.planes(LshTables, BitsPair, Dim)
+    val ps12 = SignLsh.planes(LshTables, BitsQuery, Dim)
+    val structs = (0 until LshTables).map { t =>
+      struct(lit(t).as("table_id"),
+        SignLsh.bucket(col("qv"), ps8(t)).as("bucket_pair"),
+        SignLsh.bucket(col("qv"), ps12(t)).as("bucket_query"))
+    }
+    // clean lineage: bucket bits derive from the just-written vectors
+    // parquet, not a recompute of the quantization
+    s.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), explode(array(structs: _*)).as("b"))
+      .select(col("vec_id"), col("b.table_id").as("table_id"),
+        col("b.bucket_pair").as("bucket_pair"),
+        col("b.bucket_query").as("bucket_query"))
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+  }
+}

@@ -87,6 +87,17 @@ object SignLsh {
       .select(col(idCol), col("b.table_id").as("table_id"),
               col("b.bucket").as("bucket"))
     val bk = if (persist) bkRaw.persist() else bkRaw
+    capBuckets(bk, maxBucket, capMetric)
+  }
+
+  /** Apply the bucket-size skew cap to an existing `(…, table_id, bucket)`
+    * frame — the entry point for consumers of a MATERIALIZED bucket table
+    * ([[EmbedStage]]): the cap is the consumer's skew policy, so it stays
+    * on the query path even when the buckets themselves are precomputed.
+    * Hash-agg of bucket sizes + broadcast anti-join of the (tiny, normally
+    * empty) hot set; dropped rows observed via [[graft.CapTelemetry]]. */
+  def capBuckets(bk: DataFrame, maxBucket: Long,
+                 capMetric: Option[String]): DataFrame =
     if (maxBucket == Long.MaxValue) bk
     else {
       val sizes = bk.groupBy("table_id", "bucket")
@@ -97,7 +108,6 @@ object SignLsh {
         .select("table_id", "bucket")
       bk.join(broadcast(hot), Seq("table_id", "bucket"), "left_anti")
     }
-  }
 
   /** Multiprobe set for a query bucket: the bucket itself plus every
     * 1-bit flip (Lv-et-al-2007-style probing restricted to Hamming
@@ -129,9 +139,14 @@ object SignLsh {
   def candidatePairs(df: DataFrame, idCol: String, qvCol: String,
                      tables: Int, bits: Int, dim: Int,
                      maxBucket: Long = Long.MaxValue,
-                     capMetric: Option[String] = None): DataFrame = {
-    val bk = bucketize(df, idCol, qvCol, tables, bits, dim, maxBucket,
-      capMetric)
+                     capMetric: Option[String] = None): DataFrame =
+    pairsFromBuckets(
+      bucketize(df, idCol, qvCol, tables, bits, dim, maxBucket, capMetric),
+      idCol)
+
+  /** Candidate pairs from an already-bucketed (and already-capped)
+    * `(idCol, table_id, bucket)` frame. */
+  def pairsFromBuckets(bk: DataFrame, idCol: String): DataFrame = {
     val a = bk.select(col(idCol).as("id_a"), col("table_id"), col("bucket"))
     val b = bk.select(col(idCol).as("id_b"), col("table_id"), col("bucket"))
     a.join(b, Seq("table_id", "bucket"))

@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.QueryDef
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,14 +22,25 @@ import org.apache.spark.sql.functions._
   * candidates to same-bucket collisions before exact scoring — the
   * IVF-style partition-pruned search. Recall mechanics are spec-tested on
   * planted near-duplicates (SignLshSpec).
+  *
+  * All six operators read the MATERIALIZED vector-index stage
+  * ([[graft.operators.EmbedStage]]): quantized vectors, norms, IVF
+  * assignments, PQ codes, and LSH buckets are computed once per corpus
+  * snapshot, the way a real vector pipeline maintains its index tables —
+  * each query here is the SEARCH side only. The DuckDB oracles still
+  * replay the full derivation from raw embeddings, so hash verification
+  * covers index construction too.
   */
 object SimilarityQueries {
+  import graft.operators.{EmbedStage, VectorOps}
+  import VectorOps.dotL
 
   private val NQ = 5   // query vectors: vec_id < NQ
   private val TopK = 10
-  private val Dim = 64        // embedding dimensionality (TESTDATA.md)
-  private val LshTables = 4   // independent hash tables (OR-amplification)
-  private val LshBits = 8     // sim3 bits/table ≈ log2(n/bucket) at fixture
+  private val Dim = VectorOps.Dim  // embedding dimensionality (TESTDATA.md)
+  private val LshTables = EmbedStage.LshTables
+  private val LshBits = EmbedStage.BitsPair // sim3 bits/table ≈
+                              // log2(n/bucket) at fixture
                               // size; scale toward 16-20 at 1e9 vectors
   /** sim2 bits/table: multiprobe (1-bit flips on the query side) buys the
     * recall that longer codes would otherwise cost, so the query path runs
@@ -38,7 +49,7 @@ object SimilarityQueries {
     * prob at cosine≈0.999 (p≈0.99/bit): single-probe 12-bit ≈ p^12 ≈ 0.89;
     * +12 one-flip probes ≈ p^12 + 12·p^11·(1-p) ≈ 0.99, OR'd over 4
     * tables ≈ 1-1e-8. */
-  private val Sim2Bits = 12
+  private val Sim2Bits = EmbedStage.BitsQuery
   /** Bucket-size cap for the candidate joins; a bucket of m rows costs m²
     * pairs. ~n/2^bits expected at fixture scale, so this never fires
     * locally; at scale it is the skew guard (SignLsh.overflow reports what
@@ -50,22 +61,15 @@ object SimilarityQueries {
   /** sim6 ADC survivor pool reranked exactly (per query). */
   private val PqPool = 50
 
-  /** Quantized embedding as array<long>/list<BIGINT>. */
-  private def quant(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
+  /** Quantized embedding as list<BIGINT> (oracle side of
+    * [[VectorOps.quant]]). */
   private val oQuant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
 
-  private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-  private def normSq(a: Column): Column = dotL(a, a)
-
-  // Measured dead end (sim5 pair join, sf0.1): unrolling the 64-term dot
-  // into element_at chains — nominally "codegen'd" vs the interpreted
-  // `aggregate(zip_with)` lambda — ran 1.6× SLOWER (2.33s vs 1.44s
-  // median). The ~250-node expression blows past the codegen splitting
-  // thresholds and each GetArrayItem re-checks bounds, while the lambda
-  // interpreter streams the primitive arrays once. Keep dotL everywhere.
+  /** sqrt of the stage's exact squared norm — same double as
+    * sqrt(normSq(qv)) computed inline, so parity with the
+    * raw-embedding-replaying oracle is untouched. */
+  private def nrmOf(nsq: Column): Column = sqrt(nsq.cast("double"))
 
   private val oDot =
     "list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i]))"
@@ -91,14 +95,15 @@ object SimilarityQueries {
               |    ORDER BY cosine DESC, cand_id) AS rn
               |  FROM scored) WHERE rn <= $TopK""".stripMargin),
       (s, d) => {
-        val emb = Tables.fanOut(Tables.embeddings(s, d))
-          .select(col("vec_id"), quant(col("embedding")).as("qv"))
+        val emb = EmbedStage(s, d).vectors
+          .select(col("vec_id"), col("qv"), col("nsq"))
         val q = emb.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
-        val c = emb.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"))
+          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+            col("nsq").as("nsq_q"))
+        val c = emb.select(col("vec_id").as("cand_id"),
+          col("qv").as("qv_c"), col("nsq").as("nsq_c"))
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
-          (sqrt(normSq(col("qv_q")).cast("double")) *
-           sqrt(normSq(col("qv_c")).cast("double")))
+          (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
         val scored = broadcast(q).crossJoin(c)
           .filter(col("cand_id") =!= col("query_id"))
           .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
@@ -152,19 +157,16 @@ object SimilarityQueries {
            |  FROM scored) WHERE rn <= $TopK""".stripMargin
       },
       (s, d) => {
-        // no fanOut here: the embeddings table is one narrow scan whose
-        // per-row bucket math is light; at fixture scale the repartition's
-        // extra stage costs more than the parallelism buys (sim1, which
-        // scores EVERY row against every query, keeps it).
-        // persist: three consumers read the quantized frame (bucket build,
-        // query-vector broadcast, corpus scoring side) — without it each
-        // re-scans the parquet and re-runs the interpreted quant lambda.
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), quant(col("embedding")).as("qv"))
-          .persist()
-        val bk = graft.operators.SignLsh.bucketize(
-          emb, "vec_id", "qv", LshTables, Sim2Bits, Dim, MaxLshBucket,
-          Some("sim2_dropped_bucket_rows"), persist = false)
+        // the quantized frame and the bucket bits are STAGE reads
+        // (EmbedStage — index once, query many); what stays on the query
+        // path is the skew cap (consumer policy), the multiprobe
+        // expansion, and the scoring itself.
+        val st = EmbedStage(s, d)
+        val emb = st.vectors.select(col("vec_id"), col("qv"), col("nsq"))
+        val bk = graft.operators.SignLsh.capBuckets(
+          st.buckets.select(col("vec_id"), col("table_id"),
+            col("bucket_query").as("bucket")),
+          MaxLshBucket, Some("sim2_dropped_bucket_rows"))
         val qb = bk.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("query_id"), col("table_id"),
             explode(graft.operators.SignLsh.probeBuckets(col("bucket"),
@@ -177,11 +179,12 @@ object SimilarityQueries {
         val cand = cb.join(broadcast(qb), Seq("table_id", "bucket"))
           .filter(col("cand_id") =!= col("query_id"))
           .select("query_id", "cand_id").distinct()
-        val q = emb.select(col("vec_id").as("query_id"), col("qv").as("qv_q"))
-        val c = emb.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"))
+        val q = emb.select(col("vec_id").as("query_id"),
+          col("qv").as("qv_q"), col("nsq").as("nsq_q"))
+        val c = emb.select(col("vec_id").as("cand_id"),
+          col("qv").as("qv_c"), col("nsq").as("nsq_c"))
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
-          (sqrt(normSq(col("qv_q")).cast("double")) *
-           sqrt(normSq(col("qv_c")).cast("double")))
+          (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
         // scoring join direction matters at 100 TB: the corpus is the
         // STREAM side scanned once, the (candidate × query-vector) frame —
         // small by LSH construction — broadcasts. Explicit, so neither AQE
@@ -230,18 +233,19 @@ object SimilarityQueries {
            |     sqrt(CAST(${oNorm("c")} AS DOUBLE))) >= 0.4""".stripMargin
       },
       (s, d) => {
-        // no fanOut: same stage-count tradeoff as sim2 — the bucketize
-        // persist already parallelizes every reuse of the bucket frame.
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), quant(col("embedding")).as("qv"))
-        val cand = graft.operators.SignLsh.candidatePairs(
-          emb, "vec_id", "qv", LshTables, LshBits, Dim, MaxLshBucket,
-          Some("sim3_dropped_bucket_rows"))
-        val q = emb.select(col("vec_id").as("id_a"), col("qv").as("qv_q"))
-        val c = emb.select(col("vec_id").as("id_b"), col("qv").as("qv_c"))
+        val st = EmbedStage(s, d)
+        val cand = graft.operators.SignLsh.pairsFromBuckets(
+          graft.operators.SignLsh.capBuckets(
+            st.buckets.select(col("vec_id"), col("table_id"),
+              col("bucket_pair").as("bucket")),
+            MaxLshBucket, Some("sim3_dropped_bucket_rows")),
+          "vec_id")
+        val q = st.vectors.select(col("vec_id").as("id_a"),
+          col("qv").as("qv_q"), col("nsq").as("nsq_q"))
+        val c = st.vectors.select(col("vec_id").as("id_b"),
+          col("qv").as("qv_c"), col("nsq").as("nsq_c"))
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
-          (sqrt(normSq(col("qv_q")).cast("double")) *
-           sqrt(normSq(col("qv_c")).cast("double")))
+          (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
         cand.join(q, "id_a").join(c, "id_b")
           .select(col("id_a"), col("id_b"), cosine.as("cosine"))
           .filter(col("cosine") >= 0.4)
@@ -293,26 +297,23 @@ object SimilarityQueries {
       },
       (s, d) => {
         import graft.operators.IvfIndex
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), quant(col("embedding")).as("qv"))
-        val dots = emb.select(col("vec_id"), col("qv"),
-            IvfIndex.dots(col("qv"), Dim).as("dl"))
-          // persist: the centroid-dot pass feeds both the corpus
-          // assignment and the query probe ranking
-          .persist()
-        val corpus = dots.select(col("vec_id").as("cand_id"),
-          col("qv").as("qv_c"), IvfIndex.assign(col("dl")).as("cid"))
-        val qd = dots.filter(col("vec_id") < NQ)
+        // corpus assignment (cid) and the centroid-dot array (dl) are
+        // stage columns — the query path is probe ranking + the broadcast
+        // probe join + exact scoring of the probed lists only
+        val v = EmbedStage(s, d).vectors
+        val corpus = v.select(col("vec_id").as("cand_id"),
+          col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"))
+        val qd = v.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
-            posexplode(col("dl")))
+            col("nsq").as("nsq_q"), posexplode(col("dl")))
         val wProbe = Window.partitionBy("query_id")
           .orderBy(col("col").desc, col("pos").asc)
         val probes = qd.withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= IvfIndex.P)
-          .select(col("query_id"), col("qv_q"), col("pos").as("cid"))
+          .select(col("query_id"), col("qv_q"), col("nsq_q"),
+            col("pos").as("cid"))
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
-          (sqrt(normSq(col("qv_q")).cast("double")) *
-           sqrt(normSq(col("qv_c")).cast("double")))
+          (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
         val scored = corpus.join(broadcast(probes), "cid")
           .filter(col("cand_id") =!= col("query_id"))
           .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
@@ -371,19 +372,15 @@ object SimilarityQueries {
            |FROM asg s LEFT JOIN near n ON s.vec_id = n.vec_id""".stripMargin
       },
       (s, d) => {
-        import graft.operators.IvfIndex
-        val asg = Tables.embeddings(s, d)
-          .select(col("vec_id"), quant(col("embedding")).as("qv"))
-          .select(col("vec_id"), col("qv"),
-            IvfIndex.assign(IvfIndex.dots(col("qv"), Dim)).as("cid"),
-            // norm once per VECTOR, not per pair — the pair join below
-            // evaluates O(n·cluster) interpreted lambdas, and dropping
-            // the two per-pair norm recomputes cuts 2/3 of that work;
-            // sqrt of the same exact-int double is bit-identical wherever
-            // it's computed, so parity is unaffected
-            sqrt(normSq(col("qv")).cast("double")).as("nrm"))
-          // one assignment pass feeds both pair sides and the final join
-          .persist()
+        // cluster assignment and squared norm are stage columns; the norm
+        // sqrt is once per VECTOR, not per pair — the pair join below
+        // evaluates O(n·cluster) interpreted lambdas, and keeping the two
+        // per-pair norm recomputes out of it cuts 2/3 of that work (sqrt
+        // of the same exact-int double is bit-identical wherever it's
+        // computed, so parity is unaffected)
+        val asg = EmbedStage(s, d).vectors
+          .select(col("vec_id"), col("qv"), col("cid"),
+            nrmOf(col("nsq")).as("nrm"))
         val a = asg.select(col("vec_id"), col("cid"), col("qv").as("qv_a"),
           col("nrm").as("nrm_a"))
         val b = asg.select(col("vec_id").as("id_b"), col("cid"),
@@ -474,17 +471,13 @@ object SimilarityQueries {
       },
       (s, d) => {
         import graft.operators.{IvfIndex, PqIndex}
-        val dots = Tables.embeddings(s, d)
-          .select(col("vec_id"), quant(col("embedding")).as("qv"))
-          .select(col("vec_id"), col("qv"),
-            IvfIndex.dots(col("qv"), Dim).as("dl"))
-          // one pass feeds the corpus encode, the probe ranking, and the
-          // rerank's raw-vector lookups
-          .persist()
-        val enc = dots.select(col("vec_id").as("cand_id"),
-          IvfIndex.assign(col("dl")).as("cid"),
-          PqIndex.encode(PqIndex.dls(col("qv"), Dim)).as("codes"))
-        val qd = dots.filter(col("vec_id") < NQ)
+        // codes, cid, and dl are stage columns — the encoded-corpus scan
+        // (cid + codes, no raw vectors) is exactly the compressed index
+        // table an IVF-ADC deployment keeps hot
+        val v = EmbedStage(s, d).vectors
+        val enc = v.select(col("vec_id").as("cand_id"), col("cid"),
+          col("codes"))
+        val qd = v.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
             posexplode(col("dl")))
         val wProbe = Window.partitionBy("query_id")
@@ -503,16 +496,16 @@ object SimilarityQueries {
           .filter(col("rn") <= PqPool).select("query_id", "cand_id", "adc")
         // exact rerank: corpus scan joins the tiny pool/query dims —
         // never the reverse
-        val rer = dots.select(col("vec_id"), col("qv"))
+        val rer = v.select(col("vec_id"), col("qv"), col("nsq"))
           .join(broadcast(pool), col("vec_id") === col("cand_id"))
           .select(col("query_id"), col("cand_id"), col("adc"),
-            col("qv").as("qv_c"))
-          .join(broadcast(dots.filter(col("vec_id") < NQ)
-            .select(col("vec_id").as("query_id"), col("qv").as("qv_q"))),
+            col("qv").as("qv_c"), col("nsq").as("nsq_c"))
+          .join(broadcast(v.filter(col("vec_id") < NQ)
+            .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+              col("nsq").as("nsq_q"))),
             "query_id")
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
-          (sqrt(normSq(col("qv_q")).cast("double")) *
-           sqrt(normSq(col("qv_c")).cast("double")))
+          (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
         val wTop = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("cand_id"))
         rer.select(col("query_id"), col("cand_id"), col("adc"),

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{EmbedStage, IvfIndex, PqIndex, SignLsh, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** The materialized vector-index stage must equal the inline derivation
+  * bit-for-bit — the contract that keeps the DuckDB oracles (which replay
+  * everything from raw embeddings) valid for the stage-reading sim
+  * queries. Runs against the sf0.001 fixture corpus.
+  */
+class EmbedStageSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val stage = EmbedStage(spark, dir)
+
+  private lazy val inline = {
+    import VectorOps._
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"), normSq(col("qv")).as("nsq"),
+        IvfIndex.dots(col("qv"), Dim).as("dl"),
+        PqIndex.encode(PqIndex.dls(col("qv"), Dim)).as("codes"))
+      .select(col("vec_id"), col("qv"), col("nsq"), col("dl"),
+        IvfIndex.assign(col("dl")).as("cid"), col("codes"))
+  }
+
+  test("vectors table equals the inline index derivation") {
+    val cols = Seq("vec_id", "qv", "nsq", "dl", "cid", "codes").map(col)
+    val a = stage.vectors.select(cols: _*)
+    val b = inline.select(cols: _*)
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("buckets table equals inline SignLsh at both operating widths") {
+    import VectorOps.Dim
+    val qv = inline.select(col("vec_id"), col("qv"))
+    def inlineBk(bits: Int, name: String) =
+      SignLsh.bucketize(qv, "vec_id", "qv", EmbedStage.LshTables, bits, Dim,
+          persist = false)
+        .withColumnRenamed("bucket", name)
+    val expected = inlineBk(EmbedStage.BitsPair, "bucket_pair")
+      .join(inlineBk(EmbedStage.BitsQuery, "bucket_query"),
+        Seq("vec_id", "table_id"))
+    val got = stage.buckets
+      .select("vec_id", "table_id", "bucket_pair", "bucket_query")
+    assert(got.count() == expected.count() && got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty &&
+      expected.exceptAll(got).isEmpty)
+  }
+
+  test("stage is served from cache on the second call (no rebuild)") {
+    stage.vectors.count() // force first build
+    val before = EmbedStage.buildSeconds
+    EmbedStage(spark, dir).vectors.count()
+    assert(EmbedStage.buildSeconds == before)
+  }
+}
