@@ -663,5 +663,124 @@ object AggQueries {
               .when(col("first_view").isNotNull, 1L)
               .otherwise(0L).as("funnel_stage"))
       }),
+
+    // A27: cohort retention matrix — users grouped by first-activity week,
+    // then for each later week the fraction of the cohort still active
+    // (the product-analytics companion to a26's funnel). Scale shape: the
+    // user×week activity grid is ONE hash aggregate over the events (the
+    // distinct), the cohort is a second user-keyed aggregate reusing the
+    // same user_id exchange, and the retention ratio is a window over the
+    // BOUNDED cohort×period table (≤ weeks² rows), never the data.
+    // Weeks are Monday-truncated on both engines; counts are exact longs,
+    // so the final ratio is one identical IEEE division.
+    QueryDef(
+      "a27_retention",
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS DATE) AS week
+             |  FROM events),
+             |co AS (
+             |  SELECT user_id, min(week) AS cohort_week
+             |  FROM uw GROUP BY 1),
+             |act AS (
+             |  SELECT co.cohort_week,
+             |    CAST(date_diff('day', co.cohort_week, uw.week) // 7
+             |      AS INT) AS period,
+             |    count(*) AS n_active
+             |  FROM uw JOIN co ON uw.user_id = co.user_id
+             |  GROUP BY 1, 2)
+             |SELECT cohort_week, period, n_active,
+             |  max(CASE WHEN period = 0 THEN n_active END)
+             |    OVER (PARTITION BY cohort_week) AS cohort_size,
+             |  CAST(n_active AS DOUBLE) /
+             |    CAST(max(CASE WHEN period = 0 THEN n_active END)
+             |      OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention
+             |FROM act""".stripMargin),
+      (s, d) => {
+        val uw = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("week"))
+          .distinct()
+        val co = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+        val act = uw.join(co, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7)
+              .cast("int").as("period"))
+          .agg(count(lit(1)).as("n_active"))
+        val wCo = Window.partitionBy("cohort_week")
+        val size0 =
+          max(when(col("period") === 0, col("n_active"))).over(wCo)
+        act.select(col("cohort_week"), col("period"), col("n_active"),
+          size0.as("cohort_size"),
+          (col("n_active").cast("double") / size0.cast("double"))
+            .as("retention"))
+      }),
+
+    // A28: count-min-sketch heavy hitters — frequency estimation from a
+    // FIXED d×w=4×64 counter grid instead of a per-key table (Cormode &
+    // Muthukrishnan 2005). Like a25's KMV, the sketch is DETERMINISTIC
+    // given the (portable md5-prefix) hash functions, so the estimates
+    // themselves hash-verify against the oracle. The exact count rides
+    // along as the audit column — est ≥ exact always (CMS never
+    // undercounts; overshoot = colliding keys' mass), which the spec
+    // asserts and the output exhibits; a real 100 TB deployment keeps
+    // only the 256-cell sketch and drops the exact branch — that is the
+    // point of the operator.
+    //
+    // Scale shape: the sketch build is ONE hash aggregate to a 256-row
+    // table (d per-row expressions, no shuffle wider than 256 cells);
+    // point queries join the broadcast sketch. Nothing data-sized ever
+    // sorts or shuffles beyond the one aggregate exchange.
+    QueryDef(
+      "a28_cms_topk",
+      Some("""WITH probes AS (SELECT unnest([0, 1, 2, 3]) AS ri),
+             |cells AS (
+             |  SELECT ri,
+             |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+             |      || CAST(ri AS VARCHAR)), 1, 8) AS BIGINT) % 64
+             |      AS bucket,
+             |    count(*) AS cnt
+             |  FROM events CROSS JOIN probes GROUP BY 1, 2),
+             |users AS (SELECT DISTINCT user_id FROM events),
+             |est AS (
+             |  SELECT u.user_id, min(c.cnt) AS cms_count
+             |  FROM users u CROSS JOIN probes p
+             |  JOIN cells c ON c.ri = p.ri AND c.bucket =
+             |    CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '#'
+             |      || CAST(p.ri AS VARCHAR)), 1, 8) AS BIGINT) % 64
+             |  GROUP BY 1),
+             |exact AS (
+             |  SELECT user_id, count(*) AS exact_count
+             |  FROM events GROUP BY 1)
+             |SELECT est.user_id, est.cms_count, exact.exact_count
+             |FROM est JOIN exact USING (user_id)
+             |ORDER BY est.cms_count DESC, est.user_id
+             |LIMIT 20""".stripMargin),
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val w = 64
+        def bucketOf(u: Column, ri: Column): Column =
+          hash32(concat(u.cast("string"), lit("#"), ri.cast("string"))) % w
+        val ev = Tables.events(s, d).select("user_id")
+        val cells = ev
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(3))).as("ri"))
+          .select(col("ri"),
+            bucketOf(col("user_id"), col("ri")).as("bucket"))
+          .groupBy("ri", "bucket").agg(count(lit(1)).as("cnt"))
+        val est = ev.distinct()
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(3))).as("ri"))
+          .select(col("user_id"), col("ri"),
+            bucketOf(col("user_id"), col("ri")).as("bucket"))
+          .join(broadcast(cells), Seq("ri", "bucket"))
+          .groupBy("user_id").agg(min("cnt").as("cms_count"))
+        val exact = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("exact_count"))
+        est.join(exact, "user_id")
+          .orderBy(col("cms_count").desc, col("user_id"))
+          .limit(20)
+          .select("user_id", "cms_count", "exact_count")
+      }),
   )
 }

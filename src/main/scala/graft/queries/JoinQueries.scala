@@ -266,5 +266,34 @@ object JoinQueries {
           .select(col("event_id"), col("user_id"), col("value"),
             col("user_mean"), (col("value") - col("user_mean")).as("dev"))
       }),
+
+    // J11: Bloom-filter join pruning (graft.operators.BloomPrune) — the
+    // selective-dim join with the fact side pre-filtered by a 512-byte
+    // Bloom filter over the dim's keys, so non-matching fact rows (here
+    // ~97%) never reach the join. The oracle is the PLAIN join: blooms
+    // have no false negatives, so result identity with the un-pruned join
+    // IS the operator's contract, and the hash compare verifies it
+    // end-to-end (false positives are removed by the real join). At
+    // 100 TB this is the pre-shuffle row reducer when the dim is too big
+    // to broadcast as a semi-join key set — the filter stays m/8 bytes no
+    // matter how many keys the dim has.
+    QueryDef(
+      "j11_bloom_prune",
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+             |  o.o_totalprice, o.o_orderpriority
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_totalprice > 489000.0""".stripMargin),
+      (s, d) => {
+        val dim = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 489000.0)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        val fact = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        graft.operators.BloomPrune
+          .prune(fact, "l_orderkey", dim.select("o_orderkey"), "o_orderkey")
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "o_totalprice", "o_orderpriority")
+      }),
   )
 }

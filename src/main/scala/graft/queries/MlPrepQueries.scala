@@ -435,5 +435,74 @@ object MlPrepQueries {
               .otherwise(3L).as("bucket"),
             col("e25"), col("e50"), col("e75"))
       }),
+
+    // Leakage-safe K-fold TARGET ENCODING: each row's category is encoded
+    // by the target mean computed over the OTHER folds only (out-of-fold —
+    // the standard defense against the target leaking into its own
+    // feature; a plain category mean would let every row see its own
+    // label). Folds are deterministic portable hashes of the row id.
+    //
+    // Scale shape: ONE data-sized hash aggregate to the (category × fold)
+    // cell table; the out-of-fold sums are windows over that BOUNDED table
+    // (|cats|·K rows); rows re-join the encoding through a broadcast of
+    // the tiny dim. The empty-out-of-fold fallback (a category seen only
+    // in the row's own fold) backs off to the global out-of-fold mean —
+    // same leakage guarantee.
+    //
+    // Parity: sums ride DECIMAL(30,6) (exact, order-free); the mean is one
+    // identical decimal-subtract → double-divide tree on both engines.
+    QueryDef(
+      "mlprep_target_encode",
+      Some("""WITH r AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+             |      1, 8) AS BIGINT) % 5 AS INT) AS fold
+             |  FROM events),
+             |cf AS (
+             |  SELECT event_type, fold,
+             |    SUM(CAST(value AS DECIMAL(30,6))) AS s, count(*) AS n
+             |  FROM r GROUP BY 1, 2),
+             |dim AS (
+             |  SELECT event_type, fold,
+             |    sum(s) OVER (PARTITION BY event_type) - s AS s_c,
+             |    sum(n) OVER (PARTITION BY event_type) - n AS n_c,
+             |    sum(s) OVER () - sum(s) OVER (PARTITION BY fold) AS s_g,
+             |    sum(n) OVER () - sum(n) OVER (PARTITION BY fold) AS n_g
+             |  FROM cf)
+             |SELECT r.event_id, r.event_type, r.fold,
+             |  CASE WHEN d.n_c > 0
+             |    THEN CAST(d.s_c AS DOUBLE) / CAST(d.n_c AS DOUBLE)
+             |    ELSE CAST(d.s_g AS DOUBLE) / CAST(d.n_g AS DOUBLE)
+             |  END AS te
+             |FROM r JOIN dim d
+             |  ON r.event_type = d.event_type AND r.fold = d.fold"""
+        .stripMargin),
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val folds = 5
+        val rows = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"),
+            (hash32(col("event_id").cast("string")) % folds)
+              .cast("int").as("fold"))
+        val cf = rows.groupBy("event_type", "fold")
+          .agg(sum(col("value").cast(
+              org.apache.spark.sql.types.DataTypes.createDecimalType(30, 6)))
+            .as("s"), count(lit(1)).as("n"))
+        val wCat = Window.partitionBy("event_type")
+        val wFold = Window.partitionBy("fold")
+        val wAll = Window.partitionBy()
+        val dim = cf.select(col("event_type"), col("fold"),
+          (sum("s").over(wCat) - col("s")).as("s_c"),
+          (sum("n").over(wCat) - col("n")).as("n_c"),
+          (sum("s").over(wAll) - sum("s").over(wFold)).as("s_g"),
+          (sum("n").over(wAll) - sum("n").over(wFold)).as("n_g"))
+        rows.join(broadcast(dim), Seq("event_type", "fold"))
+          .select(col("event_id"), col("event_type"), col("fold"),
+            when(col("n_c") > 0,
+              col("s_c").cast("double") / col("n_c").cast("double"))
+              .otherwise(
+                col("s_g").cast("double") / col("n_g").cast("double"))
+              .as("te"))
+      }),
   )
 }
