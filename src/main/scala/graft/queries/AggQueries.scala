@@ -83,16 +83,33 @@ object AggQueries {
     // A7: volume-weighted mean (VWAP) with zero-volume null guard.
     QueryDef(
       "a7_weighted_mean",
-      Some(s"""SELECT l_returnflag,
-              |  CASE WHEN ${oSum("l_quantity", 4)} > 0.0
-              |    THEN ${oSum("l_extendedprice * l_quantity", 4)} / ${oSum("l_quantity", 4)}
-              |    ELSE NULL END AS wavg_price
-              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      // Long-sum form (the a21/a21b quantization trick): price is
+      // 2-decimal and quantity integer-valued, so the weighted sum rides
+      // exact integer cents×units (|p·q| ≤ 5e8/row — long-safe to ~2e10
+      // rows per group) and the aggregate is a primitive codegen'd
+      // hash-agg; the /100 de-scales once, identically on both engines.
+      Some("""WITH f AS (
+             |  SELECT l_returnflag,
+             |    CAST(floor(l_quantity) AS BIGINT) AS q,
+             |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             |      * CAST(floor(l_quantity) AS BIGINT) AS pq
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             |  CASE WHEN SUM(q) > 0
+             |    THEN (CAST(SUM(pq) AS DOUBLE) / CAST(SUM(q) AS DOUBLE))
+             |      / 100.0
+             |    ELSE NULL END AS wavg_price
+             |FROM f GROUP BY l_returnflag""".stripMargin),
       (s, d) => {
-        val sq = dsum(col("l_quantity"), 4)
-        val swx = dsum(col("l_extendedprice") * col("l_quantity"), 4)
-        Tables.lineitem(s, d).groupBy("l_returnflag")
-          .agg(when(sq > 0.0, swx / sq).otherwise(lit(null)).as("wavg_price"))
+        val q = floor(col("l_quantity")).cast("long")
+        val p = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        val sq = sum(col("q")); val spq = sum(col("pq"))
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), q.as("q"), (p * q).as("pq"))
+          .groupBy("l_returnflag")
+          .agg(when(sq > 0,
+            (spq.cast("double") / sq.cast("double")) / 100.0)
+            .otherwise(lit(null)).as("wavg_price"))
       }),
 
     // A8: multi-horizon return/std over the last-N rows per key
@@ -262,25 +279,39 @@ object AggQueries {
     // and the scaled sums stay far under 2^53 (see Parity doctrine).
     QueryDef(
       "a21_correlation",
+      // Correlation is invariant to linear rescaling, so the moments run
+      // over INTEGER-QUANTIZED values (quantity is integer-valued,
+      // discount is 2-decimal → ×100) — the a21b trick: long sums are a
+      // primitive codegen'd hash-agg instead of five decimal
+      // accumulators (measured 1.56s → ~0.4s at sf0.1), parity stays
+      // exact (both engines sum identical integers, convert once), and
+      // the sums stay long-safe to ~2e12 rows per group (|x·y| ≤ 5e5).
       Some({
         val n = "CAST(COUNT(*) AS DOUBLE)"
-        val sx = oSum("l_quantity", 4); val sy = oSum("l_discount", 4)
-        val sxy = oSum("l_quantity * l_discount", 4)
-        val sxx = oSum("l_quantity * l_quantity", 4)
-        val syy = oSum("l_discount * l_discount", 4)
-        s"""SELECT l_returnflag,
-           |  ($sxy - $sx * $sy / $n) /
-           |  (SQRT($sxx - $sx * $sx / $n) * SQRT($syy - $sy * $sy / $n))
+        def iSum(x: String) = s"CAST(SUM($x) AS DOUBLE)"
+        s"""WITH f AS (
+           |  SELECT l_returnflag,
+           |    CAST(floor(l_quantity) AS BIGINT) AS x,
+           |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS y
+           |  FROM lineitem)
+           |SELECT l_returnflag,
+           |  (${iSum("x * y")} - ${iSum("x")} * ${iSum("y")} / $n) /
+           |  (SQRT(${iSum("x * x")} - ${iSum("x")} * ${iSum("x")} / $n) *
+           |   SQRT(${iSum("y * y")} - ${iSum("y")} * ${iSum("y")} / $n))
            |    AS corr_qty_disc
-           |FROM lineitem GROUP BY l_returnflag""".stripMargin
+           |FROM f GROUP BY l_returnflag""".stripMargin
       }),
       (s, d) => {
         val n = count(lit(1)).cast("double")
-        val sx = dsum(col("l_quantity"), 4); val sy = dsum(col("l_discount"), 4)
-        val sxy = dsum(col("l_quantity") * col("l_discount"), 4)
-        val sxx = dsum(col("l_quantity") * col("l_quantity"), 4)
-        val syy = dsum(col("l_discount") * col("l_discount"), 4)
-        Tables.lineitem(s, d).groupBy("l_returnflag")
+        def iSum(c: Column) = sum(c).cast("double")
+        val x = col("x"); val y = col("y")
+        val sx = iSum(x); val sy = iSum(y)
+        val sxy = iSum(x * y); val sxx = iSum(x * x); val syy = iSum(y * y)
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            floor(col("l_quantity")).cast("long").as("x"),
+            floor(col("l_discount") * 100.0 + 0.5).cast("long").as("y"))
+          .groupBy("l_returnflag")
           .agg(((sxy - sx * sy / n) /
             (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)))
             .as("corr_qty_disc"))

@@ -794,5 +794,66 @@ object TextQueries {
             ms.as("mean_surprisal"),
             (abs(ms - cms) <= 0.1).as("keep"))
       }),
+
+    // TX13: TF-IDF keyword extraction — the top-3 most characteristic
+    // terms per document over the FULL corpus vocabulary (tx7's BM25
+    // ranks documents for fixed query terms; this ranks terms for each
+    // document). tfidf = (tf/dl) · ln(N/df), every factor an exact long
+    // before ONE identical IEEE tree, rounded to the 1e-9 grid for the
+    // hash compare.
+    //
+    // Scale shape: one tokenize+explode pass → (doc, term) hash aggregate
+    // (map-side combine collapses within-doc repeats before the
+    // shuffle); df is a second aggregate over the postings already keyed
+    // by term; the idf join back is unhinted — broadcast at fixture
+    // scale, term-keyed shuffle at vocabulary scale, Catalyst's call;
+    // the top-k window partitions by doc_id (per-doc frames, never a
+    // global sort). Terms ride the shuffle as raw tokens (short words)
+    // — a 100 TB run would key df/idf on hash32(term) like the dd
+    // family and keep one term copy for display.
+    QueryDef(
+      "tx13_tfidf",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, min(dl) AS dl, count(*) AS tf
+             |  FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    round((CAST(tf.tf AS DOUBLE) / CAST(tf.dl AS DOUBLE)) *
+             |      ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)),
+             |      9) AS tfidf
+             |  FROM tf JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, tfidf
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY tfidf DESC, term) AS rnk
+             |  FROM scored)
+             |WHERE rnk <= 3""".stripMargin),
+      (s, d) => {
+        val docs = Tables.fanOut(Tables.documents(s, d))
+        val tf = docs
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long")
+            .as("dl"), explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(min("dl").as("dl"), count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val tfidf = round(
+          (col("tf").cast("double") / col("dl").cast("double")) *
+            log(col("n_docs").cast("double") / col("df").cast("double")),
+          9)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+        tf.join(df, "term").crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"), tfidf.as("tfidf"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "term", "rnk", "tfidf")
+      }),
   )
 }

@@ -99,6 +99,32 @@ object StreamingOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Watermarked stream-stream interval join — clicks attributed to the
+    * impression they followed within `horizon` (the streaming twin of the
+    * batch interval join j6). Both sides carry watermarks and the join
+    * condition bounds the click time RELATIVE to the impression time, so
+    * Spark can expire impression state once no qualifying click can still
+    * arrive — without the time bound the left side's state grows with the
+    * stream, the classic unbounded stream-join mistake. Inner join in
+    * Append mode: a result row is emitted exactly once, when both sides
+    * have arrived. */
+  def streamingIntervalJoin(impressions: DataFrame, clicks: DataFrame,
+                            horizon: String = "1 hour"): DataFrame = {
+    val imp = impressions
+      .select(col("user_id").as("i_user"), col("ts").as("imp_ts"),
+        col("value").as("imp_value"))
+      .withWatermark("imp_ts", horizon)
+    val clk = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    imp.join(clk,
+      col("i_user") === col("c_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("i_user").as("user_id"), col("imp_ts"), col("imp_value"),
+        col("click_ts"))
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionAgg(
       user_id: Long, session_start: java.sql.Timestamp,

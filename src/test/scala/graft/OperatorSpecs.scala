@@ -655,6 +655,44 @@ class StreamingDedupSpec extends SparkSpec {
   }
 }
 
+class StreamingIntervalJoinSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("stream-stream interval join attributes clicks within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imp = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val clk = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.StreamingOps.streamingIntervalJoin(
+        imp.toDF().toDF("user_id", "ts", "value"),
+        clk.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      imp.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:00:00"), 2.0))
+      // user 1 clicks 30 min after the impression (in-horizon), user 2
+      // clicks 2h after (outside), user 3 clicks with no impression
+      clk.addData(
+        (1L, ts("2024-01-01 10:30:00"), 0.0),
+        (2L, ts("2024-01-01 12:00:00"), 0.0),
+        (3L, ts("2024-01-01 10:10:00"), 0.0))
+      q.processAllAvailable()
+      // a click arriving in a LATER batch still joins (both sides in
+      // state within the watermark)
+      imp.addData((4L, ts("2024-01-01 10:20:00"), 4.0))
+      clk.addData((4L, ts("2024-01-01 10:40:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, imp_value FROM ssj_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+      assert(rows.toSeq == Seq((1L, 1.0), (4L, 4.0)))
+    } finally q.stop()
+  }
+}
+
 class DecontaminateSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
