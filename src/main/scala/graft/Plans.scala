@@ -238,6 +238,26 @@ object Plans {
       val p = planOf("o6_keyset_page")
       p.contains("TakeOrdered") && p.contains("PushedFilters: [Or(")
     }
+    // j11: the Bloom filter rides a ONE-ROW broadcast (always a
+    // BroadcastNestedLoopJoin, at any scale) onto the fact scan; nothing
+    // in the plan is a cartesian
+    check("j11: bloom rides a 1-row broadcast, no cartesian") {
+      val p = planOf("j11_bloom_prune")
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+    }
+    // tx13: exactly ONE window (the per-doc top-k) — a second Window or a
+    // cartesian would mean the idf join or corpus-count broadcast broke
+    check("tx13: single per-doc window, no cartesian") {
+      val p = planOf("tx13_tfidf")
+      "\\bWindow \\[".r.findAllIn(p).length == 1 &&
+        !p.contains("CartesianProduct")
+    }
+    // a28: the 256-cell sketch broadcasts onto the point queries and the
+    // top-k compiles to TakeOrdered, never a global sort
+    check("a28: broadcast sketch join + TakeOrdered top-k") {
+      val p = planOf("a28_cms_topk")
+      p.contains("BroadcastHashJoin") && p.contains("TakeOrdered")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

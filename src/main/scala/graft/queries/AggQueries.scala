@@ -813,5 +813,58 @@ object AggQueries {
           .limit(20)
           .select("user_id", "cms_count", "exact_count")
       }),
+
+    // A29: Gini coefficient per group — the inequality audit next to the
+    // HHI concentration index (a6), via the rank-weighted form
+    // G = Σ(2r−n−1)x / (n·Σx) computed HISTOGRAM-FIRST: per distinct
+    // cent value the tie block's rank sum is closed-form
+    // (2(cR + c(c+1)/2) − c(n+1), ranks R+1..R+c), so the only data-sized
+    // work is one hash aggregate to the (group, cent) histogram; the
+    // rank windows run over the BOUNDED histogram, never the data (the
+    // a22/a23 pattern). All integer until one final IEEE division —
+    // long-safe while x·2n² < 2^63 (n ≈ 2e6 rows/group at cent values
+    // ≤1e5; switch the contribution sum to DECIMAL(38,0) beyond).
+    QueryDef(
+      "a29_gini",
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+             |    count(*) AS c
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |r AS (
+             |  SELECT event_type, vc, c,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY vc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - c AS rnk0,
+             |    sum(c) OVER (PARTITION BY event_type) AS n
+             |  FROM h)
+             |SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+             |  CAST(sum(vc * (2 * (c * rnk0 + c * (c + 1) // 2)
+             |    - c * (n + 1))) AS DOUBLE) /
+             |  (CAST(min(n) AS DOUBLE) * CAST(sum(vc * c) AS DOUBLE))
+             |    AS gini
+             |FROM r GROUP BY event_type""".stripMargin),
+      (s, d) => {
+        val h = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+          .agg(count(lit(1)).as("c"))
+        val cumW = Window.partitionBy("event_type").orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val allW = Window.partitionBy("event_type")
+        val r = h
+          .withColumn("rnk0", sum("c").over(cumW) - col("c"))
+          .withColumn("n", sum("c").over(allW))
+          // DIV: exact integer division (Column `/` would go through
+          // double); c*(c+1) is even so the halving is lossless
+          .withColumn("contrib", expr(
+            "vc * (2 * (c * rnk0 + c * (c + 1) DIV 2) - c * (n + 1))"))
+        r.groupBy("event_type")
+          .agg(min("n").as("n"),
+            (sum("contrib").cast("double") /
+              (min("n").cast("double") *
+               sum(col("vc") * col("c")).cast("double"))).as("gini"))
+      }),
   )
 }

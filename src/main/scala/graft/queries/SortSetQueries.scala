@@ -185,5 +185,54 @@ object SortSetQueries {
           .withColumn("src", lit("current"))
         legacy.unionByName(current, allowMissingColumns = true)
       }),
+
+    // U5: snapshot diff / CDC extract — given two table snapshots, emit
+    // the change rows (insert / update / delete) that turn the old one
+    // into the new one: the warehouse diff that feeds incremental
+    // downstream refresh when the source can't stream its changes. The
+    // two snapshots here derive deterministically from the events table
+    // (old drops every 10th id; new bumps every 7th id's value), so the
+    // diff is oracle-replayable.
+    //
+    // Scale shape: ONE full outer join keyed by the row id — both sides
+    // shuffle-partition on the same key, unchanged rows drop before
+    // anything else flows downstream; the op classification is a pure
+    // projection. At 100 TB both snapshots are id-bucketed tables and the
+    // join is exchange-free.
+    QueryDef(
+      "u5_snapshot_diff",
+      Some("""WITH old_s AS (
+             |  SELECT event_id, value FROM events WHERE event_id % 10 <> 0),
+             |new_s AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END
+             |      AS value
+             |  FROM events)
+             |SELECT
+             |  coalesce(o.event_id, n.event_id) AS event_id,
+             |  CASE WHEN o.event_id IS NULL THEN 'insert'
+             |       WHEN n.event_id IS NULL THEN 'delete'
+             |       ELSE 'update' END AS op,
+             |  o.value AS old_value, n.value AS new_value
+             |FROM old_s o FULL OUTER JOIN new_s n
+             |  ON o.event_id = n.event_id
+             |WHERE o.event_id IS NULL OR n.event_id IS NULL
+             |   OR o.value <> n.value""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "value")
+        val oldS = ev.filter(col("event_id") % 10 =!= 0)
+          .select(col("event_id").as("o_id"), col("value").as("old_value"))
+        val newS = ev.select(col("event_id").as("n_id"),
+          when(col("event_id") % 7 === 0, col("value") + 1.0)
+            .otherwise(col("value")).as("new_value"))
+        oldS.join(newS, col("o_id") === col("n_id"), "full_outer")
+          .filter(col("o_id").isNull || col("n_id").isNull ||
+            col("old_value") =!= col("new_value"))
+          .select(coalesce(col("o_id"), col("n_id")).as("event_id"),
+            when(col("o_id").isNull, "insert")
+              .when(col("n_id").isNull, "delete")
+              .otherwise("update").as("op"),
+            col("old_value"), col("new_value"))
+      }),
   )
 }

@@ -500,5 +500,50 @@ object WindowQueries {
             col("peak"), dd.as("drawdown"),
             max(dd).over(w).as("max_drawdown"))
       }),
+
+    // W19: Wilder's RSI (graft.operators.Rsi) — gains/losses of the
+    // per-user value series smoothed by the recursive
+    // ewm(alpha=1/14, adjust=False) recurrence, both legs in ONE
+    // O(1)-memory secondary-sort scan; hash-verified against a
+    // state-carrying recursive-CTE oracle (the pl4 pattern, doubled).
+    // Division guards pin flat series to 50 and loss-free to 100, so no
+    // NaN/Inf crosses the hash compare.
+    QueryDef(
+      "w19_rsi",
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT user_id, ts, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts)
+             |      AS rn,
+             |    value - lag(value) OVER (PARTITION BY user_id
+             |      ORDER BY ts) AS delta
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, ts, value, rn, delta,
+             |    greatest(delta, 0.0) AS ag,
+             |    greatest(0.0 - delta, 0.0) AS al
+             |  FROM o WHERE rn = 2
+             |  UNION ALL
+             |  SELECT o.user_id, o.ts, o.value, o.rn, o.delta,
+             |    (1.0 / 14.0) * greatest(o.delta, 0.0)
+             |      + (1.0 - 1.0 / 14.0) * r.ag,
+             |    (1.0 / 14.0) * greatest(0.0 - o.delta, 0.0)
+             |      + (1.0 - 1.0 / 14.0) * r.al
+             |  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+             |SELECT user_id, ts, value, delta, ag AS avg_gain,
+             |  al AS avg_loss,
+             |  CASE WHEN al = 0.0 AND ag = 0.0 THEN 50.0
+             |       WHEN al = 0.0 THEN 100.0
+             |       ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+             |FROM r
+             |UNION ALL
+             |SELECT user_id, ts, value, NULL, NULL, NULL, NULL
+             |FROM o WHERE rn = 1""".stripMargin),
+      (s, d) =>
+        graft.operators.Rsi.rsi(
+            Tables.events(s, d).select("user_id", "ts", "value"),
+            "user_id", "ts", "value")
+          .select(col("key").as("user_id"), col("ts"),
+            col("x").as("value"), col("delta"), col("avg_gain"),
+            col("avg_loss"), col("rsi"))),
   )
 }
