@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Parity, QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -865,6 +865,93 @@ object AggQueries {
             (sum("contrib").cast("double") /
               (min("n").cast("double") *
                sum(col("vc") * col("c")).cast("double"))).as("gini"))
+      }),
+
+    // A30: robust outlier detection per group — median absolute deviation
+    // (MAD), the data-quality screen that, unlike mean/std z-scores,
+    // outliers can't poison. Everything runs on the INTEGER cent grid:
+    // med2 = sum of the two middle cent order statistics (2×median, so an
+    // even-count .5-cent median needs no fraction), deviations in
+    // half-cents dev = |2·vc − med2|, mad2 = the two middle deviation
+    // order statistics summed (4×MAD·100), and the 3-MAD flag is the pure
+    // integer comparison 2·dev > 3·mad2 — no float enters ANY decision;
+    // the reported median/mad de-scale once at the output.
+    //
+    // Scale shape: two grouped histogram passes (the a22/a23/a29 grid
+    // pattern — windows over the bounded (group, cent) table, never the
+    // data) + two broadcast dims joined back; the data-sized work is two
+    // hash aggregates and one scan.
+    QueryDef(
+      "a30_mad_outliers",
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+             |  FROM events WHERE value IS NOT NULL),
+             |h1 AS (
+             |  SELECT event_type, vc, count(*) AS c FROM ev GROUP BY 1, 2),
+             |r1 AS (
+             |  SELECT event_type, vc,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY vc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(c) OVER (PARTITION BY event_type) AS n
+             |  FROM h1),
+             |m1 AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN cum >= (n + 1) // 2 THEN vc END) +
+             |    min(CASE WHEN cum >= (n + 2) // 2 THEN vc END) AS med2
+             |  FROM r1 GROUP BY 1),
+             |dv AS (
+             |  SELECT ev.*, m1.med2, abs(2 * ev.vc - m1.med2) AS dev
+             |  FROM ev JOIN m1 USING (event_type)),
+             |h2 AS (
+             |  SELECT event_type, dev, count(*) AS c FROM dv GROUP BY 1, 2),
+             |r2 AS (
+             |  SELECT event_type, dev,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY dev
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(c) OVER (PARTITION BY event_type) AS n
+             |  FROM h2),
+             |m2 AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) +
+             |    min(CASE WHEN cum >= (n + 2) // 2 THEN dev END) AS mad2
+             |  FROM r2 GROUP BY 1)
+             |SELECT dv.event_id, dv.event_type, dv.value,
+             |  CAST(dv.med2 AS DOUBLE) / 200.0 AS med,
+             |  CAST(m2.mad2 AS DOUBLE) / 400.0 AS mad,
+             |  2 * dv.dev > 3 * m2.mad2 AS is_outlier
+             |FROM dv JOIN m2 USING (event_type)""".stripMargin),
+      (s, d) => {
+        def gridMed2(df: DataFrame, vCol: String): DataFrame = {
+          val cumW = Window.partitionBy("event_type").orderBy(vCol)
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val allW = Window.partitionBy("event_type")
+          df.groupBy(col("event_type"), col(vCol))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum("c").over(cumW))
+            .withColumn("n", sum("c").over(allW))
+            .groupBy("event_type")
+            .agg((min(when(col("cum") >= expr("(n + 1) DIV 2"), col(vCol)))
+              + min(when(col("cum") >= expr("(n + 2) DIV 2"), col(vCol))))
+              .as(s"${vCol}_med2"))
+        }
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"),
+            floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+        val m1 = gridMed2(ev, "vc")
+          .withColumnRenamed("vc_med2", "med2")
+        val dv = ev.join(broadcast(m1), "event_type")
+          .withColumn("dev", abs(lit(2) * col("vc") - col("med2")))
+        val m2 = gridMed2(dv, "dev")
+          .withColumnRenamed("dev_med2", "mad2")
+        dv.join(broadcast(m2), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            (col("med2").cast("double") / 200.0).as("med"),
+            (col("mad2").cast("double") / 400.0).as("mad"),
+            (lit(2) * col("dev") > lit(3) * col("mad2")).as("is_outlier"))
       }),
   )
 }

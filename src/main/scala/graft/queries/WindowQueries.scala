@@ -545,5 +545,23 @@ object WindowQueries {
           .select(col("key").as("user_id"), col("ts"),
             col("x").as("value"), col("delta"), col("avg_gain"),
             col("avg_loss"), col("rsi"))),
+
+    // W20: MACD 12/26/9 (graft.operators.Macd) — fast/slow EWMs, the
+    // signal line (an EWM of the DERIVED macd series — inexpressible as
+    // a window/FIR, the recurrence-over-recurrence case), and the
+    // histogram, all three states in ONE O(1)-memory secondary-sort
+    // scan; hash-verified against a triple-state recursive-CTE oracle
+    // generated by the operator itself so recurrence and oracle cannot
+    // drift.
+    QueryDef(
+      "w20_macd",
+      Some(graft.operators.Macd.oracleSql("events")),
+      (s, d) =>
+        graft.operators.Macd.macd(
+            Tables.events(s, d).select("user_id", "ts", "value"),
+            "user_id", "ts", "value")
+          .select(col("key").as("user_id"), col("ts"),
+            col("x").as("value"), col("ewm_fast"), col("ewm_slow"),
+            col("macd"), col("signal"), col("histogram"))),
   )
 }
