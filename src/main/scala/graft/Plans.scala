@@ -258,6 +258,17 @@ object Plans {
       val p = planOf("a28_cms_topk")
       p.contains("BroadcastHashJoin") && p.contains("TakeOrdered")
     }
+    // j12: the star rollup — the region predicate is pushed into the
+    // dimension scan and the dims ride broadcast joins; never a
+    // cartesian. (The orders⋈lineitem join broadcasts at fixture scale
+    // and becomes the one orderkey exchange at 100 TB — both are right
+    // for their scale, so only scale-invariant properties are pinned.)
+    check("j12: region filter pushed, dims broadcast, no cartesian") {
+      val p = planOf("j12_star_revenue")
+      p.contains("EqualTo(r_name,ASIA)") &&
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2 &&
+        !p.contains("CartesianProduct")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

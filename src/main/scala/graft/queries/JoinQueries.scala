@@ -295,5 +295,47 @@ object JoinQueries {
           .select("l_orderkey", "l_linenumber", "l_quantity",
             "o_totalprice", "o_orderpriority")
       }),
+
+    // J12: the star-schema rollup (TPC-H Q5 shape) — revenue per nation
+    // for one region: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    // The declarative form is the point: Catalyst broadcasts every
+    // dimension (nation/region always; customer by statistics) and the
+    // one genuinely data-sized join (orders ⋈ lineitem on orderkey)
+    // carries the only big exchange — at 100 TB both fact tables are
+    // orderkey-bucketed and even that disappears. Revenue rides the
+    // whole-unit quantization: cents × (100 − discount_cents) is an
+    // exact integer per row (≤1e9), summed as long, de-scaled once.
+    QueryDef(
+      "j12_star_revenue",
+      Some("""SELECT n.n_name,
+             |  CAST(SUM(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+             |    AS BIGINT) * (100 - CAST(floor(l.l_discount * 100.0
+             |    + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name = 'ASIA'
+             |GROUP BY n.n_name""".stripMargin),
+      (s, d) => {
+        val rev = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100.0 + 0.5).cast("long"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), rev.as("rev"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg((sum("rev").cast("double") / 10000.0).as("revenue"),
+            count(lit(1)).as("n_items"))
+      }),
   )
 }

@@ -514,5 +514,100 @@ object SimilarityQueries {
           .filter(col("rn") <= TopK)
           .select("query_id", "cand_id", "adc", "cosine")
       }),
+
+    // SIM7: k-NN CLASSIFICATION — the classic applied endpoint of the ANN
+    // stack: each query vector takes the majority label of its TopK
+    // nearest neighbors from the IVF-probed lists (the sim4 candidate
+    // shape — at 100 TB the neighbor search is the same partition-pruned
+    // scan), ties broken to the smallest label. Labels join from the
+    // SOURCE table by vec_id (the index stage stays payload-free, like a
+    // real vector index storing ids only); the vote runs over the bounded
+    // (query × label) table.
+    QueryDef(
+      "sim7_knn_classify",
+      Some {
+        import graft.operators.IvfIndex
+        val oDotQC =
+          "list_sum(list_transform(generate_series(1, len(p.qv_q)), i -> p.qv_q[i] * c.qv[i]))"
+        val oNormQ = "list_sum(list_transform(p.qv_q, v -> v * v))"
+        val oNormC = "list_sum(list_transform(c.qv, v -> v * v))"
+        s"""WITH qv AS (
+           |  SELECT vec_id, label, $oQuant AS qv FROM embeddings),
+           |d AS (
+           |  SELECT vec_id, label, qv, ${IvfIndex.oracleDots("qv", Dim)}
+           |    AS dl
+           |  FROM qv),
+           |asg AS (
+           |  SELECT vec_id, label, qv, ${IvfIndex.oracleAssign("dl")}
+           |    AS cid
+           |  FROM d),
+           |qd AS (SELECT vec_id, qv, dl FROM d WHERE vec_id < $NQ),
+           |qp AS (
+           |  SELECT query_id, qv_q, cid FROM (
+           |    SELECT q.vec_id AS query_id, q.qv AS qv_q,
+           |      CAST(t.j AS INT) AS cid,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY q.dl[t.j + 1] DESC, t.j) AS rn
+           |    FROM qd q, generate_series(0, ${IvfIndex.C - 1}) t(j))
+           |  WHERE rn <= ${IvfIndex.P}),
+           |nbr AS (
+           |  SELECT query_id, label FROM (
+           |    SELECT p.query_id, c.label,
+           |      row_number() OVER (PARTITION BY p.query_id
+           |        ORDER BY CAST($oDotQC AS DOUBLE) /
+           |          (sqrt(CAST($oNormQ AS DOUBLE)) *
+           |           sqrt(CAST($oNormC AS DOUBLE))) DESC, c.vec_id)
+           |        AS rn
+           |    FROM qp p JOIN asg c
+           |      ON p.cid = c.cid AND c.vec_id <> p.query_id)
+           |  WHERE rn <= $TopK),
+           |votes AS (
+           |  SELECT query_id, label, count(*) AS votes,
+           |    sum(count(*)) OVER (PARTITION BY query_id) AS n_neighbors
+           |  FROM nbr GROUP BY 1, 2)
+           |SELECT query_id, label AS pred_label, votes,
+           |  CAST(n_neighbors AS BIGINT) AS n_neighbors
+           |FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY votes DESC, label) AS vr
+           |  FROM votes) WHERE vr = 1""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val v = EmbedStage(s, d).vectors
+        val labels = graft.Tables.embeddings(s, d).select(
+          col("vec_id").as("cand_id"), col("label"))
+        val corpus = v.select(col("vec_id").as("cand_id"),
+          col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"))
+        val qd = v.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+            col("nsq").as("nsq_q"), posexplode(col("dl")))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("col").desc, col("pos").asc)
+        val probes = qd.withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= IvfIndex.P)
+          .select(col("query_id"), col("qv_q"), col("nsq_q"),
+            col("pos").as("cid"))
+        val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
+          (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        val nbr = corpus.join(broadcast(probes), "cid")
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= TopK)
+          .join(labels, "cand_id")
+        val wAll = Window.partitionBy("query_id")
+        val wVote = Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("label"))
+        nbr.groupBy("query_id", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("n_neighbors", sum("votes").over(wAll))
+          .withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("query_id"), col("label").as("pred_label"),
+            col("votes"), col("n_neighbors"))
+      }),
   )
 }
