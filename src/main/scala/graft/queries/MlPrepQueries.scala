@@ -504,5 +504,75 @@ object MlPrepQueries {
                 col("s_g").cast("double") / col("n_g").cast("double"))
               .as("te"))
       }),
+
+    // Leakage-safe QUANTILE TRANSFORM — each value mapped to the TRAIN
+    // distribution's CDF (sklearn QuantileTransformer fit on train,
+    // applied to all): q(v) = |{train ≤ v}| / n_train. Fit is
+    // histogram-first on the cent grid (one hash aggregate + a cumulative
+    // window over the BOUNDED histogram — the mlprep_binning pattern);
+    // the transform joins the broadcast histogram dim by exact cent
+    // value, with test-only values (absent from the train histogram)
+    // taking the largest train cent ≤ v via a small range join on the
+    // bounded dim. Counts are exact longs; q is one final division.
+    QueryDef(
+      "mlprep_quantile_transform",
+      Some("""WITH ev AS (
+             |  SELECT event_id, CAST(ts AS DATE) AS day, value,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+             |  FROM events),
+             |c AS (
+             |  SELECT CAST(max(day) - INTERVAL 7 DAY AS DATE) AS cutoff
+             |  FROM ev),
+             |h AS (
+             |  SELECT vc, count(*) AS cnt
+             |  FROM ev, c WHERE ev.day < c.cutoff GROUP BY 1),
+             |cm AS (
+             |  SELECT vc,
+             |    sum(cnt) OVER (ORDER BY vc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    sum(cnt) OVER () AS n_train
+             |  FROM h)
+             |SELECT ev.event_id, ev.day, ev.value,
+             |  CASE WHEN ev.day < c.cutoff THEN 'train' ELSE 'test' END
+             |    AS role,
+             |  coalesce(CAST((
+             |    SELECT max_by(cm.cum, cm.vc) FROM cm WHERE cm.vc <= ev.vc
+             |  ) AS DOUBLE) / CAST((SELECT min(n_train) FROM cm)
+             |    AS DOUBLE), 0.0) AS q
+             |FROM ev, c""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), to_date(col("ts")).as("day"),
+            col("value"),
+            floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+          .persist() // cutoff + fit aggregates + the transform scan
+        val cutoff = ev.agg(date_sub(max("day"), 7).as("cutoff"))
+        val cumW = Window.orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val allW = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        // bounded-domain histogram (cent values — same contract as
+        // histogramMedian); the window runs over the histogram only
+        val cm = ev.crossJoin(broadcast(cutoff))
+          .filter(col("day") < col("cutoff"))
+          .groupBy("vc").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(cumW))
+          .withColumn("n_train", sum("cnt").over(allW))
+          .select(col("vc").as("tvc"), col("cum"), col("n_train"))
+        // step lookup: the largest train cent ≤ v — a range join of the
+        // data against the BROADCAST bounded histogram, reduced by
+        // max_by; values below every train cent get q = 0
+        val stepped = ev.crossJoin(broadcast(cutoff))
+          .join(broadcast(cm), col("tvc") <= col("vc"), "left")
+          .groupBy("event_id", "day", "value", "cutoff")
+          .agg(max_by(col("cum"), col("tvc")).as("cum"),
+            min("n_train").as("n_train"))
+        stepped.select(col("event_id"), col("day"), col("value"),
+          when(col("day") < col("cutoff"), "train").otherwise("test")
+            .as("role"),
+          coalesce(col("cum").cast("double") /
+            col("n_train").cast("double"), lit(0.0)).as("q"))
+      }),
   )
 }

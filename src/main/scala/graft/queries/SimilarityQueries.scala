@@ -609,5 +609,112 @@ object SimilarityQueries {
           .select(col("query_id"), col("label").as("pred_label"),
             col("votes"), col("n_neighbors"))
       }),
+
+    // SIM8: ANN recall AUDIT — recall@TopK of the IVF-probed search
+    // (sim4's plan) against the exact brute-force ranking (sim1's),
+    // computed ON the engine and per query: the validation pipeline any
+    // production vector index runs after a rebuild, here hash-verified
+    // end-to-end because both rankings are deterministic. At 100 TB the
+    // exact side runs over a SAMPLE of queries (it is the expensive
+    // leg — here NQ is already the sample); the audit's cost model is
+    // the point, not avoided.
+    QueryDef(
+      "sim8_recall_audit",
+      Some {
+        import graft.operators.IvfIndex
+        val oDotQC =
+          "list_sum(list_transform(generate_series(1, len(q.qv_q)), i -> q.qv_q[i] * c.qv[i]))"
+        val oNormQ = "list_sum(list_transform(q.qv_q, v -> v * v))"
+        val oNormC = "list_sum(list_transform(c.qv, v -> v * v))"
+        s"""WITH qv AS (
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |d AS (
+           |  SELECT vec_id, qv, ${IvfIndex.oracleDots("qv", Dim)} AS dl
+           |  FROM qv),
+           |asg AS (
+           |  SELECT vec_id, qv, ${IvfIndex.oracleAssign("dl")} AS cid
+           |  FROM d),
+           |qs AS (
+           |  SELECT vec_id AS query_id, qv AS qv_q, dl
+           |  FROM d WHERE vec_id < $NQ),
+           |exact AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT q.query_id, c.vec_id AS cand_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY CAST($oDotQC AS DOUBLE) /
+           |          (sqrt(CAST($oNormQ AS DOUBLE)) *
+           |           sqrt(CAST($oNormC AS DOUBLE))) DESC, c.vec_id)
+           |        AS rn
+           |    FROM qs q JOIN qv c ON c.vec_id <> q.query_id)
+           |  WHERE rn <= $TopK),
+           |qp AS (
+           |  SELECT query_id, qv_q, cid FROM (
+           |    SELECT q.query_id, q.qv_q, CAST(t.j AS INT) AS cid,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY q.dl[t.j + 1] DESC, t.j) AS rn
+           |    FROM qs q, generate_series(0, ${IvfIndex.C - 1}) t(j))
+           |  WHERE rn <= ${IvfIndex.P}),
+           |approx AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT q.query_id, c.vec_id AS cand_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY CAST($oDotQC AS DOUBLE) /
+           |          (sqrt(CAST($oNormQ AS DOUBLE)) *
+           |           sqrt(CAST($oNormC AS DOUBLE))) DESC, c.vec_id)
+           |        AS rn
+           |    FROM qp q JOIN asg c
+           |      ON q.cid = c.cid AND c.vec_id <> q.query_id)
+           |  WHERE rn <= $TopK)
+           |SELECT e.query_id,
+           |  count(*) AS n_exact,
+           |  CAST(count(a.cand_id) AS BIGINT) AS n_hit,
+           |  CAST(count(a.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    AS recall
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+           |GROUP BY 1""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val v = EmbedStage(s, d).vectors
+        val qs = v.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+            col("nsq").as("nsq_q"), col("dl"))
+        val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
+          (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        def topK(scored: org.apache.spark.sql.DataFrame) = scored
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= TopK).select("query_id", "cand_id")
+        // exact leg: corpus scan × broadcast query sample (sim1 shape)
+        val corpusAll = v.select(col("vec_id").as("cand_id"),
+          col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"))
+        val exact = topK(corpusAll
+          .crossJoin(broadcast(qs.select("query_id", "qv_q", "nsq_q")))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), cosine.as("cosine")))
+        // approx leg: the sim4 probed-lists search
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("col").desc, col("pos").asc)
+        val probes = qs.select(col("query_id"), col("qv_q"), col("nsq_q"),
+            posexplode(col("dl")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= IvfIndex.P)
+          .select(col("query_id"), col("qv_q"), col("nsq_q"),
+            col("pos").as("cid"))
+        val approx = topK(corpusAll.join(broadcast(probes), "cid")
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), cosine.as("cosine")))
+        val ap = approx.select(col("query_id").as("a_qid"),
+          col("cand_id").as("a_cand"))
+        exact.join(ap, col("query_id") === col("a_qid") &&
+            col("cand_id") === col("a_cand"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("a_cand")).as("n_hit"),
+            (count(col("a_cand")).cast("double") /
+              count(lit(1)).cast("double")).as("recall"))
+      }),
   )
 }

@@ -855,5 +855,66 @@ object TextQueries {
           .filter(col("rnk") <= 3)
           .select("doc_id", "term", "rnk", "tfidf")
       }),
+
+    // TX14: vocabulary-growth profile (Heaps' law curve) — cumulative
+    // distinct vocabulary and token count at 20 corpus checkpoints: the
+    // curve that tells a training-data pipeline whether more of this
+    // corpus still buys new vocabulary. Scale-honest construction: each
+    // term contributes only its FIRST document (one term-keyed
+    // aggregate), first-occurrences and token counts then collapse to
+    // the 20-BUCKET grid, and the cumulative windows run over those 20
+    // rows — never over documents (a per-doc cumulative window would be
+    // a single unbounded partition at corpus scale).
+    QueryDef(
+      "tx14_vocab_growth",
+      Some("""WITH b AS (
+             |  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents),
+             |toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |firsts AS (
+             |  SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+             |vnew AS (
+             |  SELECT CAST(least(first_doc * 20 // n, 19) AS BIGINT)
+             |    AS bucket, count(*) AS new_terms
+             |  FROM firsts, b GROUP BY 1),
+             |tok AS (
+             |  SELECT CAST(least(doc_id * 20 // n, 19) AS BIGINT)
+             |    AS bucket,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |      AS n_tokens,
+             |    count(*) AS n_docs
+             |  FROM documents, b GROUP BY 1)
+             |SELECT t.bucket,
+             |  CAST(sum(t.n_docs) OVER w AS BIGINT) AS cum_docs,
+             |  CAST(sum(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+             |  CAST(coalesce(sum(v.new_terms) OVER w, 0) AS BIGINT)
+             |    AS cum_vocab
+             |FROM tok t LEFT JOIN vnew v ON t.bucket = v.bucket
+             |WINDOW w AS (ORDER BY t.bucket
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin),
+      (s, d) => {
+        val docs = Tables.fanOut(Tables.documents(s, d))
+        val bounds = docs.agg((max("doc_id") + 1).as("n"))
+        val firsts = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(min("doc_id").as("first_doc"))
+        val vnew = firsts.crossJoin(broadcast(bounds))
+          .groupBy(least(expr("first_doc * 20 DIV n"), lit(19L))
+            .as("bucket"))
+          .agg(count(lit(1)).as("new_terms"))
+        val tok = docs.crossJoin(broadcast(bounds))
+          .groupBy(least(expr("doc_id * 20 DIV n"), lit(19L)).as("bucket"))
+          .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+            count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        tok.join(vnew, Seq("bucket"), "left")
+          .select(col("bucket"),
+            sum("n_docs").over(w).as("cum_docs"),
+            sum("n_tokens").over(w).as("cum_tokens"),
+            coalesce(sum("new_terms").over(w), lit(0L)).as("cum_vocab"))
+      }),
   )
 }
