@@ -953,5 +953,47 @@ object AggQueries {
             (col("mad2").cast("double") / 400.0).as("mad"),
             (lit(2) * col("dev") > lit(3) * col("mad2")).as("is_outlier"))
       }),
+
+    // A31: Shannon entropy of each user's event-type mix — the
+    // behavioral-diversity metric (0 = single-type user, ln 5 ≈ 1.609 =
+    // uniform over the 5 types), the information-theoretic sibling of
+    // a6's HHI. One hash aggregate to the (user, type) count table; the
+    // per-user total is a window over that table (≤ |types| rows per
+    // partition). The per-type p·ln p terms are doubles, so summing them
+    // raw would be order-dependent (measured 4e-16 drift) — each term is
+    // quantized to the 1e-15 grid (|term| ≤ 1/e, scaled < 2^53) and the
+    // SUM runs over exact longs, de-scaled once (the tx12 surprisal
+    // pattern).
+    QueryDef(
+      "a31_entropy",
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT user_id, c,
+             |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+             |  FROM c),
+             |q AS (
+             |  SELECT user_id, n,
+             |    CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * 1000000000000000.0 + 0.5) AS BIGINT) AS sq
+             |  FROM t)
+             |SELECT user_id, min(n) AS n_events, count(*) AS n_types,
+             |  -(CAST(sum(sq) AS DOUBLE) / 1000000000000000.0) AS entropy
+             |FROM q GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val c = Tables.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        val t = c.withColumn("n",
+          sum("c").over(Window.partitionBy("user_id")))
+        val p = col("c").cast("double") / col("n").cast("double")
+        val sq = floor(p * log(p) * 1000000000000000.0 + 0.5).cast("long")
+        t.select(col("user_id"), col("n"), sq.as("sq"))
+          .groupBy("user_id")
+          .agg(min("n").as("n_events"), count(lit(1)).as("n_types"),
+            (-(sum("sq").cast("double") / 1000000000000000.0))
+              .as("entropy"))
+      }),
   )
 }

@@ -563,5 +563,58 @@ object WindowQueries {
           .select(col("key").as("user_id"), col("ts"),
             col("x").as("value"), col("ewm_fast"), col("ewm_slow"),
             col("macd"), col("signal"), col("histogram"))),
+
+    // W21: interval-union coverage — each event opens a 5-minute
+    // interval; per user, merge overlaps (gaps-and-islands: an island
+    // starts where the start exceeds the running max end of everything
+    // before it) and report island count + total covered time. All
+    // arithmetic on exact epoch MICROSECONDS (longs); one window
+    // partition per key + one bounded island rollup — the same
+    // one-exchange shape as the other per-key window batteries.
+    QueryDef(
+      "w21_interval_union",
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS s,
+             |    epoch_us(ts) + 300000000 AS e
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, s, e,
+             |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prev_max
+             |  FROM iv),
+             |isl AS (
+             |  SELECT user_id, s, e,
+             |    CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY s, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS island
+             |  FROM m),
+             |agg AS (
+             |  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_islands,
+             |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+             |FROM agg GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+        val iv = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) + 300000000L).as("e"))
+        iv
+          .withColumn("prev_max",
+            max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("island",
+            sum(when(col("prev_max").isNull ||
+              col("s") > col("prev_max"), 1L).otherwise(0L))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(min("s").as("i_start"), max("e").as("i_end"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("i_end") - col("i_start")).as("covered_us"))
+      }),
   )
 }
