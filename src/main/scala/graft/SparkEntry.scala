@@ -17,18 +17,25 @@ import graft.queries.{AggQueries, DedupQueries, JoinQueries, MlPrepQueries,
 object SparkEntry {
 
   /** All operator queries, grouped by SURVEY §2 family. */
-  val defs: Seq[QueryDef] =
-    ScanFilterQueries.all ++
-    AggQueries.all ++
-    WindowQueries.all ++
-    JoinQueries.all ++
-    ScalarQueries.all ++
-    SortSetQueries.all ++
-    DedupQueries.all ++
-    SimilarityQueries.all ++
-    TextQueries.all ++
-    PipelineQueries.all ++
-    MlPrepQueries.all
+  val defs: Seq[QueryDef] = {
+    val all =
+      ScanFilterQueries.all ++
+      AggQueries.all ++
+      WindowQueries.all ++
+      JoinQueries.all ++
+      ScalarQueries.all ++
+      SortSetQueries.all ++
+      DedupQueries.all ++
+      SimilarityQueries.all ++
+      TextQueries.all ++
+      PipelineQueries.all ++
+      MlPrepQueries.all
+    // a duplicate name would silently shadow its twin in the `queries`
+    // map — Verify would then "pass" having never run the shadowed one
+    val dup = all.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own smoke shape (Procesamiento_fase_2.ipynb:129):

@@ -560,19 +560,36 @@ object MlPrepQueries {
           .withColumn("cum", sum("cnt").over(cumW))
           .withColumn("n_train", sum("cnt").over(allW))
           .select(col("vc").as("tvc"), col("cum"), col("n_train"))
-        // step lookup: the largest train cent ≤ v — a range join of the
-        // data against the BROADCAST bounded histogram, reduced by
-        // max_by; values below every train cent get q = 0
-        val stepped = ev.crossJoin(broadcast(cutoff))
-          .join(broadcast(cm), col("tvc") <= col("vc"), "left")
-          .groupBy("event_id", "day", "value", "cutoff")
-          .agg(max_by(col("cum"), col("tvc")).as("cum"),
-            min("n_train").as("n_train"))
-        stepped.select(col("event_id"), col("day"), col("value"),
-          when(col("day") < col("cutoff"), "train").otherwise("test")
-            .as("role"),
-          coalesce(col("cum").cast("double") /
-            col("n_train").cast("double"), lit(0.0)).as("q"))
+        // step lookup: the largest train cent ≤ v. NOT a range join — a
+        // θ-join of data against even a broadcast histogram is
+        // O(data × histogram) (measured 33s at sf0.1's cent domain).
+        // Instead: union the train cents with the data's DISTINCT cents
+        // (both bounded by the cent domain), forward-fill the cumulative
+        // count over that ordered frame (histogram-sized single-partition
+        // window — the histogramMedian contract), and the result is an
+        // exact per-cent lookup table the data equi-joins by broadcast.
+        // Hist rows sort before data probes at the same cent (src 0 < 1),
+        // so ties resolve inclusively (tvc ≤ vc). Values below every
+        // train cent fill nothing → q = 0.
+        val nTrain = cm.agg(min("n_train").as("n_train"))
+        val probes = ev.select(col("vc").as("gvc")).distinct()
+          .select(col("gvc"), lit(null).cast("long").as("cum"),
+            lit(1).as("src"))
+        val wFill = Window.orderBy("gvc", "src")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val lut = cm.select(col("tvc").as("gvc"), col("cum"),
+            lit(0).as("src"))
+          .union(probes)
+          .withColumn("cum_f", last("cum", ignoreNulls = true).over(wFill))
+          .filter(col("src") === 1)
+          .select(col("gvc").as("vc"), col("cum_f"))
+        ev.crossJoin(broadcast(cutoff)).crossJoin(broadcast(nTrain))
+          .join(broadcast(lut), Seq("vc"), "left")
+          .select(col("event_id"), col("day"), col("value"),
+            when(col("day") < col("cutoff"), "train").otherwise("test")
+              .as("role"),
+            coalesce(col("cum_f").cast("double") /
+              col("n_train").cast("double"), lit(0.0)).as("q"))
       }),
   )
 }
