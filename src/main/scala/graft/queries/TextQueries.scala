@@ -856,6 +856,53 @@ object TextQueries {
           .select("doc_id", "term", "rnk", "tfidf")
       }),
 
+    // MIX3: SEQUENCE PACKING — the training-data step that turns a
+    // document corpus into fixed-length model sequences: concatenate the
+    // token stream and chop every L=512 tokens (the standard padding-free
+    // "pack and chop"). Packing is inherently sequential, so it runs PER
+    // SHARD (deterministic hash of doc_id) — exactly how production
+    // packing jobs bound the sequential unit: shard count scales with the
+    // corpus so one shard always fits a task, and the cumulative-offset
+    // window partitions by shard. Each document's placement is fully
+    // described by (first_seq, last_seq, seq_offset) — boundary-spanning
+    // docs are visible as last_seq > first_seq. Zero-token docs carry
+    // nothing to pack and are excluded by contract.
+    QueryDef(
+      "mix3_pack_sequences",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |      1, 8) AS BIGINT) % 8 AS BIGINT) AS shard
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, shard, nt,
+             |    sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum
+             |  FROM t WHERE nt > 0)
+             |SELECT doc_id, shard, nt,
+             |  CAST((cum - nt) // 512 AS BIGINT) AS first_seq,
+             |  CAST((cum - 1) // 512 AS BIGINT) AS last_seq,
+             |  CAST((cum - nt) % 512 AS BIGINT) AS seq_offset
+             |FROM c""".stripMargin),
+      (s, d) => {
+        val t = Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("nt"),
+            (hash32(col("doc_id").cast("string")) % 8).as("shard"))
+          .filter(col("nt") > 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        t.withColumn("cum", sum("nt").over(w))
+          .select(col("doc_id"), col("shard"), col("nt"),
+            expr("(cum - nt) DIV 512").as("first_seq"),
+            expr("(cum - 1) DIV 512").as("last_seq"),
+            ((col("cum") - col("nt")) % 512).as("seq_offset"))
+      }),
+
     // TX14: vocabulary-growth profile (Heaps' law curve) — cumulative
     // distinct vocabulary and token count at 20 corpus checkpoints: the
     // curve that tells a training-data pipeline whether more of this

@@ -616,5 +616,64 @@ object WindowQueries {
           .agg(count(lit(1)).as("n_islands"),
             sum(col("i_end") - col("i_start")).as("covered_us"))
       }),
+
+    // W22: CUSUM drift detection — the sequential change-point monitor
+    // (Page 1954): s⁺ accumulates positive deviations from the per-user
+    // baseline (first value), decays by the slack, floors at 0; s⁻
+    // mirrors it downward; an alarm fires when either side crosses the
+    // threshold. The recurrence is max(0, prev + dev) — not a window
+    // frame — so it rides the same O(1)-memory secondary-sort scan as
+    // EWM/RSI/MACD, replayed by a two-state recursive-CTE oracle.
+    // Baseline = the key's first value keeps the whole query
+    // deterministic without a training pass.
+    QueryDef(
+      "w22_cusum",
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT user_id, ts, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts)
+             |      AS rn,
+             |    first_value(value) OVER (PARTITION BY user_id
+             |      ORDER BY ts) AS base
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, ts, value, rn, base,
+             |    CAST(0.0 AS DOUBLE) AS s_pos, CAST(0.0 AS DOUBLE) AS s_neg
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.ts, o.value, o.rn, o.base,
+             |    greatest(0.0, r.s_pos + (o.value - o.base) - 0.5),
+             |    greatest(0.0, r.s_neg - (o.value - o.base) - 0.5)
+             |  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+             |SELECT user_id, ts, value, s_pos, s_neg,
+             |  s_pos > 5.0 OR s_neg > 5.0 AS alarm
+             |FROM r""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val slack = 0.5; val threshold = 5.0
+        val ds = Tables.events(s, d)
+          .select(col("user_id").cast("long").as("key"), col("ts"),
+            col("value").cast("double").as("x"))
+          .as[graft.operators.Rsi.In]
+        ds.repartition(col("key"))
+          .sortWithinPartitions(col("key"), col("ts"))
+          .mapPartitions { it =>
+            var curKey = Long.MinValue
+            var haveKey = false
+            var base = 0.0; var sPos = 0.0; var sNeg = 0.0
+            it.map { r =>
+              if (!haveKey || r.key != curKey) {
+                curKey = r.key; haveKey = true
+                base = r.x; sPos = 0.0; sNeg = 0.0
+              } else {
+                val dev = r.x - base
+                sPos = math.max(0.0, sPos + dev - slack)
+                sNeg = math.max(0.0, sNeg - dev - slack)
+              }
+              (r.key, r.ts, r.x, sPos, sNeg,
+                sPos > threshold || sNeg > threshold)
+            }
+          }
+          .toDF("user_id", "ts", "value", "s_pos", "s_neg", "alarm")
+      }),
   )
 }
