@@ -957,43 +957,47 @@ object AggQueries {
     // A31: Shannon entropy of each user's event-type mix — the
     // behavioral-diversity metric (0 = single-type user, ln 5 ≈ 1.609 =
     // uniform over the 5 types), the information-theoretic sibling of
-    // a6's HHI. One hash aggregate to the (user, type) count table; the
-    // per-user total is a window over that table (≤ |types| rows per
-    // partition). The per-type p·ln p terms are doubles, so summing them
-    // raw would be order-dependent (measured 4e-16 drift) — each term is
-    // quantized to the 1e-15 grid (|term| ≤ 1/e, scaled < 2^53) and the
-    // SUM runs over exact longs, de-scaled once (the tx12 surprisal
-    // pattern).
+    // a6's HHI, via H = ln n − (Σ c·ln c)/n. One hash aggregate to the
+    // (user, type) count table; the per-user total is a window over that
+    // table (≤ |types| rows per partition).
+    //
+    // Parity is double-layered here because ln itself is the hazard:
+    // JVM Math.log and DuckDB's libm CAN differ by one ulp on rare
+    // inputs (observed at sf0.001), so (1) the c·ln c terms are
+    // quantized to the COARSE 1e-6 grid before the long sum — an ulp of
+    // ln moves the scaled term by ~1e-8 of a quantum, so a floor flip is
+    // vanishingly rare (the tx10/tx12 surprisal regime; a fine 1e-15
+    // grid amplified exactly such a flip into a mismatch) — and (2) the
+    // final entropy is rounded to the 1e-9 grid so the bare ln(n)
+    // factor's possible last-ulp wobble can't surface in the hash.
     QueryDef(
       "a31_entropy",
       Some("""WITH c AS (
              |  SELECT user_id, event_type, count(*) AS c
              |  FROM events GROUP BY 1, 2),
-             |t AS (
-             |  SELECT user_id, c,
-             |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
-             |  FROM c),
              |q AS (
-             |  SELECT user_id, n,
-             |    CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
-             |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-             |      * 1000000000000000.0 + 0.5) AS BIGINT) AS sq
-             |  FROM t)
+             |  SELECT user_id,
+             |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             |    CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+             |      * 1000000.0 + 0.5) AS BIGINT) AS sq
+             |  FROM c)
              |SELECT user_id, min(n) AS n_events, count(*) AS n_types,
-             |  -(CAST(sum(sq) AS DOUBLE) / 1000000000000000.0) AS entropy
+             |  round(ln(CAST(min(n) AS DOUBLE)) -
+             |    (CAST(sum(sq) AS DOUBLE) / 1000000.0) /
+             |      CAST(min(n) AS DOUBLE), 9) AS entropy
              |FROM q GROUP BY user_id""".stripMargin),
       (s, d) => {
         val c = Tables.events(s, d)
           .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
-        val t = c.withColumn("n",
-          sum("c").over(Window.partitionBy("user_id")))
-        val p = col("c").cast("double") / col("n").cast("double")
-        val sq = floor(p * log(p) * 1000000000000000.0 + 0.5).cast("long")
-        t.select(col("user_id"), col("n"), sq.as("sq"))
-          .groupBy("user_id")
+        val cd = col("c").cast("double")
+        val q = c.select(col("user_id"),
+          sum("c").over(Window.partitionBy("user_id")).as("n"),
+          floor(cd * log(cd) * 1000000.0 + 0.5).cast("long").as("sq"))
+        q.groupBy("user_id")
           .agg(min("n").as("n_events"), count(lit(1)).as("n_types"),
-            (-(sum("sq").cast("double") / 1000000000000000.0))
-              .as("entropy"))
+            round(log(min("n").cast("double")) -
+              (sum("sq").cast("double") / 1000000.0) /
+                min("n").cast("double"), 9).as("entropy"))
       }),
   )
 }
