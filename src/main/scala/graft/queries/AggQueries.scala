@@ -999,5 +999,71 @@ object AggQueries {
               (sum("sq").cast("double") / 1000000.0) /
                 min("n").cast("double"), 9).as("entropy"))
       }),
+
+    // A32: EXACT median over an UNBOUNDED value domain — the two-pass
+    // bucket-locate algorithm that removes histogramMedian's
+    // bounded-domain contract: (1) min/max/count bounds, (2) a 4096-cell
+    // range-bucket histogram locates which bucket holds each middle
+    // order statistic and its rank offset inside it, (3) only that
+    // bucket's rows (~n/4096) are sorted — the full data never passes
+    // through one partition at any domain. Order statistics on a
+    // multiset are tie-insensitive, so the within-bucket row_number
+    // needs no tiebreak. Median = mean of the two middle statistics,
+    // identical IEEE tree both engines; the oracle picks the same order
+    // statistics directly (ORDER BY ... OFFSET k).
+    QueryDef(
+      "a32_median_2pass",
+      Some("""WITH v AS (
+             |  SELECT value,
+             |    row_number() OVER (ORDER BY value) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT CAST(min(n) AS BIGINT) AS n,
+             |  (min(CASE WHEN rn = (n + 1) // 2 THEN value END) +
+             |   min(CASE WHEN rn = (n + 2) // 2 THEN value END)) / 2.0
+             |    AS median
+             |FROM v""".stripMargin),
+      (s, d) => {
+        val B = 4096
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull).select("value")
+          .persist() // three passes: bounds, bucket histogram, pick
+        val bounds = ev.agg(min("value").as("lo"), max("value").as("hi"),
+          count(lit(1)).as("n"))
+        val span = col("hi") - col("lo")
+        val idx = when(span > 0, least(
+            floor((col("value") - col("lo")) / span * B).cast("long"),
+            lit(B - 1L)))
+          .otherwise(lit(0L))
+        val bucketed = ev.crossJoin(broadcast(bounds))
+          .select(col("value"), idx.as("bk"), col("n"))
+        val cumW = Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        // ≤4096-row histogram; ranks of the two middle order statistics
+        val hist = bucketed.groupBy("bk")
+          .agg(count(lit(1)).as("c"), min("n").as("n"))
+          .withColumn("cum", sum("c").over(cumW))
+          .withColumn("before", col("cum") - col("c"))
+        // the bucket holding rank r, and r's offset within it (1-based)
+        def pick(rank: Column, tag: String) = hist
+          .filter(col("before") < rank && rank <= col("cum"))
+          .select(col("bk").as(s"bk_$tag"),
+            (rank - col("before")).as(s"off_$tag"))
+        val rLo = expr("(n + 1) DIV 2"); val rHi = expr("(n + 2) DIV 2")
+        val picks = broadcast(pick(rLo, "lo").crossJoin(pick(rHi, "hi")))
+        val wIn = (t: String) => Window.partitionBy(s"bk_$t")
+          .orderBy("value")
+        val vLo = bucketed.join(picks, col("bk") === col("bk_lo"))
+          .withColumn("rn", row_number().over(wIn("lo")))
+          .filter(col("rn") === col("off_lo"))
+          .select(col("value").as("v_lo"), col("n"))
+        val vHi = bucketed.join(picks, col("bk") === col("bk_hi"))
+          .withColumn("rn", row_number().over(wIn("hi")))
+          .filter(col("rn") === col("off_hi"))
+          .select(col("value").as("v_hi"))
+        vLo.crossJoin(broadcast(vHi))
+          .select(col("n"), ((col("v_lo") + col("v_hi")) / 2.0)
+            .as("median"))
+      }),
   )
 }
