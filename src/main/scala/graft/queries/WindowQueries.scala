@@ -675,5 +675,84 @@ object WindowQueries {
           }
           .toDF("user_id", "ts", "value", "s_pos", "s_neg", "alarm")
       }),
+
+    // W23: lag-k autocorrelation (ACF at k = 1, 2, 3) of each user's
+    // value series — the time-series diagnostic behind every volatility
+    // model's "is there structure left" check. One window pass produces
+    // all three lag columns (shared (user, ts) sort), one hash aggregate
+    // produces every moment; the ACF ratio expands the mean-centered
+    // form to RAW integer moments on the cent grid
+    // (r_k = [n²P_k − nS(A_k+B_k) + m_k S²] / [n(nQ − S²)]) so every
+    // aggregate is an exact long and the ratio is one identical IEEE
+    // tree from identical integers — no mean subtraction ever touches a
+    // float accumulator.
+    QueryDef(
+      "w23_autocorr",
+      Some {
+        def terms(k: Int) =
+          s"""CAST(count(l$k) AS BIGINT) AS m$k,
+             |  CAST(sum(vc * l$k) AS BIGINT) AS p$k,
+             |  CAST(sum(CASE WHEN l$k IS NOT NULL THEN vc END) AS BIGINT)
+             |    AS a$k,
+             |  CAST(sum(l$k) AS BIGINT) AS b$k""".stripMargin
+        def r(k: Int) =
+          s"""(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p$k AS DOUBLE)
+             |   - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) *
+             |     (CAST(a$k AS DOUBLE) + CAST(b$k AS DOUBLE))
+             |   + CAST(m$k AS DOUBLE) * CAST(s AS DOUBLE)
+             |     * CAST(s AS DOUBLE)) /
+             |  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) *
+             |     CAST(q AS DOUBLE) - CAST(s AS DOUBLE) *
+             |     CAST(s AS DOUBLE)))""".stripMargin
+        s"""WITH v AS (
+           |  SELECT user_id,
+           |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+           |    lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 1)
+           |      OVER w AS l1,
+           |    lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 2)
+           |      OVER w AS l2,
+           |    lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 3)
+           |      OVER w AS l3
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |m AS (
+           |  SELECT user_id, count(*) AS n,
+           |    CAST(sum(vc) AS BIGINT) AS s,
+           |    CAST(sum(vc * vc) AS BIGINT) AS q,
+           |    ${terms(1)},
+           |    ${terms(2)},
+           |    ${terms(3)}
+           |  FROM v GROUP BY 1)
+           |SELECT user_id, n,
+           |  ${r(1)} AS r1,
+           |  ${r(2)} AS r2,
+           |  ${r(3)} AS r3
+           |FROM m""".stripMargin
+      },
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val vc = floor(col("value") * 100.0 + 0.5).cast("long")
+        val v = Tables.events(s, d)
+          .select(col("user_id"), vc.as("vc"),
+            lag(vc, 1).over(w).as("l1"), lag(vc, 2).over(w).as("l2"),
+            lag(vc, 3).over(w).as("l3"))
+        def terms(k: Int) = Seq(
+          count(col(s"l$k")).as(s"m$k"),
+          sum(col("vc") * col(s"l$k")).as(s"p$k"),
+          sum(when(col(s"l$k").isNotNull, col("vc"))).as(s"a$k"),
+          sum(col(s"l$k")).as(s"b$k"))
+        val aggs = Seq(count(lit(1)).as("n"), sum("vc").as("s"),
+          sum(col("vc") * col("vc")).as("q")) ++
+          terms(1) ++ terms(2) ++ terms(3)
+        val m = v.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+        def dbl(c: String) = col(c).cast("double")
+        def r(k: Int) =
+          (dbl("n") * dbl("n") * dbl(s"p$k")
+            - dbl("n") * dbl("s") * (dbl(s"a$k") + dbl(s"b$k"))
+            + dbl(s"m$k") * dbl("s") * dbl("s")) /
+          (dbl("n") * (dbl("n") * dbl("q") - dbl("s") * dbl("s")))
+        m.select(col("user_id"), col("n"),
+          r(1).as("r1"), r(2).as("r2"), r(3).as("r3"))
+      }),
   )
 }
