@@ -284,8 +284,17 @@ object TextQueries {
       val oStats = terms.indices.map { i =>
         s"CAST(count(CASE WHEN tf_$i > 0 THEN 1 END) AS BIGINT) AS df_$i"
       }.mkString(", ")
+      // Parity: JVM Math.log and the driver's DuckDB libm ln can differ
+      // at the last ulp on rare inputs (the a31/tx10 hazard). Each idf ln
+      // term is rounded at 9 decimals on BOTH engines BEFORE the
+      // multiply/sum — a single round on the final score is not enough,
+      // because the ulp survives the three-term sum and can flip the
+      // final round on a boundary doc. There are only |terms| distinct ln
+      // evaluations per corpus, so a 1e-9 grid boundary hit is ~1e-7
+      // improbable; once the idf inputs match bit-for-bit, every
+      // downstream op is correctly-rounded IEEE in identical order.
       val oScore = terms.indices.map { i =>
-        s"ln((n_docs - df_$i + 0.5) / (df_$i + 0.5)) * " +
+        s"round(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5)), 9) * " +
         s"(tf_$i * ($K1 + 1.0)) / " +
         s"(tf_$i + $K1 * (1.0 - $B + $B * dl / avgdl))"
       }.mkString(" + ")
@@ -325,8 +334,10 @@ object TextQueries {
           val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
             statAggs: _*)
           val score = terms.indices.map { i =>
-            log((col("n_docs") - col(s"df_$i") + 0.5) /
-                (col(s"df_$i") + lit(0.5))) *
+            // per-term idf ln rounded at 9 decimals — mirrors the oracle
+            // exactly; see the oScore parity note above
+            round(log((col("n_docs") - col(s"df_$i") + 0.5) /
+                (col(s"df_$i") + lit(0.5))), 9) *
             (col(s"tf_$i") * (lit(1.2) + 1.0)) /
             (col(s"tf_$i") + lit(1.2) *
               (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
@@ -385,27 +396,42 @@ object TextQueries {
     // conditional aggregates — both shuffles are doc_id-keyed with
     // map-side partial aggregation, so the cost scales with token count,
     // never pairwise.
+    //
+    // Shuffle keys are LONGS, never gram text (the dedup-family rule,
+    // tx12's pattern): tokens are hashed ONCE per document with the
+    // portable hash32 and a gram's identity on the count shuffle is the
+    // (ord, h1, h2, h3) hash tuple — at 100 TB that is the difference
+    // between shuffling tens of TB of bigram/trigram strings and a
+    // fraction of that in fixed-width longs. The oracle replays the
+    // identical hashes, so even a 32-bit token collision is bit-mirrored
+    // on both engines; n_tokens/n_distinct stay on the RAW token list
+    // (distinctness of text, not of hashes).
     QueryDef(
       "tx9_repetition",
       Some(s"""WITH t AS (
-              |  SELECT doc_id, string_split(text, ' ') AS lst
+              |  SELECT doc_id, string_split(text, ' ') AS raw,
+              |    list_transform(string_split(text, ' '),
+              |      tk -> ${oHash32("tk")}) AS lst
               |  FROM documents),
               |base AS (
               |  SELECT doc_id,
-              |    CAST(len(lst) AS BIGINT) AS n_tokens,
-              |    CAST(len(list_distinct(lst)) AS BIGINT) AS n_distinct,
+              |    CAST(len(raw) AS BIGINT) AS n_tokens,
+              |    CAST(len(list_distinct(raw)) AS BIGINT) AS n_distinct,
               |    lst
               |  FROM t),
               |g AS (
               |  SELECT doc_id, n_tokens, n_distinct, 2 AS ord,
-              |    unnest(${oShinglesFromList("lst", 2)}) AS gram
+              |    unnest(list_transform(generate_series(1, len(lst) - 1),
+              |      i -> {'g1': lst[i], 'g2': lst[i + 1], 'g3': 0})) AS gr
               |  FROM base
               |  UNION ALL
               |  SELECT doc_id, n_tokens, n_distinct, 3,
-              |    unnest(${oShinglesFromList("lst", 3)})
+              |    unnest(list_transform(generate_series(1, len(lst) - 2),
+              |      i -> {'g1': lst[i], 'g2': lst[i + 1], 'g3': lst[i + 2]}))
               |  FROM base),
               |c AS (
-              |  SELECT doc_id, n_tokens, n_distinct, ord, gram,
+              |  SELECT doc_id, n_tokens, n_distinct, ord,
+              |    gr['g1'] AS g1, gr['g2'] AS g2, gr['g3'] AS g3,
               |    count(*) AS n
               |  FROM g GROUP BY ALL),
               |a AS (
@@ -431,17 +457,33 @@ object TextQueries {
               |FROM a""".stripMargin),
       (s, d) => {
         val toks = tokens(col("text"))
-        val gramStructs = (n: Int) =>
-          transform(shingles(col("text"), n),
-            g => struct(lit(n).as("ord"), g.as("gram")))
-        val grams = Tables.fanOut(Tables.documents(s, d)).select(
+        val hashed = transform(toks, tk => hash32(tk))
+        // gram identity = (ord, h1, h2, h3) long tuple over the hashed
+        // token list (g3 = 0 for bigrams — ord disambiguates). Spark's
+        // sequence() counts DOWN below 1, so short docs need the guard.
+        val gramStructs = (n: Int) => {
+          val structs = transform(
+            sequence(lit(1), size(col("lst")) - (n - 1)),
+            i => struct(lit(n).as("ord"),
+              element_at(col("lst"), i).as("g1"),
+              element_at(col("lst"), i + 1).as("g2"),
+              (if (n == 3) element_at(col("lst"), i + 2)
+               else lit(0L)).as("g3")))
+          when(size(col("lst")) >= n, structs).otherwise(array()
+            .cast("array<struct<ord:int,g1:bigint,g2:bigint,g3:bigint>>"))
+        }
+        val base = Tables.fanOut(Tables.documents(s, d)).select(
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           size(array_distinct(toks)).cast("long").as("n_distinct"),
+          hashed.as("lst"))
+        val grams = base.select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"),
           explode(concat(gramStructs(2), gramStructs(3))).as("g"))
         val counts = grams
           .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"),
-                   col("g.ord").as("ord"), col("g.gram").as("gram"))
+                   col("g.ord").as("ord"), col("g.g1"), col("g.g2"),
+                   col("g.g3"))
           .agg(count(lit(1)).as("n"))
         val agg = counts
           // n_tokens/n_distinct are functionally dependent on doc_id —
