@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.{AggQueries, DedupQueries, JoinQueries, MlPrepQueries,
-  PipelineQueries, ScalarQueries, ScanFilterQueries, SimilarityQueries,
-  SortSetQueries, TextQueries, WindowQueries}
+  MultimodalQueries, PipelineQueries, ScalarQueries, ScanFilterQueries,
+  SimilarityQueries, SortSetQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,7 @@ object SparkEntry {
       DedupQueries.all ++
       SimilarityQueries.all ++
       TextQueries.all ++
+      MultimodalQueries.all ++
       PipelineQueries.all ++
       MlPrepQueries.all
     // a duplicate name would silently shadow its twin in the `queries`
