@@ -34,16 +34,21 @@ import org.apache.spark.sql.functions._
   *    edge-rewriting alternative at that point is large-star/small-star
   *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
   *    SoCC'14).
-  *  - Per-round lineage is cut with an EAGER `localCheckpoint`, not
-  *    persist(): round k's logical plan contains TWO copies of round k-1
-  *    (the label frame feeds both the message join and the fold), so an
-  *    uncut plan doubles per round and Catalyst ANALYSIS time — not
-  *    execution — becomes the cost (measured: the round-2 plan carried
-  *    7000+ nodes and downstream consumers paid seconds just planning).
-  *    Checkpointing pins each round to its materialized RDD, keeping every
-  *    plan O(1). Local checkpoints trade executor-loss tolerance for
-  *    speed — on a cluster with lineage-based recovery needs, swap for
-  *    `checkpoint()` against the reliable checkpoint dir.
+  *  - Per-round lineage is cut with an EAGER checkpoint, not persist():
+  *    round k's logical plan contains TWO copies of round k-1 (the label
+  *    frame feeds both the message join and the fold), so an uncut plan
+  *    doubles per round and Catalyst ANALYSIS time — not execution —
+  *    becomes the cost (measured: the round-2 plan carried 7000+ nodes
+  *    and downstream consumers paid seconds just planning). Checkpointing
+  *    pins each round to its materialized RDD, keeping every plan O(1).
+  *    TWO modes: the default `localCheckpoint(true)` stores blocks on
+  *    executors — fastest, but an executor loss mid-iteration kills the
+  *    job (blocks are unrecoverable); passing `checkpointDir` switches
+  *    every cut to a RELIABLE `checkpoint()` against that directory
+  *    (HDFS/object store on a cluster), which survives executor loss at
+  *    the price of a filesystem write per round — the right trade for a
+  *    multi-hour 100 TB dedup run. Both modes execute the identical
+  *    label-propagation plans (spec-proven equal output).
   *  - Convergence check: labels only ever DECREASE, so Σlabels strictly
   *    decreases every round until fixpoint — equality of two consecutive
   *    checksums is exact convergence, one scalar per round, no
@@ -60,22 +65,31 @@ object ConnectedComponents {
   /** (doc_id, cluster_id) for every doc appearing in `pairs`
     * (columns `doc_a`, `doc_b`); cluster_id = min doc_id of the
     * component. The result is checkpointed — safe to reuse in any number
-    * of downstream consumers without replaying the iteration. */
-  def run(pairs: DataFrame, maxRounds: Int = MaxRounds): DataFrame = {
+    * of downstream consumers without replaying the iteration.
+    *
+    * @param checkpointDir when set, per-round lineage cuts use reliable
+    *   `checkpoint()` files under this directory (survives executor loss;
+    *   set it to a DFS path on a real cluster) instead of executor-local
+    *   blocks. Output is identical in both modes.
+    */
+  def run(pairs: DataFrame, maxRounds: Int = MaxRounds,
+          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // checkpoint the INPUT before mirroring it: edges = pairs ∪ reverse
     // reads the pair plan twice, and the caller's pair generator (an LSH
     // candidate join + exact verify) is far too expensive to execute per
     // branch. In a composed pipeline `pairs` is dd6's materialized output
     // table and this is a cheap re-read.
-    val p = pairs.localCheckpoint(true)
-    val edges = p
+    val p = cut(pairs)
+    val edges = cut(p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"),
-        col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+        col("doc_a").as("dst"))))
+    var labels = cut(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label")))
     def checksum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
     var curSum = checksum(labels)
@@ -97,13 +111,12 @@ object ConnectedComponents {
       // pointer jump: follow the label one hop through the label table
       // itself (label is a node id, so it has a row) — doubles the
       // propagation distance per round
-      val next = prop
+      val next = cut(prop
         .join(prop.select(col("doc_id").as("label"),
           col("label").as("jump")), Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("jump"), col("label")))
-            .as("label"))
-        .localCheckpoint(true)
+            .as("label")))
       val nextSum = checksum(next)
       labels = next
       if (nextSum == curSum) converged = true else curSum = nextSum

@@ -620,6 +620,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     val out = ConnectedComponents.run(pairs(star: _*), maxRounds = 2)
     assert(out.filter(col("cluster_id") === 1L).count() == 31)
   }
+
+  test("reliable-checkpoint mode converges identically to local mode") {
+    // chain + star + disjoint pair: exercises multi-round convergence in
+    // BOTH lineage-cut modes. On a real cluster the reliable mode's files
+    // survive executor loss; here both must produce the same clustering
+    // and the checkpoint dir must actually receive files (proof the
+    // reliable path ran, not the local one).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cc_ckpt").toString
+    val edges = (1L to 29L).map(i => (i, i + 1)) ++
+      (101L to 110L).map(i => (100L, i)) :+ ((200L, 201L))
+    val local = ConnectedComponents.run(pairs(edges: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val reliable = ConnectedComponents
+      .run(pairs(edges: _*), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(reliable == local)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable mode must write checkpoint files")
+  }
 }
 
 class StreamingDedupSpec extends SparkSpec {
