@@ -41,6 +41,40 @@ object Parity {
     */
   def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(DecimalType(30, scale))).cast("double")
+  /** Whole-unit long quantization (the a7/a21 pattern, measurably 2-4×
+    * faster than the decimal path): a 2-decimal double becomes its exact
+    * integer count of hundredths and every aggregate over it is a
+    * primitive codegen'd LONG hash-agg. `floor(x*100+0.5)` is the same
+    * correctly-rounded IEEE tree on both engines; de-scale ONCE after the
+    * sum (`CAST(SUM(q) AS DOUBLE) / 100.0` — DuckDB's hugeint→double cast
+    * is correctly rounded like Spark's long cast, so the doubles match
+    * bitwise). Headroom: |Σx|·100 must stay < 2^63 — callers document the
+    * per-group bound. Squares of quantized values (q*q = 10^4·x², exact
+    * for 2-decimal x) serve the variance/HHI family the same way. */
+  def lq(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+  /** Oracle-side text for [[lq]]. */
+  def oLq(x: String): String =
+    s"CAST(floor($x * 100.0 + 0.5) AS BIGINT)"
+  /** Long-path mean: one long sum, divide by non-null count, de-scale. */
+  def lavg(c: Column): Column =
+    sum(lq(c)).cast("double") / count(c) / 100.0
+  def oLavg(x: String): String =
+    s"CAST(SUM(${oLq(x)}) AS DOUBLE) / COUNT($x) / 100.0"
+  /** Long-path sample stddev: both moment sums are exact longs (q² =
+    * 10^4·x², exact for 2-decimal x), de-scaled into the same IEEE tree
+    * as [[oLstd]]. */
+  def lstd(c: Column): Column = {
+    val s1 = sum(lq(c)).cast("double") / 100.0
+    val s2 = sum(lq(c) * lq(c)).cast("double") / 10000.0
+    val n = count(c).cast("double")
+    sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))
+  }
+  def oLstd(x: String): String = {
+    val q = oLq(x)
+    s"SQRT((CAST(SUM($q * $q) AS DOUBLE) / 10000.0 - " +
+    s"(CAST(SUM($q) AS DOUBLE) / 100.0) * (CAST(SUM($q) AS DOUBLE) / 100.0)" +
+    s" / CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE) - 1.0))"
+  }
   /** Oracle-side text for [[dsum]]. */
   def oSum(x: String, scale: Int = 6): String =
     s"CAST(SUM(CAST($x AS DECIMAL(30,$scale))) AS DOUBLE)"

@@ -33,12 +33,15 @@ object AggQueries {
     // A2: order-sensitive OHLCV daily rollup — first/last via min_by/max_by
     // on the unique ts ordering key (never bare first/last after a shuffle;
     // SURVEY §4). DuckDB arg_min/arg_max are the oracle equivalents.
+    // Volume rides the lq long path: value ≤ ~400 2-decimal → q ≤ 4e4,
+    // ~2.3e14 rows/group of long headroom.
     QueryDef(
       "a2_ohlcv_rollup",
       Some(s"""SELECT user_id, CAST(ts AS DATE) AS day,
               |  arg_min(value, ts) AS open, max(value) AS high,
               |  min(value) AS low, arg_max(value, ts) AS close,
-              |  ${oSum("value")} AS volume, count(*) AS trade_count
+              |  CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS volume,
+              |  count(*) AS trade_count
               |FROM events GROUP BY user_id, CAST(ts AS DATE)""".stripMargin),
       (s, d) =>
         Tables.events(s, d)
@@ -46,38 +49,53 @@ object AggQueries {
           .agg(min_by(col("value"), col("ts")).as("open"),
                max("value").as("high"), min("value").as("low"),
                max_by(col("value"), col("ts")).as("close"),
-               dsum(col("value")).as("volume"),
+               (sum(lq(col("value"))).cast("double") / 100.0).as("volume"),
                count(lit(1)).as("trade_count"))),
 
-    // A4+A5: daily sum + mean (exact-decimal path for both).
+    // A4+A5: daily sum + mean — both off ONE long sum of hundredths (lq
+    // path; the mean divides by the non-null count before de-scaling, same
+    // order both engines).
     QueryDef(
       "a4_daily_sum_mean",
       Some(s"""SELECT CAST(ts AS DATE) AS day,
-              |  ${oSum("value")} AS total_value,
-              |  ${oAvg("value")} AS mean_value,
+              |  CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS total_value,
+              |  CAST(SUM(${oLq("value")}) AS DOUBLE) / COUNT(value) / 100.0
+              |    AS mean_value,
               |  count(*) AS n
               |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin),
-      (s, d) =>
+      (s, d) => {
+        val sq = sum(lq(col("value"))).cast("double")
         Tables.events(s, d)
           .groupBy(to_date(col("ts")).as("day"))
-          .agg(dsum(col("value")).as("total_value"),
-               davg(col("value")).as("mean_value"),
-               count(lit(1)).as("n"))),
+          .agg((sq / 100.0).as("total_value"),
+               (sq / count(col("value")) / 100.0).as("mean_value"),
+               count(lit(1)).as("n"))
+      }),
 
     // A6: Herfindahl concentration index — the reference's per-day premarket
     // volume HHI (my_stock_functions.py:569-576) rewritten algebraically as
-    // sum(v^2)/sum(v)^2: no UDAF, pure partial-aggregable sums.
+    // sum(v^2)/sum(v)^2: no UDAF, pure partial-aggregable sums. Long path:
+    // q = 100v exact, q² = 10^4·v² exact, and the 10^4 scale CANCELS in the
+    // ratio — Σq²/(Σq)² IS Σv²/(Σv)², one double division from exact
+    // integers (q² ≤ 1.6e9 → ~5.7e9 rows/group headroom).
     QueryDef(
       "a6_hhi",
-      Some(s"""SELECT user_id,
-              |  CASE WHEN ${oSum("value")} > 0.0
-              |    THEN ${oSum("value * value")} / (${oSum("value")} * ${oSum("value")})
+      Some(s"""WITH f AS (
+              |  SELECT user_id, ${oLq("value")} AS q FROM events)
+              |SELECT user_id,
+              |  CASE WHEN SUM(q) > 0
+              |    THEN CAST(SUM(q * q) AS DOUBLE)
+              |      / (CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE))
               |    ELSE NULL END AS hhi
-              |FROM events GROUP BY user_id""".stripMargin),
+              |FROM f GROUP BY user_id""".stripMargin),
       (s, d) => {
-        val sv = dsum(col("value")); val sv2 = dsum(col("value") * col("value"))
-        Tables.events(s, d).groupBy("user_id")
-          .agg(when(sv > 0.0, sv2 / (sv * sv)).otherwise(lit(null)).as("hhi"))
+        val q = lq(col("value"))
+        val sq = sum(col("q")); val sq2 = sum(col("q") * col("q"))
+        Tables.events(s, d).select(col("user_id"), q.as("q"))
+          .groupBy("user_id")
+          .agg(when(sq > 0, sq2.cast("double") /
+              (sq.cast("double") * sq.cast("double")))
+            .otherwise(lit(null)).as("hhi"))
       }),
 
     // A7: volume-weighted mean (VWAP) with zero-volume null guard.
@@ -126,7 +144,7 @@ object AggQueries {
               |  arg_min(value, rn) AS last_value,
               |  arg_min(value, rn) / NULLIF(arg_max(value, rn), 0.0) - 1.0
               |    AS period_return,
-              |  ${oStd("value")} AS value_std
+              |  ${oLstd("value")} AS value_std
               |FROM ranked WHERE rn <= 20 GROUP BY user_id""".stripMargin),
       (s, d) => {
         // event_id tiebreak: (user_id, ts) dupes would otherwise make the
@@ -142,7 +160,7 @@ object AggQueries {
                (min_by(col("value"), col("rn")) /
                  nullif(max_by(col("value"), col("rn")), lit(0.0)) - lit(1.0))
                  .as("period_return"),
-               dstd(col("value")).as("value_std"))
+               lstd(col("value")).as("value_std"))
       }),
 
     // A9+A10: threshold-count + all-in-range predicate aggregates
@@ -203,30 +221,32 @@ object AggQueries {
     QueryDef(
       "a15_pivot",
       Some(s"""SELECT CAST(ts AS DATE) AS day,
-              |  ${oSum("CASE WHEN event_type = 'click' THEN value ELSE NULL END")} AS v_click,
-              |  ${oSum("CASE WHEN event_type = 'view' THEN value ELSE NULL END")} AS v_view,
-              |  ${oSum("CASE WHEN event_type = 'purchase' THEN value ELSE NULL END")} AS v_purchase,
-              |  ${oSum("CASE WHEN event_type = 'signup' THEN value ELSE NULL END")} AS v_signup,
-              |  ${oSum("CASE WHEN event_type = 'error' THEN value ELSE NULL END")} AS v_error
+              |  ${Seq("click", "view", "purchase", "signup", "error").map(t =>
+                   s"CAST(SUM(CASE WHEN event_type = '$t' THEN ${oLq("value")}" +
+                   s" ELSE NULL END) AS DOUBLE) / 100.0 AS v_$t")
+                   .mkString(",\n              |  ")}
               |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin),
       (s, d) => {
         val types = Seq("click", "view", "purchase", "signup", "error")
+        // lq long path per cell; SUM over an all-NULL cell stays NULL on
+        // both engines (absent day×type combinations)
         val aggs = types.map(t =>
-          dsum(when(col("event_type") === t, col("value"))).as(s"v_$t"))
+          (sum(when(col("event_type") === t, lq(col("value"))))
+            .cast("double") / 100.0).as(s"v_$t"))
         Tables.events(s, d).groupBy(to_date(col("ts")).as("day"))
           .agg(aggs.head, aggs.tail: _*)
       }),
 
-    // A16: group mean over category (exact-decimal mean).
+    // A16: group mean over category (lq long path).
     QueryDef(
       "a16_group_mean",
       Some(s"""SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-              |  ${oAvg("value")} AS mean_value
+              |  ${oLavg("value")} AS mean_value
               |FROM events GROUP BY 1, 2""".stripMargin),
       (s, d) =>
         Tables.events(s, d)
           .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
-          .agg(davg(col("value")).as("mean_value"))),
+          .agg(lavg(col("value")).as("mean_value"))),
 
     // A18: arg-max row per group — rank-and-filter with a deterministic
     // tiebreak on the unique event_id (EDA idxmax analog).
@@ -260,17 +280,19 @@ object AggQueries {
           .filter(col("rn") > 10).select("event_id", "user_id", "ts")
       }),
 
-    // A20: describe/summary — count/mean/std/min/max via the exact-sum path.
+    // A20: describe/summary — count/mean/std/min/max via the lq long-moment
+    // path (q² ≤ 1.6e9 → ~5.7e9 rows of global headroom at this domain;
+    // beyond that, shard the sum and add as doubles).
     QueryDef(
       "a20_summary_stats",
-      Some(s"""SELECT count(value) AS n, ${oAvg("value")} AS mean,
-              |  ${oStd("value")} AS std, min(value) AS vmin,
+      Some(s"""SELECT count(value) AS n, ${oLavg("value")} AS mean,
+              |  ${oLstd("value")} AS std, min(value) AS vmin,
               |  max(value) AS vmax
               |FROM events""".stripMargin),
       (s, d) =>
         Tables.events(s, d).agg(
-          count(col("value")).as("n"), davg(col("value")).as("mean"),
-          dstd(col("value")).as("std"), min("value").as("vmin"),
+          count(col("value")).as("n"), lavg(col("value")).as("mean"),
+          lstd(col("value")).as("std"), min("value").as("vmin"),
           max("value").as("vmax"))),
 
     // A21: correlation from exact sums (identical IEEE tree both sides;

@@ -36,7 +36,9 @@ object JoinQueries {
     // nation (customer and nation broadcast; orders never re-shuffled).
     QueryDef(
       "j2_broadcast_dim_join",
-      Some(s"""SELECT n.n_name, ${oSum("o.o_totalprice", 2)} AS revenue,
+      Some(s"""SELECT n.n_name,
+              |  CAST(SUM(${oLq("o.o_totalprice")}) AS DOUBLE) / 100.0
+              |    AS revenue,
               |  count(*) AS n_orders
               |FROM orders o
               |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -49,7 +51,10 @@ object JoinQueries {
           .join(broadcast(Tables.nation(s, d)),
                 col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
-          .agg(dsum(col("o_totalprice"), 2).as("revenue"),
+          // lq long path: o_totalprice ≤ ~6e5 2-decimal → q ≤ 6e7,
+          // ~1.5e11 rows/group headroom
+          .agg((sum(lq(col("o_totalprice"))).cast("double") / 100.0)
+                 .as("revenue"),
                count(lit(1)).as("n_orders"))),
 
     // J3+J8: complete grid LEFT JOIN facts on a 2-part key, missing→default
@@ -65,7 +70,8 @@ object JoinQueries {
               |    DATE '2024-01-30', INTERVAL 1 DAY) g(d)),
               |daily AS (
               |  SELECT user_id, CAST(ts AS DATE) AS day,
-              |    ${oSum("value")} AS day_value, count(*) AS n
+              |    CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS day_value,
+              |    count(*) AS n
               |  FROM events GROUP BY 1, 2)
               |SELECT g.user_id, g.day,
               |  COALESCE(d.day_value, 0.0) AS day_value,
@@ -80,7 +86,9 @@ object JoinQueries {
         val grid = users.crossJoin(broadcast(days))
         val daily = Tables.events(s, d)
           .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-          .agg(dsum(col("value")).as("day_value"), count(lit(1)).as("n"))
+          .agg((sum(lq(col("value"))).cast("double") / 100.0)
+                 .as("day_value"),
+               count(lit(1)).as("n"))
         grid.join(daily, Seq("user_id", "day"), "left")
           .select(col("user_id"), col("day"),
             coalesce(col("day_value"), lit(0.0)).as("day_value"),
@@ -116,7 +124,7 @@ object JoinQueries {
               |  FROM events GROUP BY 1, 2),
               |f1 AS (
               |  SELECT user_id, CAST(ts AS DATE) AS day,
-              |    ${oSum("value")} AS total_value
+              |    CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS total_value
               |  FROM events GROUP BY 1, 2),
               |f2 AS (
               |  SELECT user_id, CAST(ts AS DATE) AS day,
@@ -137,7 +145,8 @@ object JoinQueries {
         def daily(df: org.apache.spark.sql.DataFrame) =
           df.groupBy(col("user_id"), to_date(col("ts")).as("day"))
         val base = daily(ev).agg(count(lit(1)).as("n"))
-        val f1 = daily(ev).agg(dsum(col("value")).as("total_value"))
+        val f1 = daily(ev).agg((sum(lq(col("value"))).cast("double") / 100.0)
+          .as("total_value"))
         val f2 = daily(ev.filter(col("event_type") === "purchase"))
           .agg(max("value").as("max_value"))
         val f3 = daily(ev.filter(col("event_type") === "error"))
@@ -249,7 +258,7 @@ object JoinQueries {
     QueryDef(
       "j10_salted_skew_join",
       Some(s"""WITH dim AS (
-              |  SELECT user_id, ${oAvg("value")} AS user_mean
+              |  SELECT user_id, ${oLavg("value")} AS user_mean
               |  FROM events GROUP BY user_id)
               |SELECT e.event_id, e.user_id, e.value, d.user_mean,
               |  e.value - d.user_mean AS dev
@@ -257,7 +266,7 @@ object JoinQueries {
       (s, d) => {
         val ev = Tables.events(s, d)
         val dim = ev.groupBy("user_id")
-          .agg(davg(col("value")).as("user_mean"))
+          .agg(lavg(col("value")).as("user_mean"))
           .hint("shuffle_hash")
         graft.operators.SaltedJoin.join(
             ev.select("event_id", "user_id", "value"), dim,

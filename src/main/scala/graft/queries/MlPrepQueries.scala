@@ -331,8 +331,10 @@ object MlPrepQueries {
               |  FROM ev),
               |st AS (
               |  SELECT CAST(count(*) AS DOUBLE) AS n,
-              |    ${graft.Parity.oSum("value", 6)} AS s1,
-              |    ${graft.Parity.oSum("value * value", 4)} AS s2,
+              |    CAST(SUM(${graft.Parity.oLq("value")}) AS DOUBLE) / 100.0
+              |      AS s1,
+              |    CAST(SUM(${graft.Parity.oLq("value")} *
+              |      ${graft.Parity.oLq("value")}) AS DOUBLE) / 10000.0 AS s2,
               |    min(value) AS mn, max(value) AS mx
               |  FROM ev, c WHERE ev.day < c.cutoff)
               |SELECT event_id, day, value,
@@ -352,8 +354,9 @@ object MlPrepQueries {
         val st = ev.crossJoin(broadcast(cutoff))
           .filter(col("day") < col("cutoff"))
           .agg(count(lit(1)).cast("double").as("n"),
-            Parity.dsum(col("value"), 6).as("s1"),
-            Parity.dsum(col("value") * col("value"), 4).as("s2"),
+            (sum(Parity.lq(col("value"))).cast("double") / 100.0).as("s1"),
+            (sum(Parity.lq(col("value")) * Parity.lq(col("value")))
+              .cast("double") / 10000.0).as("s2"),
             min("value").as("mn"), max("value").as("mx"))
         ev.crossJoin(broadcast(cutoff)).crossJoin(broadcast(st))
           .select(col("event_id"), col("day"), col("value"),
@@ -449,18 +452,19 @@ object MlPrepQueries {
     // in the row's own fold) backs off to the global out-of-fold mean —
     // same leakage guarantee.
     //
-    // Parity: sums ride DECIMAL(30,6) (exact, order-free); the mean is one
-    // identical decimal-subtract → double-divide tree on both engines.
+    // Parity: the data-sized sum rides the lq long path (exact hundredths,
+    // order-free); the out-of-fold means de-scale once in one identical
+    // subtract → double-divide tree on both engines.
     QueryDef(
       "mlprep_target_encode",
-      Some("""WITH r AS (
+      Some(s"""WITH r AS (
              |  SELECT event_id, event_type, value,
              |    CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
              |      1, 8) AS BIGINT) % 5 AS INT) AS fold
              |  FROM events),
              |cf AS (
              |  SELECT event_type, fold,
-             |    SUM(CAST(value AS DECIMAL(30,6))) AS s, count(*) AS n
+             |    SUM(${graft.Parity.oLq("value")}) AS s, count(*) AS n
              |  FROM r GROUP BY 1, 2),
              |dim AS (
              |  SELECT event_type, fold,
@@ -471,8 +475,8 @@ object MlPrepQueries {
              |  FROM cf)
              |SELECT r.event_id, r.event_type, r.fold,
              |  CASE WHEN d.n_c > 0
-             |    THEN CAST(d.s_c AS DOUBLE) / CAST(d.n_c AS DOUBLE)
-             |    ELSE CAST(d.s_g AS DOUBLE) / CAST(d.n_g AS DOUBLE)
+             |    THEN CAST(d.s_c AS DOUBLE) / CAST(d.n_c AS DOUBLE) / 100.0
+             |    ELSE CAST(d.s_g AS DOUBLE) / CAST(d.n_g AS DOUBLE) / 100.0
              |  END AS te
              |FROM r JOIN dim d
              |  ON r.event_type = d.event_type AND r.fold = d.fold"""
@@ -485,9 +489,8 @@ object MlPrepQueries {
             (hash32(col("event_id").cast("string")) % folds)
               .cast("int").as("fold"))
         val cf = rows.groupBy("event_type", "fold")
-          .agg(sum(col("value").cast(
-              org.apache.spark.sql.types.DataTypes.createDecimalType(30, 6)))
-            .as("s"), count(lit(1)).as("n"))
+          .agg(sum(graft.Parity.lq(col("value"))).as("s"),
+               count(lit(1)).as("n"))
         val wCat = Window.partitionBy("event_type")
         val wFold = Window.partitionBy("fold")
         val wAll = Window.partitionBy()
@@ -499,9 +502,9 @@ object MlPrepQueries {
         rows.join(broadcast(dim), Seq("event_type", "fold"))
           .select(col("event_id"), col("event_type"), col("fold"),
             when(col("n_c") > 0,
-              col("s_c").cast("double") / col("n_c").cast("double"))
-              .otherwise(
-                col("s_g").cast("double") / col("n_g").cast("double"))
+              col("s_c").cast("double") / col("n_c").cast("double") / 100.0)
+              .otherwise(col("s_g").cast("double") /
+                col("n_g").cast("double") / 100.0)
               .as("te"))
       }),
 

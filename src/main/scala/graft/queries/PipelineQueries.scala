@@ -225,7 +225,8 @@ object PipelineQueries {
               |  FROM tagged)
               |SELECT user_id, session_id, count(*) AS n_events,
               |  min(ts) AS session_start, max(ts) AS session_end,
-              |  ${oSum("value")} AS session_value
+              |  CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0
+              |    AS session_value
               |FROM sess GROUP BY user_id, session_id""".stripMargin),
       (s, d) =>
         Sessionize.withSessionIds(
@@ -234,7 +235,8 @@ object PipelineQueries {
           .groupBy("user_id", "session_id")
           .agg(count(lit(1)).as("n_events"),
                min("ts").as("session_start"), max("ts").as("session_end"),
-               dsum(col("value")).as("session_value"))),
+               (sum(lq(col("value"))).cast("double") / 100.0)
+                 .as("session_value"))),
 
     // W12/EWM (FIR form) — 32-term truncated renormalized EWM as one
     // WindowExec. Integer-quantized (weights 1e-9 grid, 2-decimal inputs
@@ -402,7 +404,8 @@ object PipelineQueries {
            |  SELECT user_id, CAST(ts AS DATE) AS day,
            |    arg_min(value, ts) AS open, max(value) AS high,
            |    min(value) AS low, arg_max(value, ts) AS close,
-           |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume,
+           |    CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+           |      AS DOUBLE) / 100.0 AS volume,
            |    count(*) AS n
            |  FROM events GROUP BY 1, 2),
            |retd AS (
@@ -444,7 +447,7 @@ object PipelineQueries {
           .agg(min_by(col("value"), col("ts")).as("open"),
                max("value").as("high"), min("value").as("low"),
                max_by(col("value"), col("ts")).as("close"),
-               dsum(col("value")).as("volume"),
+               (sum(lq(col("value"))).cast("double") / 100.0).as("volume"),
                count(lit(1)).as("n"))
         val w = Window.partitionBy("user_id").orderBy("day")
         val f5 = w.rowsBetween(-4, 0)

@@ -137,18 +137,19 @@ object TextQueries {
               |  FROM documents)
               |SELECT source, count(*) AS n_docs,
               |  count(DISTINCT fp) AS n_unique,
-              |  CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) /
-              |    COUNT(n_chars) AS mean_chars
+              |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS mean_chars
               |FROM fp GROUP BY source""".stripMargin),
       (s, d) => {
-        import graft.Parity
+        // n_chars is integer-valued — the mean rides a plain exact long
+        // sum, no quantization needed
         Tables.fanOut(Tables.documents(s, d))
           .select(col("source"), col("n_chars"),
             fingerprint(col("text")).as("fp"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
                countDistinct("fp").as("n_unique"),
-               Parity.davg(col("n_chars")).as("mean_chars"))
+               (sum(col("n_chars")).cast("double") / count(col("n_chars")))
+                 .as("mean_chars"))
       }),
 
     // TX5: rolling-hash document fingerprinting — the ORDER-SENSITIVE
