@@ -50,10 +50,20 @@ object Compaction {
     // swap: current → .old, tmp → current, drop .old. Readers between the
     // two renames would miss the table — the window a real table format
     // closes with its commit log; acceptable for a maintenance op on a
-    // directory-backed local table.
+    // directory-backed local table. If the SECOND rename fails, roll the
+    // first back (old → current) so the table is never left missing with
+    // its data stranded in .compact.old; should even the rollback fail
+    // (process death between renames), .compact.old still holds the intact
+    // original — the documented manual-recovery location.
     org.apache.commons.io.FileUtils.deleteQuietly(old)
-    require(dir.renameTo(old) && tmp.renameTo(dir),
-      s"Compaction: atomic swap failed for $path")
+    require(dir.renameTo(old), s"Compaction: cannot stage $path aside")
+    if (!tmp.renameTo(dir)) {
+      val rolledBack = old.renameTo(dir)
+      throw new IllegalStateException(
+        s"Compaction: swap-in of compacted data failed for $path; " +
+        (if (rolledBack) "original directory restored"
+         else s"ROLLBACK ALSO FAILED — recover manually from ${old.getPath}"))
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(old)
     Report(before.length, dataFiles(dir).length, bytes, targetBytes)
   }

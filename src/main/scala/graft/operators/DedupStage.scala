@@ -64,8 +64,11 @@ object DedupStage {
                          stagedPairs: DataFrame)
 
   /** Wall-clock seconds spent building stages in this JVM (0 when every
-    * consumer hit an already-built stage). */
-  @volatile var buildSeconds: Double = 0.0
+    * consumer hit an already-built stage). LongAdder of nanos: concurrent
+    * consumers must not lose increments (a bare volatile += is a
+    * read-modify-write race that under-reports the bench's build cost). */
+  private val buildNanos = new java.util.concurrent.atomic.LongAdder
+  def buildSeconds: Double = buildNanos.sum() / 1e9
 
   /** Get (building if absent) the signature stage for corpus dir `d` —
     * cache mechanics (key → dir, atomic publish) in [[StageCache]]. */
@@ -73,7 +76,8 @@ object DedupStage {
     val dir = StageCache.dir("/tmp/graft_dedup_stage",
       s"v$Version|K=${DedupParams.K}|$d|" +
         StageCache.parquetMtime(s"$d/documents.parquet"))
-    buildSeconds += StageCache.getOrBuild(dir)(build(s, d, _))
+    buildNanos.add(math.round(
+      StageCache.getOrBuild(dir)(build(s, d, _)) * 1e9))
     Stage(
       s.read.parquet(s"$dir/membership"),
       // fan the single-scratch-file read out to all cores — banding and

@@ -89,8 +89,11 @@ object EmbedStage {
   final case class Stage(vectors: DataFrame, buckets: DataFrame)
 
   /** Wall-clock seconds spent building stages in this JVM (0 when every
-    * consumer hit an already-built stage). */
-  @volatile var buildSeconds: Double = 0.0
+    * consumer hit an already-built stage). LongAdder of nanos: concurrent
+    * consumers must not lose increments (a bare volatile += is a
+    * read-modify-write race that under-reports the bench's build cost). */
+  private val buildNanos = new java.util.concurrent.atomic.LongAdder
+  def buildSeconds: Double = buildNanos.sum() / 1e9
 
   /** Get (building if absent) the vector-index stage for corpus dir `d`. */
   def apply(s: SparkSession, d: String): Stage = {
@@ -99,7 +102,8 @@ object EmbedStage {
       s"v$Version|D=$Dim|T=$LshTables|b=$BitsPair,$BitsQuery" +
         s"|C=${IvfIndex.C}|M=${PqIndex.M}|$d|" +
         StageCache.parquetMtime(s"$d/embeddings.parquet"))
-    buildSeconds += StageCache.getOrBuild(dir)(build(s, d, _))
+    buildNanos.add(math.round(
+      StageCache.getOrBuild(dir)(build(s, d, _)) * 1e9))
     // fanOut is a no-op when the stage was written with ≥ par partitions
     // (the usual case — the build fans out); it only fires when a stage
     // built by a smaller session is read by a larger one.

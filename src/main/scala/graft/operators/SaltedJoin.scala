@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Skew-robust equi-join: salt the (possibly skewed) left side, replicate
   * the right side across the salt domain, join on (keys ++ salt).
   *
-  * Semantics are EXACTLY those of `left.join(right, keys, joinType)` — the
+  * Semantics are EXACTLY those of `left.join(right, keys, joinType)` for
+  * the accepted join types (inner and left-flavored — see [[join]]); the
   * salt is an internal partitioning device and never escapes the operator.
   * What changes is the physical layout: a hot key that would land its
   * entire row set on one shuffle partition is spread across `saltBuckets`
@@ -28,11 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
-  /** `left ⋈ right` on `keys`, left salted by `hash(spreadCol) mod n`. */
+  /** `left ⋈ right` on `keys`, left salted by `hash(spreadCol) mod n`.
+    *
+    * Join-type restriction: the right side is replicated ×saltBuckets, so
+    * any join type that EMITS unmatched right rows (right/full outer)
+    * would emit each such row once per replica — the identity with the
+    * plain join only holds for inner and left-flavored joins, and the
+    * require enforces that. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            spreadCol: Column, joinType: String = "inner",
            saltBuckets: Int = 8): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    require(Set("inner", "left", "leftsemi", "semi", "leftanti", "anti")
+      .contains(jt),
+      s"SaltedJoin: joinType '$joinType' would emit unmatched right rows " +
+      "once per salt replica; only inner/left/left_semi/left_anti " +
+      "preserve plain-join semantics")
     val salted = left.withColumn("__salt",
       pmod(hash(spreadCol), lit(saltBuckets)))
     // replicate right across the salt domain (distributed explode of a

@@ -44,10 +44,27 @@ private[operators] object StageCache {
     * race on the same stage key, and a half-written shared dir must never
     * be readable. The loser of the rename discards its (equivalent,
     * deterministic) build.
+    *
+    * Crash/corruption recovery: a PUBLISHED dir always contains `_DONE`
+    * (created inside the private dir before the atomic move), so a
+    * stage dir WITHOUT the marker is garbage by invariant — a killed
+    * non-atomic copy, manual tampering, a partial delete — and is
+    * cleared and rebuilt rather than served (spec-proven in
+    * StageCacheChaosSpec). The one staleness this cannot catch: an
+    * in-place fixture overwrite that preserves BOTH path and mtime
+    * (sub-mtime-resolution rewrite) keeps the old cache key — the cache
+    * key's mtime is a local stand-in for real snapshot pinning, which a
+    * cluster deployment gets from its table format's version/snapshot id.
     */
   def getOrBuild(stageDir: String)(build: String => Unit): Double =
     synchronized {
-      val done = new java.io.File(s"$stageDir/_DONE")
+      val target = new java.io.File(stageDir)
+      def done = new java.io.File(s"$stageDir/_DONE")
+      if (target.exists() && !done.exists()) {
+        // garbage by the publish invariant — never serve it
+        built.remove(stageDir)
+        org.apache.commons.io.FileUtils.deleteQuietly(target)
+      }
       if (built.contains(stageDir) || done.exists()) {
         built.add(stageDir); 0.0
       } else {
@@ -61,14 +78,20 @@ private[operators] object StageCache {
         // any other move failure is a real error and must propagate — a
         // broad catch here would silently delete the build and surface
         // later as a confusing missing-path read.
-        try java.nio.file.Files.move(tmp.toPath,
-          new java.io.File(stageDir).toPath,
+        try java.nio.file.Files.move(tmp.toPath, target.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.FileAlreadyExistsException |
                      _: java.nio.file.DirectoryNotEmptyException =>
-          // another process published first — its stage is equivalent
-          // (deterministic build); drop ours
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+          if (done.exists()) {
+            // another process published first — its stage is equivalent
+            // (deterministic build); drop ours
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+          } else {
+            // the occupant is garbage (no marker): replace it with ours
+            org.apache.commons.io.FileUtils.deleteQuietly(target)
+            java.nio.file.Files.move(tmp.toPath, target.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
         }
         built.add(stageDir)
         (System.nanoTime() - t0) / 1e9

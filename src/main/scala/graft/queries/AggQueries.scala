@@ -1032,7 +1032,10 @@ object AggQueries {
     // multiset are tie-insensitive, so the within-bucket row_number
     // needs no tiebreak. Median = mean of the two middle statistics,
     // identical IEEE tree both engines; the oracle picks the same order
-    // statistics directly (ORDER BY ... OFFSET k).
+    // statistics directly (ORDER BY ... OFFSET k). Degenerate input
+    // (zero non-null values): the Spark plan's joins yield ZERO rows, so
+    // the oracle's global aggregate carries a HAVING count(*) > 0 guard
+    // to return zero rows too instead of one all-NULL row.
     QueryDef(
       "a32_median_2pass",
       Some("""WITH v AS (
@@ -1044,7 +1047,8 @@ object AggQueries {
              |  (min(CASE WHEN rn = (n + 1) // 2 THEN value END) +
              |   min(CASE WHEN rn = (n + 2) // 2 THEN value END)) / 2.0
              |    AS median
-             |FROM v""".stripMargin),
+             |FROM v
+             |HAVING count(*) > 0""".stripMargin),
       (s, d) => {
         val B = 4096
         val ev = Tables.events(s, d)

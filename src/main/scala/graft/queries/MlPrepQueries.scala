@@ -318,10 +318,14 @@ object MlPrepQueries {
     // enforce by CONSTRUCTION: scaler statistics (mean/std/min/max) come
     // from the TRAIN ROWS ONLY (before the chronological cutoff, MLP1's
     // rule), then apply to every row — test rows are scaled by train stats,
-    // never their own (the classic leak). Stats follow the Parity doctrine:
-    // exact decimal sums, one identical IEEE tree for mean/std on both
-    // engines. Scale shape: stats are ONE 1-row aggregate broadcast back;
+    // never their own (the classic leak). Stats follow the Parity doctrine
+    // (lq long moments, one identical IEEE tree for mean/std on both
+    // engines). Scale shape: stats are ONE 1-row aggregate broadcast back;
     // the corpus is scanned once for the fit and once for the transform.
+    // Precondition: a non-empty events fixture with a non-empty train
+    // span (both engines emit one all-NULL-stat st row when the train
+    // filter matches nothing — z/minmax then NULL out identically, but a
+    // FULLY empty events table is outside the verified contract).
     QueryDef(
       "mlprep_scaler",
       Some(s"""WITH ev AS (

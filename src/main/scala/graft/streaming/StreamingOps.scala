@@ -52,36 +52,55 @@ object StreamingOps {
       .outputMode("append")
       .start()
 
-  /** Streaming bronze → Gold: each micro-batch of bars appends to the
-    * bronze table and incrementally refreshes ONLY the touched Gold rows
+  /** Streaming bronze → Gold: each micro-batch of bars lands in bronze and
+    * incrementally refreshes ONLY the touched Gold rows
     * ([[graft.operators.IncrementalGold]] — affected users, bounded
     * lookback), merging them with a source-wins partitioned upsert.
     * This is the composition a production lakehouse streams through: the
-    * per-batch work is O(batch × lookback), independent of history depth,
-    * and a replayed micro-batch converges to the same gold rows (the
-    * refresh is deterministic and the upsert is source-wins on
-    * (user_id, day)) — restart-safe without sink transactions. */
+    * per-batch work is O(batch × lookback), independent of history depth.
+    *
+    * Replay safety: foreachBatch is AT-LEAST-ONCE after a crash, so a
+    * blind bronze `mode("append")` would land a redelivered batch twice and
+    * every count/sum-based daily substrate column (pm_n, pm_vol, ...)
+    * would double-count — the source-wins upsert would then persist the
+    * wrong values forever. The bronze write is therefore
+    * BATCH-DETERMINISTIC: batch N overwrites its own `batch_id=N`
+    * directory, and since Structured Streaming replays batch N with the
+    * identical checkpointed offsets, the rewrite converges to the same
+    * bytes instead of a second copy. The gold refresh then recomputes from
+    * a bronze that holds each event exactly once ([[processGoldBatch]] is
+    * spec-proven idempotent under redelivery). */
   def goldSink(stream: DataFrame, bronzePath: String, goldPath: String,
                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          batch.persist() // three readers: bronze append, refresh, unpersist
-          batch.write.mode("append").parquet(bronzePath)
-          val refreshed = graft.operators.IncrementalGold.refresh(
-            s, s.read.parquet(bronzePath), batch)
-          graft.operators.MergeUpsert.upsertPartitioned(
-            s, refreshed, goldPath,
-            keyCols = Seq("user_id", "day"), partitionCol = "day",
-            orderCol = "day")
-          batch.unpersist()
-        }
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processGoldBatch(batch, bronzePath, goldPath, batchId)
       }
       .outputMode("append")
       .start()
+
+  /** One goldSink micro-batch, exposed for direct replay testing: calling
+    * this twice with the same (batch, batchId) must leave bronze and gold
+    * exactly as one call does. */
+  def processGoldBatch(batch: DataFrame, bronzePath: String,
+                       goldPath: String, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      batch.persist() // three readers: bronze write, refresh, unpersist
+      batch.write.mode("overwrite").parquet(s"$bronzePath/batch_id=$batchId")
+      // drop the partition-discovery column: bronze consumers see the bar
+      // schema, not the sink's layout detail
+      val bronze = s.read.parquet(bronzePath).drop("batch_id")
+      val refreshed = graft.operators.IncrementalGold.refresh(
+        s, bronze, batch)
+      graft.operators.MergeUpsert.upsertPartitioned(
+        s, refreshed, goldPath,
+        keyCols = Seq("user_id", "day"), partitionCol = "day",
+        orderCol = "day")
+      batch.unpersist()
+      ()
+    }
 
   /** Streaming exact dedup — the streaming twin of dd1/u2 for a document
     * INGEST path: keep the first arrival of each content hash, drop later

@@ -1102,7 +1102,7 @@ class StreamingGoldSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.read.parquet(gold)
       val full = graft.operators.GoldFeatures.goldTableFused(
-        spark.read.parquet(bronze))
+        spark.read.parquet(bronze).drop("batch_id"))
       // column order differs through the partitioned write; align by name
       val aligned = streamed.select(full.columns.map(col).toIndexedSeq: _*)
       assert(full.exceptAll(aligned).count() == 0 &&
@@ -1111,6 +1111,28 @@ class StreamingGoldSpec extends SparkSpec {
       // rewritten by the second batch
       assert(streamed.filter(col("day") === lit("2024-01-07")).count() == 2)
     } finally q.stop()
+  }
+
+  test("redelivered micro-batch leaves bronze and gold unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sgold2").toString
+    val (bronze, gold) = (s"$dir/bronze", s"$dir/gold")
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-02 10:00:00"), 101.0),
+      (2L, ts("2024-01-01 10:30:00"), 50.0)).toDF("user_id", "ts", "value")
+    val b2 = Seq(
+      (1L, ts("2024-01-03 10:00:00"), 102.0)).toDF("user_id", "ts", "value")
+    graft.streaming.StreamingOps.processGoldBatch(b1, bronze, gold, 0L)
+    graft.streaming.StreamingOps.processGoldBatch(b2, bronze, gold, 1L)
+    val bronzeOnce = spark.read.parquet(bronze).drop("batch_id").collect()
+    val goldOnce = spark.read.parquet(gold).collect()
+    // crash-redelivery of the last batch: foreachBatch is at-least-once,
+    // the deterministic batch_id=N overwrite must converge, not append
+    graft.streaming.StreamingOps.processGoldBatch(b2, bronze, gold, 1L)
+    val bronzeTwice = spark.read.parquet(bronze).drop("batch_id")
+    assert(bronzeTwice.count() == bronzeOnce.length)
+    assert(spark.read.parquet(gold).collect().toSet == goldOnce.toSet)
   }
 }
 
