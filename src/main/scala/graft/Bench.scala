@@ -70,7 +70,18 @@ object Bench {
     // query's samples across rounds lets the median reject a noisy window.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Family prefix of a query name (tx/dd/sim/pl/...): a System.gc at
+    // family boundaries — OUTSIDE the timed region — drains the garbage
+    // that 148 queries sharing one JVM accumulate (round-4 stats showed
+    // 18-31s max outliers on 1.5-2.6s-min queries; heap pressure from
+    // earlier families is the prime suspect, and an explicit collection
+    // point between families keeps any full-GC pause out of a timed
+    // sample instead of landing it mid-query).
+    def family(n: String) = n.takeWhile(c => !c.isDigit && c != '_')
+    var prevFamily = ""
     for (_ <- 1 to iters; q <- defs) {
+      if (family(q.name) != prevFamily) { prevFamily = family(q.name)
+        System.gc() }
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -258,6 +258,19 @@ object Plans {
       val p = planOf("a28_cms_topk")
       p.contains("BroadcastHashJoin") && p.contains("TakeOrdered")
     }
+    // tx9: the gram-count shuffle is keyed on the hashed (ord,g1,g2,g3)
+    // long tuple — gram TEXT must never appear as a shuffle key (the
+    // dedup-family rule; tx12/dd5 follow it, round-4 tx9 violated it)
+    check("tx9: gram shuffle keyed on hash longs, never gram strings") {
+      val p = planOf("tx9_repetition")
+      p.contains("g1") && !p.toLowerCase.contains("gram#")
+    }
+    // mm1: media metadata + offset sampling is a pure projection + a
+    // 4-element explode — ZERO exchanges of any kind; the payload bytes
+    // never leave the scan
+    check("mm1: zero shuffles in the media-metadata plan") {
+      !planOf("mm1_media_metadata").contains("Exchange")
+    }
     // j12: the star rollup — the region predicate is pushed into the
     // dimension scan and the dims ride broadcast joins; never a
     // cartesian. (The orders⋈lineitem join broadcasts at fixture scale
