@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** The full 15-function Gold feature battery — one `DataFrame => DataFrame`
   * per reference feature (`my_stock_functions.py:13-778`), composed by the
@@ -30,9 +29,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GoldFeatures {
 
-  private val DEC = DecimalType(30, 6)
-  private def dsum(c: Column, scale: Int = 6): Column =
-    sum(c.cast(DecimalType(30, scale))).cast("double")
+  /** Whole-unit long quantization of the 2-decimal `value` domain (the
+    * Parity.lq pattern): volume sums ride exact integer hundredths on
+    * primitive long hash-aggs and de-scale once. Headroom: q ≤ 4e4/row;
+    * the squared candle-volume sums (pm_vol_sq_sum) need c_volq < 3e9,
+    * i.e. < 3e7 volume units per (user, hour) candle — far above any
+    * realistic per-candle figure, and the bound is documented here
+    * because it is the tightest in the battery. */
+  private def lqv(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
 
   /** Holidays covering the fixture range (USFederalHolidayCalendar over
     * [data min, data max] — reference my_stock_functions.py:513).
@@ -56,14 +60,17 @@ object GoldFeatures {
       .select(col("user_id"), col("ts"), col("value"),
         to_date(col("ts")).as("day"), hour(col("ts")).as("hh"))
 
-    // hourly candles (the per-candle level for wick ratios / pm vwap)
+    // hourly candles (the per-candle level for wick ratios / pm vwap);
+    // volume kept as the exact long c_volq, with the double c_vol derived
+    // once for the expressions that need it (same IEEE tree both engines)
     val candles = ev
       .groupBy(col("user_id"), col("day"),
                date_trunc("hour", col("ts")).as("slot"))
       .agg(min_by(col("value"), col("ts")).as("c_open"),
            max_by(col("value"), col("ts")).as("c_close"),
            max("value").as("c_high"), min("value").as("c_low"),
-           dsum(col("value")).as("c_vol"), count(lit(1)).as("c_n"))
+           sum(lqv(col("value"))).as("c_volq"), count(lit(1)).as("c_n"))
+      .withColumn("c_vol", col("c_volq").cast("double") / 100.0)
       .withColumn("pm", hour(col("slot")) < 9)
     // per-candle wick ratios (0 when the candle has no range), quantized
     // to a 1e9 grid so the daily MEAN is an exact integer sum.
@@ -84,12 +91,11 @@ object GoldFeatures {
       .agg(sum("uq").as("uq_sum"), sum("lq").as("lq_sum"),
            count(lit(1)).as("n_candles"),
            sum(when(col("pm"), col("vt"))).as("pm_vt_sum"),
-           sum(when(col("pm"),
-             col("c_vol").cast(DecimalType(30, 6)))).cast("double")
+           (sum(when(col("pm"), col("c_volq"))).cast("double") / 100.0)
              .as("pm_vol_sum"),
-           sum(when(col("pm"),
-             (col("c_vol") * col("c_vol")).cast(DecimalType(30, 4))))
-             .cast("double").as("pm_vol_sq_sum"))
+           // c_volq² = 10^4 · c_vol², exact for 2-decimal volumes
+           (sum(when(col("pm"), col("c_volq") * col("c_volq")))
+             .cast("double") / 10000.0).as("pm_vol_sq_sum"))
 
     // day-reset log return: sum of intraday log(c_i/c_{i-1}) telescopes to
     // log(last/first) within the day — computed directly (same IEEE tree).
@@ -98,7 +104,7 @@ object GoldFeatures {
       .agg(min_by(col("value"), col("ts")).as("d_first"),
            max_by(col("value"), col("ts")).as("d_last"),
            max("value").as("d_high"), min("value").as("d_low"),
-           dsum(col("value")).as("d_vol"),
+           (sum(lqv(col("value"))).cast("double") / 100.0).as("d_vol"),
            count(lit(1)).as("d_n"),
            // the predicate goes on the ORDERING side: min_by/max_by skip
            // rows whose ordering is null, which is exactly "first/last
@@ -107,8 +113,8 @@ object GoldFeatures {
            // the subset).
            min_by(col("value"), when(col("hh") < 9, col("ts"))).as("pm_open"),
            max_by(col("value"), when(col("hh") < 9, col("ts"))).as("pm_last"),
-           sum(when(col("hh") < 9, col("value")).cast(DEC)).cast("double")
-             .as("pm_vol"),
+           (sum(when(col("hh") < 9, lqv(col("value")))).cast("double")
+             / 100.0).as("pm_vol"),
            sum(when(col("hh") < 9, lit(1L))).as("pm_n"),
            max_by(col("value"),
              when(col("hh") >= 9 && col("hh") < 16, col("ts")))

@@ -35,13 +35,16 @@ object PipelineQueries {
            |  SELECT user_id, ts, value, CAST(ts AS DATE) AS day,
            |    date_part('hour', ts) AS hh
            |  FROM events),
-           |candles AS (
+           |candles0 AS (
            |  SELECT user_id, day, date_trunc('hour', ts) AS slot,
            |    arg_min(value, ts) AS c_open, arg_max(value, ts) AS c_close,
            |    max(value) AS c_high, min(value) AS c_low,
-           |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS c_vol,
+           |    SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS c_volq,
            |    count(*) AS c_n
            |  FROM ev GROUP BY 1, 2, 3),
+           |candles AS (
+           |  SELECT *, CAST(c_volq AS DOUBLE) / 100.0 AS c_vol
+           |  FROM candles0),
            |cd AS (
            |  SELECT user_id, day,
            |    sum(CAST(floor((CASE WHEN c_high - c_low = 0 THEN 0.0
@@ -55,21 +58,23 @@ object PipelineQueries {
            |      CAST(floor(c_vol * c_vol / c_n * 1e6 + 0.5) AS BIGINT)
            |      END) AS pm_vt_sum,
            |    CAST(sum(CASE WHEN date_part('hour', slot) < 9 THEN
-           |      CAST(c_vol AS DECIMAL(30,6)) END) AS DOUBLE) AS pm_vol_sum,
+           |      c_volq END) AS DOUBLE) / 100.0 AS pm_vol_sum,
            |    CAST(sum(CASE WHEN date_part('hour', slot) < 9 THEN
-           |      CAST(c_vol * c_vol AS DECIMAL(30,4)) END) AS DOUBLE)
+           |      c_volq * c_volq END) AS DOUBLE) / 10000.0
            |      AS pm_vol_sq_sum
            |  FROM candles GROUP BY 1, 2),
            |daily AS (
            |  SELECT user_id, day,
            |    arg_min(value, ts) AS d_first, arg_max(value, ts) AS d_last,
            |    max(value) AS d_high, min(value) AS d_low,
-           |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS d_vol,
+           |    CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+           |      AS DOUBLE) / 100.0 AS d_vol,
            |    count(*) AS d_n,
            |    arg_min(value, CASE WHEN hh < 9 THEN ts END) AS pm_open,
            |    arg_max(value, CASE WHEN hh < 9 THEN ts END) AS pm_last,
            |    CAST(sum(CASE WHEN hh < 9 THEN
-           |      CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS pm_vol,
+           |      CAST(floor(value * 100.0 + 0.5) AS BIGINT) END)
+           |      AS DOUBLE) / 100.0 AS pm_vol,
            |    sum(CASE WHEN hh < 9 THEN 1 END) AS pm_n,
            |    arg_max(value, CASE WHEN hh >= 9 AND hh < 16 THEN ts END)
            |      AS reg_close
