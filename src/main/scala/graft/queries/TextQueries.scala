@@ -1006,5 +1006,58 @@ object TextQueries {
             sum("n_tokens").over(w).as("cum_tokens"),
             coalesce(sum("new_terms").over(w), lit(0L)).as("cum_vocab"))
       }),
+
+    // TX15: overlapping chunk windows — the segmentation step that turns
+    // variable-length documents into fixed-budget training/embedding
+    // units: K=32-token chunks at stride S=24 (8-token overlap so no
+    // boundary context is lost; K sized so the fixture's 10-99-token docs
+    // exercise 1-4 chunks), each chunk identified by the md5 of its
+    // token span (the id a chunk-level dedup or vector index keys on).
+    // The last chunk absorbs the sub-K tail; docs shorter than K yield
+    // exactly one chunk. Chunk coverage is derivable (start/len), so the
+    // original document is reconstructable from its chunk schedule.
+    //
+    // Scale shape: one projection + a per-row explode of the start
+    // schedule — zero shuffles at any corpus size (the same
+    // no-pairwise-cost rule as dd9's passages: cost ∝ tokens).
+    QueryDef(
+      "tx15_chunk_windows",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS lst,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, lst, n,
+             |    unnest(generate_series(1, greatest(n - 31, 1), 24))
+             |      AS start
+             |  FROM t)
+             |SELECT doc_id,
+             |  CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+             |  CAST(start AS BIGINT) AS start,
+             |  CAST(least(32, n - start + 1) AS BIGINT) AS chunk_len,
+             |  md5(array_to_string(
+             |    lst[start : start + least(32, n - start + 1) - 1], ' '))
+             |    AS chunk_md5
+             |FROM s""".stripMargin),
+      (s, d) => {
+        val K = 32; val S = 24
+        val toks = tokens(col("text"))
+        val base = Tables.fanOut(Tables.documents(s, d)).select(
+          col("doc_id"), toks.as("lst"),
+          size(toks).cast("long").as("n"))
+        val len = least(lit(K.toLong), col("n") - col("start") + 1)
+        base
+          .select(col("doc_id"), col("lst"), col("n"),
+            explode(sequence(lit(1L),
+              greatest(col("n") - (K - 1), lit(1L)), lit(S.toLong)))
+              .as("start"))
+          .select(col("doc_id"),
+            expr(s"CAST((start - 1) DIV $S AS BIGINT)").as("chunk_idx"),
+            col("start").cast("long").as("start"),
+            len.cast("long").as("chunk_len"),
+            md5(concat_ws(" ",
+              slice(col("lst"), col("start").cast("int"), len.cast("int"))))
+              .as("chunk_md5"))
+      }),
   )
 }
