@@ -176,11 +176,12 @@ object DedupParams {
   */
 object LshBanding {
 
-  /** Surviving representative pairs `(rep_a < rep_b, jaccard)` over
-    * `profiles(rep_id, hs, sig0..sig{K-1}, ...)`. Caller persists
-    * `profiles` (it feeds the band build AND both jaccard sides). */
-  def repPairs(profiles: DataFrame, bands: Int, threshold: Double,
-               capMetric: String): DataFrame = {
+  /** Candidate representative pairs `(rep_a < rep_b)` from the band join
+    * alone — no Jaccard verification (the calibration audit dd10 reads the
+    * RAW candidate space; [[repPairs]] adds the verify). Caller persists
+    * `profiles`. */
+  def candidatePairs(profiles: DataFrame, bands: Int,
+                     capMetric: String): DataFrame = {
     val rowsPerBand = DedupParams.K / bands
     val bandStructs = (0 until bands).map { bIdx =>
       val parts = (0 until rowsPerBand)
@@ -207,9 +208,17 @@ object LshBanding {
       col("band_idx"), col("band_hash"))
     val b = bandsKept.select(col("rep_id").as("rep_b"),
       col("band_idx"), col("band_hash"))
-    val cand = a.join(b, Seq("band_idx", "band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("rep_a") < col("rep_b"))
       .select("rep_a", "rep_b").distinct()
+  }
+
+  /** Surviving representative pairs `(rep_a < rep_b, jaccard)` over
+    * `profiles(rep_id, hs, sig0..sig{K-1}, ...)`. Caller persists
+    * `profiles` (it feeds the band build AND both jaccard sides). */
+  def repPairs(profiles: DataFrame, bands: Int, threshold: Double,
+               capMetric: String): DataFrame = {
+    val cand = candidatePairs(profiles, bands, capMetric)
     val x = profiles.select(col("rep_id").as("rep_a"), col("hs").as("hs_a"))
     val y = profiles.select(col("rep_id").as("rep_b"), col("hs").as("hs_b"))
     val jac = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /

@@ -537,5 +537,117 @@ object DedupQueries {
               .as("dup_frac"),
             (col("n_dup") * 2 <= col("n_passages")).as("keep"))
       }),
+
+    // DD10: MinHash calibration audit — the validation a production dedup
+    // pipeline runs before trusting its signature width: over the RAW
+    // 8×2-band candidate space (no verify threshold), compare the MinHash
+    // ESTIMATE of similarity (matching signature components / K) with the
+    // EXACT shingle Jaccard, aggregated per estimate level (matches ∈
+    // 0..16 → 17 calibration rows: pair count, mean exact Jaccard, mean
+    // absolute error). A drifting mean_abs_err at high estimate levels
+    // means K is too narrow for the corpus; this is sim8's recall-audit
+    // twin on the dedup side.
+    //
+    // Parity: est·1e6 = matches·62500 exactly, and the exact Jaccard is
+    // quantized to the same 1e-6 grid, so the error accumulation is pure
+    // long arithmetic — order-free on both engines. Scale shape: reads
+    // the materialized stage, one band self-join (the bucketed candidate
+    // space, same caps as dd3/dd6), one 17-row aggregate.
+    QueryDef(
+      "dd10_minhash_calibration",
+      Some {
+        val rowsPerBand = K / StagedBands
+        val sigs = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
+          s"${oMinhashSig("hs", a, b)} AS sig$j"
+        }.mkString(",\n    ")
+        val bandSelects = (0 until StagedBands).map { bIdx =>
+          val parts = (0 until rowsPerBand)
+            .map(r => s"CAST(sig${bIdx * rowsPerBand + r} AS VARCHAR)")
+            .mkString(" || ',' || ")
+          s"SELECT doc_id, $bIdx AS band_idx, md5($parts) AS band_hash FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val matchSum = (0 until K)
+          .map(j => s"CASE WHEN x.sig$j = y.sig$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(${oHashAll(oShinglesFromList("lst"))}) AS hs
+           |  FROM toks),
+           |sig AS (
+           |  SELECT doc_id, hs,
+           |    $sigs
+           |  FROM sh WHERE len(hs) > 0),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |j AS (
+           |  SELECT CAST($matchSum AS BIGINT) AS matches,
+           |    CAST(floor(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+           |      CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
+           |      * 1000000.0 + 0.5) AS BIGINT) AS jq
+           |  FROM cand c
+           |  JOIN sig x ON c.doc_a = x.doc_id
+           |  JOIN sig y ON c.doc_b = y.doc_id)
+           |SELECT matches,
+           |  CAST(matches AS DOUBLE) / 16.0 AS est_jaccard,
+           |  count(*) AS n_pairs,
+           |  CAST(SUM(jq) AS DOUBLE) / COUNT(*) / 1000000.0
+           |    AS mean_exact_jaccard,
+           |  CAST(SUM(abs(matches * 62500 - jq)) AS DOUBLE) / COUNT(*)
+           |    / 1000000.0 AS mean_abs_err
+           |FROM j GROUP BY matches""".stripMargin
+      },
+      (s, d) => {
+        val stage = graft.operators.DedupStage(s, d)
+        // empty shingle sets are excluded on BOTH engines: the oracle's
+        // NULL band hashes never join, while Spark's concat_ws would hash
+        // null sigs to a real (matching) band key
+        val docs = stage.profiles.filter(size(col("hs")) > 0).persist()
+        val cand = graft.operators.LshBanding
+          .candidatePairs(docs, StagedBands, "dd10_dropped_band_rows")
+        def side(tag: String) = docs.select(
+          col("rep_id").as(s"rep_$tag") +: col("hs").as(s"hs_$tag") +:
+          (0 until K).map(j => col(s"sig$j").as(s"s${tag}_$j")): _*)
+        val matches = (0 until K)
+          .map(j => when(col(s"sa_$j") === col(s"sb_$j"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val jac =
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double")
+        val repPairs = cand.join(side("a"), "rep_a").join(side("b"), "rep_b")
+          .select(col("rep_a"), col("rep_b"), matches.as("matches"),
+            floor(jac * 1000000.0 + 0.5).cast("long").as("jq"))
+        // expand to member pairs (the oracle has no rep collapse):
+        // cross-rep candidates fan out over both memberships; duplicate
+        // groups contribute their within-group pairs at matches=16, J=1
+        val ma = stage.membership.select(col("rep_id").as("rep_a"),
+          col("doc_id").as("id_a"))
+        val mb = stage.membership.select(col("rep_id").as("rep_b"),
+          col("doc_id").as("id_b"))
+        val cross = repPairs.join(ma, "rep_a").join(mb, "rep_b")
+          .select(col("matches"), col("jq"))
+        val m1 = stage.membership
+          .join(docs.filter(col("n_copies") > 1).select("rep_id"), "rep_id")
+        val within = m1.select(col("rep_id"), col("doc_id").as("doc_a"))
+          .join(m1.select(col("rep_id"), col("doc_id").as("doc_b")), "rep_id")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(lit(16L).as("matches"), lit(1000000L).as("jq"))
+        cross.unionByName(within)
+          .groupBy("matches")
+          .agg(count(lit(1)).as("n_pairs"),
+               (sum("jq").cast("double") / count(lit(1)) / 1000000.0)
+                 .as("mean_exact_jaccard"),
+               (sum(abs(col("matches") * 62500 - col("jq"))).cast("double")
+                 / count(lit(1)) / 1000000.0).as("mean_abs_err"))
+          .select(col("matches"),
+            (col("matches").cast("double") / 16.0).as("est_jaccard"),
+            col("n_pairs"), col("mean_exact_jaccard"), col("mean_abs_err"))
+      }),
   )
 }
