@@ -271,6 +271,20 @@ object Plans {
     check("mm1: zero shuffles in the media-metadata plan") {
       !planOf("mm1_media_metadata").contains("Exchange")
     }
+    // tx15: chunk segmentation is projection + explode only — no KEYED
+    // shuffle at any corpus size (the dd9 no-pairwise rule; the one
+    // roundrobin exchange is Tables.fanOut spreading the single fixture
+    // file across cores, absent on a real multi-file table)
+    check("tx15: no keyed shuffle in the chunking plan") {
+      !planOf("tx15_chunk_windows").contains("Exchange hashpartitioning")
+    }
+    // dd10: the calibration audit reads the materialized signature stage
+    // (never re-shingles the corpus) and its pair space is the bucketed
+    // band join — no cartesian anywhere
+    check("dd10: stage read + bucketed candidates, no cartesian") {
+      val p = planOf("dd10_minhash_calibration")
+      p.contains("graft_dedup_stage") && !p.contains("CartesianProduct")
+    }
     // j12: the star rollup — the region predicate is pushed into the
     // dimension scan and the dims ride broadcast joins; never a
     // cartesian. (The orders⋈lineitem join broadcasts at fixture scale

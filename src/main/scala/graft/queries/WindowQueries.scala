@@ -754,5 +754,60 @@ object WindowQueries {
         m.select(col("user_id"), col("n"),
           r(1).as("r1"), r(2).as("r2"), r(3).as("r3"))
       }),
+
+    // W24: Average True Range (Wilder) — daily true range (w13's
+    // three-way max vs previous close) smoothed by the Wilder recurrence
+    // atr_t = (1/14)·tr_t + (13/14)·atr_{t-1}, atr_1 = tr_1: the EWM
+    // alpha=1/14 composition of w13 + the pl4 recursive-scan operator
+    // ([[graft.operators.Ewm.recursive]] — secondary-sort O(1)-memory
+    // iterator; the recurrence admits no frame rewrite). Oracle replays
+    // the identical IEEE recursion as a recursive CTE with alpha embedded
+    // as the DIVISION EXPRESSION 1.0/14.0 (never a printed decimal — the
+    // w20 lesson).
+    QueryDef(
+      "w24_atr",
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    max(value) AS high, min(value) AS low,
+             |    arg_max(value, ts) AS close
+             |  FROM events GROUP BY 1, 2),
+             |o AS (
+             |  SELECT user_id, day, high, low,
+             |    lag(close, 1) OVER (PARTITION BY user_id ORDER BY day)
+             |      AS pc,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY day)
+             |      AS rn
+             |  FROM daily),
+             |t AS (
+             |  SELECT user_id, day, rn,
+             |    CASE WHEN pc IS NULL THEN high - low
+             |         ELSE greatest(high - low, abs(high - pc),
+             |                       abs(low - pc)) END AS tr
+             |  FROM o),
+             |r AS (
+             |  SELECT user_id, day, rn, tr, tr AS atr14
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.user_id, t.day, t.rn, t.tr,
+             |    (1.0 / 14.0) * t.tr + (1.0 - 1.0 / 14.0) * r.atr14 AS atr14
+             |  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+             |SELECT user_id, day, tr, atr14 FROM r""".stripMargin),
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max("value").as("high"), min("value").as("low"),
+               max_by(col("value"), col("ts")).as("close"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val pc = lag("close", 1).over(w)
+        val tr = when(pc.isNull, col("high") - col("low"))
+          .otherwise(greatest(col("high") - col("low"),
+            abs(col("high") - pc), abs(col("low") - pc)))
+        graft.operators.Ewm.recursive(
+            daily.select(col("user_id"),
+              col("day").cast("timestamp").as("ts"), tr.as("tr")),
+            "user_id", "ts", "tr", alpha = 1.0 / 14.0)
+          .select(col("key").as("user_id"), col("ts").cast("date").as("day"),
+            col("x").as("tr"), col("ewm").as("atr14"))
+      }),
   )
 }
