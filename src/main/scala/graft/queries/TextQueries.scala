@@ -1059,5 +1059,54 @@ object TextQueries {
               slice(col("lst"), col("start").cast("int"), len.cast("int"))))
               .as("chunk_md5"))
       }),
+
+    // TX16: rank-frequency head profile (the Zipf curve's top-50) — term
+    // rank, count, corpus share, and CUMULATIVE share: the view that sets
+    // a stopword cutoff and prices vocabulary truncation (cum_share at
+    // rank k = coverage a k-term vocab head buys). Deterministic ranking:
+    // ties broken by term text.
+    //
+    // Scale shape: one token hash-aggregate (vocabulary-sized output),
+    // TakeOrdered for the top-50, then rank/cumulative windows over
+    // those 50 rows only — the data-sized work is a single count shuffle,
+    // and no window ever sees more than `Head` rows.
+    QueryDef(
+      "tx16_zipf_head",
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tot AS (SELECT count(*) AS t FROM tok),
+             |c AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+             |top AS (
+             |  SELECT term, n FROM c
+             |  ORDER BY n DESC, term LIMIT 50)
+             |SELECT
+             |  CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT)
+             |    AS rank,
+             |  term, n,
+             |  CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+             |  CAST(sum(n) OVER (ORDER BY n DESC, term
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share
+             |FROM top CROSS JOIN tot""".stripMargin),
+      (s, d) => {
+        val tok = Tables.fanOut(Tables.documents(s, d))
+          .select(explode(tokens(col("text"))).as("term"))
+          .persist() // feeds the total AND the per-term counts
+        val tot = tok.agg(count(lit(1)).as("t"))
+        val top = tok.groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(50)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term"))
+        val cumW = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        top.crossJoin(broadcast(tot))
+          .select(
+            row_number().over(w).cast("long").as("rank"),
+            col("term"), col("n"),
+            (col("n").cast("double") / col("t").cast("double")).as("share"),
+            (sum("n").over(cumW).cast("double") / col("t").cast("double"))
+              .as("cum_share"))
+      }),
   )
 }

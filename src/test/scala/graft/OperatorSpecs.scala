@@ -871,6 +871,22 @@ class SaltedJoinSpec extends SparkSpec {
     assert(plain.exceptAll(one).count() == 0 &&
       one.exceptAll(plain).count() == 0)
   }
+
+  test("right/full outer join types are rejected") {
+    // the replicated right side would emit each unmatched right row once
+    // per salt replica — the identity with the plain join cannot hold
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.SaltedJoin.join(
+          skewed, dim, Seq("k"), spreadCol = col("row_id"), joinType = jt)
+      }
+      assert(e.getMessage.contains("salt replica"))
+    }
+    // left-flavored types still pass the guard
+    for (jt <- Seq("inner", "left", "left_outer", "left_semi", "left_anti"))
+      graft.operators.SaltedJoin.join(
+        skewed, dim, Seq("k"), spreadCol = col("row_id"), joinType = jt)
+  }
 }
 
 class GridQuantilesSpec extends SparkSpec {
