@@ -810,5 +810,59 @@ object PipelineQueries {
           .select("user_id", "run_id", "event_type", "valid_from",
             "valid_to", "n_days")
       }),
+
+    // S10 (WHEN MATCHED half): SCD-1 source-wins MERGE via partition-level
+    // copy-on-write ([[graft.operators.MergeUpsert.upsertPartitioned]]) —
+    // the update-on-match complement of pl13's insert-if-absent. A daily
+    // snapshot (days < Jan 25) is the target; a REVISED daily feed (days
+    // ≥ Jan 20, totals shifted +1.0 — a backfill correction) is the
+    // source. The merge rewrites ONLY the touched day-partitions: matched
+    // keys take the source row, unmatched target rows in touched
+    // partitions are kept, untouched partitions are never read or
+    // written. The read-back is hash-verified against the declarative
+    // merge (anti-join ∪ source) — end-to-end through real partitioned
+    // files, not a view.
+    QueryDef(
+      "pl18_scd1_upsert",
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    count(*) AS n,
+              |    CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS total
+              |  FROM events GROUP BY 1, 2),
+              |target AS (
+              |  SELECT * FROM daily WHERE day < DATE '2024-01-25'),
+              |source AS (
+              |  SELECT user_id, day, n, total + 1.0 AS total
+              |  FROM daily WHERE day >= DATE '2024-01-20')
+              |SELECT t.user_id, t.day, t.n, t.total FROM target t
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM source s
+              |  WHERE s.user_id = t.user_id AND s.day = t.day)
+              |UNION ALL
+              |SELECT user_id, day, n, total FROM source""".stripMargin),
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+               (sum(lq(col("value"))).cast("double") / 100.0).as("total"))
+          .persist() // feeds the target write AND the source build
+        val cutHi = lit("2024-01-25").cast("date")
+        val cutLo = lit("2024-01-20").cast("date")
+        // per-(run, sf) sink — concurrent runs must never share it
+        val out = s"/tmp/graft_scd1_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true) // fresh target: stale partitions from an
+                           // earlier run would survive dynamic overwrite
+        daily.filter(col("day") < cutHi)
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+        val source = daily.filter(col("day") >= cutLo)
+          .select(col("user_id"), col("day"), col("n"),
+            (col("total") + 1.0).as("total"))
+        graft.operators.MergeUpsert.upsertPartitioned(
+          s, source, out, keyCols = Seq("user_id", "day"),
+          partitionCol = "day", orderCol = "day")
+        s.read.parquet(out).select("user_id", "day", "n", "total")
+      }),
   )
 }
