@@ -227,6 +227,34 @@ object JoinQueries {
           .withColumnRenamed("pv", "last_purchase_value")
       }),
 
+    // J13: as-of join with TOLERANCE (pandas merge_asof(tolerance=...)):
+    // the latest prior purchase counts only if it is at most 1 hour stale —
+    // the quote-staleness bound every market-data as-of join carries in
+    // production. Same single forward-fill pass as j7; the bound is one
+    // projection over exact epoch microseconds. Oracle: DuckDB's native
+    // ASOF JOIN with the staleness CASE applied to the matched row.
+    QueryDef(
+      "j13_asof_tolerance",
+      Some("""SELECT e.event_id, e.user_id, e.ts, e.value,
+             |  CASE WHEN p.pts IS NOT NULL
+             |        AND epoch_us(e.ts) - epoch_us(p.pts) <= 3600000000
+             |       THEN p.pv END AS recent_purchase_value
+             |FROM events e
+             |ASOF LEFT JOIN
+             |  (SELECT user_id, ts AS pts, value AS pv FROM events
+             |   WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND p.pts <= e.ts""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value").as("pv"))
+        AsOfJoin.backward(
+            ev.select("event_id", "user_id", "ts", "value"), purchases,
+            key = "user_id", leftTs = "ts", rightTs = "pts",
+            payload = Seq("pv"), toleranceSeconds = Some(3600L))
+          .withColumnRenamed("pv", "recent_purchase_value")
+      }),
+
     // Semi/anti joins (implicit membership filters in the reference, P2):
     QueryDef(
       "j9_semi_anti",

@@ -27,6 +27,26 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, ts("2024-01-01 12:00:00"), Some(20.0)),    // exact-ts right row visible
       (2L, ts("2024-01-01 10:00:00"), None)))         // right row is later
   }
+
+  test("tolerance nulls matches staler than the bound, keeps fresh ones") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),   // 30 min after the match — fresh
+      (1L, ts("2024-01-01 11:00:00")),   // 90 min after — stale at 1h
+      (1L, ts("2024-01-01 10:30:00")))   // exactly 1h — inclusive bound
+      .toDF("user_id", "ts")
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), 10.0))
+      .toDF("user_id", "pts", "pv")
+    val out = AsOfJoin.backward(left, right, "user_id", "ts", "pts",
+        Seq("pv"), toleranceSeconds = Some(3600L))
+      .orderBy("ts")
+      .select("ts", "pv").as[(java.sql.Timestamp, Option[Double])]
+      .collect()
+    assert(out.toSeq == Seq(
+      (ts("2024-01-01 10:00:00"), Some(10.0)),
+      (ts("2024-01-01 10:30:00"), Some(10.0)),
+      (ts("2024-01-01 11:00:00"), None)))
+  }
 }
 
 class TrendEventsSpec extends SparkSpec {
