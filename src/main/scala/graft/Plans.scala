@@ -285,6 +285,16 @@ object Plans {
       val p = planOf("dd10_minhash_calibration")
       p.contains("graft_dedup_stage") && !p.contains("CartesianProduct")
     }
+    // dd11: the containment pair space is the integer-keyed postings
+    // self-join (never a cartesian), and the per-doc fingerprint-size
+    // lookups ride broadcasts — the big shuffle moves only (doc_id, w)
+    // long pairs, the winnowed print arrays stay inside their scan stage
+    check("dd11: integer-keyed postings join, broadcast sizes, no cartesian") {
+      val p = planOf("dd11_containment")
+      !p.contains("CartesianProduct") &&
+        p.contains("Exchange hashpartitioning(w") &&
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2
+    }
     // j12: the star rollup — the region predicate is pushed into the
     // dimension scan and the dims ride broadcast joins; never a
     // cartesian. (The orders⋈lineitem join broadcasts at fixture scale

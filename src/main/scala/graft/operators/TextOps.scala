@@ -59,6 +59,17 @@ object TextOps {
   def oMinhashSig(hashArr: String, a: Long, b: Long): String =
     s"list_min(list_transform($hashArr, h -> (h * $a + $b) % $MinhashP))"
 
+  /** Expression-level let-binding: evaluate `e` ONCE per row and feed it
+    * to `body` through a lambda variable. Catalyst's CollapseProject /
+    * filter pushdown can inline a multiply-referenced array alias into
+    * every reference site — for a chain like tokens→grams→winnowed that
+    * turns O(n) per row into O(n³) (each `element_at` re-evaluates the
+    * whole upstream array). `transform(array(e), x -> body(x))[1]` pins
+    * `e` to a lambda variable, which is evaluated exactly once no matter
+    * how the optimizer rearranges the surrounding plan. */
+  def let1(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), x => body(x)), 1)
+
   /** Hash every element of a string array to its portable 32-bit value. */
   def hashAll(arr: Column): Column = transform(arr, s => hash32(s))
   def oHashAll(arr: String): String =
