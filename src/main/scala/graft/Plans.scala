@@ -295,6 +295,23 @@ object Plans {
         p.contains("Exchange hashpartitioning(w") &&
         "BroadcastHashJoin".r.findAllIn(p).length >= 2
     }
+    // dd12: the incremental gate reads the MATERIALIZED stage on both
+    // sides (exact gate from membership, near gate from profile
+    // signatures — the corpus text is never re-shingled), the batch's
+    // band keys ride broadcasts, and the pair space is never a cartesian
+    check("dd12: stage read on both gates, broadcast batch, no cartesian") {
+      val p = planOf("dd12_incremental_dedup")
+      p.contains("graft_dedup_stage") && !p.contains("CartesianProduct") &&
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2
+    }
+    // a33: the HLL sketch must aggregate registers BEFORE the exchange —
+    // a partial_max on rho proves the map-side fold (the shuffle carries
+    // ≤ groups×256 register rows, not the input), and the audit branch is
+    // the only count-distinct
+    check("a33: map-side partial register fold before the shuffle") {
+      val p = planOf("a33_hll_distinct")
+      p.contains("partial_max(rho") && !p.contains("CartesianProduct")
+    }
     // j12: the star rollup — the region predicate is pushed into the
     // dimension scan and the dims ride broadcast joins; never a
     // cartesian. (The orders⋈lineitem join broadcasts at fixture scale

@@ -1091,5 +1091,114 @@ object AggQueries {
           .select(col("n"), ((col("v_lo") + col("v_hi")) / 2.0)
             .as("median"))
       }),
+
+    // A33: HyperLogLog distinct-count sketch (Flajolet et al. 2007) —
+    // the register-based, streaming-mergeable distinct estimator that
+    // completes the sketch family next to KMV order statistics (a25) and
+    // Count-Min heavy hitters (a28). m=256 registers (p=8, ~6.5% rse):
+    // bucket = low 8 bits of the portable hash, rho = leading-zero rank
+    // of the remaining 24 bits, register = max(rho) per bucket.
+    //
+    // PORTABILITY: bucket/rho are pure integer arithmetic over hash32 —
+    // bit length is a 24-term comparison sum (no engine-specific bin()/
+    // log2 whose string/float behavior could diverge); the harmonic-sum
+    // terms 2^(25-M_j) are EXACT longs so both engines sum identical
+    // integers; alpha_256 enters as division expressions (never printed
+    // decimals, per the oracle-literal rule); the linear-counting ln is
+    // rounded at 9 per the log-parity doctrine.
+    //
+    // Scale shape: NO distinct shuffle — the map-side partial aggregate
+    // folds every partition down to ≤ m register maxima per group before
+    // the exchange, so the shuffle carries |groups|·256 fixed-width rows
+    // REGARDLESS of input size; that is the whole point of HLL at 100 TB
+    // (exact count-distinct shuffles every distinct key). The n_exact
+    // branch here is the accuracy audit (a real count-distinct, like
+    // sim8's recall audit) — production drops it and keeps the sketch.
+    QueryDef(
+      "a33_hll_distinct",
+      Some {
+        val bl = (0 until 24)
+          .map(k => s"CASE WHEN v >= ${1L << k} THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val eRaw = "7213.0 / 10000.0 / (1.0 + 1079.0 / 1000.0 / 256.0)" +
+          " * 65536.0 * 33554432.0 / CAST(s AS DOUBLE)"
+        s"""WITH h AS (
+           |  SELECT event_type,
+           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8)
+           |         AS BIGINT) AS h
+           |  FROM events),
+           |b AS (
+           |  SELECT event_type, h % 256 AS bucket, h >> 8 AS v FROM h),
+           |r AS (
+           |  SELECT event_type, bucket, 25 - ($bl) AS rho FROM b),
+           |regs AS (
+           |  SELECT event_type, bucket, max(rho) AS mj
+           |  FROM r GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT et.event_type, g.bucket
+           |  FROM (SELECT DISTINCT event_type FROM events) et,
+           |       range(0, 256) g(bucket)),
+           |fr AS (
+           |  SELECT grid.event_type, coalesce(regs.mj, 0) AS mj
+           |  FROM grid LEFT JOIN regs
+           |    ON grid.event_type = regs.event_type
+           |   AND grid.bucket = regs.bucket),
+           |sk AS (
+           |  SELECT event_type,
+           |    CAST(sum(CAST(1 AS BIGINT) << (25 - mj)) AS BIGINT) AS s,
+           |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS v0
+           |  FROM fr GROUP BY 1),
+           |est AS (
+           |  SELECT event_type,
+           |    CASE WHEN $eRaw <= 640.0 AND v0 > 0
+           |      THEN round(256.0 * ln(256.0 / CAST(v0 AS DOUBLE)), 9)
+           |      ELSE round($eRaw, 9) END AS hll_estimate
+           |  FROM sk),
+           |ex AS (
+           |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+           |  FROM events GROUP BY 1)
+           |SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           |  est.hll_estimate,
+           |  round((est.hll_estimate - CAST(ex.n_exact AS DOUBLE)) /
+           |        CAST(ex.n_exact AS DOUBLE), 9) AS rel_err
+           |FROM ex JOIN est ON ex.event_type = est.event_type""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val ev = Tables.events(s, d)
+        val b = ev.select(col("event_type"),
+            hash32(col("user_id").cast("string")).as("h"))
+          .select(col("event_type"),
+            (col("h") % 256).as("bucket"), shiftright(col("h"), 8).as("v"))
+        val bl = (0 until 24)
+          .map(k => when(col("v") >= (1L << k), 1).otherwise(0))
+          .reduce(_ + _)
+        val regs = b.withColumn("rho", lit(25) - bl)
+          .groupBy("event_type", "bucket").agg(max("rho").as("mj"))
+        val grid = ev.select("event_type").distinct()
+          .withColumn("bucket", explode(sequence(lit(0), lit(255))))
+        val sk = grid.join(regs, Seq("event_type", "bucket"), "left")
+          .withColumn("mj", coalesce(col("mj"), lit(0)))
+          .groupBy("event_type")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - mj)")).as("s"),
+               sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v0"))
+        // alpha_256 · m² · 2^25 / S, every constant a division expression
+        // mirrored operator-for-operator in the oracle
+        val eRaw = lit(7213.0) / lit(10000.0) /
+          (lit(1.0) + lit(1079.0) / lit(1000.0) / lit(256.0)) *
+          lit(65536.0) * lit(33554432.0) / col("s").cast("double")
+        val est = sk.select(col("event_type"),
+          when(eRaw <= 640.0 && col("v0") > 0,
+              round(lit(256.0) * log(lit(256.0) / col("v0").cast("double")),
+                9))
+            .otherwise(round(eRaw, 9)).as("hll_estimate"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_exact"))
+        exact.join(broadcast(est), "event_type")
+          .select(col("event_type"), col("n_exact"), col("hll_estimate"),
+            round((col("hll_estimate") - col("n_exact").cast("double")) /
+                  col("n_exact").cast("double"), 9).as("rel_err"))
+      }),
   )
 }

@@ -767,5 +767,159 @@ object DedupQueries {
             col("c").cast("long").as("shared"),
             ca.as("containment_a"), cb.as("containment_b"))
       }),
+
+    // DD12: INCREMENTAL dedup — gate an incoming batch against the
+    // EXISTING corpus, the ingestion-time production path: a batch of new
+    // documents (here the doc_id % 5 == 0 slice) is classified per doc as
+    //   exact_dup  (byte-identical text already in the corpus)
+    //   near_dup   (best existing Jaccard ≥ 0.5 via LSH candidates)
+    //   new        (no exact match, no qualifying candidate)
+    // with the matched existing doc id (min-id / best-J tiebreak) and the
+    // verified Jaccard. Composes the whole dedup stack in its streaming
+    // direction: exact hash gate first, then 8×2-band LSH candidates
+    // (incoming bands × existing bands), then exact verification on
+    // survivors only — never batch × corpus.
+    //
+    // Scale shape: BOTH gates read the materialized DedupStage, never the
+    // text. Identical text ⟺ identical stage representative, so the exact
+    // gate is a tiny aggregate over `membership` (min existing doc id per
+    // rep group — no md5 recomputation, no text shuffle), and the near
+    // gate bands the `profiles` signature columns (one row per DISTINCT
+    // text, built once per corpus snapshot). The incoming batch is the
+    // small side — its band keys broadcast against the corpus band table,
+    // cost O(batch + matched buckets). Doc-level best-match semantics
+    // survive the rep collapse exactly: every member of a rep group
+    // shares hs/sigs, so the doc-level (J DESC, ex_id ASC) pick equals
+    // the rep-level (J DESC, min-existing-id ASC) pick. The accepted docs
+    // then flow to the idempotent MERGE path (S10/pl13); this query is
+    // the filter in front of it.
+    QueryDef(
+      "dd12_incremental_dedup",
+      Some {
+        val rowsPerBand = K / StagedBands
+        val sigs = minhashParams(K).zipWithIndex.map { case ((a, b), j) =>
+          s"${oMinhashSig("hs", a, b)} AS sig$j"
+        }.mkString(",\n    ")
+        def bandSelects(src: String, filt: String) =
+          (0 until StagedBands).map { bIdx =>
+            val parts = (0 until rowsPerBand)
+              .map(r => s"CAST(sig${bIdx * rowsPerBand + r} AS VARCHAR)")
+              .mkString(" || ',' || ")
+            s"SELECT doc_id, $bIdx AS band_idx, md5($parts) AS band_hash" +
+              s" FROM $src WHERE $filt"
+          }.mkString("\n  UNION ALL ")
+        s"""WITH exm AS (
+           |  SELECT md5(text) AS m, min(doc_id) AS exact_id
+           |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+           |incx AS (
+           |  SELECT i.doc_id, e.exact_id
+           |  FROM documents i LEFT JOIN exm e ON md5(i.text) = e.m
+           |  WHERE i.doc_id % 5 = 0),
+           |toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(${oHashAll(oShinglesFromList("lst"))}) AS hs
+           |  FROM toks),
+           |sig AS (
+           |  SELECT doc_id, hs,
+           |    $sigs
+           |  FROM sh WHERE len(hs) > 0),
+           |bin AS (
+           |  ${bandSelects("sig", "doc_id % 5 = 0")}),
+           |bex AS (
+           |  ${bandSelects("sig", "doc_id % 5 <> 0")}),
+           |cand AS (
+           |  SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+           |  FROM bin i JOIN bex e
+           |    ON i.band_idx = e.band_idx AND i.band_hash = e.band_hash),
+           |jq AS (
+           |  SELECT c.in_id, c.ex_id,
+           |    CAST(floor(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+           |      CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE)
+           |      * 1000000.0 + 0.5) AS BIGINT) AS jq
+           |  FROM cand c
+           |  JOIN sig x ON c.in_id = x.doc_id
+           |  JOIN sig y ON c.ex_id = y.doc_id),
+           |best AS (
+           |  SELECT in_id, ex_id, jq,
+           |    row_number() OVER (PARTITION BY in_id
+           |                       ORDER BY jq DESC, ex_id) AS rn
+           |  FROM jq)
+           |SELECT i.doc_id,
+           |  CASE WHEN i.exact_id IS NOT NULL THEN 'exact_dup'
+           |       WHEN b.jq >= 500000 THEN 'near_dup'
+           |       ELSE 'new' END AS verdict,
+           |  CASE WHEN i.exact_id IS NOT NULL THEN i.exact_id
+           |       WHEN b.jq >= 500000 THEN b.ex_id END AS match_id,
+           |  CASE WHEN i.exact_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+           |       WHEN b.jq >= 500000 THEN CAST(b.jq AS DOUBLE) / 1000000.0
+           |       END AS jaccard
+           |FROM incx i
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+           |  ON i.doc_id = b.in_id""".stripMargin
+      },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rowsPerBand = K / StagedBands
+        val stage = graft.operators.DedupStage(s, d)
+        val isIncoming = col("doc_id") % 5 === 0
+        // exact gate off membership alone: same text ⟺ same rep, so the
+        // min EXISTING doc id per rep group is the oracle's min-id-per-md5
+        val exMin = stage.membership.filter(!isIncoming)
+          .groupBy("rep_id").agg(min("doc_id").as("exact_id"))
+        val incx = stage.membership.filter(isIncoming)
+          .join(exMin, Seq("rep_id"), "left")
+          .select(col("doc_id"), col("rep_id"), col("exact_id"))
+        // near gate off profiles: one signature row per DISTINCT text
+        // (empty shingle sets excluded on both engines — the oracle's sig
+        // CTE filters len(hs) > 0)
+        val profiles = stage.profiles.filter(size(col("hs")) > 0)
+        val inReps = incx.select(col("rep_id")).distinct()
+        val inProf = profiles.join(inReps, "rep_id")
+        // existing-side profiles carry the min existing member id — the
+        // doc-level tiebreak target (all members share hs/sigs)
+        val exProf = profiles
+          .join(exMin.withColumnRenamed("exact_id", "ex_id"), "rep_id")
+        def bandsOf(df: DataFrame, idCol: String, tag: String) = df.select(
+            col(idCol).as(s"${tag}_id"),
+            explode(array((0 until StagedBands).map { bIdx =>
+              struct(lit(bIdx).as("band_idx"),
+                md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+                  col(s"sig${bIdx * rowsPerBand + r}").cast("string")): _*))
+                  .as("band_hash"))
+            }: _*)).as("bd"))
+          .select(col(s"${tag}_id"), col("bd.band_idx"), col("bd.band_hash"))
+        // corpus band table streams; the batch's band keys broadcast
+        val cand = bandsOf(exProf, "ex_id", "ex")
+          .join(broadcast(bandsOf(inProf, "rep_id", "in")),
+            Seq("band_idx", "band_hash"))
+          .select("in_id", "ex_id").distinct()
+        val jac =
+          size(array_intersect(col("hs_i"), col("hs_e"))).cast("double") /
+          size(array_union(col("hs_i"), col("hs_e"))).cast("double")
+        val jq = cand
+          .join(broadcast(inProf.select(col("rep_id").as("in_id"),
+            col("hs").as("hs_i"))), "in_id")
+          .join(exProf.select(col("ex_id"), col("hs").as("hs_e")), "ex_id")
+          .select(col("in_id"), col("ex_id"),
+            floor(jac * 1000000.0 + 0.5).cast("long").as("jq"))
+        // best candidate per incoming rep: highest verified J, min-id tie
+        val w = Window.partitionBy("in_id")
+          .orderBy(col("jq").desc, col("ex_id"))
+        val best = jq.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val nearHit = col("jq") >= 500000L
+        incx.join(broadcast(best.withColumnRenamed("in_id", "rep_id")),
+            Seq("rep_id"), "left")
+          .select(col("doc_id"),
+            when(col("exact_id").isNotNull, "exact_dup")
+              .when(nearHit, "near_dup").otherwise("new").as("verdict"),
+            when(col("exact_id").isNotNull, col("exact_id"))
+              .when(nearHit, col("ex_id")).as("match_id"),
+            when(col("exact_id").isNotNull, lit(1.0))
+              .when(nearHit, col("jq").cast("double") / 1000000.0)
+              .as("jaccard"))
+      }),
   )
 }
