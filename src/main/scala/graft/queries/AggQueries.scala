@@ -17,6 +17,36 @@ import org.apache.spark.sql.functions._
 object AggQueries {
   import Parity._
 
+  /** HLL-256 primitives shared by a33/a33b so the cross-engine IEEE
+    * trees are identical BY CONSTRUCTION (each Scala helper mirrors its
+    * oracle-string twin term for term). rho = leading-zero rank of the
+    * 24 post-bucket hash bits, as a pure integer comparison sum — no
+    * engine-specific bin()/log2 whose string/float behavior could
+    * diverge. The estimate keeps every constant a division expression
+    * and rounds the linear-counting ln at 9 per the log-parity doctrine. */
+  private def hllRho(v: Column): Column =
+    lit(25) - (0 until 24)
+      .map(k => when(v >= (1L << k), 1).otherwise(0)).reduce(_ + _)
+  private def oHllRho(v: String): String =
+    s"25 - (" + (0 until 24)
+      .map(k => s"CASE WHEN $v >= ${1L << k} THEN 1 ELSE 0 END")
+      .mkString(" + ") + ")"
+  private def hll256Estimate(s: Column, v0: Column): Column = {
+    val eRaw = lit(7213.0) / lit(10000.0) /
+      (lit(1.0) + lit(1079.0) / lit(1000.0) / lit(256.0)) *
+      lit(65536.0) * lit(33554432.0) / s.cast("double")
+    when(eRaw <= 640.0 && v0 > 0,
+        round(lit(256.0) * log(lit(256.0) / v0.cast("double")), 9))
+      .otherwise(round(eRaw, 9))
+  }
+  private def oHll256Estimate(s: String, v0: String): String = {
+    val eRaw = s"7213.0 / 10000.0 / (1.0 + 1079.0 / 1000.0 / 256.0)" +
+      s" * 65536.0 * 33554432.0 / CAST($s AS DOUBLE)"
+    s"CASE WHEN $eRaw <= 640.0 AND $v0 > 0" +
+      s" THEN round(256.0 * ln(256.0 / CAST($v0 AS DOUBLE)), 9)" +
+      s" ELSE round($eRaw, 9) END"
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // A1: per-key min/max/count (symbol_ranges analog).
@@ -1117,11 +1147,6 @@ object AggQueries {
     QueryDef(
       "a33_hll_distinct",
       Some {
-        val bl = (0 until 24)
-          .map(k => s"CASE WHEN v >= ${1L << k} THEN 1 ELSE 0 END")
-          .mkString(" + ")
-        val eRaw = "7213.0 / 10000.0 / (1.0 + 1079.0 / 1000.0 / 256.0)" +
-          " * 65536.0 * 33554432.0 / CAST(s AS DOUBLE)"
         s"""WITH h AS (
            |  SELECT event_type,
            |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8)
@@ -1130,7 +1155,7 @@ object AggQueries {
            |b AS (
            |  SELECT event_type, h % 256 AS bucket, h >> 8 AS v FROM h),
            |r AS (
-           |  SELECT event_type, bucket, 25 - ($bl) AS rho FROM b),
+           |  SELECT event_type, bucket, ${oHllRho("v")} AS rho FROM b),
            |regs AS (
            |  SELECT event_type, bucket, max(rho) AS mj
            |  FROM r GROUP BY 1, 2),
@@ -1151,9 +1176,7 @@ object AggQueries {
            |  FROM fr GROUP BY 1),
            |est AS (
            |  SELECT event_type,
-           |    CASE WHEN $eRaw <= 640.0 AND v0 > 0
-           |      THEN round(256.0 * ln(256.0 / CAST(v0 AS DOUBLE)), 9)
-           |      ELSE round($eRaw, 9) END AS hll_estimate
+           |    ${oHll256Estimate("s", "v0")} AS hll_estimate
            |  FROM sk),
            |ex AS (
            |  SELECT event_type, count(DISTINCT user_id) AS n_exact
@@ -1171,10 +1194,7 @@ object AggQueries {
             hash32(col("user_id").cast("string")).as("h"))
           .select(col("event_type"),
             (col("h") % 256).as("bucket"), shiftright(col("h"), 8).as("v"))
-        val bl = (0 until 24)
-          .map(k => when(col("v") >= (1L << k), 1).otherwise(0))
-          .reduce(_ + _)
-        val regs = b.withColumn("rho", lit(25) - bl)
+        val regs = b.withColumn("rho", hllRho(col("v")))
           .groupBy("event_type", "bucket").agg(max("rho").as("mj"))
         val grid = ev.select("event_type").distinct()
           .withColumn("bucket", explode(sequence(lit(0), lit(255))))
@@ -1183,22 +1203,139 @@ object AggQueries {
           .groupBy("event_type")
           .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - mj)")).as("s"),
                sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v0"))
-        // alpha_256 · m² · 2^25 / S, every constant a division expression
-        // mirrored operator-for-operator in the oracle
-        val eRaw = lit(7213.0) / lit(10000.0) /
-          (lit(1.0) + lit(1079.0) / lit(1000.0) / lit(256.0)) *
-          lit(65536.0) * lit(33554432.0) / col("s").cast("double")
         val est = sk.select(col("event_type"),
-          when(eRaw <= 640.0 && col("v0") > 0,
-              round(lit(256.0) * log(lit(256.0) / col("v0").cast("double")),
-                9))
-            .otherwise(round(eRaw, 9)).as("hll_estimate"))
+          hll256Estimate(col("s"), col("v0")).as("hll_estimate"))
         val exact = ev.groupBy("event_type")
           .agg(countDistinct("user_id").as("n_exact"))
         exact.join(broadcast(est), "event_type")
           .select(col("event_type"), col("n_exact"), col("hll_estimate"),
             round((col("hll_estimate") - col("n_exact").cast("double")) /
                   col("n_exact").cast("double"), 9).as("rel_err"))
+      }),
+
+    // A33b: HLL sketch MERGE — the property that makes the sketch the
+    // 100 TB answer: per-day register tables (event_type, day, bucket,
+    // max-rho — 256 longs per group per day) are what a warehouse
+    // persists, and ANY date-range distinct-count query is then a
+    // register-wise max-merge over the matching days, never a raw-data
+    // rescan. Because max is associative/commutative, the merged sketch
+    // is EXACTLY the sketch of the union (HllMergeSpec proves merged ≡
+    // a33's direct global estimate bit-for-bit). The per-day estimate
+    // sum alongside it prices cross-day repeat visitors:
+    // repeat_ratio = Σ daily_est / merged_est ≈ mean days-active per
+    // distinct user. Daily estimates are quantized to a 1e-6 long grid
+    // before the cross-day sum (never sum raw doubles — the a31 rule).
+    QueryDef(
+      "a33b_hll_merge",
+      Some {
+        s"""WITH h AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8)
+           |         AS BIGINT) AS h
+           |  FROM events),
+           |b AS (
+           |  SELECT event_type, day, h % 256 AS bucket, h >> 8 AS v
+           |  FROM h),
+           |r AS (
+           |  SELECT event_type, day, bucket, ${oHllRho("v")} AS rho
+           |  FROM b),
+           |dregs AS (
+           |  SELECT event_type, day, bucket, max(rho) AS mj
+           |  FROM r GROUP BY 1, 2, 3),
+           |dgrid AS (
+           |  SELECT et.event_type, et.day, g.bucket
+           |  FROM (SELECT DISTINCT event_type, day FROM b) et,
+           |       range(0, 256) g(bucket)),
+           |dfull AS (
+           |  SELECT dgrid.event_type, dgrid.day, coalesce(dregs.mj, 0) AS mj
+           |  FROM dgrid LEFT JOIN dregs
+           |    ON dgrid.event_type = dregs.event_type
+           |   AND dgrid.day = dregs.day AND dgrid.bucket = dregs.bucket),
+           |dsk AS (
+           |  SELECT event_type, day,
+           |    CAST(sum(CAST(1 AS BIGINT) << (25 - mj)) AS BIGINT) AS s,
+           |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS v0
+           |  FROM dfull GROUP BY 1, 2),
+           |dest AS (
+           |  SELECT event_type, day,
+           |    ${oHll256Estimate("s", "v0")} AS est
+           |  FROM dsk),
+           |dsum AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(CAST(sum(CAST(floor(est * 1000000.0 + 0.5) AS BIGINT))
+           |              AS BIGINT) AS DOUBLE) / 1000000.0
+           |      AS sum_daily_estimates
+           |  FROM dest GROUP BY 1),
+           |mregs AS (
+           |  SELECT event_type, bucket, max(mj) AS mj
+           |  FROM dregs GROUP BY 1, 2),
+           |mgrid AS (
+           |  SELECT et.event_type, g.bucket
+           |  FROM (SELECT DISTINCT event_type FROM events) et,
+           |       range(0, 256) g(bucket)),
+           |mfull AS (
+           |  SELECT mgrid.event_type, coalesce(mregs.mj, 0) AS mj
+           |  FROM mgrid LEFT JOIN mregs
+           |    ON mgrid.event_type = mregs.event_type
+           |   AND mgrid.bucket = mregs.bucket),
+           |msk AS (
+           |  SELECT event_type,
+           |    CAST(sum(CAST(1 AS BIGINT) << (25 - mj)) AS BIGINT) AS s,
+           |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS v0
+           |  FROM mfull GROUP BY 1),
+           |mest AS (
+           |  SELECT event_type,
+           |    ${oHll256Estimate("s", "v0")} AS merged_estimate
+           |  FROM msk)
+           |SELECT d.event_type, d.n_days, m.merged_estimate,
+           |  d.sum_daily_estimates,
+           |  round(d.sum_daily_estimates / m.merged_estimate, 9)
+           |    AS repeat_ratio
+           |FROM dsum d JOIN mest m ON d.event_type = m.event_type""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val ev = Tables.events(s, d)
+        val b = ev.select(col("event_type"), to_date(col("ts")).as("day"),
+            hash32(col("user_id").cast("string")).as("h"))
+          .select(col("event_type"), col("day"),
+            (col("h") % 256).as("bucket"), shiftright(col("h"), 8).as("v"))
+        // the persisted artifact at scale: per-day register tables
+        val dregs = b.withColumn("rho", hllRho(col("v")))
+          .groupBy("event_type", "day", "bucket").agg(max("rho").as("mj"))
+          .persist() // daily-estimate and merge branches both read it
+        val dgrid = b.select("event_type", "day").distinct()
+          .withColumn("bucket", explode(sequence(lit(0), lit(255))))
+        val sV0 = Seq(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - mj)")).as("s"),
+          sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v0"))
+        val dsk = dgrid.join(dregs, Seq("event_type", "day", "bucket"),
+            "left")
+          .withColumn("mj", coalesce(col("mj"), lit(0)))
+          .groupBy("event_type", "day").agg(sV0.head, sV0.tail: _*)
+        val dest = dsk.select(col("event_type"), col("day"),
+          hll256Estimate(col("s"), col("v0")).as("est"))
+        val dsum = dest.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            (sum(floor(col("est") * 1000000.0 + 0.5).cast("long"))
+              .cast("double") / 1000000.0).as("sum_daily_estimates"))
+        // the range query: register-wise max over the day sketches
+        val mregs = dregs.groupBy("event_type", "bucket")
+          .agg(max("mj").as("mj"))
+        val msk = ev.select("event_type").distinct()
+          .withColumn("bucket", explode(sequence(lit(0), lit(255))))
+          .join(mregs, Seq("event_type", "bucket"), "left")
+          .withColumn("mj", coalesce(col("mj"), lit(0)))
+          .groupBy("event_type").agg(sV0.head, sV0.tail: _*)
+        val mest = msk.select(col("event_type"),
+          hll256Estimate(col("s"), col("v0")).as("merged_estimate"))
+        dsum.join(broadcast(mest), "event_type")
+          .select(col("event_type"), col("n_days"), col("merged_estimate"),
+            col("sum_daily_estimates"),
+            round(col("sum_daily_estimates") / col("merged_estimate"), 9)
+              .as("repeat_ratio"))
       }),
   )
 }
