@@ -120,7 +120,11 @@ object MergeUpsert {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       val obs = new Observation()
-      merged.observe(obs, count(lit(1)).as("n"))
+      // align the shuffle with the write partitioning: one file per
+      // rewritten partition instead of a sliver from every task (the
+      // small-file blowup a real table's OPTIMIZE would have to undo)
+      merged.repartition(col(partitionCol))
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
         .parquet(tablePath)
       obs.get("n").asInstanceOf[Long]

@@ -854,7 +854,11 @@ object PipelineQueries {
         p.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(p, true) // fresh target: stale partitions from an
                            // earlier run would survive dynamic overwrite
-        daily.filter(col("day") < cutHi)
+        // partition-aligned shuffle before the partitioned write: without
+        // it every one of the 32 tasks writes a sliver into every day
+        // directory (days × tasks small files); with it each day is one
+        // file — the layout Compaction exists to restore
+        daily.filter(col("day") < cutHi).repartition(col("day"))
           .write.mode("overwrite").partitionBy("day").parquet(out)
         val source = daily.filter(col("day") >= cutLo)
           .select(col("user_id"), col("day"), col("n"),
