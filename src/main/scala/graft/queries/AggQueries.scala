@@ -1337,5 +1337,154 @@ object AggQueries {
             round(col("sum_daily_estimates") / col("merged_estimate"), 9)
               .as("repeat_ratio"))
       }),
+
+    // A34: KMV SET ALGEBRA — audience overlap between event types from
+    // bottom-64 sketches alone (Beyer et al. 2007): union estimate from
+    // the merged sketch's k-th order statistic (the a25 estimator),
+    // Jaccard from the fraction of the merged bottom-k present in BOTH
+    // sides' sketches, intersection = J × union. This is the set
+    // operation HLL structurally cannot do (registers max-merge into
+    // unions only), and the reason warehouses persist KMV/theta sketches
+    // next to HLL: any pairwise audience overlap then costs k log k per
+    // pair, never a re-scan. The exact overlap column is the audit.
+    //
+    // Portability: hashes are the portable hash32; everything downstream
+    // of the per-type bottom-64 is windows/joins over ≤ 64·|types| rows
+    // with integer comparisons; the only floats are the two final
+    // divisions, mirrored expression-for-expression and rounded at 9.
+    // Scale shape: one distinct shuffle of (type, 8-byte hash) for the
+    // sketch build (identical to a25), then everything is driver-scale
+    // frames — |types|²/2 pairs × 128 sketch rows. The bottom-64 window
+    // sorts each type's distinct hashes through one task; at 100 TB the
+    // build pre-filters h < θ (θ from a first-pass HLL cardinality
+    // estimate: ~64/n̂ of the hash space with safety margin) so the
+    // per-group sort sees hundreds of survivors, not billions — the
+    // standard KMV build; at fixture scale the plain window IS that plan.
+    QueryDef(
+      "a34_kmv_overlap",
+      Some {
+        s"""WITH dh AS (
+           |  SELECT DISTINCT event_type,
+           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8)
+           |         AS BIGINT) AS h
+           |  FROM events),
+           |bk AS (
+           |  SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           |  FROM dh),
+           |sk AS (SELECT event_type, h FROM bk WHERE rn <= 64),
+           |et AS (SELECT DISTINCT event_type FROM events),
+           |pairs AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b
+           |  FROM et a JOIN et b ON a.event_type < b.event_type),
+           |su AS (
+           |  SELECT p.type_a, p.type_b, s.h, 1 AS ia, 0 AS ib
+           |  FROM pairs p JOIN sk s ON s.event_type = p.type_a
+           |  UNION ALL
+           |  SELECT p.type_a, p.type_b, s.h, 0 AS ia, 1 AS ib
+           |  FROM pairs p JOIN sk s ON s.event_type = p.type_b),
+           |u AS (
+           |  SELECT type_a, type_b, h,
+           |    max(ia) AS ia, max(ib) AS ib
+           |  FROM su GROUP BY 1, 2, 3),
+           |ur AS (
+           |  SELECT type_a, type_b, h, ia, ib,
+           |    row_number() OVER (PARTITION BY type_a, type_b
+           |                       ORDER BY h) AS rn,
+           |    count(*) OVER (PARTITION BY type_a, type_b) AS nu
+           |  FROM u),
+           |agg AS (
+           |  SELECT type_a, type_b,
+           |    CAST(max(CASE WHEN rn = least(64, nu) THEN h END) AS DOUBLE)
+           |      AS hk,
+           |    CAST(least(64, max(nu)) AS BIGINT) AS m,
+           |    CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS both_cnt,
+           |    CAST(max(nu) AS BIGINT) AS nu
+           |  FROM ur WHERE rn <= least(64, nu) GROUP BY 1, 2),
+           |est AS (
+           |  SELECT type_a, type_b, m, both_cnt,
+           |    CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+           |         ELSE round(CAST(m - 1 AS DOUBLE) /
+           |                    (hk / 4294967296.0), 9) END AS kmv_union,
+           |    round(CAST(both_cnt AS DOUBLE) / CAST(m AS DOUBLE), 9)
+           |      AS kmv_jaccard
+           |  FROM agg),
+           |du AS (SELECT DISTINCT event_type, user_id FROM events),
+           |ex AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |    CAST(count(*) AS BIGINT) AS exact_intersection
+           |  FROM du a JOIN du b
+           |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+           |  GROUP BY 1, 2)
+           |SELECT e.type_a, e.type_b, e.kmv_union, e.kmv_jaccard,
+           |  round(e.kmv_jaccard * e.kmv_union, 9) AS kmv_intersection,
+           |  coalesce(x.exact_intersection, 0) AS exact_intersection
+           |FROM est e LEFT JOIN ex x
+           |  ON e.type_a = x.type_a AND e.type_b = x.type_b""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val ev = Tables.events(s, d)
+        // sketch build: the only data-sized stage (distinct 8-byte hashes)
+        val dh = ev.select(col("event_type"),
+            hash32(col("user_id").cast("string")).as("h"))
+          .distinct()
+        val wRn = Window.partitionBy("event_type").orderBy("h")
+        val sk = dh.withColumn("rn", row_number().over(wRn))
+          .filter(col("rn") <= 64).drop("rn")
+          .persist() // both pair sides read the 64·|types|-row sketch
+        val et = ev.select("event_type").distinct()
+        val pairs = et.select(col("event_type").as("type_a"))
+          .join(et.select(col("event_type").as("type_b")),
+            col("type_a") < col("type_b"))
+        val su = pairs.join(sk.withColumnRenamed("event_type", "type_a"),
+            Seq("type_a"))
+          .select(col("type_a"), col("type_b"), col("h"),
+            lit(1).as("ia"), lit(0).as("ib"))
+          .unionByName(
+            pairs.join(sk.withColumnRenamed("event_type", "type_b"),
+              Seq("type_b"))
+            .select(col("type_a"), col("type_b"), col("h"),
+              lit(0).as("ia"), lit(1).as("ib")))
+        val u = su.groupBy("type_a", "type_b", "h")
+          .agg(max("ia").as("ia"), max("ib").as("ib"))
+        val wU = Window.partitionBy("type_a", "type_b").orderBy("h")
+        val wAll = Window.partitionBy("type_a", "type_b")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val agg = u.withColumn("rn", row_number().over(wU))
+          .withColumn("nu", count(lit(1)).over(wAll))
+          .filter(col("rn") <= least(lit(64), col("nu")))
+          .groupBy("type_a", "type_b")
+          .agg(
+            max(when(col("rn") === least(lit(64), col("nu")), col("h")))
+              .cast("double").as("hk"),
+            least(lit(64), max("nu")).cast("long").as("m"),
+            sum(when(col("ia") === 1 && col("ib") === 1, 1).otherwise(0))
+              .cast("long").as("both_cnt"),
+            max("nu").cast("long").as("nu"))
+        val est = agg.select(col("type_a"), col("type_b"), col("m"),
+          col("both_cnt"),
+          when(col("nu") < 64, col("nu").cast("double"))
+            .otherwise(round((col("m") - 1).cast("double") /
+              (col("hk") / 4294967296.0), 9)).as("kmv_union"),
+          round(col("both_cnt").cast("double") / col("m").cast("double"), 9)
+            .as("kmv_jaccard"))
+        val du = ev.select("event_type", "user_id").distinct()
+        val ex = du.select(col("event_type").as("type_a"),
+            col("user_id"))
+          .join(du.select(col("event_type").as("type_b"), col("user_id")),
+            "user_id")
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("exact_intersection"))
+        est.join(ex, Seq("type_a", "type_b"), "left")
+          .select(col("type_a"), col("type_b"), col("kmv_union"),
+            col("kmv_jaccard"),
+            round(col("kmv_jaccard") * col("kmv_union"), 9)
+              .as("kmv_intersection"),
+            coalesce(col("exact_intersection"), lit(0L))
+              .as("exact_intersection"))
+      }),
   )
 }
