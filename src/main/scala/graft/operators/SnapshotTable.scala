@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-pinned snapshot tables — the table-format core (Iceberg/Delta
+  * style) built from primitives, since the format jars are absent in this
+  * environment: readers never list directories; they read an immutable
+  * MANIFEST (the exact data-file set of one committed version), so
+  *
+  *  - a reader holding version N is isolated from every later commit,
+  *    compaction, or overwrite (no torn reads mid-rewrite — the failure
+  *    mode `Compaction`'s directory swap documents);
+  *  - time travel is "read an older manifest";
+  *  - concurrent writers race on an ATOMIC manifest rename (rename to an
+  *    existing destination fails), giving optimistic concurrency: the
+  *    loser re-reads state and retries with the next version — nobody
+  *    ever observes a half-committed file set;
+  *  - vacuum deletes data files no surviving manifest references —
+  *    storage GC decoupled from readers by the retention horizon.
+  *
+  * Layout under `tablePath/`:
+  * {{{
+  *   data/<commit-uuid>/part-*.parquet   -- immutable once written
+  *   _manifests/v<N>.manifest            -- one relative path per line
+  * }}}
+  *
+  * All paths go through the Hadoop FileSystem API (HDFS/S3A-ready; on S3
+  * the atomic-rename CAS would move to a conditional PUT, the same
+  * mechanism table formats use there). This is also what replaces
+  * `StageCache`'s dir+mtime freshness key at cluster scale: a stage built
+  * FROM snapshot version N is valid exactly while N is the table head —
+  * pin the manifest, not the mtime.
+  *
+  * Ref semantics: Procesamiento_fase_1.ipynb:137,305 (MERGE/OVERWRITE on
+  * a managed table — the snapshot/commit half; the MERGE row math lives
+  * in [[MergeUpsert]]).
+  */
+object SnapshotTable {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(tablePath: String) =
+    new Path(tablePath, "_manifests")
+
+  private def manifestPath(tablePath: String, v: Int) =
+    new Path(manifestDir(tablePath), s"v$v.manifest")
+
+  /** Committed versions, ascending (empty for a fresh table). */
+  def versions(spark: SparkSession, tablePath: String): Seq[Int] = {
+    val dir = manifestDir(tablePath)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted
+  }
+
+  private def readManifest(spark: SparkSession, tablePath: String,
+                           v: Int): Seq[String] = {
+    val p = manifestPath(tablePath, v)
+    val f = fs(spark, p)
+    require(f.exists(p), s"snapshot v$v does not exist (vacuumed or never " +
+      s"committed) at $tablePath")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `df` as the next version. `replace = true` makes the new
+    * manifest exactly this commit's files (overwrite semantics);
+    * `replace = false` appends them to the current head's file set.
+    * Returns the committed version. Data files are written ONCE; only the
+    * cheap manifest rename retries under contention. */
+  def commit(spark: SparkSession, df: DataFrame, tablePath: String,
+             replace: Boolean = true): Int = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(new Path(tablePath, "data"), commitId)
+    df.write.parquet(dataDir.toString)
+    val f = fs(spark, dataDir)
+    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => s"data/$commitId/${p.getName}")
+    f.mkdirs(manifestDir(tablePath))
+    // optimistic-concurrency loop: losing the rename CAS means another
+    // writer took this version — re-read state and try the next one
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val head = versions(spark, tablePath).lastOption
+      val base =
+        if (replace) Seq.empty
+        else head.map(readManifest(spark, tablePath, _)).getOrElse(Seq.empty)
+      val v = head.getOrElse(0) + 1
+      val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
+      val out = f.create(tmp, false)
+      try out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (f.rename(tmp, manifestPath(tablePath, v))) return v
+      f.delete(tmp, false) // lost the race; retry against the new head
+    }
+    throw new IllegalStateException(
+      s"commit contention: 100 failed manifest CAS attempts at $tablePath")
+  }
+
+  /** Read a pinned snapshot (`version = None` → current head). The
+    * returned frame holds the version's exact file list — later commits,
+    * compactions, or vacuums of OTHER versions cannot change or tear it. */
+  def read(spark: SparkSession, tablePath: String,
+           version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse {
+      val vs = versions(spark, tablePath)
+      require(vs.nonEmpty, s"no committed snapshots at $tablePath")
+      vs.last
+    }
+    val files = readManifest(spark, tablePath, v)
+      .map(rel => new Path(tablePath, rel).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Drop manifests older than `keepFrom` and delete every data file no
+    * surviving manifest references. Readers pinned at ≥ keepFrom are
+    * unaffected; reads of expired versions fail loudly (the retention
+    * contract every table format has). Returns deleted data-file count. */
+  def vacuum(spark: SparkSession, tablePath: String, keepFrom: Int): Int = {
+    val all = versions(spark, tablePath)
+    val (expired, kept) = all.partition(_ < keepFrom)
+    require(kept.nonEmpty, s"vacuum would delete every snapshot " +
+      s"(keepFrom=$keepFrom, versions=${all.mkString(",")})")
+    val keepFiles = kept.flatMap(readManifest(spark, tablePath, _)).toSet
+    val f = fs(spark, new Path(tablePath))
+    var deleted = 0
+    expired.foreach { v =>
+      readManifest(spark, tablePath, v).foreach { rel =>
+        if (!keepFiles.contains(rel) &&
+            f.delete(new Path(tablePath, rel), false)) deleted += 1
+      }
+      f.delete(manifestPath(tablePath, v), false)
+    }
+    deleted
+  }
+}

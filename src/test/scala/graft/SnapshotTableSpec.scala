@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.SnapshotTable
+import org.apache.spark.sql.functions._
+
+class SnapshotTableSpec extends SparkSpec {
+  import SnapshotTable._
+
+  private def tbl() =
+    java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
+
+  test("commit / head read / time travel / append") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    val v1 = commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "x"), t)
+    val v2 = commit(spark, Seq((3L, "c")).toDF("id", "x"), t) // replace
+    val v3 = commit(spark, Seq((4L, "d")).toDF("id", "x"), t,
+      replace = false) // append onto v2
+    assert((v1, v2, v3) == (1, 2, 3))
+    assert(read(spark, t).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(3L, 4L)) // head = v3 = v2 ∪ append
+    assert(read(spark, t, Some(1)).count() == 2) // time travel
+    assert(read(spark, t, Some(2)).select("id").head().getLong(0) == 3L)
+  }
+
+  test("pinned readers are isolated from later commits") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t)
+    val pinned = read(spark, t) // resolves v1's file list NOW
+    commit(spark, Seq((9L, "z")).toDF("id", "x"), t) // head moves to v2
+    // the pinned frame still reads v1's immutable files
+    assert(pinned.select("id").head().getLong(0) == 1L)
+    assert(read(spark, t).select("id").head().getLong(0) == 9L)
+  }
+
+  test("manifest rename CAS: a taken version forces retry, never a clobber") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t)
+    // simulate a racing writer that already published v2
+    val dir = new java.io.File(new java.net.URI(
+      s"file:${t}/_manifests").getPath)
+    val racer = new java.io.File(dir, "v2.manifest")
+    val w = new java.io.PrintWriter(racer); w.print(""); w.close()
+    val v = commit(spark, Seq((2L, "b")).toDF("id", "x"), t)
+    assert(v == 3, s"commit must lose the CAS on v2 and take v3, got v$v")
+    assert(racer.length() == 0, "the racing writer's manifest survived")
+    assert(read(spark, t, Some(3)).select("id").head().getLong(0) == 2L)
+  }
+
+  test("vacuum deletes only unreferenced files and expired reads fail") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t)        // v1
+    commit(spark, Seq((2L, "b")).toDF("id", "x"), t)        // v2 replace
+    commit(spark, Seq((3L, "c")).toDF("id", "x"), t,
+      replace = false)                                       // v3 = v2+new
+    val deleted = vacuum(spark, t, keepFrom = 2)
+    assert(deleted == 1, s"only v1's file is unreferenced, got $deleted")
+    // v2's files survive (v3 still references them)
+    assert(read(spark, t, Some(2)).count() == 1)
+    assert(read(spark, t, Some(3)).count() == 2)
+    intercept[IllegalArgumentException](read(spark, t, Some(1)))
+    intercept[IllegalArgumentException](vacuum(spark, t, keepFrom = 99))
+  }
+}
