@@ -121,6 +121,56 @@ object SnapshotTable {
     spark.read.parquet(files: _*)
   }
 
+  /** Compaction as a COMMIT: rewrite the head's rows into
+    * ~`targetBytes`-sized files and publish them as the next version.
+    * Because readers pin manifests, there is NO swap window at all — the
+    * structural fix for the rename-pair hazard the directory-based
+    * [[Compaction]] has to roll back from: old readers keep the old
+    * manifest's files (still on disk until vacuum), new readers get the
+    * compacted set, and a crash mid-rewrite leaves an orphan data dir
+    * that no manifest references (vacuum-able garbage, never a broken
+    * table). Returns the committed version. */
+  def compactSnapshot(spark: SparkSession, tablePath: String,
+                      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val head = versions(spark, tablePath).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed snapshots at $tablePath"))
+    val f = fs(spark, new Path(tablePath))
+    val totalBytes = readManifest(spark, tablePath, head)
+      .map(rel => f.getFileStatus(new Path(tablePath, rel)).getLen).sum
+    val nFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetBytes).toInt)
+    commit(spark, read(spark, tablePath, Some(head)).repartition(nFiles),
+      tablePath, replace = true)
+  }
+
+  /** Source-wins MERGE as a commit (the SCD-1 upsert of
+    * [[MergeUpsert.upsertPartitioned]], snapshot flavor): target rows
+    * losing a key conflict are replaced by source rows, everything else
+    * survives, and the result is the next version — readers see the old
+    * or the new table, never a mix. Duplicate source keys collapse to the
+    * first row by `orderCol` (deterministic, like the partitioned path).
+    * At scale the rewrite would keep manifest entries for files whose
+    * min/max key stats prove them untouched (file-level COW); here every
+    * file is rewritten — the manifest mechanics are identical. */
+  def upsertSnapshot(spark: SparkSession, source: DataFrame,
+                     tablePath: String, keyCols: Seq[String],
+                     orderCol: String): Int = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val deduped = source.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val merged = versions(spark, tablePath).lastOption match {
+      case None => deduped
+      case Some(v) =>
+        read(spark, tablePath, Some(v))
+          .join(deduped.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(deduped)
+    }
+    commit(spark, merged, tablePath, replace = true)
+  }
+
   /** Drop manifests older than `keepFrom` and delete every data file no
     * surviving manifest references. Readers pinned at ≥ keepFrom are
     * unaffected; reads of expired versions fail loudly (the retention

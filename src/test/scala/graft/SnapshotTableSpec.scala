@@ -52,6 +52,48 @@ class SnapshotTableSpec extends SparkSpec {
     assert(read(spark, t, Some(3)).select("id").head().getLong(0) == 2L)
   }
 
+  test("compaction commits a new version; pinned readers keep the old") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    // many appends → many small files at the head
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t)
+    (2 to 5).foreach(i =>
+      commit(spark, Seq((i.toLong, "x")).toDF("id", "x"), t,
+        replace = false))
+    val before = read(spark, t)
+    val beforeFiles = before.inputFiles.length
+    assert(beforeFiles >= 5, s"expected ≥5 head files, got $beforeFiles")
+    val v = compactSnapshot(spark, t) // 5 tiny files → 1
+    val after = read(spark, t, Some(v))
+    assert(after.inputFiles.length == 1)
+    assert(after.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 5L))
+    // the pre-compaction pinned reader still sees its own file set
+    assert(before.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 5L))
+    assert(before.inputFiles.length == beforeFiles)
+  }
+
+  test("upsert commits source-wins merge as a new version") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark,
+      Seq((1L, "old", 0), (2L, "old", 0)).toDF("id", "x", "ord"), t)
+    // source: conflict on id=2 (two rows — first by ord wins), new id=3
+    val src = Seq((2L, "new", 1), (2L, "later", 2), (3L, "new", 1))
+      .toDF("id", "x", "ord")
+    val v = upsertSnapshot(spark, src, t,
+      keyCols = Seq("id"), orderCol = "ord")
+    val rows = read(spark, t, Some(v)).select("id", "x")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "old", 2L -> "new", 3L -> "new"))
+    // time travel still shows the pre-merge table
+    assert(read(spark, t, Some(1)).select("x").collect()
+      .map(_.getString(0)).toSet == Set("old"))
+  }
+
   test("vacuum deletes only unreferenced files and expired reads fail") {
     val s = spark
     import s.implicits._
