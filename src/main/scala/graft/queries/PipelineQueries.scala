@@ -868,5 +868,55 @@ object PipelineQueries {
           partitionCol = "day", orderCol = "day")
         s.read.parquet(out).select("user_id", "day", "n", "total")
       }),
+
+    // PL19: the SAME SCD-1 source-wins merge as pl18, driven through the
+    // MANIFEST-PINNED snapshot table instead of partitioned directories:
+    // seed commit (v1) → upsertSnapshot commit (v2) → read the v2
+    // manifest back. Same oracle math as pl18 (anti-join ∪ source), so
+    // the two rows hash-verify the two storage mechanisms against ONE
+    // declarative truth. What the snapshot path adds at 100 TB: the
+    // merge is all-or-nothing (readers see v1 or v2, never a half-
+    // rewritten directory), time travel to v1 stays open until vacuum,
+    // and a crash mid-merge leaves only unreferenced data files.
+    QueryDef(
+      "pl19_snapshot_merge",
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    count(*) AS n,
+              |    CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS total
+              |  FROM events GROUP BY 1, 2),
+              |target AS (
+              |  SELECT * FROM daily WHERE day < DATE '2024-01-25'),
+              |source AS (
+              |  SELECT user_id, day, n, total + 1.0 AS total
+              |  FROM daily WHERE day >= DATE '2024-01-20')
+              |SELECT t.user_id, t.day, t.n, t.total FROM target t
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM source s
+              |  WHERE s.user_id = t.user_id AND s.day = t.day)
+              |UNION ALL
+              |SELECT user_id, day, n, total FROM source""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+               (sum(lq(col("value"))).cast("double") / 100.0).as("total"))
+          .persist() // seed commit AND source build read it
+        val cutHi = lit("2024-01-25").cast("date")
+        val cutLo = lit("2024-01-20").cast("date")
+        // per-(run, sf) table root; fresh per run like pl18's sink
+        val out = s"/tmp/graft_snap_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        SnapshotTable.commit(s, daily.filter(col("day") < cutHi), out)
+        val source = daily.filter(col("day") >= cutLo)
+          .select(col("user_id"), col("day"), col("n"),
+            (col("total") + 1.0).as("total"))
+        SnapshotTable.upsertSnapshot(s, source, out,
+          keyCols = Seq("user_id", "day"), orderCol = "day")
+        SnapshotTable.read(s, out)
+          .select("user_id", "day", "n", "total")
+      }),
   )
 }
