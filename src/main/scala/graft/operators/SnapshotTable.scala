@@ -12,10 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    compaction, or overwrite (no torn reads mid-rewrite — the failure
   *    mode `Compaction`'s directory swap documents);
   *  - time travel is "read an older manifest";
-  *  - concurrent writers race on an ATOMIC manifest rename (rename to an
-  *    existing destination fails), giving optimistic concurrency: the
-  *    loser re-reads state and retries with the next version — nobody
-  *    ever observes a half-committed file set;
+  *  - concurrent writers serialize on an exclusive-create COMMIT LOCK
+  *    (`java.nio` O_CREAT|O_EXCL on local filesystems — Hadoop's local
+  *    `rename`/`create(overwrite=false)` are check-then-act and CAN both
+  *    succeed under a race, a TOCTOU this module's own concurrency spec
+  *    caught; namenode-atomic `create(overwrite=false)` on HDFS; a
+  *    conditional PUT on S3). The version number is assigned under the
+  *    lock, the manifest becomes visible via rename, and a crashed
+  *    holder's lock is stolen after a staleness horizon — nobody ever
+  *    observes a half-committed file set or a clobbered version;
   *  - vacuum deletes data files no surviving manifest references —
   *    storage GC decoupled from readers by the retention horizon.
   *
@@ -70,11 +75,39 @@ object SnapshotTable {
     finally in.close()
   }
 
+  /** How long a commit lock may sit before another writer may presume
+    * its holder dead and steal it. Lock holders only do manifest-sized
+    * I/O (the data files are written before acquiring), so a healthy
+    * holder releases in milliseconds. */
+  private val LockStaleMs = 60000L
+
+  /** Atomically claim `lock`. Local filesystems go through
+    * `java.nio.Files.createFile` (O_CREAT|O_EXCL — actually atomic;
+    * Hadoop's local create/rename are check-then-act and lose updates
+    * under contention); everything else uses `create(overwrite=false)`,
+    * which HDFS enforces atomically at the namenode. */
+  private def tryLock(f: org.apache.hadoop.fs.FileSystem,
+                      lock: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(lock.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false
+      }
+    } else {
+      try { f.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
   /** Commit `df` as the next version. `replace = true` makes the new
     * manifest exactly this commit's files (overwrite semantics);
     * `replace = false` appends them to the current head's file set.
-    * Returns the committed version. Data files are written ONCE; only the
-    * cheap manifest rename retries under contention. */
+    * Returns the committed version. Data files are written ONCE, outside
+    * the lock; only the version assignment and manifest publish — pure
+    * metadata — are serialized. */
   def commit(spark: SparkSession, df: DataFrame, tablePath: String,
              replace: Boolean = true): Int = {
     val commitId = java.util.UUID.randomUUID().toString
@@ -85,25 +118,43 @@ object SnapshotTable {
       .filter(_.getName.endsWith(".parquet"))
       .map(p => s"data/$commitId/${p.getName}")
     f.mkdirs(manifestDir(tablePath))
-    // optimistic-concurrency loop: losing the rename CAS means another
-    // writer took this version — re-read state and try the next one
+    val lock = new Path(manifestDir(tablePath), "_commit.lock")
     var attempts = 0
-    while (attempts < 100) {
+    while (attempts < 500) {
       attempts += 1
-      val head = versions(spark, tablePath).lastOption
-      val base =
-        if (replace) Seq.empty
-        else head.map(readManifest(spark, tablePath, _)).getOrElse(Seq.empty)
-      val v = head.getOrElse(0) + 1
-      val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
-      val out = f.create(tmp, false)
-      try out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      if (f.rename(tmp, manifestPath(tablePath, v))) return v
-      f.delete(tmp, false) // lost the race; retry against the new head
+      if (tryLock(f, lock)) {
+        try {
+          val head = versions(spark, tablePath).lastOption
+          val base =
+            if (replace) Seq.empty
+            else head.map(readManifest(spark, tablePath, _))
+              .getOrElse(Seq.empty)
+          val v = head.getOrElse(0) + 1
+          val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
+          val out = f.create(tmp, false)
+          try out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          // under the lock the destination cannot exist; rename gives
+          // readers atomic manifest visibility
+          require(f.rename(tmp, manifestPath(tablePath, v)),
+            s"manifest publish failed for v$v at $tablePath")
+          return v
+        } finally f.delete(lock, false)
+      } else {
+        // crashed-holder recovery: a lock past the staleness horizon is
+        // deleted; the delete+create pair then races through the atomic
+        // create above, so at most one stealer wins
+        try {
+          val age = System.currentTimeMillis() -
+            f.getFileStatus(lock).getModificationTime
+          if (age > LockStaleMs) f.delete(lock, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        Thread.sleep(10)
+      }
     }
     throw new IllegalStateException(
-      s"commit contention: 100 failed manifest CAS attempts at $tablePath")
+      s"commit contention: lock not acquired after 500 attempts at " +
+        tablePath)
   }
 
   /** Read a pinned snapshot (`version = None` → current head). The

@@ -36,7 +36,7 @@ class SnapshotTableSpec extends SparkSpec {
     assert(read(spark, t).select("id").head().getLong(0) == 9L)
   }
 
-  test("manifest rename CAS: a taken version forces retry, never a clobber") {
+  test("a foreign manifest is never clobbered: commit takes the next slot") {
     val s = spark
     import s.implicits._
     val t = tbl()
@@ -92,6 +92,33 @@ class SnapshotTableSpec extends SparkSpec {
     // time travel still shows the pre-merge table
     assert(read(spark, t, Some(1)).select("x").collect()
       .map(_.getString(0)).toSet == Set("old"))
+  }
+
+  test("concurrent committers never lose or clobber a commit") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      // 4 threads × 3 appends race on the manifest CAS
+      val fs = (1 to 12).map { i =>
+        scala.concurrent.Future {
+          commit(spark, Seq((i.toLong, s"w$i")).toDF("id", "x"), t,
+            replace = false)
+        }
+      }
+      val versions = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(120, "s"))
+      // every commit won a distinct version 1..12
+      assert(versions.sorted == (1 to 12),
+        s"lost/duplicated versions: ${versions.sorted}")
+      // the head accumulated every append exactly once
+      assert(read(spark, t).select("id").collect().map(_.getLong(0))
+        .sorted.toSeq == (1L to 12L))
+    } finally { ec.shutdown(); pool.shutdown() }
   }
 
   test("vacuum deletes only unreferenced files and expired reads fail") {
