@@ -312,6 +312,13 @@ object Plans {
       val p = planOf("a33_hll_distinct")
       p.contains("partial_max(rho") && !p.contains("CartesianProduct")
     }
+    // a35: the cube's Expand must collapse MAP-SIDE — a partial
+    // aggregate between Expand and the exchange proves the shuffle
+    // carries subtotal cells, not input-rows × grouping-sets
+    check("a35: Expand collapsed by a partial aggregate before the shuffle") {
+      val p = planOf("a35_cube")
+      p.contains("Expand") && p.contains("partial_count")
+    }
     // j12: the star rollup — the region predicate is pushed into the
     // dimension scan and the dims ride broadcast joins; never a
     // cartesian. (The orders⋈lineitem join broadcasts at fixture scale

@@ -1486,5 +1486,38 @@ object AggQueries {
             coalesce(col("exact_intersection"), lit(0L))
               .as("exact_intersection"))
       }),
+
+    // A35: CUBE marginals — all four grouping sets of (user, type) in
+    // ONE pass: per-cell, per-user, per-type, and grand totals, with the
+    // grouping id distinguishing subtotal NULLs from data NULLs. Beyond
+    // the reference (SURVEY notes it has no grouping sets), but core
+    // OLAP surface for any engine claiming the reference's analytics
+    // workloads. Sums ride the whole-unit long grid (the a4 pattern).
+    //
+    // Scale shape: Spark's Expand duplicates each input row once per
+    // grouping set BEFORE the exchange, but partial aggregation collapses
+    // the expansion map-side, so the shuffle carries ~Σ|grouping-set
+    // cardinalities| rows — the marginals come for ONE extra shuffle row
+    // per subtotal cell, not one pass per set (what four separate
+    // groupBys would cost).
+    QueryDef(
+      "a35_cube",
+      Some(s"""SELECT user_id, event_type,
+              |  CAST(GROUPING(user_id) * 2 + GROUPING(event_type)
+              |       AS BIGINT) AS gid,
+              |  count(*) AS n,
+              |  CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS total
+              |FROM events
+              |GROUP BY CUBE (user_id, event_type)""".stripMargin),
+      (s, d) => {
+        Tables.events(s, d)
+          .cube(col("user_id"), col("event_type"))
+          .agg(
+            (grouping(col("user_id")) * 2 + grouping(col("event_type")))
+              .cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            (sum(lq(col("value"))).cast("double") / 100.0).as("total"))
+          .select("user_id", "event_type", "gid", "n", "total")
+      }),
   )
 }
