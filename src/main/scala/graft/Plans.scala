@@ -330,6 +330,18 @@ object Plans {
         "BroadcastHashJoin".r.findAllIn(p).length >= 2 &&
         !p.contains("CartesianProduct")
     }
+    // g1's rounds are lineage-cut per iteration (the ConnectedComponents
+    // doctrine): the final plan must read the checkpointed rank frame, not
+    // restack 8 iterations of joins into one tree
+    check("g1: iteration lineage cut (final plan reads checkpointed ranks)") {
+      planOf("g1_pagerank").contains("ExistingRDD")
+    }
+    // g2's triangle enumeration: integer-keyed equi-joins only — a
+    // CartesianProduct here means a join key degenerated to a filter
+    check("g2: triangle joins integer-keyed, no cartesian") {
+      val p = planOf("g2_triangle_count")
+      !p.contains("CartesianProduct") && p.contains("Exchange hashpartitioning")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AggQueries, DedupQueries, JoinQueries, MlPrepQueries,
-  MultimodalQueries, PipelineQueries, ScalarQueries, ScanFilterQueries,
-  SimilarityQueries, SortSetQueries, TextQueries, WindowQueries}
+import graft.queries.{AggQueries, DedupQueries, GraphQueries, JoinQueries,
+  MlPrepQueries, MultimodalQueries, PipelineQueries, ScalarQueries,
+  ScanFilterQueries, SimilarityQueries, SortSetQueries, TextQueries,
+  WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +27,7 @@ object SparkEntry {
       ScalarQueries.all ++
       SortSetQueries.all ++
       DedupQueries.all ++
+      GraphQueries.all ++
       SimilarityQueries.all ++
       TextQueries.all ++
       MultimodalQueries.all ++

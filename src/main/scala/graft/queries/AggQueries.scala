@@ -1519,5 +1519,138 @@ object AggQueries {
             (sum(lq(col("value"))).cast("double") / 100.0).as("total"))
           .select("user_id", "event_type", "gid", "n", "total")
       }),
+
+    // A36: mergeable HISTOGRAM-QUANTILE sketch — the quantile member of
+    // the sketch warehouse (distinct → HLL a33, set algebra → KMV a34,
+    // heavy hitters → CMS a28, quantiles → this). Per-day fixed-width
+    // histograms (event_type, day, bin, cnt — the persisted artifact,
+    // exactly a33b's per-day register tables) merge over any date range
+    // by SUMMING counts — associative, so range quantiles never rescan
+    // raw rows; the estimate interpolates linearly inside the crossing
+    // bin, and the exact two-pass quantile (the a22/a32 machinery) rides
+    // along as the error audit. At 100 TB the exact leg runs on sampled
+    // groups; the sketch leg reads |days|×|bins| rows per group, full
+    // stop.
+    //
+    // Parity: bins/counts/cumulative sums are pure longs; the crossing
+    // bin is unique (previous cumulative below target, current at or
+    // above), and the only floats are one division of exact integers and
+    // two correctly-rounded IEEE ops, mirrored expression-for-expression.
+    // Bin width 10.00 units = 1000 on the hundredth grid.
+    QueryDef(
+      "a36_hist_quantile_merge",
+      Some {
+        def estq(q: Int): String =
+          s"""max(CASE WHEN 100 * cum >= $q * n
+             |      AND 100 * (cum - cnt) < $q * n THEN
+             |    CAST(bin * 1000 AS DOUBLE) / 100.0 +
+             |    10.0 * (CAST($q * n - 100 * (cum - cnt) AS DOUBLE) /
+             |            CAST(100 * cnt AS DOUBLE)) END)""".stripMargin
+        def exq(q: Int): String =
+          s"CAST(min(CASE WHEN cum >= (n * $q + 99) // 100 THEN vc END) " +
+          s"AS DOUBLE) / 100.0"
+        s"""WITH d AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+           |  FROM events
+           |  WHERE CAST(ts AS DATE)
+           |    BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'),
+           |dh AS (
+           |  SELECT event_type, day, vc // 1000 AS bin, count(*) AS cnt
+           |  FROM d GROUP BY 1, 2, 3),
+           |mh AS (
+           |  SELECT event_type, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+           |  FROM dh GROUP BY 1, 2),
+           |c AS (
+           |  SELECT event_type, bin, cnt,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM mh),
+           |est AS (
+           |  SELECT event_type, max(n) AS n,
+           |    ${estq(50)} AS est_p50,
+           |    ${estq(90)} AS est_p90,
+           |    ${estq(99)} AS est_p99
+           |  FROM c GROUP BY 1),
+           |h2 AS (SELECT event_type, vc, count(*) AS cnt FROM d
+           |       GROUP BY 1, 2),
+           |c2 AS (
+           |  SELECT event_type, vc,
+           |    sum(cnt) OVER (PARTITION BY event_type ORDER BY vc
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(cnt) OVER (PARTITION BY event_type) AS n
+           |  FROM h2),
+           |ex AS (
+           |  SELECT event_type,
+           |    ${exq(50)} AS exact_p50,
+           |    ${exq(90)} AS exact_p90,
+           |    ${exq(99)} AS exact_p99
+           |  FROM c2 GROUP BY 1)
+           |SELECT e.event_type, CAST(e.n AS BIGINT) AS n,
+           |  e.est_p50, x.exact_p50,
+           |  abs(e.est_p50 - x.exact_p50) AS err_p50,
+           |  e.est_p90, x.exact_p90,
+           |  abs(e.est_p90 - x.exact_p90) AS err_p90,
+           |  e.est_p99, x.exact_p99,
+           |  abs(e.est_p99 - x.exact_p99) AS err_p99
+           |FROM est e JOIN ex x USING (event_type)""".stripMargin
+      },
+      (s, d) => {
+        val d0 = Tables.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            lq(col("value")).as("vc"))
+          .filter(col("day").between(lit("2024-01-08"), lit("2024-01-22")))
+          .persist() // sketch build and exact audit both scan it
+        // the persisted artifact at scale: per-day histogram tables
+        val dh = d0.groupBy(col("event_type"), col("day"),
+            expr("vc DIV 1000").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        // the range query: count-sum merge of the day histograms
+        val mh = dh.groupBy("event_type", "bin").agg(sum("cnt").as("cnt"))
+        val wCum = Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val c = mh.withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("n", sum("cnt").over(wAll))
+        def estq(q: Int): Column = {
+          val t = col("n") * q
+          val cb = (col("cum") - col("cnt")) * 100
+          max(when(col("cum") * 100 >= t && cb < t,
+            (col("bin") * 1000).cast("double") / 100.0 +
+              lit(10.0) * ((t - cb).cast("double") /
+                (col("cnt") * 100).cast("double"))))
+        }
+        val est = c.groupBy("event_type")
+          .agg(max("n").as("n"), estq(50).as("est_p50"),
+            estq(90).as("est_p90"), estq(99).as("est_p99"))
+        // exact audit leg — a22's discrete-quantile histogram walk, with
+        // its bounded-grid cardinality guard
+        val wCum2 = Window.partitionBy("event_type").orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val c2 = d0.groupBy("event_type", "vc")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(wCum2))
+          .withColumn("n", sum("cnt").over(wAll))
+        def exq(q: Int): Column =
+          min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"),
+            col("vc"))).cast("double") / 100.0
+        val guard = assert_true(count(lit(1)) <= 100000L,
+          lit("a36_hist_quantile_merge: value grid exceeds 100000 " +
+            "distinct cells per group — coarsen the quantization grid"))
+        val ex = c2.groupBy("event_type")
+          .agg(when(guard.isNull, exq(50)).as("exact_p50"),
+            exq(90).as("exact_p90"), exq(99).as("exact_p99"))
+        est.join(ex, "event_type")
+          .select(col("event_type"), col("n"),
+            col("est_p50"), col("exact_p50"),
+            abs(col("est_p50") - col("exact_p50")).as("err_p50"),
+            col("est_p90"), col("exact_p90"),
+            abs(col("est_p90") - col("exact_p90")).as("err_p90"),
+            col("est_p99"), col("exact_p99"),
+            abs(col("est_p99") - col("exact_p99")).as("err_p99"))
+      }),
   )
 }
