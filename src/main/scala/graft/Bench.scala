@@ -61,6 +61,8 @@ object Bench {
       catch { case _: Throwable => () }
       try graft.operators.EmbedStage(spark, sfDir)
       catch { case _: Throwable => () }
+      try graft.operators.PassageGraph(spark, sfDir)
+      catch { case _: Throwable => () }
     }
 
     // Median of 5 timed iterations per query, with the iterations
@@ -142,8 +144,9 @@ object Bench {
     // dd/sim-family steady-state timings can't hide it.
     val stageSec = r(graft.operators.DedupStage.buildSeconds)
     val embedSec = r(graft.operators.EmbedStage.buildSeconds)
+    val graphSec = r(graft.operators.PassageGraph.buildSeconds)
     val line =
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"stats":$statsJson,"noise_floor":$noiseFloor,"iters":$iters,"dedup_stage_build_sec":$stageSec,"embed_stage_build_sec":$embedSec,"failed":$failed,"telemetry":$tel,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"stats":$statsJson,"noise_floor":$noiseFloor,"iters":$iters,"dedup_stage_build_sec":$stageSec,"embed_stage_build_sec":$embedSec,"graph_stage_build_sec":$graphSec,"failed":$failed,"telemetry":$tel,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line to a file: the driver captures only the
     // tail of stdout, which truncated 28 of 89 per-query timings in round 2.
@@ -163,7 +166,7 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (k, m) => "\"" + k + "\":" + r(m) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$top10,"n_queries":${results.size},"n_timed":${results.count(_._2.isDefined)},"noise_floor":$noiseFloor,"iters":$iters,"dedup_stage_build_sec":$stageSec,"embed_stage_build_sec":$embedSec,"failed":$failed,"full_stats_file":"$outFile","summary_of_top":10,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$top10,"n_queries":${results.size},"n_timed":${results.count(_._2.isDefined)},"noise_floor":$noiseFloor,"iters":$iters,"dedup_stage_build_sec":$stageSec,"embed_stage_build_sec":$embedSec,"graph_stage_build_sec":$graphSec,"failed":$failed,"full_stats_file":"$outFile","summary_of_top":10,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.Tables
+import graft.operators.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared-passage duplication graph and its iterative analytics — the
+  * substrate behind `g1_pagerank` / `g2_triangle_count` and the graph-shaped
+  * sibling of [[ConnectedComponents]] (dd7).
+  *
+  * Nodes are documents; an edge connects two documents sharing at least one
+  * non-overlapping [[P]]-token passage (dd9's passage hashing — Lee et al.
+  * 2022 substring duplication; the reference's `Datos_limpios/` notebooks
+  * dedup whole rows only, so this family is beyond-reference training-data
+  * tooling). Passages with document frequency above [[MaxDf]] are dropped
+  * from edge generation (a passage in hundreds of docs is boilerplate, not
+  * a quotation, and contributes O(df²) edges); df=1 passages cannot form an
+  * edge.
+  *
+  * Like [[DedupStage]]/[[EmbedStage]], the edge list is MATERIALIZED once
+  * per (JVM, corpus dir, constants version, corpus mtime): both graph
+  * queries start from the same expensive substrate (tokenize + chunk + md5
+  * every passage of every document, then the df-capped postings self-join),
+  * and the edges are tiny relative to the text (two longs per edge, no raw
+  * text). At cluster scale this table is a silver-layer output next to the
+  * signature tables; build cost is surfaced through [[buildSeconds]] →
+  * Bench's `graph_stage_build_sec`.
+  *
+  * Scale notes:
+  *  - Edge generation is bounded by Σ df² over passage hashes (df-capped),
+  *    never all-pairs; the join keys on the 32-hex md5 passage hash (the
+  *    dd9 shuffle shape) and emits 8-byte node ids.
+  *  - [[pagerank]] runs a fixed-iteration power method: per round ONE
+  *    co-partitioned equi-join (edges × ranks on src) and ONE hash
+  *    aggregate (contributions by dst). Edges are hash-partitioned on src
+  *    once and persisted; only the rank table (|V| rows, 3 longs) moves per
+  *    round, and each round's lineage is cut (the [[ConnectedComponents]]
+  *    doctrine) so K rounds never stack 3K joins into one plan.
+  *  - [[triangleCounts]] enumerates each triangle exactly once via the
+  *    canonical ordering a<b<c; at 100 TB the standard hardening is
+  *    degree-ordering the edge direction so join fan-out is bounded by
+  *    arboricity, noted at the join site.
+  *
+  * Cross-engine parity: rank mass rides a 1e-12 integer grid (rank 1.0 ≡
+  * [[Scale]]) and every iteration is PURE integer arithmetic — `r DIV deg`
+  * contributions, `(damp·Σ) DIV 100` damping, identical truncating division
+  * on both engines (all operands positive) — so after any number of rounds
+  * the rank longs are bit-identical; the only float is one final de-scale
+  * division. Σ headroom: total mass ≤ 10^12, so 85·Σ ≤ 8.5e13 ≪ 2^63.
+  */
+object PassageGraph {
+
+  /** Passage length in tokens (dd9's unit). */
+  val P = 8
+  /** Edge-generation document-frequency cap per passage hash. */
+  val MaxDf = 16
+  /** Rank mass grid: rank 1.0 ≡ 10^12. */
+  val Scale = 1000000000000L
+
+  /** Bump when the edge-generation constants or schema change. */
+  private val Version = 1
+
+  /** Wall-clock seconds spent building graph stages in this JVM (0 when
+    * every consumer hit an already-built stage). */
+  private val buildNanos = new java.util.concurrent.atomic.LongAdder
+  def buildSeconds: Double = buildNanos.sum() / 1e9
+
+  /** Df-capped shared-passage edges (BOTH directions, src ≠ dst) from a
+    * `(doc_id, text)` frame — the pure edge semantics, stage-independent so
+    * specs can drive hand-built corpora through it. */
+  def edgesOf(docs: DataFrame): DataFrame = {
+    val chunks = transform(
+      sequence(lit(1), ceil(size(col("lst")) / lit(P.toDouble)).cast("int")),
+      i => concat_ws(" ", slice(col("lst"), (i - 1) * P + 1, lit(P))))
+    val pd = docs
+      .select(col("doc_id"), tokens(col("text")).as("lst"))
+      .select(col("doc_id"), explode(chunks).as("passage"))
+      .select(col("doc_id"), md5(col("passage")).as("ph"))
+      .distinct()
+    // boilerplate cap: tiny hash-agg dim, joined on the md5 key — the
+    // postings join never sees a stop-passage's O(df²) fan-out
+    val okp = pd.groupBy("ph").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, MaxDf)).select("ph")
+    pd.select(col("doc_id").as("src"), col("ph"))
+      .join(okp, "ph")
+      .join(pd.select(col("doc_id").as("dst"), col("ph")), "ph")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** Out-degrees `(doc_id, deg)`; the graph is symmetric so out ≡ in. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+
+  /** Get (building if absent) the materialized edge stage for corpus dir
+    * `d` — cache mechanics (key → dir, atomic publish, garbage-dir
+    * rebuild) in [[StageCache]]. Returns (edges, degrees). */
+  def apply(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val dir = StageCache.dir("/tmp/graft_graph_stage",
+      s"v$Version|P=$P|MaxDf=$MaxDf|$d|" +
+        StageCache.parquetMtime(s"$d/documents.parquet"))
+    buildNanos.add(math.round(StageCache.getOrBuild(dir) { tmp =>
+      edgesOf(Tables.fanOut(Tables.documents(s, d)))
+        .write.mode("overwrite").parquet(s"$tmp/edges")
+    } * 1e9))
+    val edges = Tables.fanOut(s.read.parquet(s"$dir/edges"))
+    (edges, degrees(edges))
+  }
+
+  /** Fixed-`iters` power-iteration PageRank on the integer mass grid.
+    * Output `(doc_id, deg, r)` with `r` on the [[Scale]] grid — every
+    * round's rank longs are bit-identical across engines (pure truncating
+    * integer arithmetic, all operands positive). Dangling mass: every node
+    * in `deg` has deg ≥ 1 by construction (deg rows come from edges), so
+    * no sink correction term exists.
+    */
+  def pagerank(edgesIn: DataFrame, deg: DataFrame, iters: Int,
+               dampPct: Int): DataFrame = {
+    // iteration joins reuse this partitioning; released before return —
+    // every round is eagerly checkpointed, so nothing downstream re-reads
+    val edges = edgesIn.repartition(col("src")).persist()
+    // 1-row broadcast frame, never a driver-side collect; checkpointed so
+    // the per-round crossJoin reads one cached row instead of re-running
+    // the degree aggregate under every round's plan
+    val n = deg.agg(count(lit(1)).as("nn")).localCheckpoint(true)
+    val base = expr(s"((100 - $dampPct) * ($Scale DIV nn)) DIV 100")
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("deg"), expr(s"$Scale DIV nn").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select(col("doc_id").as("src"),
+          col("deg").as("sdeg"), col("r")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(expr("r DIV sdeg")).as("contrib"))
+      // lineage cut per round (the ConnectedComponents doctrine): the
+      // checkpointed frame is |V| rows of 3 longs, never the edges.
+      // deg is restored from the PREVIOUS round's checkpoint, not the
+      // degree aggregate — symmetric graph, so every deg≥1 node receives
+      // a contribution row and the inner join loses nothing.
+      ranks = contrib.join(ranks.select("doc_id", "deg"), "doc_id")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("deg"),
+          (base + expr(s"($dampPct * contrib) DIV 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(false)
+    ranks
+  }
+
+  /** Per-node triangle count + local clustering coefficient —
+    * `(doc_id, deg, triangles, clustering)`. The coefficient is one
+    * division of exact integers (identical IEEE tree both engines). */
+  def triangleCounts(edges: DataFrame, deg: DataFrame): DataFrame = {
+    // canonical direction: every triangle {a<b<c} appears exactly once
+    // as (a→b, b→c, a→c). At 100 TB, orient by (degree, id) instead of
+    // bare id so high-degree hubs never fan out (arboricity bound).
+    val eu = edges.filter(col("src") < col("dst"))
+    val tri = eu.select(col("src").as("a"), col("dst").as("b"))
+      .join(eu.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(eu.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"))
+    val tn = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val t = coalesce(col("tri"), lit(0L))
+    deg.join(tn, deg("doc_id") === tn("node"), "left")
+      .select(col("doc_id"), col("deg"), t.as("triangles"),
+        when(col("deg") >= 2,
+          (t * 2).cast("double") /
+            (col("deg").cast("double") *
+             (col("deg") - 1).cast("double")))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+}
