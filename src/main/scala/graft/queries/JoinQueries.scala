@@ -374,5 +374,73 @@ object JoinQueries {
           .agg((sum("rev").cast("double") / 10000.0).as("revenue"),
             count(lit(1)).as("n_items"))
       }),
+
+    // J14: fuzzy entity resolution via token blocking — the record-linkage
+    // join (Fellegi-Sunter blocking + edit-distance verify) that a
+    // catalog/feed consolidation pipeline runs: collapse rows to name
+    // entities, generate candidate pairs ONLY where a blocking key (a
+    // shared name token) agrees, verify candidates with levenshtein ≤ 2,
+    // and report the merge impact (row counts behind each entity).
+    //
+    // Scale design: the pair space is token-blocked (the dd5 posting-list
+    // shape — Σ df² over blocking keys, never |entities|²), with a df cap
+    // so a stop-token never contributes O(df²) candidates; entities are
+    // the DISTINCT names (the DedupStage rep trick), so the quadratic
+    // verify runs on the collapsed vocabulary, not the row count; the
+    // expensive levenshtein runs only on blocked candidates. Recall
+    // relative to all-pairs is a property of the blocking keys (like
+    // LSH's banding), stated here: a pair must share one unedited token.
+    //
+    // Parity: levenshtein is the classic integer DP on both engines;
+    // counts are exact longs; no floats anywhere.
+    QueryDef(
+      "j14_fuzzy_blocking",
+      Some("""WITH n AS (
+             |  SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
+             |t AS (
+             |  SELECT p_name, unnest(string_split(p_name, ' ')) AS tok
+             |  FROM n),
+             |ok AS (
+             |  SELECT tok FROM t GROUP BY tok HAVING count(*) <= 48),
+             |c AS (
+             |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+             |  FROM t a JOIN ok USING (tok) JOIN t b USING (tok)
+             |  WHERE a.p_name < b.p_name),
+             |v AS (
+             |  SELECT name_a, name_b,
+             |    CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+             |  FROM c WHERE levenshtein(name_a, name_b) <= 2)
+             |SELECT v.name_a, v.name_b, v.dist,
+             |  CAST(na.n_parts AS BIGINT) AS parts_a,
+             |  CAST(nb.n_parts AS BIGINT) AS parts_b
+             |FROM v
+             |JOIN n na ON na.p_name = v.name_a
+             |JOIN n nb ON nb.p_name = v.name_b""".stripMargin),
+      (s, d) => {
+        val names = Tables.part(s, d)
+          .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+          .persist() // entity dim: read by the postings and both sides
+        val toks = names.select(col("p_name"),
+          explode(split(col("p_name"), " ")).as("tok"))
+        // blocking-key df cap: a token shared by everything is a stop
+        // token, not evidence of identity
+        val ok = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 48).select("tok")
+        val cand = toks.select(col("p_name").as("name_a"), col("tok"))
+          .join(ok, "tok")
+          .join(toks.select(col("p_name").as("name_b"), col("tok")), "tok")
+          .filter(col("name_a") < col("name_b"))
+          .select("name_a", "name_b").distinct()
+        cand
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long")
+              .as("dist"))
+          .join(names.select(col("p_name").as("name_a"),
+            col("n_parts").as("parts_a")), "name_a")
+          .join(names.select(col("p_name").as("name_b"),
+            col("n_parts").as("parts_b")), "name_b")
+          .select("name_a", "name_b", "dist", "parts_a", "parts_b")
+      }),
   )
 }
