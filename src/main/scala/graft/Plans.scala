@@ -342,6 +342,18 @@ object Plans {
       val p = planOf("g2_triangle_count")
       !p.contains("CartesianProduct") && p.contains("Exchange hashpartitioning")
     }
+    // j14's candidate generation is token-BLOCKED: every join is an
+    // equi-join on the blocking key / entity name — an all-pairs verify
+    // would surface as a cartesian
+    check("j14: blocked equi-joins only, no cartesian") {
+      !planOf("j14_fuzzy_blocking").contains("CartesianProduct")
+    }
+    // sim9 audits the INDEX, so it must read the materialized stage (cid
+    // included), never re-quantize/re-assign the corpus inline
+    check("sim9: reads the vector-index stage, no cartesian") {
+      val p = planOf("sim9_centroid_drift")
+      p.contains("graft_embed_stage") && !p.contains("CartesianProduct")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -716,5 +716,106 @@ object SimilarityQueries {
             (count(col("a_cand")).cast("double") /
               count(lit(1)).cast("double")).as("recall"))
       }),
+
+    // SIM9: IVF centroid-drift audit — the index-maintenance check that
+    // decides WHEN to retrain the coarse quantizer: per inverted list,
+    // how far the stored centroid sits from the current member mean
+    // (drift_rms, in embedding units) and how spread the members are
+    // around it (mean_residual — the assignment cost the index carries).
+    // Rising drift with stable residual = the corpus moved, retrain;
+    // sim8 (recall audit) is the black-box symptom, this is the cause.
+    //
+    // Scale design: one stage read (vectors + cid — no re-quantization),
+    // one per-row exact-integer residual, then the axis-sum shuffle
+    // carries |C|×Dim cells (16×64 here) regardless of corpus size —
+    // the per-axis sums are partial-aggregated map-side exactly like any
+    // long sum. No pairwise anything.
+    //
+    // Parity: member-axis sums are exact longs; the per-axis mean is ONE
+    // division; drift terms and per-row residuals ride fine quantization
+    // grids (floor(x·g + 0.5)) — safe here because every input double is
+    // bit-identical across engines (exact longs + correctly-rounded
+    // ops), unlike the log-derived a31/tx10 cases that force coarse
+    // grids; the two output roots are round(·, 9) per doctrine.
+    QueryDef(
+      "sim9_centroid_drift",
+      Some {
+        import graft.operators.IvfIndex
+        val cm = IvfIndex.matrix(Dim)
+          .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+        val rsq = s"list_sum(list_transform(generate_series(1, $Dim), " +
+          s"i -> (qv[i] - ($cm)[cid + 1][i]) * " +
+          s"(qv[i] - ($cm)[cid + 1][i])))"
+        s"""WITH q AS (
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |asg AS (
+           |  SELECT vec_id, qv,
+           |    ${IvfIndex.oracleAssign(IvfIndex.oracleDots("qv", Dim))}
+           |      AS cid
+           |  FROM q),
+           |r AS (
+           |  SELECT cid, qv,
+           |    CAST(floor(CAST($rsq AS DOUBLE) * 1.0E-6 + 0.5) AS BIGINT)
+           |      AS qr
+           |  FROM asg),
+           |g AS (
+           |  SELECT cid, i,
+           |    CAST(sum(qv[i]) AS BIGINT) AS sx,
+           |    count(*) AS cnt,
+           |    CAST(sum(CASE WHEN i = 1 THEN qr ELSE 0 END) AS BIGINT)
+           |      AS qrs
+           |  FROM r CROSS JOIN generate_series(1, $Dim) t(i)
+           |  GROUP BY cid, i),
+           |t2 AS (
+           |  SELECT cid, cnt, qrs,
+           |    CAST(floor(
+           |      ((CAST(sx AS DOUBLE) / cnt - ($cm)[cid + 1][i])
+           |        / 1000000.0) *
+           |      ((CAST(sx AS DOUBLE) / cnt - ($cm)[cid + 1][i])
+           |        / 1000000.0) * 1.0E9 + 0.5) AS BIGINT) AS qterm
+           |  FROM g),
+           |f AS (
+           |  SELECT cid, max(cnt) AS n, CAST(sum(qterm) AS BIGINT) AS sq,
+           |    CAST(sum(qrs) AS BIGINT) AS qr
+           |  FROM t2 GROUP BY cid)
+           |SELECT cid, CAST(n AS BIGINT) AS n,
+           |  round(sqrt(CAST(sq AS DOUBLE) / 1.0E9 / $Dim.0), 9)
+           |    AS drift_rms,
+           |  round(sqrt(CAST(qr AS DOUBLE) / 1.0E6 / CAST(n AS DOUBLE)),
+           |    9) AS mean_residual
+           |FROM f""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val cmat = typedLit(IvfIndex.matrix(Dim))
+        val rsqCol = aggregate(
+          zip_with(col("qv"), element_at(cmat, col("cid") + 1),
+            (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, x) => a + x)
+        val rows = EmbedStage(s, d).vectors
+          .select(col("cid"), col("qv"),
+            floor(rsqCol.cast("double") * 1.0e-6 + 0.5).cast("long")
+              .as("qr"))
+        val ax = rows.select(col("cid"), col("qr"),
+          posexplode(col("qv")).as(Seq("pos", "x")))
+        val g = ax.groupBy(col("cid"), (col("pos") + 1).as("i"))
+          .agg(sum("x").as("sx"), count(lit(1)).as("cnt"),
+            sum(when(col("pos") === 0, col("qr")).otherwise(0L))
+              .as("qrs"))
+        val mean = col("sx").cast("double") / col("cnt")
+        val diff = (mean -
+          element_at(element_at(cmat, col("cid") + 1), col("i"))) /
+          lit(1000000.0)
+        val qterm = floor(diff * diff * lit(1.0e9) + 0.5).cast("long")
+        g.select(col("cid"), col("cnt"), col("qrs"), qterm.as("qterm"))
+          .groupBy("cid")
+          .agg(max("cnt").as("n"), sum("qterm").as("sq"),
+            sum("qrs").as("qr"))
+          .select(col("cid"), col("n"),
+            round(sqrt(col("sq").cast("double") / lit(1.0e9) /
+              lit(Dim.toDouble)), 9).as("drift_rms"),
+            round(sqrt(col("qr").cast("double") / lit(1.0e6) /
+              col("n").cast("double")), 9).as("mean_residual"))
+      }),
   )
 }
