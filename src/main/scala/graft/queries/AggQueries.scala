@@ -1652,5 +1652,125 @@ object AggQueries {
             col("est_p99"), col("exact_p99"),
             abs(col("est_p99") - col("exact_p99")).as("err_p99"))
       }),
+
+    // A37: time-weighted average price (TWAP) — the execution-quality
+    // benchmark next to VWAP (a7): each observation is weighted by how
+    // long it REMAINED the last print (lead-ts interval), so sparse
+    // overnight quotes don't get equal votes with a burst of ticks. The
+    // day's final print carries zero forward interval by convention
+    // (next-day state belongs to the next day's row).
+    //
+    // Parity: price rides the lq cent grid and intervals are exact
+    // epoch-microsecond longs, so the weighted numerator is a pure long
+    // sum — Σ(cents·Δμs) ≤ 4.9e4·8.64e10 < 2^63 per (type, day) — and
+    // TWAP is two divisions of exact longs. Lead tiebreaks on the unique
+    // event_id (doctrine: every order-sensitive pick is deterministic).
+    QueryDef(
+      "a37_twap",
+      Some(s"""WITH e AS (
+              |  SELECT event_type, CAST(ts AS DATE) AS day,
+              |    epoch_us(ts) AS tu, event_id,
+              |    ${oLq("value")} AS vc
+              |  FROM events),
+              |w AS (
+              |  SELECT event_type, day, vc,
+              |    lead(tu) OVER (PARTITION BY event_type, day
+              |      ORDER BY tu, event_id) - tu AS dt
+              |  FROM e),
+              |f AS (
+              |  SELECT event_type, day,
+              |    CAST(sum(CASE WHEN dt IS NULL THEN 0 ELSE vc * dt END)
+              |      AS BIGINT) AS num,
+              |    CAST(sum(CASE WHEN dt IS NULL THEN 0 ELSE dt END)
+              |      AS BIGINT) AS den,
+              |    count(*) AS n
+              |  FROM w GROUP BY 1, 2)
+              |SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+              |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS twap
+              |FROM f WHERE den > 0""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type", "day")
+          .orderBy("tu", "event_id")
+        Tables.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            unix_micros(col("ts")).as("tu"), col("event_id"),
+            lq(col("value")).as("vc"))
+          .withColumn("dt", lead("tu", 1).over(w) - col("tu"))
+          .groupBy("event_type", "day")
+          .agg(sum(when(col("dt").isNull, 0L)
+              .otherwise(col("vc") * col("dt"))).as("num"),
+            sum(when(col("dt").isNull, 0L).otherwise(col("dt")))
+              .as("den"),
+            count(lit(1)).as("n_events"))
+          .filter(col("den") > 0)
+          .select(col("event_type"), col("day"), col("n_events"),
+            (col("num").cast("double") / col("den").cast("double") /
+              100.0).as("twap"))
+      }),
+
+    // A38: Garman-Klass + Parkinson daily volatility estimators — the
+    // range-based estimators the reference's equity-volatility domain is
+    // named for (5-8× more statistically efficient than close-to-close):
+    // gk = 0.5·ln(h/l)² − (2ln2−1)·ln(c/o)², park = ln(h/l)²/(4ln2).
+    // One OHLC rollup (a2's machinery) then pure per-row scalar math.
+    //
+    // Parity: o/h/l/c are exact cent longs (min/max/min_by/max_by keyed
+    // on the µs timestamp — globally unique in events, the a2
+    // precedent), ratios are divisions of exact doubles, and EVERY ln is
+    // rounded at 9 decimals on both engines before use — including the
+    // 2ln2−1 and 4ln2 constants — per the tx7/a31 doctrine (a last-ulp
+    // libm divergence must not reach a product).
+    QueryDef(
+      "a38_garman_klass",
+      Some {
+        val lnHl = "round(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)), 9)"
+        val lnCo = "round(ln(CAST(c AS DOUBLE) / CAST(o AS DOUBLE)), 9)"
+        val k = "round(2.0 * ln(2.0) - 1.0, 9)"
+        val k4 = "round(4.0 * ln(2.0), 9)"
+        s"""WITH e AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS tu,
+           |    ${oLq("value")} AS vc
+           |  FROM events WHERE value > 0.0),
+           |o AS (
+           |  SELECT user_id, day,
+           |    arg_min(vc, tu) AS o, max(vc) AS h,
+           |    min(vc) AS l, arg_max(vc, tu) AS c,
+           |    count(*) AS n
+           |  FROM e GROUP BY 1, 2)
+           |SELECT user_id, day, CAST(n AS BIGINT) AS n_events,
+           |  CAST(o AS DOUBLE) / 100.0 AS open,
+           |  CAST(h AS DOUBLE) / 100.0 AS high,
+           |  CAST(l AS DOUBLE) / 100.0 AS low,
+           |  CAST(c AS DOUBLE) / 100.0 AS close,
+           |  round(0.5 * $lnHl * $lnHl - $k * $lnCo * $lnCo, 9) AS gk,
+           |  round($lnHl * $lnHl / $k4, 9) AS parkinson
+           |FROM o""".stripMargin
+      },
+      (s, d) => {
+        val lnHl = round(log(col("h").cast("double") /
+          col("l").cast("double")), 9)
+        val lnCo = round(log(col("c").cast("double") /
+          col("o").cast("double")), 9)
+        val k = round(lit(2.0) * log(lit(2.0)) - 1.0, 9)
+        val k4 = round(lit(4.0) * log(lit(2.0)), 9)
+        Tables.events(s, d)
+          // a zero print is a bad tick: degenerate for log-range
+          // estimators (ln(h/0), ln(c/0)) — excluded on BOTH engines
+          .filter(col("value") > 0.0)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            unix_micros(col("ts")).as("tu"), lq(col("value")).as("vc"))
+          .groupBy("user_id", "day")
+          .agg(min_by(col("vc"), col("tu")).as("o"),
+            max("vc").as("h"), min("vc").as("l"),
+            max_by(col("vc"), col("tu")).as("c"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("day"), col("n_events"),
+            (col("o").cast("double") / 100.0).as("open"),
+            (col("h").cast("double") / 100.0).as("high"),
+            (col("l").cast("double") / 100.0).as("low"),
+            (col("c").cast("double") / 100.0).as("close"),
+            round(lit(0.5) * lnHl * lnHl - k * lnCo * lnCo, 9).as("gk"),
+            round(lnHl * lnHl / k4, 9).as("parkinson"))
+      }),
   )
 }

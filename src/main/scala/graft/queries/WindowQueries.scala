@@ -809,5 +809,68 @@ object WindowQueries {
           .select(col("key").as("user_id"), col("ts").cast("date").as("day"),
             col("x").as("tr"), col("ewm").as("atr14"))
       }),
+
+    // W25: realized volatility — per (user_id, day): RV = Σ ln(v_t /
+    // v_{t-1})² over intraday log returns, and realized vol = √RV. The
+    // high-frequency estimator the range-based a38 family is benchmarked
+    // against; one lag window (the family's shared user_id exchange) and
+    // one hash aggregate.
+    //
+    // Parity: prices ride the lq cent grid so each ratio is a division
+    // of exact doubles; each ln is rounded at 9 (tx7 doctrine); each
+    // SQUARED return is then quantized onto a COARSE 1e-6 grid and the
+    // per-day accumulation is an order-free LONG sum (the a31
+    // never-sum-raw-doubles rule — r² ≤ ln(49002)² ≈ 117, so qterms ≤
+    // 1.2e8 and ~2.3e14 rows/day of headroom). The final √ is
+    // round(·, 9).
+    QueryDef(
+      "w25_realized_vol",
+      Some {
+        val r = "round(ln(CAST(vc AS DOUBLE) / CAST(pv AS DOUBLE)), 9)"
+        s"""WITH e AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS tu,
+           |    ${graft.Parity.oLq("value")} AS vc
+           |  FROM events WHERE value > 0.0),
+           |w AS (
+           |  SELECT user_id, day, vc,
+           |    lag(vc) OVER (PARTITION BY user_id, day ORDER BY tu)
+           |      AS pv
+           |  FROM e),
+           |q AS (
+           |  SELECT user_id, day,
+           |    CASE WHEN pv IS NULL THEN NULL ELSE
+           |      CAST(floor($r * $r * 1000000.0 + 0.5) AS BIGINT)
+           |    END AS qr2
+           |  FROM w)
+           |SELECT user_id, day,
+           |  CAST(count(qr2) AS BIGINT) AS n_returns,
+           |  CAST(CAST(sum(qr2) AS BIGINT) AS DOUBLE) / 1000000.0 AS rv,
+           |  round(sqrt(CAST(CAST(sum(qr2) AS BIGINT) AS DOUBLE)
+           |    / 1000000.0), 9) AS realized_vol
+           |FROM q GROUP BY 1, 2 HAVING count(qr2) > 0""".stripMargin
+      },
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "day").orderBy("tu")
+        val r = round(log(col("vc").cast("double") /
+          col("pv").cast("double")), 9)
+        Tables.events(s, d)
+          // zero prints (bad ticks) would put a 0 in a log-return
+          // denominator — excluded on BOTH engines
+          .filter(col("value") > 0.0)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            unix_micros(col("ts")).as("tu"),
+            graft.Parity.lq(col("value")).as("vc"))
+          .withColumn("pv", lag("vc", 1).over(w))
+          .select(col("user_id"), col("day"),
+            when(col("pv").isNull, lit(null))
+              .otherwise(floor(r * r * 1000000.0 + 0.5).cast("long"))
+              .as("qr2"))
+          .groupBy("user_id", "day")
+          .agg(count(col("qr2")).as("n_returns"),
+            (sum(col("qr2")).cast("double") / 1000000.0).as("rv"),
+            round(sqrt(sum(col("qr2")).cast("double") / 1000000.0), 9)
+              .as("realized_vol"))
+          .filter(col("n_returns") > 0)
+      }),
   )
 }
