@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.1 scans + §2.2 projections/filters/predicates, expressed on the
@@ -161,5 +162,82 @@ object ScanFilterQueries {
         graft.sources.HoldingsSource.dedupByTicker(
           graft.sources.HoldingsSource.load(
             s, graft.sources.HoldingsSource.FixturePath))),
+
+    // S7b: sector-exposure rollup over the holdings source — the
+    // portfolio-analytics read the reference's holdings notebook performs
+    // on the vendor file: per sector, position count, market value, share
+    // of portfolio, within-sector concentration (HHI of position
+    // weights), and the largest position. Dimension-sized end to end (a
+    // fund holds thousands of lines, not billions) — the scan is the
+    // only data-sized thing and it's one file.
+    //
+    // Parity: market values ride the lq cent grid (Σ ≤ 1.4e12 « 2^63);
+    // shares and HHI terms are divisions of exact longs (identical
+    // doubles), HHI terms quantized on a 1e-9 grid before the per-sector
+    // sum (order-free long accumulation; fine grid safe — inputs are
+    // bit-identical, not log-derived); top position keyed on the unique
+    // (mv_cents·100 + row_idx) long so equal-value ties break
+    // deterministically on file order.
+    QueryDef(
+      "s7b_sector_exposure",
+      Some(s"""WITH h AS (
+              |  SELECT row_idx, Ticker AS ticker, Sector AS sector,
+              |    CAST(floor("Market Value" * 100.0 + 0.5) AS BIGINT)
+              |      AS mvc
+              |  FROM read_csv('${graft.sources.HoldingsSource.FixturePath}',
+              |    header=true,
+              |    columns={'row_idx':'BIGINT','Ticker':'VARCHAR',
+              |      'Name':'VARCHAR','Sector':'VARCHAR',
+              |      'Asset Class':'VARCHAR','Market Value':'DOUBLE',
+              |      'Weight (%)':'DOUBLE','Shares':'DOUBLE',
+              |      'Price':'DOUBLE'})),
+              |r AS (
+              |  SELECT *, row_number() OVER (PARTITION BY ticker
+              |    ORDER BY row_idx) AS rn FROM h),
+              |d AS (SELECT * FROM r WHERE rn = 1),
+              |sec AS (
+              |  SELECT sector,
+              |    d.*, CAST(sum(mvc) OVER (PARTITION BY sector) AS BIGINT)
+              |      AS smvc,
+              |    CAST(sum(mvc) OVER () AS BIGINT) AS tmvc
+              |  FROM d),
+              |t AS (
+              |  SELECT sector, smvc, tmvc, ticker, mvc, row_idx,
+              |    CAST(floor((CAST(mvc AS DOUBLE) / CAST(smvc AS DOUBLE))
+              |      * (CAST(mvc AS DOUBLE) / CAST(smvc AS DOUBLE))
+              |      * 1.0E9 + 0.5) AS BIGINT) AS qt
+              |  FROM sec)
+              |SELECT sector, count(*) AS n_holdings,
+              |  CAST(max(smvc) AS DOUBLE) / 100.0 AS sector_mv,
+              |  CAST(max(smvc) AS DOUBLE) / CAST(max(tmvc) AS DOUBLE)
+              |    AS share,
+              |  CAST(CAST(sum(qt) AS BIGINT) AS DOUBLE) / 1.0E9 AS hhi,
+              |  arg_max(ticker, mvc * 100 + row_idx) AS top_ticker
+              |FROM t GROUP BY sector""".stripMargin),
+      (s, d) => {
+        val dd = graft.sources.HoldingsSource.dedupByTicker(
+          graft.sources.HoldingsSource.load(
+            s, graft.sources.HoldingsSource.FixturePath))
+          .select(col("row_idx"), col("ticker"), col("sector"),
+            floor(col("market_value") * 100.0 + 0.5).cast("long")
+              .as("mvc"))
+        val wSec = Window.partitionBy("sector")
+        val wAll = Window.partitionBy()
+        val sec = dd
+          .withColumn("smvc", sum("mvc").over(wSec))
+          .withColumn("tmvc", sum("mvc").over(wAll))
+        val ratio = col("mvc").cast("double") / col("smvc").cast("double")
+        sec
+          .withColumn("qt",
+            floor(ratio * ratio * lit(1.0e9) + 0.5).cast("long"))
+          .groupBy("sector")
+          .agg(count(lit(1)).as("n_holdings"),
+            (max("smvc").cast("double") / 100.0).as("sector_mv"),
+            (max("smvc").cast("double") / max("tmvc").cast("double"))
+              .as("share"),
+            (sum("qt").cast("double") / lit(1.0e9)).as("hhi"),
+            max_by(col("ticker"), col("mvc") * 100 + col("row_idx"))
+              .as("top_ticker"))
+      }),
   )
 }
