@@ -872,5 +872,140 @@ object WindowQueries {
               .as("realized_vol"))
           .filter(col("n_returns") > 0)
       }),
+
+    // W26: on-balance volume — the classic flow indicator: each print's
+    // size (props.k, the reference's per-tick lot field) is ADDED to the
+    // running total when the price ticked up, SUBTRACTED when it ticked
+    // down, and ignored on flat/first prints. One user_id exchange serves
+    // both windows (lag + running sum — same partitioning AND ordering,
+    // Catalyst chains the WindowExecs without re-shuffle), and the JSON
+    // parse happens ONCE per row in its own projection (the f12 rule —
+    // at 100 TB the parse is the cost, not the cumsum).
+    //
+    // Parity: prices ride the lq cent grid so the up/down comparison is
+    // exact long ordering; flows and the running OBV are pure long sums
+    // (|Σflow| ≤ 100·rows/user — ~2^20 at sf1000, eons of headroom).
+    // Both frames are ROWS-bounded over the unique (ts, event_id) order;
+    // DuckDB's windowed SUM(BIGINT) returns HUGEINT, so the oracle casts
+    // it back (the tx14/mix3 rule).
+    QueryDef(
+      "w26_obv",
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS sz
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, event_id, ts, sz,
+             |    lag(vc, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS pv,
+             |    vc
+             |  FROM e),
+             |f AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN pv IS NULL THEN CAST(0 AS BIGINT)
+             |         WHEN vc > pv THEN sz
+             |         WHEN vc < pv THEN -sz
+             |         ELSE CAST(0 AS BIGINT) END AS flow
+             |  FROM s)
+             |SELECT user_id, event_id, flow,
+             |  CAST(sum(flow) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS obv
+             |FROM f""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = Tables.events(s, d)
+          .withColumn("j", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            graft.Parity.lq(col("value")).as("vc"),
+            col("j").getField("k").as("sz"))
+        val pv = lag("vc", 1).over(w)
+        e.select(col("user_id"), col("event_id"), col("ts"), col("sz"),
+            pv.as("pv"), col("vc"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("pv").isNull, lit(0L))
+              .when(col("vc") > col("pv"), col("sz"))
+              .when(col("vc") < col("pv"), -col("sz"))
+              .otherwise(lit(0L)).as("flow"))
+          .select(col("user_id"), col("event_id"), col("flow"),
+            sum("flow").over(cum).as("obv"))
+      }),
+
+    // W27: stochastic oscillator — %K = 100·(close − low14)/(high14 −
+    // low14) over a full 14-day frame of the daily OHLC rollup, %D = the
+    // 3-day mean of %K. Both frames gate on completeness (pandas
+    // min_periods semantics, the w8 precedent) and a flat 14-day range
+    // (high14 = low14) yields NULL rather than 0/0. Daily rollup + every
+    // window share ONE user_id exchange.
+    //
+    // Parity: o/h/l/c are exact cent longs (max_by on the unique µs
+    // timestamp, the a2/a38 precedent); %K is one identical IEEE tree
+    // over exact longs; %K is then quantized onto a COARSE 1e-6 grid and
+    // %D is a 3-term LONG sum de-scaled once (the a31 never-sum-raw-
+    // doubles rule — 3 doubles summed in frame order would be engine-
+    // dependent). DuckDB's windowed SUM(BIGINT) → HUGEINT is cast back.
+    QueryDef(
+      "w27_stochastic",
+      Some {
+        val vc = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+        s"""WITH daily AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day,
+           |    max($vc) AS h, min($vc) AS l,
+           |    arg_max($vc, epoch_us(ts)) AS c
+           |  FROM events GROUP BY 1, 2),
+           |k AS (
+           |  SELECT user_id, day, c,
+           |    min(l) OVER f AS ll, max(h) OVER f AS hh,
+           |    count(*) OVER f AS nf
+           |  FROM daily
+           |  WINDOW f AS (PARTITION BY user_id ORDER BY day
+           |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+           |p AS (
+           |  SELECT user_id, day,
+           |    CASE WHEN nf = 14 AND hh > ll THEN
+           |      100.0 * CAST(c - ll AS DOUBLE) / CAST(hh - ll AS DOUBLE)
+           |    END AS pct_k
+           |  FROM k),
+           |q AS (
+           |  SELECT user_id, day, pct_k,
+           |    CAST(floor(pct_k * 1000000.0 + 0.5) AS BIGINT) AS kq
+           |  FROM p)
+           |SELECT user_id, day, pct_k,
+           |  CASE WHEN count(kq) OVER g = 3 THEN
+           |    CAST(CAST(sum(kq) OVER g AS BIGINT) AS DOUBLE) / 3.0
+           |      / 1000000.0 END AS pct_d
+           |FROM q
+           |WINDOW g AS (PARTITION BY user_id ORDER BY day
+           |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+      },
+      (s, d) => {
+        val vc = graft.Parity.lq(col("value"))
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max(vc).as("h"), min(vc).as("l"),
+            max_by(vc, unix_micros(col("ts"))).as("c"))
+        val f = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(-13, Window.currentRow)
+        val g = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(-2, Window.currentRow)
+        daily
+          .select(col("user_id"), col("day"), col("c"),
+            min("l").over(f).as("ll"), max("h").over(f).as("hh"),
+            count(lit(1)).over(f).as("nf"))
+          .select(col("user_id"), col("day"),
+            when(col("nf") === 14 && col("hh") > col("ll"),
+              lit(100.0) * (col("c") - col("ll")).cast("double") /
+                (col("hh") - col("ll")).cast("double")).as("pct_k"))
+          .withColumn("kq",
+            floor(col("pct_k") * 1000000.0 + 0.5).cast("long"))
+          .select(col("user_id"), col("day"), col("pct_k"),
+            when(count(col("kq")).over(g) === 3,
+              sum("kq").over(g).cast("double") / 3.0 / 1000000.0)
+              .as("pct_d"))
+      }),
   )
 }
