@@ -1772,5 +1772,194 @@ object AggQueries {
             round(lit(0.5) * lnHl * lnHl - k * lnCo * lnCo, 9).as("gk"),
             round(lnHl * lnHl / k4, 9).as("parkinson"))
       }),
+
+    // A39: Yang-Zhang volatility — the drift-independent estimator that
+    // combines overnight variance, open-to-close variance and the
+    // Rogers-Satchell term: σ²_yz = σ²_on + k·σ²_oc + (1−k)·σ²_rs with
+    // k = 0.34/(1.34 + (n+1)/(n−1)). Completes the a38/w25 estimator
+    // family with the one the reference domain actually publishes.
+    // Shape: one daily OHLC rollup (a2's machinery), one lag window for
+    // the previous close, one per-user hash aggregate — the user_id
+    // exchange is shared by the window and the final agg.
+    //
+    // Parity: o/h/l/c are exact cent longs; every ln is rounded at 9 on
+    // both engines (tx7/a31 doctrine); the overnight/open-close terms
+    // and the RS product sum are then quantized onto a COARSE 1e-6 grid
+    // and all variance moments are order-free LONG sums (qon ≤ 1.1e7,
+    // qon² ≤ 1.3e14 — ~7e4 days of headroom per user). Variances are
+    // computed from the long moments with the w23 all-double tree, and
+    // the 0.34/1.34 constants are division expressions (the w20 rule:
+    // DuckDB types bare decimal literals DECIMAL, not DOUBLE).
+    QueryDef(
+      "a39_yang_zhang",
+      Some {
+        def lnr(a: String, b: String) =
+          s"round(ln(CAST($a AS DOUBLE) / CAST($b AS DOUBLE)), 9)"
+        def q(x: String) = s"CAST(floor(($x) * 1000000.0 + 0.5) AS BIGINT)"
+        def vvar(s2: String, s1: String) =
+          s"""(CAST(n AS DOUBLE) * CAST($s2 AS DOUBLE)
+             |     - CAST($s1 AS DOUBLE) * CAST($s1 AS DOUBLE))
+             |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             |   / 1000000000000.0""".stripMargin
+        s"""WITH e AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS tu,
+           |    ${oLq("value")} AS vc
+           |  FROM events WHERE value > 0.0),
+           |o AS (
+           |  SELECT user_id, day,
+           |    arg_min(vc, tu) AS o, max(vc) AS h,
+           |    min(vc) AS l, arg_max(vc, tu) AS c
+           |  FROM e GROUP BY 1, 2),
+           |t AS (
+           |  SELECT user_id, day, o, h, l, c,
+           |    lag(c, 1) OVER (PARTITION BY user_id ORDER BY day) AS pc
+           |  FROM o),
+           |q AS (
+           |  SELECT user_id,
+           |    ${q(lnr("o", "pc"))} AS qon,
+           |    ${q(lnr("c", "o"))} AS qoc,
+           |    ${q(s"${lnr("h", "c")} * ${lnr("h", "o")} + " +
+                    s"${lnr("l", "c")} * ${lnr("l", "o")}")} AS qrs
+           |  FROM t WHERE pc IS NOT NULL),
+           |m AS (
+           |  SELECT user_id, count(*) AS n,
+           |    CAST(sum(qon) AS BIGINT) AS son,
+           |    CAST(sum(qon * qon) AS BIGINT) AS son2,
+           |    CAST(sum(qoc) AS BIGINT) AS soc,
+           |    CAST(sum(qoc * qoc) AS BIGINT) AS soc2,
+           |    CAST(sum(qrs) AS BIGINT) AS srs
+           |  FROM q GROUP BY 1
+           |  HAVING count(*) >= 2),
+           |v AS (
+           |  SELECT user_id, n,
+           |    ${vvar("son2", "son")} AS var_on,
+           |    ${vvar("soc2", "soc")} AS var_oc,
+           |    CAST(srs AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+           |      AS var_rs,
+           |    (34.0 / 100.0) / ((134.0 / 100.0)
+           |      + (CAST(n AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) - 1.0))
+           |      AS kc
+           |  FROM m)
+           |SELECT user_id, CAST(n AS BIGINT) AS n_days,
+           |  round(var_on, 9) AS var_overnight,
+           |  round(var_oc, 9) AS var_openclose,
+           |  round(var_rs, 9) AS var_rs,
+           |  round(sqrt(var_on + kc * var_oc + (1.0 - kc) * var_rs), 9)
+           |    AS sigma_yz
+           |FROM v""".stripMargin
+      },
+      (s, d) => {
+        def lnr(a: Column, b: Column) =
+          round(log(a.cast("double") / b.cast("double")), 9)
+        def q(x: Column) = floor(x * 1000000.0 + 0.5).cast("long")
+        val daily = Tables.events(s, d)
+          .filter(col("value") > 0.0)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            unix_micros(col("ts")).as("tu"), lq(col("value")).as("vc"))
+          .groupBy("user_id", "day")
+          .agg(min_by(col("vc"), col("tu")).as("o"),
+            max("vc").as("h"), min("vc").as("l"),
+            max_by(col("vc"), col("tu")).as("c"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val t = daily.withColumn("pc", lag("c", 1).over(w))
+          .filter(col("pc").isNotNull)
+          .select(col("user_id"),
+            q(lnr(col("o"), col("pc"))).as("qon"),
+            q(lnr(col("c"), col("o"))).as("qoc"),
+            q(lnr(col("h"), col("c")) * lnr(col("h"), col("o")) +
+              lnr(col("l"), col("c")) * lnr(col("l"), col("o"))).as("qrs"))
+        val m = t.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum("qon").as("son"), sum(col("qon") * col("qon")).as("son2"),
+            sum("qoc").as("soc"), sum(col("qoc") * col("qoc")).as("soc2"),
+            sum("qrs").as("srs"))
+          .filter(col("n") >= 2)
+        def dbl(c: String) = col(c).cast("double")
+        def vvar(s2: String, s1: String) =
+          (dbl("n") * dbl(s2) - dbl(s1) * dbl(s1)) /
+            (dbl("n") * (dbl("n") - 1.0)) / 1000000000000.0
+        val kc = (lit(34.0) / 100.0) / ((lit(134.0) / 100.0) +
+          (dbl("n") + 1.0) / (dbl("n") - 1.0))
+        m.select(col("user_id"), col("n").as("n_days"),
+            vvar("son2", "son").as("var_on"),
+            vvar("soc2", "soc").as("var_oc"),
+            (dbl("srs") / dbl("n") / 1000000.0).as("var_rs"),
+            kc.as("kc"))
+          .select(col("user_id"), col("n_days"),
+            round(col("var_on"), 9).as("var_overnight"),
+            round(col("var_oc"), 9).as("var_openclose"),
+            round(col("var_rs"), 9).as("var_rs"),
+            round(sqrt(col("var_on") + col("kc") * col("var_oc") +
+              (lit(1.0) - col("kc")) * col("var_rs")), 9).as("sigma_yz"))
+      }),
+
+    // A40: historical VaR / CVaR — the 5% value-at-risk as an EXACT
+    // order statistic of each user's log-return series (k = ⌈0.05·n⌉-th
+    // smallest, integer ceiling division — no interpolation ambiguity
+    // between engines) and CVaR/expected shortfall as the mean of the k
+    // tail returns. One lag window + one rank window (same user_id
+    // exchange) + one hash aggregate; nothing driver-side, no sort of
+    // the full data — the rank window sorts within user partitions only.
+    //
+    // Parity: returns are round(ln, 9) over exact cent ratios, so both
+    // engines rank IDENTICAL doubles (ties broken by the unique
+    // event_id); the tail mean rides a coarse 1e-6 long grid (a31) and
+    // k is pure integer arithmetic ((n+19) div 20 — floor = ceil(n/20)
+    // for positive n on both engines).
+    QueryDef(
+      "a40_var_cvar",
+      Some {
+        val r = "round(ln(CAST(vc AS DOUBLE) / CAST(pv AS DOUBLE)), 9)"
+        s"""WITH e AS (
+           |  SELECT user_id, event_id,
+           |    ${oLq("value")} AS vc,
+           |    lag(${oLq("value")}, 1) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS pv
+           |  FROM events WHERE value > 0.0),
+           |r AS (
+           |  SELECT user_id, event_id, $r AS r,
+           |    CAST(floor($r * 1000000.0 + 0.5) AS BIGINT) AS qr
+           |  FROM e WHERE pv IS NOT NULL),
+           |k AS (
+           |  SELECT user_id, r, qr,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY r, event_id) AS rn,
+           |    count(*) OVER (PARTITION BY user_id) AS n
+           |  FROM r),
+           |g AS (SELECT user_id, r, qr, rn, n, (n + 19) // 20 AS kk
+           |      FROM k)
+           |SELECT user_id,
+           |  CAST(max(n) AS BIGINT) AS n_returns,
+           |  CAST(max(kk) AS BIGINT) AS k_tail,
+           |  max(CASE WHEN rn = kk THEN r END) AS var5,
+           |  CAST(CAST(sum(CASE WHEN rn <= kk THEN qr END) AS BIGINT)
+           |      AS DOUBLE) / CAST(max(kk) AS DOUBLE) / 1000000.0
+           |    AS cvar5
+           |FROM g GROUP BY user_id""".stripMargin
+      },
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val rankW = Window.partitionBy("user_id").orderBy("r", "event_id")
+        val cntW = Window.partitionBy("user_id")
+        val r = round(log(col("vc").cast("double") /
+          col("pv").cast("double")), 9)
+        Tables.events(s, d)
+          .filter(col("value") > 0.0)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            lq(col("value")).as("vc"))
+          .withColumn("pv", lag("vc", 1).over(w))
+          .filter(col("pv").isNotNull)
+          .select(col("user_id"), col("event_id"), r.as("r"),
+            floor(r * 1000000.0 + 0.5).cast("long").as("qr"))
+          .select(col("user_id"), col("r"), col("qr"),
+            row_number().over(rankW).as("rn"),
+            count(lit(1)).over(cntW).as("n"))
+          .withColumn("kk", expr("(n + 19) div 20"))
+          .groupBy("user_id")
+          .agg(max("n").as("n_returns"), max("kk").as("k_tail"),
+            max(when(col("rn") === col("kk"), col("r"))).as("var5"),
+            (sum(when(col("rn") <= col("kk"), col("qr"))).cast("double") /
+              max("kk").cast("double") / 1000000.0).as("cvar5"))
+      }),
   )
 }
