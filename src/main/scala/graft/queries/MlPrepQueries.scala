@@ -598,5 +598,44 @@ object MlPrepQueries {
             coalesce(col("cum_f").cast("double") /
               col("n_train").cast("double"), lit(0.0)).as("q"))
       }),
+
+    // CLASS BALANCE: per-class downsampling to the minority-class count —
+    // the standard rebalance step before training a classifier on skewed
+    // labels (each class keeps exactly min-class-count rows, so the
+    // balanced set is class-uniform by construction). Deterministic at
+    // any parallelism: the per-class keep set is the first m rows in
+    // portable-hash order (seeded, tie-broken by the unique vec_id), not
+    // a seeded RNG whose draw order would depend on partitioning. The
+    // rank window partitions by label (bounded per class); the 1-row
+    // minority count broadcasts — no driver-side collect.
+    QueryDef(
+      "mlprep_class_balance",
+      Some {
+        val h = graft.operators.TextOps
+          .oHash32("'cb:' || CAST(vec_id AS VARCHAR)")
+        s"""WITH c AS (
+           |  SELECT CAST(min(cnt) AS BIGINT) AS m FROM (
+           |    SELECT count(*) AS cnt FROM embeddings GROUP BY label)),
+           |r AS (
+           |  SELECT vec_id, label, $h AS u,
+           |    row_number() OVER (PARTITION BY label
+           |      ORDER BY $h, vec_id) AS rn
+           |  FROM embeddings)
+           |SELECT r.vec_id, CAST(r.label AS BIGINT) AS label
+           |FROM r CROSS JOIN c WHERE r.rn <= c.m""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val emb = Tables.embeddings(s, d)
+        val m = broadcast(emb.groupBy("label")
+          .agg(count(lit(1)).as("cnt")).agg(min("cnt").as("m")))
+        val u = hash32(concat(lit("cb:"), col("vec_id").cast("string")))
+        val w = Window.partitionBy("label").orderBy(u, col("vec_id"))
+        emb.select(col("vec_id"), col("label"))
+          .withColumn("rn", row_number().over(w))
+          .crossJoin(m)
+          .filter(col("rn") <= col("m"))
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+      }),
   )
 }

@@ -946,6 +946,64 @@ object TextQueries {
             ((col("cum") - col("nt")) % 512).as("seq_offset"))
       }),
 
+    // MIX4: balanced shard assignment — the write-side twin of mix3:
+    // distribute documents across 8 output shards so every shard carries
+    // a near-equal TOKEN load (training shards are consumed in parallel;
+    // the slowest shard paces the epoch). Size-aware SNAKE packing: rank
+    // docs by token count descending WITHIN each source and walk the
+    // ranks boustrophedon (0..7,7..0,…), so each source's heavy head is
+    // spread across all shards and consecutive sizes alternate direction
+    // — ~LPT balance with zero sequential bin-packing state. The rank
+    // window partitions by source (bounded), never globally; the audit
+    // windows run over exactly 8 shard rows. Deterministic by (nt desc,
+    // doc_id) on both engines; imbalance = max/min shard load as a ratio
+    // of exact longs.
+    QueryDef(
+      "mix4_shard_snake",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, source, nt,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY nt DESC, doc_id) - 1 AS rn
+             |  FROM t),
+             |a AS (
+             |  SELECT doc_id, nt,
+             |    CASE WHEN rn % 16 < 8 THEN rn % 16
+             |         ELSE 15 - (rn % 16) END AS shard
+             |  FROM r),
+             |sh AS (
+             |  SELECT CAST(shard AS BIGINT) AS shard,
+             |    count(*) AS n_docs,
+             |    CAST(sum(nt) AS BIGINT) AS total_tokens
+             |  FROM a GROUP BY 1)
+             |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs, total_tokens,
+             |  CAST(max(total_tokens) OVER () AS DOUBLE)
+             |    / CAST(min(total_tokens) OVER () AS DOUBLE) AS imbalance
+             |FROM sh""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("nt").desc, col("doc_id"))
+        val g = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("nt"))
+          .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+          .withColumn("shard",
+            when(col("rn") % 16 < 8, col("rn") % 16)
+              .otherwise(lit(15L) - col("rn") % 16))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"))
+          .select(col("shard"), col("n_docs"), col("total_tokens"),
+            (max("total_tokens").over(g).cast("double") /
+              min("total_tokens").over(g).cast("double")).as("imbalance"))
+      }),
+
     // TX14: vocabulary-growth profile (Heaps' law curve) — cumulative
     // distinct vocabulary and token count at 20 corpus checkpoints: the
     // curve that tells a training-data pipeline whether more of this
