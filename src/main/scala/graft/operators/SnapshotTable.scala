@@ -63,8 +63,32 @@ object SnapshotTable {
       .sorted
   }
 
-  private def readManifest(spark: SparkSession, tablePath: String,
-                           v: Int): Seq[String] = {
+  /** One manifest entry: a data file plus optional per-column min/max
+    * stats (the Iceberg file-stats idea — the metadata that lets a reader
+    * skip files BEFORE any scan task is scheduled). Values are exact
+    * decimal strings in the manifest; absence of stats for a column means
+    * the file can never be pruned on it (conservative by construction). */
+  final case class FileEntry(path: String,
+                             stats: Map[String, (BigDecimal, BigDecimal)])
+
+  /** Manifest line format: `relpath` or
+    * `relpath\tcol=min..max\tcol2=min..max`. */
+  private def renderEntry(e: FileEntry): String =
+    (e.path +: e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"$c=$mn..$mx"
+    }).mkString("\t")
+
+  private def parseEntry(line: String): FileEntry = {
+    val parts = line.split("\t")
+    FileEntry(parts.head, parts.tail.map { s =>
+      val Array(c, range) = s.split("=", 2)
+      val Array(mn, mx) = range.split("\\.\\.", 2)
+      c -> (BigDecimal(mn), BigDecimal(mx))
+    }.toMap)
+  }
+
+  private def readLines(spark: SparkSession, tablePath: String,
+                        v: Int): Seq[String] = {
     val p = manifestPath(tablePath, v)
     val f = fs(spark, p)
     require(f.exists(p), s"snapshot v$v does not exist (vacuumed or never " +
@@ -73,6 +97,22 @@ object SnapshotTable {
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  private def readManifest(spark: SparkSession, tablePath: String,
+                           v: Int): Seq[String] =
+    readLines(spark, tablePath, v).map(l => parseEntry(l).path)
+
+  /** The version's file entries with their stats (`version = None` →
+    * head). */
+  def entries(spark: SparkSession, tablePath: String,
+              version: Option[Int] = None): Seq[FileEntry] = {
+    val v = version.getOrElse {
+      val vs = versions(spark, tablePath)
+      require(vs.nonEmpty, s"no committed snapshots at $tablePath")
+      vs.last
+    }
+    readLines(spark, tablePath, v).map(parseEntry)
   }
 
   /** How long a commit lock may sit before another writer may presume
@@ -102,21 +142,79 @@ object SnapshotTable {
       catch { case _: java.io.IOException => false }
     }
 
+  /** Render one stats value as an exact decimal for the manifest.
+    * Numerics keep full precision; dates become epoch days, timestamps
+    * epoch millis. Unsupported types contribute no stats (never pruned —
+    * conservative). */
+  private def toBig(x: Any): Option[BigDecimal] = x match {
+    case null => None
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case f: Float => Some(BigDecimal(f.toDouble))
+    case d: Double => Some(BigDecimal(d))
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case t: java.sql.Timestamp => Some(BigDecimal(t.getTime))
+    case t: java.time.Instant => Some(BigDecimal(t.toEpochMilli))
+    case _ => None
+  }
+
+  /** Per-file min/max stats for `statsCols`, computed with ONE read-back
+    * scan of the just-written commit directory grouped by
+    * `input_file_name` (a real table format lifts these from the parquet
+    * footers the writer already produced; the footer API isn't public in
+    * this env, and the read-back touches only THIS commit's files, never
+    * the table). Result is metadata-sized: one row per data file. */
+  private def fileStats(spark: SparkSession, dataDir: Path,
+                        statsCols: Seq[String])
+      : Map[String, Map[String, (BigDecimal, BigDecimal)]] = {
+    if (statsCols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val rows = spark.read.parquet(dataDir.toString)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .toLocalIterator()
+    val out = Map.newBuilder[String, Map[String, (BigDecimal, BigDecimal)]]
+    rows.forEachRemaining { r =>
+      val name = new Path(r.getString(0)).getName
+      val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+        for {
+          mn <- toBig(r.get(1 + 2 * i))
+          mx <- toBig(r.get(2 + 2 * i))
+        } yield c -> (mn, mx)
+      }.toMap
+      out += name -> stats
+    }
+    out.result()
+  }
+
   /** Commit `df` as the next version. `replace = true` makes the new
     * manifest exactly this commit's files (overwrite semantics);
-    * `replace = false` appends them to the current head's file set.
-    * Returns the committed version. Data files are written ONCE, outside
-    * the lock; only the version assignment and manifest publish — pure
-    * metadata — are serialized. */
+    * `replace = false` appends them to the current head's file set
+    * (existing entries keep their stats verbatim). `statsCols` names
+    * columns whose per-file min/max land in the manifest for
+    * [[readPruned]] file skipping. Returns the committed version. Data
+    * files are written ONCE, outside the lock; only the version
+    * assignment and manifest publish — pure metadata — are serialized. */
   def commit(spark: SparkSession, df: DataFrame, tablePath: String,
-             replace: Boolean = true): Int = {
+             replace: Boolean = true,
+             statsCols: Seq[String] = Seq.empty): Int = {
+    require(statsCols.forall(c => !c.contains("\t") && !c.contains("=")),
+      "stats column names must not contain tab or '='")
     val commitId = java.util.UUID.randomUUID().toString
     val dataDir = new Path(new Path(tablePath, "data"), commitId)
     df.write.parquet(dataDir.toString)
     val f = fs(spark, dataDir)
+    val stats = fileStats(spark, dataDir, statsCols)
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
-      .map(p => s"data/$commitId/${p.getName}")
+      .map(p => renderEntry(FileEntry(s"data/$commitId/${p.getName}",
+        stats.getOrElse(p.getName, Map.empty))))
     f.mkdirs(manifestDir(tablePath))
     val lock = new Path(manifestDir(tablePath), "_commit.lock")
     var attempts = 0
@@ -127,7 +225,7 @@ object SnapshotTable {
           val head = versions(spark, tablePath).lastOption
           val base =
             if (replace) Seq.empty
-            else head.map(readManifest(spark, tablePath, _))
+            else head.map(readLines(spark, tablePath, _))
               .getOrElse(Seq.empty)
           val v = head.getOrElse(0) + 1
           val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
@@ -170,6 +268,35 @@ object SnapshotTable {
     val files = readManifest(spark, tablePath, v)
       .map(rel => new Path(tablePath, rel).toString)
     spark.read.parquet(files: _*)
+  }
+
+  /** Manifest-stats file pruning: read only the files whose recorded
+    * [lower, upper] range on `colName` can intersect the requested one —
+    * the scan-skipping a 100 TB table lives by (a day-range query over a
+    * year of files schedules tasks for the asked-for days only, decided
+    * from manifest metadata before any I/O). Files without stats for
+    * `colName` are always kept (conservative), so the pruned read +
+    * the caller's row-level filter is ALWAYS equivalent to the full
+    * read + filter. `None` bounds are open. Date columns compare as
+    * epoch days, timestamps as epoch millis (the [[toBig]] encoding). */
+  def readPruned(spark: SparkSession, tablePath: String, colName: String,
+                 lower: Option[BigDecimal], upper: Option[BigDecimal],
+                 version: Option[Int] = None): DataFrame = {
+    val kept = entries(spark, tablePath, version).filter { e =>
+      e.stats.get(colName) match {
+        case None => true
+        case Some((mn, mx)) =>
+          lower.forall(lo => mx >= lo) && upper.forall(hi => mn <= hi)
+      }
+    }
+    if (kept.isEmpty) {
+      // every file pruned: preserve the schema via an empty frame over
+      // the full file set
+      read(spark, tablePath, version).limit(0)
+    } else {
+      spark.read.parquet(
+        kept.map(e => new Path(tablePath, e.path).toString): _*)
+    }
   }
 
   /** Compaction as a COMMIT: rewrite the head's rows into
