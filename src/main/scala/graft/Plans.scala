@@ -354,6 +354,62 @@ object Plans {
       val p = planOf("sim9_centroid_drift")
       p.contains("graft_embed_stage") && !p.contains("CartesianProduct")
     }
+    // w26: the lag window and the running-sum window share the SAME
+    // (user_id / ts,event_id) partitioning+ordering — one exchange for
+    // the whole indicator, a second would mean the frames diverged
+    check("w26: one shared exchange for lag + cumulative windows") {
+      "Exchange hashpartitioning".r.findAllIn(planOf("w26_obv")).length == 1
+    }
+    // a40: rank window, count window and the final per-user aggregate all
+    // reuse ONE user_id exchange (the groupBy must not re-shuffle what
+    // the windows already partitioned)
+    check("a40: single user_id exchange for windows + final aggregate") {
+      "Exchange hashpartitioning".r
+        .findAllIn(planOf("a40_var_cvar")).length == 1
+    }
+    // a39: daily-rollup exchange + user_id window exchange only — the
+    // final moment aggregate reuses the window's partitioning
+    check("a39: final aggregate reuses the window exchange") {
+      "Exchange hashpartitioning".r
+        .findAllIn(planOf("a39_yang_zhang")).length == 2
+    }
+    // w27: the OHLC rollup and the oscillator windows are the only
+    // keyed exchanges (%K quantization and %D stay in the window stage)
+    check("w27: two keyed exchanges (rollup + window stage)") {
+      "Exchange hashpartitioning".r
+        .findAllIn(planOf("w27_stochastic")).length == 2
+    }
+    // mix4: the rank window partitions by source — the data-sized
+    // window must never run on a single partition (the 8-row audit
+    // window above the shard aggregate is the only global step)
+    check("mix4: size-rank window partitioned by source, no cartesian") {
+      val p = planOf("mix4_shard_snake")
+      p.contains("Exchange hashpartitioning(source") &&
+        !p.contains("CartesianProduct")
+    }
+    // mix5: the rank-filter pushes down as WindowGroupLimit — each
+    // partition pre-selects its top-k BEFORE the source exchange, so the
+    // shuffle carries ~k rows per partition, not the corpus
+    check("mix5: WindowGroupLimit pushdown on the weighted-sample rank") {
+      val p = planOf("mix5_weighted_sample")
+      p.contains("WindowGroupLimit") && !p.contains("CartesianProduct")
+    }
+    // class balance: the minority count rides a 1-row broadcast onto the
+    // label-partitioned rank window — never a cartesian/shuffle join
+    check("mlprep_class_balance: 1-row broadcast, label-keyed window") {
+      val p = planOf("mlprep_class_balance")
+      p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+    }
+    // pl20: manifest-stats pruning must actually skip files — the 5-day
+    // range over the 6-file range layout schedules ≤ 2 data files (file
+    // skipping happens at manifest-resolution time, before the plan, so
+    // the proof is the scheduled file list, not a plan string)
+    check("pl20: pruned scan schedules ≤ 2 of the 6 committed files") {
+      val files = qs("pl20_stats_pruned_scan")(spark, "/root/testdata/sf0.01")
+        .inputFiles.filter(_.contains("graft_snapstats"))
+      files.nonEmpty && files.length <= 2
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

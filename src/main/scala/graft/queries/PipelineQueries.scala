@@ -918,5 +918,51 @@ object PipelineQueries {
         SnapshotTable.read(s, out)
           .select("user_id", "day", "n", "total")
       }),
+
+    // PL20: manifest-stats pruned scan — the scan-skipping read driven
+    // end-to-end through the oracle gate: the daily rollup is committed
+    // to a snapshot table RANGE-LAID-OUT on day (repartitionByRange → 6
+    // files with disjoint day spans) with per-file min/max day stats in
+    // the manifest, and the 5-day range query resolves its file list
+    // FROM THE MANIFEST — [[SnapshotTable.readPruned]] schedules scan
+    // tasks for ~1/6 of the table before any I/O happens. The row-level
+    // filter stays on top (pruning is file-granular), so the result is
+    // provably the plain filter's — which is exactly what the DuckDB
+    // oracle computes from raw events. Plans.scala asserts the file-skip
+    // actually happened (pruned inputFiles < committed files).
+    //
+    // At 100 TB this layout+prune pair is the difference between a
+    // year-scan and a week-scan; the same mechanics serve any column the
+    // writer clusters by (the ZOrder operator's multi-column analog).
+    QueryDef(
+      "pl20_stats_pruned_scan",
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    count(*) AS n,
+              |    CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS total
+              |  FROM events GROUP BY 1, 2)
+              |SELECT user_id, day, CAST(n AS BIGINT) AS n, total
+              |FROM daily
+              |WHERE day BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'"""
+        .stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+               (sum(lq(col("value"))).cast("double") / 100.0).as("total"))
+        val out = s"/tmp/graft_snapstats_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        SnapshotTable.commit(s, daily.repartitionByRange(6, col("day")),
+          out, statsCols = Seq("day"))
+        val lo = java.time.LocalDate.parse("2024-01-10").toEpochDay
+        val hi = java.time.LocalDate.parse("2024-01-14").toEpochDay
+        SnapshotTable.readPruned(s, out, "day",
+            Some(BigDecimal(lo)), Some(BigDecimal(hi)))
+          .filter(col("day").between(lit("2024-01-10").cast("date"),
+            lit("2024-01-14").cast("date")))
+          .select("user_id", "day", "n", "total")
+      }),
   )
 }

@@ -1004,6 +1004,58 @@ object TextQueries {
               min("total_tokens").over(g).cast("double")).as("imbalance"))
       }),
 
+    // MIX5: weighted sampling WITHOUT replacement — Efraimidis-Spirakis
+    // (2006): each item draws u ∈ (0,1] and the k items with the largest
+    // u^(1/w) are a size-weighted sample without replacement; picking
+    // the k SMALLEST of the equivalent key −ln(u)/w avoids the pow. The
+    // one-pass distributable formulation of weighted reservoir sampling
+    // (a seeded RNG's draw order would depend on partitioning): here it
+    // samples 5 documents per source with probability ∝ token count —
+    // the corpus-subsampling step that favors long documents without a
+    // global sort (the rank window partitions by source; at corpus scale
+    // a plain per-partition top-k + merge computes the same keys).
+    //
+    // Parity: u derives from the portable hash32 (+1 keeps ln off zero),
+    // the ln is rounded at 9 (tx7 doctrine) BEFORE the weight division,
+    // and both engines order identical doubles with the doc_id tiebreak.
+    QueryDef(
+      "mix5_weighted_sample",
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+              |    ${oHash32("'ws:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |k AS (
+              |  SELECT doc_id, source, nt,
+              |    round(-ln((CAST(h AS DOUBLE) + 1.0) / 4294967296.0), 9)
+              |      / CAST(nt AS DOUBLE) AS es_key
+              |  FROM t WHERE nt > 0),
+              |r AS (
+              |  SELECT doc_id, source, nt, es_key,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY es_key, doc_id) AS rnk
+              |  FROM k)
+              |SELECT source, doc_id, nt AS n_tokens, es_key,
+              |  CAST(rnk AS BIGINT) AS rnk
+              |FROM r WHERE rnk <= 5""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("es_key", "doc_id")
+        Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("nt"),
+            hash32(concat(lit("ws:"), col("doc_id").cast("string")))
+              .as("h"))
+          .filter(col("nt") > 0)
+          .withColumn("es_key",
+            round(-log((col("h").cast("double") + 1.0) / 4294967296.0), 9)
+              / col("nt").cast("double"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("source"), col("doc_id"), col("nt").as("n_tokens"),
+            col("es_key"), col("rnk"))
+      }),
+
     // TX14: vocabulary-growth profile (Heaps' law curve) — cumulative
     // distinct vocabulary and token count at 20 corpus checkpoints: the
     // curve that tells a training-data pipeline whether more of this
