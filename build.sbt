@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures stdout of `sbt runMain graft.Bench` and parses
+// the LAST line as JSON; two sbt behaviors corrupted that artifact in
+// rounds 3-5: the "[success] Total time ..." footer printed after the
+// summary, and the logger's "[info] " prefix on every forked-process stdout
+// line (which also echoes forked stderr as "[error] " lines on stdout).
+// Suppress the footer and route forked output RAW to sbt's own stdout /
+// stderr so the bench's summary is the final, prefix-free stdout line.
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

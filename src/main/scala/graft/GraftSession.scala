@@ -10,15 +10,16 @@ import org.apache.spark.sql.SparkSession
   * from one table loader into every later read in the session.
   */
 object GraftSession {
-  /** Session-build configs required by graft readers.
+  /** Session-build configs graft readers may depend on.
     *
-    * `nanosAsLong`: the `events` fixture stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark 4 otherwise refuses to scan; reading the
-    * raw nanos and truncating (see [[Tables.events]]) matches DuckDB's view
-    * of the same file. This is consulted both at schema inference and at
-    * physical-scan construction, so it must be set before the first action —
-    * a save/restore around the (lazy) read would be restored before the scan
-    * ever runs.
+    * `nanosAsLong`: when an `events` fixture generation stores `ts` as
+    * parquet TIMESTAMP(NANOS) (which Spark 4 otherwise refuses to scan),
+    * this surfaces it as raw nanos for [[Tables.events]] to truncate —
+    * matching DuckDB's view of the same file. For micros-encoded fixtures
+    * the conf is inert, so it is always safe to set; it is consulted both
+    * at schema inference and at physical-scan construction, so it must be
+    * set before the first action rather than save/restored around a lazy
+    * read.
     */
   val requiredConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true"

@@ -410,6 +410,51 @@ object Plans {
         .inputFiles.filter(_.contains("graft_snapstats"))
       files.nonEmpty && files.length <= 2
     }
+    // mm2: the per-kind manifest rollup is ONE hash aggregate — the only
+    // exchange is the |kinds|-row partial-agg shuffle (plus fanOut-free
+    // scan), never a sort or join
+    check("mm2: single aggregate exchange, no join/sort") {
+      val p = planOf("mm2_kind_rollup")
+      "Exchange hashpartitioning".r.findAllIn(p).length == 1 &&
+        !p.contains("Join") && !p.contains("CartesianProduct")
+    }
+    // mm3: the frame→vector association is an equi-join on vec_id (never a
+    // cartesian); n_vecs rides a 1-row broadcast
+    check("mm3: vec_id equi-join + 1-row broadcast, no cartesian") {
+      val p = planOf("mm3_frame_vector_join")
+      !p.contains("CartesianProduct") &&
+        p.contains("BroadcastNestedLoopJoin") &&
+        (p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("SortMergeJoin"))
+    }
+    // multimodal payload pruning: a metadata-only projection over a REAL
+    // binary-payload parquet table must not read the payload column at the
+    // scan (columnar prune — at 100 TB this is "scan KBs of metadata, not
+    // TBs of media bytes")
+    check("multimodal: metadata-only scan prunes the binary payload column") {
+      import org.apache.spark.sql.Row
+      import graft.operators.Multimodal
+      val tmp = "/tmp/graft_plans_media"
+      val rows = (1L to 64L).map { i =>
+        Row(i, Seq("image", "audio", "video")(i.toInt % 3),
+          Array.fill[Byte](128)((i % 127).toByte),
+          if (i % 3 == 0) Int.box(640) else null,
+          if (i % 3 == 0) Int.box(480) else null,
+          if (i % 3 != 0) Long.box(i * 1000L) else null)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+        .write.mode("overwrite").parquet(tmp)
+      val plan = spark.read.parquet(tmp)
+        .groupBy("kind").count()
+        .queryExecution.executedPlan.toString
+      val scanLines = plan.linesIterator
+        .filter(l => l.contains("ReadSchema")).toSeq
+      scanLines.nonEmpty && scanLines.forall { l =>
+        val schema = l.substring(l.indexOf("ReadSchema"))
+        schema.contains("kind") && !schema.contains("payload")
+      }
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -22,26 +22,40 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
 
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read as a timestamp. Read it as raw nanos (`nanosAsLong`) and truncate
-    * to microseconds — exactly what DuckDB does when scanning the same file,
-    * so oracle comparisons see identical instants.
+  /** `events.ts` has shipped in three physical encodings across fixture
+    * generations, so the load is schema-adaptive rather than assuming one:
     *
-    * The conf must come from session construction ([[GraftSession.builder]]):
-    * it is consulted again when the physical scan is built, so setting it
-    * here (a global mutation from a table loader) or save/restoring around
-    * this lazy read would either leak into unrelated reads or be gone before
-    * the scan executes. Fail fast with the fix rather than mutate.
+    *  - parquet TIMESTAMP(NANOS): Spark 4 refuses to scan it as a timestamp;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` (set at session
+    *    build, [[GraftSession.builder]]) it surfaces as [[LongType]] raw
+    *    nanos, which we truncate to micros — exactly DuckDB's view of the
+    *    same file, so oracle comparisons see identical instants.
+    *  - parquet timestamp[us] with isAdjustedToUTC=false: surfaces as
+    *    [[TimestampNTZType]]; cast to session-TZ [[TimestampType]] (sessions
+    *    are pinned UTC, so the wall-clock is reinterpreted as the same
+    *    instant DuckDB reports for the naive column).
+    *  - timestamp[us] UTC-adjusted: already [[TimestampType]], pass through.
+    *
+    * The nanos conf must come from session construction: it is consulted
+    * again when the physical scan is built, so setting it here (a global
+    * mutation from a table loader) would leak into unrelated reads or be
+    * gone before the scan executes. It is only *required* when the file is
+    * actually NANOS — with a micros file the conf is inert either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    GraftSession.requiredConfigs.foreach { case (k, v) =>
-      require(s.conf.getOption(k).contains(v),
-        s"Tables.events needs session conf $k=$v (set at session build, " +
-        "e.g. via graft.GraftSession.builder)")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType          => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType  => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType     => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; if the fixture is " +
+        "TIMESTAMP(NANOS) the session needs " +
+        "spark.sql.legacy.parquet.nanosAsLong=true at build " +
+        "(graft.GraftSession.builder sets it)")
     }
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

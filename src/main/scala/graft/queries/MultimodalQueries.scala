@@ -83,6 +83,112 @@ object MultimodalQueries {
             col("off").cast("long").as("off"),
             ascii(expr("substr(text, cast(off as int), 1)")).cast("long")
               .as("sample_cp"))
+      }),
+
+    // MM2: kind-partitioned byte/duration rollup — the media-manifest audit
+    // a lakehouse runs per modality: row counts, total/max/mean payload
+    // bytes, and summed durations (durations derive deterministically from
+    // content length per kind: audio 250 ms/char, video 40 ms/char, image
+    // none — the stand-in for codec-probed durations, which the metadata
+    // table would carry at ingest). One hash aggregate over a metadata-only
+    // projection: the payload column itself is never read (columnar prune),
+    // never shuffled — the shuffle carries |kinds| partial rows.
+    //
+    // Parity: counts/sums/max are exact longs; the single double
+    // (avg_bytes) is one division of exact-long casts — identical IEEE
+    // trees both engines. NULL duration sums (image) stay NULL on both.
+    QueryDef(
+      "mm2_kind_rollup",
+      Some("""WITH media AS (
+             |  SELECT doc_id AS media_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    CAST(length(text) AS BIGINT) AS n_chars
+             |  FROM documents),
+             |d AS (
+             |  SELECT media_id, kind, n_bytes,
+             |    CASE kind WHEN 'audio' THEN n_chars * 250
+             |              WHEN 'video' THEN n_chars * 40 END AS duration_ms
+             |  FROM media)
+             |SELECT kind,
+             |  CAST(count(*) AS BIGINT) AS n_media,
+             |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             |  CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+             |  CAST(SUM(n_bytes) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS avg_bytes,
+             |  CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+             |  CAST(count(duration_ms) AS BIGINT) AS n_with_duration
+             |FROM d GROUP BY kind""".stripMargin),
+      (s, d) => {
+        val media = Tables.documents(s, d).select(
+          col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "image")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+            .otherwise("video").as("kind"),
+          expr("octet_length(cast(text as binary))").cast("long")
+            .as("n_bytes"),
+          length(col("text")).cast("long").as("n_chars"))
+          .withColumn("duration_ms",
+            when(col("kind") === "audio", col("n_chars") * 250L)
+              .when(col("kind") === "video", col("n_chars") * 40L))
+        media.groupBy("kind").agg(
+          count(lit(1)).cast("long").as("n_media"),
+          sum("n_bytes").cast("long").as("total_bytes"),
+          max("n_bytes").cast("long").as("max_bytes"),
+          (sum("n_bytes").cast("double") / count(lit(1)).cast("double"))
+            .as("avg_bytes"),
+          sum("duration_ms").cast("long").as("total_duration_ms"),
+          count(col("duration_ms")).cast("long").as("n_with_duration"))
+      }),
+
+    // MM3: sampled-offset → embedding-vector association (frame→vector
+    // join): each media row's 4 deterministic sample offsets (the mm1
+    // schedule) map to a vector id in the embeddings table — the shape of
+    // "look up the precomputed CLIP/spectrogram embedding for each sampled
+    // frame". The id mapping hashes (media_id, frame_idx) onto the dense
+    // [0, n_vecs) key space; n_vecs rides a 1-row broadcast (never
+    // collected), and the association is a plain equi-join on vec_id —
+    // broadcast at fixture scale, the standard vec_id shuffle join when
+    // the vector table is 100 TB-large. Payload bytes appear nowhere.
+    //
+    // Parity: hash32 replays identically on both engines, both operands of
+    // `%` are non-negative so `%`/pmod agree, and every output column is an
+    // exact long (the embedding itself is represented by its width — raw
+    // float passthrough is avoided entirely).
+    QueryDef(
+      "mm3_frame_vector_join",
+      Some(s"""WITH n AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings),
+              |f AS (SELECT unnest(generate_series(0, 3)) AS frame_idx),
+              |fr AS (
+              |  SELECT d.doc_id AS media_id,
+              |    CAST(f.frame_idx AS BIGINT) AS frame_idx,
+              |    (${oHash32("'fv:' || CAST(d.doc_id AS VARCHAR)")} +
+              |      f.frame_idx * 2654435761) % n.n_vecs AS vec_id
+              |  FROM documents d CROSS JOIN f CROSS JOIN n)
+              |SELECT fr.media_id, fr.frame_idx, fr.vec_id,
+              |  CAST(e.label AS BIGINT) AS label,
+              |  CAST(len(e.embedding) AS BIGINT) AS dim
+              |FROM fr JOIN embeddings e ON fr.vec_id = e.vec_id""".stripMargin),
+      (s, d) => {
+        val nv = Tables.embeddings(s, d)
+          .agg(count(lit(1)).cast("long").as("n_vecs"))
+        val frames = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            explode(sequence(lit(0), lit(3))).as("frame_idx"))
+          .crossJoin(broadcast(nv))
+          .select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            pmod(hash32(concat(lit("fv:"), col("media_id").cast("string"))) +
+              col("frame_idx") * lit(2654435761L), col("n_vecs"))
+              .as("vec_id"))
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          col("label").cast("long").as("label"),
+          size(col("embedding")).cast("long").as("dim"))
+        frames.join(emb, Seq("vec_id"))
+          .select(col("media_id"), col("frame_idx"), col("vec_id"),
+            col("label"), col("dim"))
       })
   )
 }

@@ -271,33 +271,41 @@ object TextQueries {
     // set (Robertson-Sparck Jones BM25, k1=1.2 b=0.75). Corpus statistics
     // (N, avgdl, per-term df) come from ONE aggregate broadcast back onto
     // the per-doc scan; top-k is orderBy+limit (TakeOrdered — no global
-    // sort). Parity: tf/dl/df/N are exact integers, avgdl and every score
-    // term derive through identical IEEE trees, and the one transcendental
-    // (ln in the idf) is rounded at 9 decimals like f7 — ranking uses the
-    // ROUNDED score so a last-ulp libm difference cannot reorder the
-    // tiebreak (score desc, doc_id).
+    // sort).
+    //
+    // Parity (third-round fix — the compared value is now a LONG):
+    //  1. `round(x, 9)` is engine-specific (Spark goes through BigDecimal,
+    //   DuckDB through a float grid) and bare decimal literals like `1.2`
+    //   are DECIMAL-typed in DuckDB, silently pulling sub-expressions into
+    //   decimal arithmetic that Spark does in doubles. Both are gone: every
+    //   constant is written as an explicit DOUBLE (`1.2e0`), every operand
+    //   is cast to DOUBLE before it meets one, and ALL quantization uses
+    //   the doctrine tree `floor(x*scale + 0.5)` (QueryDef.scala `lq`) —
+    //   the same correctly-rounded IEEE ops on both engines.
+    //  2. The one transcendental (idf ln) is floor-quantized to a LONG at
+    //   1e9 and rebuilt as `long/1e9` — a correctly-rounded long→double
+    //   cast plus division, bit-identical on both engines. From there every
+    //   input (tf/dl/df/N exact ints, avgdl exact-sum division) flows
+    //   through identical IEEE trees → bit-identical score doubles.
+    //  3. The emitted score is `floor(score*1e6 + 0.5)` AS BIGINT — the
+    //   hash compares longs, and the rank/tiebreak (score_q desc, doc_id)
+    //   orders by that same long, so a last-ulp libm ln difference can
+    //   only matter if it crosses a 1e-9 floor boundary (~1e-7 odds per
+    //   distinct term, 3 terms per corpus).
     {
       val terms = Seq("spark", "query", "stream")
-      val K1 = "1.2"; val B = "0.75"
       val oTf = terms.zipWithIndex.map { case (t, i) =>
         s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS BIGINT) AS tf_$i"
       }.mkString(",\n    ")
       val oStats = terms.indices.map { i =>
         s"CAST(count(CASE WHEN tf_$i > 0 THEN 1 END) AS BIGINT) AS df_$i"
       }.mkString(", ")
-      // Parity: JVM Math.log and the driver's DuckDB libm ln can differ
-      // at the last ulp on rare inputs (the a31/tx10 hazard). Each idf ln
-      // term is rounded at 9 decimals on BOTH engines BEFORE the
-      // multiply/sum — a single round on the final score is not enough,
-      // because the ulp survives the three-term sum and can flip the
-      // final round on a boundary doc. There are only |terms| distinct ln
-      // evaluations per corpus, so a 1e-9 grid boundary hit is ~1e-7
-      // improbable; once the idf inputs match bit-for-bit, every
-      // downstream op is correctly-rounded IEEE in identical order.
       val oScore = terms.indices.map { i =>
-        s"round(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5)), 9) * " +
-        s"(tf_$i * ($K1 + 1.0)) / " +
-        s"(tf_$i + $K1 * (1.0 - $B + $B * dl / avgdl))"
+        s"(CAST(floor(ln((CAST(n_docs - df_$i AS DOUBLE) + 0.5e0) / " +
+        s"(CAST(df_$i AS DOUBLE) + 0.5e0)) * 1.0e9 + 0.5e0) AS BIGINT) / 1.0e9) * " +
+        s"(CAST(tf_$i AS DOUBLE) * (1.2e0 + 1.0e0)) / " +
+        s"(CAST(tf_$i AS DOUBLE) + 1.2e0 * " +
+        s"(1.0e0 - 0.75e0 + 0.75e0 * CAST(dl AS DOUBLE) / avgdl))"
       }.mkString(" + ")
       QueryDef(
         "tx7_bm25",
@@ -312,9 +320,10 @@ object TextQueries {
                 |      AS avgdl,
                 |    $oStats
                 |  FROM base)
-                |SELECT doc_id, round($oScore, 9) AS score
+                |SELECT doc_id,
+                |  CAST(floor(($oScore) * 1.0e6 + 0.5e0) AS BIGINT) AS score_q
                 |FROM base, stats
-                |ORDER BY score DESC, doc_id
+                |ORDER BY score_q DESC, doc_id
                 |LIMIT 20""".stripMargin),
         (s, d) => {
           val toks = tokens(col("text"))
@@ -335,17 +344,19 @@ object TextQueries {
           val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
             statAggs: _*)
           val score = terms.indices.map { i =>
-            // per-term idf ln rounded at 9 decimals — mirrors the oracle
-            // exactly; see the oScore parity note above
-            round(log((col("n_docs") - col(s"df_$i") + 0.5) /
-                (col(s"df_$i") + lit(0.5))), 9) *
-            (col(s"tf_$i") * (lit(1.2) + 1.0)) /
-            (col(s"tf_$i") + lit(1.2) *
-              (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+            // idf floor-quantized to long at 1e9, rebuilt as long/1e9 —
+            // mirrors the oracle tree exactly (see parity note above)
+            (floor(log(((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)) /
+                (col(s"df_$i").cast("double") + lit(0.5))) * lit(1e9) + lit(0.5))
+              .cast("long").cast("double") / lit(1e9)) *
+            (col(s"tf_$i").cast("double") * (lit(1.2) + lit(1.0))) /
+            (col(s"tf_$i").cast("double") + lit(1.2) *
+              (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
           }.reduce(_ + _)
           base.crossJoin(broadcast(stats))
-            .select(col("doc_id"), round(score, 9).as("score"))
-            .orderBy(col("score").desc, col("doc_id"))
+            .select(col("doc_id"),
+              floor(score * lit(1e6) + lit(0.5)).cast("long").as("score_q"))
+            .orderBy(col("score_q").desc, col("doc_id"))
             .limit(20)
         })
     },
@@ -1016,7 +1027,7 @@ object TextQueries {
     // a plain per-partition top-k + merge computes the same keys).
     //
     // Parity: u derives from the portable hash32 (+1 keeps ln off zero),
-    // the ln is rounded at 9 (tx7 doctrine) BEFORE the weight division,
+    // the ln is rounded at 9 decimals BEFORE the weight division,
     // and both engines order identical doubles with the doc_id tiebreak.
     QueryDef(
       "mix5_weighted_sample",
