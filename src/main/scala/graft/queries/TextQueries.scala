@@ -1108,16 +1108,24 @@ object TextQueries {
       (s, d) => {
         val docs = Tables.fanOut(Tables.documents(s, d))
         val bounds = docs.agg((max("doc_id") + 1).as("n"))
-        val firsts = docs
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        // tokenize ONCE: both the term-firsts explode and the per-doc token
+        // counts read this cached (doc_id, toks, nt) frame — without it each
+        // branch re-splits the whole corpus (the r4→r6 tx14 regression was
+        // exactly this double tokenize)
+        val tokenized = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("nt", size(col("toks")).cast("long"))
+          .persist()
+        val firsts = tokenized
+          .select(col("doc_id"), explode(col("toks")).as("term"))
           .groupBy("term").agg(min("doc_id").as("first_doc"))
         val vnew = firsts.crossJoin(broadcast(bounds))
           .groupBy(least(expr("first_doc * 20 DIV n"), lit(19L))
             .as("bucket"))
           .agg(count(lit(1)).as("new_terms"))
-        val tok = docs.crossJoin(broadcast(bounds))
+        val tok = tokenized.crossJoin(broadcast(bounds))
           .groupBy(least(expr("doc_id * 20 DIV n"), lit(19L)).as("bucket"))
-          .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+          .agg(sum("nt").as("n_tokens"),
             count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
