@@ -626,6 +626,10 @@ object TextQueries {
           .agg(count(lit(1)).as("n"))
           .withColumn("w", col("source").substr(lit(4), lit(10))
             .cast("int") + 1)
+          // 20 rows consumed by three downstream frames (total weight,
+          // binding minimum, rate table) — persist so the corpus count
+          // scan runs once, not three times
+          .persist()
         val tw = c.agg(sum(col("w")).as("tw"))
         val nm = c.crossJoin(broadcast(tw))
           .agg(min(col("n").cast("double") * col("tw").cast("double") /
@@ -698,6 +702,9 @@ object TextQueries {
         val w = c.withColumn("wq",
           floor(sqrt(col("tok").cast("double")) * 1000000.0 + 0.5)
             .cast("long"))
+          // 20 rows, but each recompute re-tokenizes the corpus — persist
+          // so the total and the rate table share ONE counts pass
+          .persist()
         val tw = w.agg(sum("wq").as("twq"), sum("tok").as("ttok"))
         val targetFrac = col("wq").cast("double") / col("twq").cast("double")
         val r = w.crossJoin(broadcast(tw))
@@ -838,6 +845,9 @@ object TextQueries {
           .select(col("doc_id"), sq.as("sq"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum("sq").as("s"))
+          // one row per doc; without this the corpus-band total below
+          // re-runs the whole c1/c2 surprisal join a second time
+          .persist()
         val tot = a.agg(sum("s").as("ts"), sum("n_bigrams").as("tn"))
         val ms = col("s").cast("double") /
           col("n_bigrams").cast("double") / 1000000.0
