@@ -905,6 +905,10 @@ object TextQueries {
             .as("dl"), explode(tokens(col("text"))).as("term"))
           .groupBy("doc_id", "term")
           .agg(min("dl").as("dl"), count(lit(1)).as("tf"))
+        // tf feeds both the df dimension and the scoring join; measured:
+        // persisting it is a net LOSS here (1.72s → 1.89s at sf0.1) — the
+        // (doc, term) frame is wide enough that materialization costs more
+        // than re-running the pipelined explode+partial-agg pass
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val tfidf = round(
