@@ -20,6 +20,9 @@ run / fork := true
 // stderr so the bench's summary is the final, prefix-free stdout line.
 ThisBuild / showSuccess := false
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// showSuccess is consumed by sbt's command layer, not by settings — exclude
+// it from the unused-key lint so builds stay warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

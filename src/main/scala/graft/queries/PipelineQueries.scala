@@ -964,5 +964,90 @@ object PipelineQueries {
             lit("2024-01-14").cast("date")))
           .select("user_id", "day", "n", "total")
       }),
+
+    // S9 (end-to-end): batched-source ingestion through the real sink —
+    // the reference's chunked symbol-universe pull (alpa.py:68-79, one
+    // request per 200-symbol chunk) driven through
+    // [[graft.sources.BatchedIngest]]: the key universe is split into
+    // fixed-size batches, each batch's fetch MERGEs into the sink with
+    // ON CONFLICT (key, ts) DO NOTHING, and batch 0 is deliberately
+    // re-run at the end — the resume-after-failure case, which must
+    // insert zero rows. The ONE driver-side collect here is the KEY LIST
+    // (the symbol universe — driver-sized configuration by nature, 150
+    // keys at any SF; the reference ships it as a literal config list);
+    // all row data stays distributed. The oracle is
+    // batch-order-independent: per (user_id, ts), the minimum-event_id
+    // row — what idempotent keyed merge guarantees regardless of how the
+    // universe was chunked or re-run.
+    QueryDef(
+      "s9_batched_ingest",
+      Some("""SELECT event_id, user_id, ts, value FROM (
+             |  SELECT event_id, user_id, ts, value, row_number() OVER (
+             |    PARTITION BY user_id, ts ORDER BY event_id) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        import graft.sources.BatchedIngest
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value")
+        val keyUniverse = ev.select("user_id").distinct()
+          .orderBy("user_id").collect().map(_.getLong(0).toString)
+        val out = s"/tmp/graft_batched_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        def fetch(batch: Seq[String]) =
+          ev.filter(col("user_id").isin(batch.map(_.toLong): _*))
+        BatchedIngest.run(s, keyUniverse, batchSize = 32, fetch, out,
+          keyCol = "user_id", tsCol = "ts", orderCol = "event_id")
+        // resume simulation: re-running the first batch must merge to
+        // zero inserts (idempotence — the hash proves it: any double-load
+        // would change the row set)
+        BatchedIngest.run(s, keyUniverse.take(32), batchSize = 32, fetch,
+          out, keyCol = "user_id", tsCol = "ts", orderCol = "event_id")
+        s.read.parquet(out).select("event_id", "user_id", "ts", "value")
+      }),
+
+    // S12 (end-to-end): per-key high-watermark incremental sync through
+    // the real sink — the reference's bars.py pattern (max(session_date)
+    // per symbol, fetch only newer) via
+    // [[graft.operators.IncrementalSync.appendNewer]]: seed the sink with
+    // the pre-cutoff slice, then sync the FULL source against it. The
+    // watermark prune drops the already-synced bulk from a column-pruned
+    // sink scan (performance at 100 TB); the keyed anti-join MERGE makes
+    // the result exact regardless of the prune (>= keeps boundary rows).
+    // The oracle replays the same semantics declaratively: seed rows, plus
+    // per-(key, ts)-deduped source rows whose (key, ts) is absent from the
+    // seed — so over-pruning, boundary loss, or double-append all break
+    // the hash.
+    QueryDef(
+      "s12_incremental_sync",
+      Some("""WITH seed AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-20'),
+             |cand AS (
+             |  SELECT event_id, user_id, ts, value FROM (
+             |    SELECT event_id, user_id, ts, value, row_number() OVER (
+             |      PARTITION BY user_id, ts ORDER BY event_id) AS rn
+             |    FROM events) WHERE rn = 1),
+             |appended AS (
+             |  SELECT c.event_id, c.user_id, c.ts, c.value FROM cand c
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM seed s
+             |    WHERE s.user_id = c.user_id AND s.ts = c.ts))
+             |SELECT event_id, user_id, ts, value FROM seed
+             |UNION ALL
+             |SELECT event_id, user_id, ts, value FROM appended""".stripMargin),
+      (s, d) => {
+        import graft.operators.IncrementalSync
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value")
+        val out = s"/tmp/graft_incsync_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val p = new org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ev.filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+          .write.parquet(out)
+        IncrementalSync.appendNewer(s, ev, out,
+          keyCol = "user_id", tsCol = "ts", orderCol = "event_id")
+        s.read.parquet(out).select("event_id", "user_id", "ts", "value")
+      }),
   )
 }
