@@ -81,9 +81,18 @@ object Bench {
     // sample instead of landing it mid-query).
     def family(n: String) = n.takeWhile(c => !c.isDigit && c != '_')
     var prevFamily = ""
+    // Long families (the 40-query `a` stretch) still accumulated enough
+    // garbage BETWEEN boundary drains for a mid-family full-GC to land
+    // inside a timed sample (r6: a26 max 4.3s on a 1.06s median). Drain
+    // every 12 queries within a family too — still outside the timed
+    // region.
+    var sinceDrain = 0
     for (_ <- 1 to iters; q <- defs) {
-      if (family(q.name) != prevFamily) { prevFamily = family(q.name)
-        System.gc() }
+      if (family(q.name) != prevFamily || sinceDrain >= 12) {
+        prevFamily = family(q.name); sinceDrain = 0
+        System.gc()
+      }
+      sinceDrain += 1
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -994,14 +994,19 @@ object PipelineQueries {
         val out = s"/tmp/graft_batched_${d.replaceAll("[^A-Za-z0-9]", "_")}"
         val p = new org.apache.hadoop.fs.Path(out)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        // batch count is the MINIMUM that still proves the contract
+        // (multi-batch chunking + resume): each round is a full
+        // read-sink/anti-join/append cycle, so rounds — not rows — set
+        // the cost of this query at fixture scale
+        val half = (keyUniverse.length + 1) / 2
         def fetch(batch: Seq[String]) =
           ev.filter(col("user_id").isin(batch.map(_.toLong): _*))
-        BatchedIngest.run(s, keyUniverse, batchSize = 32, fetch, out,
+        BatchedIngest.run(s, keyUniverse, batchSize = half, fetch, out,
           keyCol = "user_id", tsCol = "ts", orderCol = "event_id")
         // resume simulation: re-running the first batch must merge to
         // zero inserts (idempotence — the hash proves it: any double-load
         // would change the row set)
-        BatchedIngest.run(s, keyUniverse.take(32), batchSize = 32, fetch,
+        BatchedIngest.run(s, keyUniverse.take(half), batchSize = half, fetch,
           out, keyCol = "user_id", tsCol = "ts", orderCol = "event_id")
         s.read.parquet(out).select("event_id", "user_id", "ts", "value")
       }),
