@@ -15,10 +15,23 @@ import sys
 
 import pyarrow.parquet as pq
 
-# column -> set of acceptable arrow type strings. Timestamp columns accept
-# every encoding Tables.events/the NTZ readers handle.
-TS_OK = {"timestamp[ns]", "timestamp[us]", "timestamp[us, tz=UTC]",
-         "timestamp[ns, tz=UTC]", "int64"}
+# column -> set of acceptable arrow type strings.
+#
+# events.ts is the ONLY schema-adaptive column (graft.Tables.events handles
+# NANOS-as-long / NTZ micros / UTC micros). Plain int64 is deliberately NOT
+# accepted even there: pyarrow reports parquet TIMESTAMP(NANOS) as
+# timestamp[ns], so a genuine int64 column would be ambiguous (nanos? micros?)
+# and Tables' LongType branch must only be reachable via nanosAsLong on a real
+# NANOS file. Tables.events additionally magnitude-checks the first value
+# before truncating.
+TS_EVENTS_OK = {"timestamp[ns]", "timestamp[us]", "timestamp[us, tz=UTC]",
+                "timestamp[ns, tz=UTC]"}
+# o_orderdate / l_shipdate are RAW reads (no adaptive loader) and
+# FixtureSchemaSpec pins them to exactly TimestampNTZType — so the guard must
+# accept exactly what that raw read produces: non-UTC-adjusted micros. A NANOS
+# or tz=UTC file here WOULD break the suite (LongType / TimestampType surface
+# types), so the guard must fail loudly on them, not allowlist them.
+TS_RAW_NTZ_OK = {"timestamp[us]"}
 EXPECT = {
     "region":   {"r_regionkey": {"int32", "int64"},
                  "r_name": {"string", "large_string"}},
@@ -30,7 +43,7 @@ EXPECT = {
     "supplier": {"s_suppkey": {"int64"}, "s_nationkey": {"int32", "int64"}},
     "part":     {"p_partkey": {"int64"}, "p_retailprice": {"double"}},
     "orders":   {"o_orderkey": {"int64"}, "o_custkey": {"int64"},
-                 "o_totalprice": {"double"}, "o_orderdate": TS_OK,
+                 "o_totalprice": {"double"}, "o_orderdate": TS_RAW_NTZ_OK,
                  "o_orderstatus": {"string", "large_string"},
                  "o_orderpriority": {"string", "large_string"}},
     "lineitem": {"l_orderkey": {"int64"}, "l_partkey": {"int64"},
@@ -39,8 +52,8 @@ EXPECT = {
                  "l_discount": {"double"}, "l_tax": {"double"},
                  "l_returnflag": {"string", "large_string"},
                  "l_linestatus": {"string", "large_string"},
-                 "l_shipdate": TS_OK},
-    "events":   {"event_id": {"int64"}, "ts": TS_OK, "user_id": {"int64"},
+                 "l_shipdate": TS_RAW_NTZ_OK},
+    "events":   {"event_id": {"int64"}, "ts": TS_EVENTS_OK, "user_id": {"int64"},
                  "event_type": {"string", "large_string"},
                  "value": {"double"}, "props": {"string", "large_string"}},
     "documents": {"doc_id": {"int64"}, "text": {"string", "large_string"},

@@ -87,12 +87,26 @@ object Bench {
     // every 12 queries within a family too — still outside the timed
     // region.
     var sinceDrain = 0
+    // Per-sample GC attribution (round-6 verdict: a28_cms_topk med 9.2s vs
+    // min 0.89s in the full suite, tight solo — root-cause, don't guess).
+    // Records for every sample how much JVM collection time elapsed INSIDE
+    // the timed region, so a slow sample self-reports whether it was heap
+    // pressure (gc ≈ overshoot) or something else (scheduler, broadcast,
+    // compilation). Written to the durable samples file, not the committed
+    // one-line artifact.
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val gcSamples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to iters; q <- defs) {
       if (family(q.name) != prevFamily || sinceDrain >= 12) {
         prevFamily = family(q.name); sinceDrain = 0
         System.gc()
       }
       sinceDrain += 1
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -103,8 +117,12 @@ object Bench {
       // release any persist() the query registered (cache is per-query
       // scratch, not cross-query state — leaking it skews later timings).
       spark.catalog.clearCache()
-      if (ok) samples.updateWith(q.name)(s =>
-        Some((System.nanoTime() - t0) / 1e9 :: s.getOrElse(Nil)))
+      if (ok) {
+        samples.updateWith(q.name)(s =>
+          Some((System.nanoTime() - t0) / 1e9 :: s.getOrElse(Nil)))
+        gcSamples.updateWith(q.name)(s =>
+          Some((gcMillis - g0) / 1e3 :: s.getOrElse(Nil)))
+      }
     }
     // Per-query {min, median, max} over the interleaved rounds. The spread
     // is the point: round 3's artifact showed a uniform +20-35% drift on
@@ -164,6 +182,25 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    // Durable per-sample detail (wall + in-sample GC seconds, iteration
+    // order) for variance forensics — deliberately NOT in the committed
+    // artifact: it exists so a round-over-round outlier can be attributed
+    // (GC vs scheduler vs real regression) without re-running the suite.
+    val samplesFile = outFile.stripSuffix(".json") + "_samples.json"
+    val samplesJson = defs.flatMap { q =>
+      samples.get(q.name).map { ts =>
+        val gs = gcSamples.getOrElse(q.name, Nil)
+        // lists were prepended per iteration — reverse to iteration order.
+        "\"" + q.name + "\":{\"wall\":" +
+          ts.reverse.map(r).mkString("[", ",", "]") +
+          ",\"gc\":" + gs.reverse.map(r).mkString("[", ",", "]") + "}"
+      }
+    }.mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(samplesFile), samplesJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $samplesFile: ${e.getMessage}")
     }
     // The driver's tail capture proved SHORTER than the full line at 148
     // queries (rounds 3-4 committed `parsed: null` artifacts) — so the

@@ -123,7 +123,7 @@ object Plans {
     // pl13's merge primitive: the anti-join's target side scans ONLY the
     // key columns (keys-not-rows build side at 100 TB)
     check("pl13: keys-only target scan in insertIfAbsent") {
-      val tmp = "/tmp/graft_plans_merge_target"
+      val tmp = Sinks.dir(spark, "plans_merge_target")
       Tables.events(spark, "/root/testdata/sf0.001")
         .write.mode("overwrite").parquet(tmp)
       val src = Tables.events(spark, "/root/testdata/sf0.001").limit(10)
@@ -419,11 +419,13 @@ object Plans {
         !p.contains("Join") && !p.contains("CartesianProduct")
     }
     // mm3: the frame→vector association is an equi-join on vec_id (never a
-    // cartesian); n_vecs rides a 1-row broadcast
-    check("mm3: vec_id equi-join + 1-row broadcast, no cartesian") {
+    // cartesian). The guarded property is purely NEGATIVE plus the
+    // equi-join's presence — the 1-row n_vecs attachment may legally plan
+    // as BroadcastNestedLoopJoin or anything else non-cartesian Spark/AQE
+    // picks, so no specific operator is required for it.
+    check("mm3: vec_id equi-join present, no cartesian") {
       val p = planOf("mm3_frame_vector_join")
       !p.contains("CartesianProduct") &&
-        p.contains("BroadcastNestedLoopJoin") &&
         (p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
           p.contains("SortMergeJoin"))
     }
@@ -434,7 +436,7 @@ object Plans {
     check("multimodal: metadata-only scan prunes the binary payload column") {
       import org.apache.spark.sql.Row
       import graft.operators.Multimodal
-      val tmp = "/tmp/graft_plans_media"
+      val tmp = Sinks.dir(spark, "plans_media")
       val rows = (1L to 64L).map { i =>
         Row(i, Seq("image", "audio", "video")(i.toInt % 3),
           Array.fill[Byte](128)((i % 127).toByte),
@@ -453,6 +455,28 @@ object Plans {
       scanLines.nonEmpty && scanLines.forall { l =>
         val schema = l.substring(l.indexOf("ReadSchema"))
         schema.contains("kind") && !schema.contains("payload")
+      }
+    }
+    // mm4's shape over a REAL binary table: chunk-checksum dedup groups on
+    // the STORED checksum metadata column — the payload bytes must stay
+    // pruned at the scan (at 100 TB the dedup pass reads digests, not
+    // media)
+    check("mm4 shape: checksum dedup scan prunes the binary payload column") {
+      import org.apache.spark.sql.functions.{col, count, lit, md5, min}
+      val tmp = Sinks.dir(spark, "plans_media_ck")
+      spark.read.parquet(Sinks.dir(spark, "plans_media"))
+        .withColumn("chunk_checksum", md5(col("payload")))
+        .write.mode("overwrite").parquet(tmp)
+      val plan = spark.read.parquet(tmp)
+        .groupBy("chunk_checksum")
+        .agg(min("media_id"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .queryExecution.executedPlan.toString
+      val scanLines = plan.linesIterator
+        .filter(l => l.contains("ReadSchema")).toSeq
+      scanLines.nonEmpty && scanLines.forall { l =>
+        val schema = l.substring(l.indexOf("ReadSchema"))
+        schema.contains("chunk_checksum") && !schema.contains("payload")
       }
     }
     spark.stop()

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.{AggQueries, DedupQueries, GraphQueries, JoinQueries,
   MlPrepQueries, MultimodalQueries, PipelineQueries, ScalarQueries,
-  ScanFilterQueries, SimilarityQueries, SortSetQueries, TextQueries,
-  WindowQueries}
+  ScanFilterQueries, SimilarityQueries, SortSetQueries, StreamingQueries,
+  TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,7 +32,8 @@ object SparkEntry {
       TextQueries.all ++
       MultimodalQueries.all ++
       PipelineQueries.all ++
-      MlPrepQueries.all
+      MlPrepQueries.all ++
+      StreamingQueries.all
     // a duplicate name would silently shadow its twin in the `queries`
     // map — Verify would then "pass" having never run the shadowed one
     val dup = all.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

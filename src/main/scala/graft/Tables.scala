@@ -42,12 +42,36 @@ object Tables {
     * gone before the scan executes. It is only *required* when the file is
     * actually NANOS — with a micros file the conf is inert either way.
     */
+  /** Guards the NANOS-as-long truncation in [[events]]: a LongType `ts` is
+    * only trustworthy as raw nanos if its magnitude says so (2020s epoch
+    * nanos ≈ 1.7e18; micros ≈ 1.7e15). A fixture shipping epoch-MICROS as
+    * plain int64 would otherwise be silently scaled 1000× too small and
+    * surface later as opaque oracle mismatches. One `limit(1)` row read per
+    * (app, dir) — memoized, so repeated loads cost nothing; at cluster scale
+    * this is a single-split single-row scan, not a table scan.
+    */
+  private val nanosChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def assertLongTsIsNanos(raw: DataFrame, d: String): Unit =
+    if (!nanosChecked.contains(d)) {
+      val first = raw.select("ts").limit(1).collect()
+      first.headOption.filterNot(_.isNullAt(0)).map(_.getLong(0)).foreach { v =>
+        if (math.abs(v) < 1e17.toLong) throw new IllegalStateException(
+          s"events.ts in $d is int64 with magnitude $v — that is NOT epoch " +
+          "nanos (expected ~1e18). Refusing the nanos→micros truncation; " +
+          "fix the fixture encoding or teach Tables.events the new unit.")
+      }
+      nanosChecked.add(d)
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType          => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType =>
+        assertLongTsIsNanos(raw, d)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType  => raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType     => raw
       case other => throw new IllegalStateException(

@@ -189,6 +189,65 @@ object MultimodalQueries {
         frames.join(emb, Seq("vec_id"))
           .select(col("media_id"), col("frame_idx"), col("vec_id"),
             col("label"), col("dim"))
+      }),
+
+    // MM4: payload chunk-checksum dedup across kinds — the dd-family
+    // composed over mm1's media manifest, i.e. what a media lakehouse runs
+    // BEFORE any decode. Payloads are content-addressed at fixed-size
+    // chunk granularity at ingest (the standard blob-store dedup unit;
+    // whole-file dedup is the degenerate one-chunk case), and identical
+    // leading chunks ingested under different media ids — often as
+    // different declared kinds — collapse to one canonical copy. Output is
+    // the duplicate clusters only: canonical id (min media_id =
+    // keep-first), copy count, distinct-kind count (cross-modality
+    // duplication is the interesting audit), and the reclaimable bytes
+    // ((n_copies−1) × chunk size).
+    //
+    // Scale shape: ONE hash aggregate keyed on the 16-byte digest — the
+    // chunk checksum is manifest METADATA (computed once at ingest, like
+    // mm1's checksum column), so at 100 TB this groupBy shuffles digests
+    // and longs, never payload bytes; the payload column stays pruned at
+    // the scan (Plans "mm4 shape" check over a real binary table). No
+    // all-pairs anything.
+    //
+    // Parity: md5 hex strings are identical on both engines (both hash the
+    // UTF-8 bytes of the same 64-char prefix); counts and byte sums are
+    // exact longs.
+    QueryDef(
+      "mm4_payload_dedup",
+      Some("""WITH media AS (
+             |  SELECT doc_id AS media_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    md5(substr(text, 1, 64)) AS chunk_checksum,
+             |    CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT)
+             |      AS chunk_bytes
+             |  FROM documents)
+             |SELECT chunk_checksum,
+             |  CAST(min(media_id) AS BIGINT) AS canonical_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies,
+             |  CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds,
+             |  CAST((count(*) - 1) * max(chunk_bytes) AS BIGINT)
+             |    AS reclaim_bytes
+             |FROM media GROUP BY chunk_checksum
+             |HAVING count(*) > 1""".stripMargin),
+      (s, d) => {
+        val chunk = substring(col("text"), 1, 64)
+        val media = Tables.documents(s, d).select(
+          col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "image")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+            .otherwise("video").as("kind"),
+          md5(chunk.cast("binary")).as("chunk_checksum"),
+          expr("octet_length(cast(substring(text, 1, 64) as binary))")
+            .cast("long").as("chunk_bytes"))
+        media.groupBy("chunk_checksum")
+          .agg(min("media_id").cast("long").as("canonical_id"),
+            count(lit(1)).cast("long").as("n_copies"),
+            countDistinct("kind").cast("long").as("n_kinds"),
+            ((count(lit(1)) - 1) * max("chunk_bytes")).cast("long")
+              .as("reclaim_bytes"))
+          .filter(col("n_copies") > 1)
       })
   )
 }

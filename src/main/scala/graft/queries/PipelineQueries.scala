@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Parity, QueryDef, Tables}
+import graft.{Parity, QueryDef, Sinks, Tables}
 import graft.operators.{Ewm, Sessionize, TrendEvents}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -534,7 +534,7 @@ object PipelineQueries {
         // Sink path derived from the input dir: concurrent runs (or a
         // warmup pass at another SF) must never share a sink — dynamic
         // overwrite would leave stale partitions from the other run.
-        val out = s"/tmp/graft_partitioned_sink_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val out = Sinks.dir(s, "partitioned_sink", d)
         val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try {
@@ -722,7 +722,7 @@ object PipelineQueries {
              |    WHERE t.user_id = s.user_id AND t.ts = s.ts))
              |SELECT event_id, user_id, ts, value FROM merged""".stripMargin),
       (s, d) => {
-        val base = s"/tmp/graft_merge_table_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val base = Sinks.dir(s, "merge_table", d)
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "ts", "value")
         // seed (overwrite resets any previous run)
@@ -743,7 +743,7 @@ object PipelineQueries {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin),
       (s, d) => {
         // per-input-dir sink: see pl10.
-        val out = s"/tmp/graft_csv_roundtrip_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val out = Sinks.dir(s, "csv_roundtrip", d)
         Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
           .write.mode("overwrite").option("header", "true").csv(out)
         s.read
@@ -849,7 +849,7 @@ object PipelineQueries {
         val cutHi = lit("2024-01-25").cast("date")
         val cutLo = lit("2024-01-20").cast("date")
         // per-(run, sf) sink — concurrent runs must never share it
-        val out = s"/tmp/graft_scd1_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val out = Sinks.dir(s, "scd1", d)
         val p = new org.apache.hadoop.fs.Path(out)
         p.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(p, true) // fresh target: stale partitions from an
@@ -906,7 +906,7 @@ object PipelineQueries {
         val cutHi = lit("2024-01-25").cast("date")
         val cutLo = lit("2024-01-20").cast("date")
         // per-(run, sf) table root; fresh per run like pl18's sink
-        val out = s"/tmp/graft_snap_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val out = Sinks.dir(s, "snap", d)
         val p = new org.apache.hadoop.fs.Path(out)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         SnapshotTable.commit(s, daily.filter(col("day") < cutHi), out)
@@ -951,7 +951,7 @@ object PipelineQueries {
           .groupBy(col("user_id"), to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"),
                (sum(lq(col("value"))).cast("double") / 100.0).as("total"))
-        val out = s"/tmp/graft_snapstats_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val out = Sinks.dir(s, "snapstats", d)
         val p = new org.apache.hadoop.fs.Path(out)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         SnapshotTable.commit(s, daily.repartitionByRange(6, col("day")),
@@ -991,7 +991,7 @@ object PipelineQueries {
           .select("event_id", "user_id", "ts", "value")
         val keyUniverse = ev.select("user_id").distinct()
           .orderBy("user_id").collect().map(_.getLong(0).toString)
-        val out = s"/tmp/graft_batched_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val out = Sinks.dir(s, "batched", d)
         val p = new org.apache.hadoop.fs.Path(out)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         // batch count is the MINIMUM that still proves the contract
@@ -1045,7 +1045,7 @@ object PipelineQueries {
         import graft.operators.IncrementalSync
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "ts", "value")
-        val out = s"/tmp/graft_incsync_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val out = Sinks.dir(s, "incsync", d)
         val p = new org.apache.hadoop.fs.Path(out)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         ev.filter(col("ts") < lit("2024-01-20").cast("timestamp"))

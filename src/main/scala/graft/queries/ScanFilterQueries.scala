@@ -133,10 +133,12 @@ object ScanFilterQueries {
           .filter(col("dow").between(2, 6))),
 
     // S7: ETF holdings spreadsheet source (my_ishares.py:11-19) — the
-    // workbook pre-converted to CSV with an explicit file-order index
-    // (graft.sources.HoldingsSource), vendor headers normalized, duplicate
-    // tickers dropped keep-first exactly like the reference's
-    // drop_duplicates(subset=['Ticker']).
+    // vendor .xlsx workbook read DIRECTLY by the pure-JVM executor-side
+    // parser (graft.sources.XlsxSource), vendor headers normalized,
+    // duplicate tickers dropped keep-first exactly like the reference's
+    // drop_duplicates(subset=['Ticker']). The oracle reads the committed
+    // CSV twin (DuckDB cannot open xlsx); XlsxSourceSpec pins the two
+    // views row-for-row equal.
     QueryDef(
       "s7_holdings_dedup",
       Some(s"""WITH h AS (
@@ -144,7 +146,7 @@ object ScanFilterQueries {
               |    Sector AS sector, "Asset Class" AS asset_class,
               |    "Market Value" AS market_value, "Weight (%)" AS weight_pct,
               |    Shares AS shares, Price AS price
-              |  FROM read_csv('${graft.sources.HoldingsSource.FixturePath}',
+              |  FROM read_csv('${graft.sources.HoldingsSource.OracleCsvPath}',
               |    header=true,
               |    columns={'row_idx':'BIGINT','Ticker':'VARCHAR',
               |      'Name':'VARCHAR','Sector':'VARCHAR',
@@ -184,7 +186,7 @@ object ScanFilterQueries {
               |  SELECT row_idx, Ticker AS ticker, Sector AS sector,
               |    CAST(floor("Market Value" * 100.0 + 0.5) AS BIGINT)
               |      AS mvc
-              |  FROM read_csv('${graft.sources.HoldingsSource.FixturePath}',
+              |  FROM read_csv('${graft.sources.HoldingsSource.OracleCsvPath}',
               |    header=true,
               |    columns={'row_idx':'BIGINT','Ticker':'VARCHAR',
               |      'Name':'VARCHAR','Sector':'VARCHAR',

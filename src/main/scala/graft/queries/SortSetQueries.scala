@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Parity, QueryDef, Tables}
+import graft.{Parity, QueryDef, Sinks, Tables}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.6 sorts/limits/top-k + §2.7 set operations. Every limit carries
@@ -233,6 +233,57 @@ object SortSetQueries {
               .when(col("n_id").isNull, "delete")
               .otherwise("update").as("op"),
             col("old_value"), col("new_value"))
+      }),
+
+    // U6: vacuum / expire-snapshots (Iceberg `expire_snapshots` semantics;
+    // catalog ref Procesamiento_fase_1.ipynb:73) — the retention contract
+    // proven END-TO-END against real table I/O: commit v1 (seed subset),
+    // v2 (source-wins MERGE), v3 (compaction rewrite), then vacuum every
+    // version below head. The query RETURNS the live head read after the
+    // vacuum, hash-checked against the declarative merge the table should
+    // hold — so a vacuum that deletes a live file surfaces as a crash or
+    // hash mismatch, not silence. The non-SQL-expressible halves are
+    // asserted in-query: vacuum must actually delete files (non-vacuous)
+    // and expired time travel must fail loudly
+    // (graft.operators.SnapshotTableSpec covers the same properties at
+    // unit granularity).
+    //
+    // Scale shape: vacuum is manifest-sized metadata work (set difference
+    // of file lists) plus unreferenced-file deletes — it never reads data
+    // bytes, so at 100 TB it costs seconds, not a table scan.
+    QueryDef(
+      "u6_vacuum_live_read",
+      Some("""WITH v1 AS (
+             |  SELECT event_id, value FROM events WHERE event_id % 10 <> 0),
+             |src AS (
+             |  SELECT event_id, value + 1.0 AS value
+             |  FROM events WHERE event_id % 7 = 0)
+             |SELECT event_id, value FROM v1
+             |WHERE event_id NOT IN (SELECT event_id FROM src)
+             |UNION ALL
+             |SELECT event_id, value FROM src""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "vacuum_table", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d).select("event_id", "value")
+        SnapshotTable.commit(s, ev.filter(col("event_id") % 10 =!= 0), t)
+        val src = ev.filter(col("event_id") % 7 === 0)
+          .withColumn("value", col("value") + 1.0)
+        SnapshotTable.upsertSnapshot(s, src, t,
+          keyCols = Seq("event_id"), orderCol = "event_id")
+        val head = SnapshotTable.compactSnapshot(s, t)
+        val deleted = SnapshotTable.vacuum(s, t, keepFrom = head)
+        require(deleted > 0,
+          "vacuum deleted no files — the retention proof is vacuous")
+        val expiredFails =
+          try { SnapshotTable.read(s, t, Some(1)).count(); false }
+          catch { case _: IllegalArgumentException => true }
+        require(expiredFails,
+          "reading a vacuumed snapshot must fail loudly, it did not")
+        SnapshotTable.read(s, t)
       }),
   )
 }

@@ -9,27 +9,38 @@ import org.apache.spark.sql.types._
   * `/root/reference/data_apis/my_ishares.py:11-19`: read the iShares
   * holdings workbook, drop duplicate rows by Ticker).
   *
-  * The workbook is PRE-CONVERTED to CSV outside the cluster (SURVEY §2.1:
-  * xlsx is a zip of XML sheets — a driver-side one-time convert, not a
-  * distributed-scan format; a 100 TB lakehouse ingests the *converted*
-  * artifact). The convert step prepends an explicit `row_idx` column:
-  * pandas' `drop_duplicates(subset=['Ticker'])` keeps the FIRST file-order
-  * occurrence, and file order is a property a distributed reader must
-  * carry as data to honor it deterministically.
+  * The engine ingests the VENDOR WORKBOOK directly: [[XlsxSource]] is a
+  * pure-JVM xlsx parser (java.util.zip + JDK StAX) that runs on executors
+  * through the `binaryFile` source — a directory of monthly workbooks
+  * scans as one distributed DataFrame. `row_idx` is synthesized from sheet
+  * row order, because pandas' `drop_duplicates(subset=['Ticker'])` keeps
+  * the FIRST file-order occurrence and file order is a property a
+  * distributed reader must carry as data to honor it deterministically.
   *
-  * The loader owns the messy-spreadsheet surface: explicit schema (no
-  * schema inference job), real-world column headers ("Weight (%)",
-  * "Asset Class") normalized to engine-friendly names, and keep-first
-  * semantics as a window rank on `row_idx` — one shuffle on ticker,
-  * no driver-side pass.
+  * The committed CSV twin of the fixture exists ONLY for the DuckDB oracle
+  * (which cannot read xlsx); [[XlsxSourceSpec]] pins the two views
+  * row-for-row equal, so the oracle still checks the workbook path
+  * end-to-end.
+  *
+  * This loader owns the messy-spreadsheet surface: real-world vendor
+  * headers ("Weight (%)", "Asset Class") normalized to engine-friendly
+  * names during parse (the F13 rename-map shape), and keep-first semantics
+  * as a window rank on `row_idx` — one shuffle on ticker, no driver-side
+  * pass.
   */
 object HoldingsSource {
 
-  /** Committed pre-converted fixture (one month-end IWM holdings pull). */
-  val FixturePath = "/root/repo/fixtures/20240131_IWM_holdings.csv"
+  /** Committed vendor workbook fixture (one month-end IWM holdings pull),
+    * generated reproducibly by `scripts/make_xlsx_fixture.py`. */
+  val FixturePath = "/root/repo/fixtures/20240131_IWM_holdings.xlsx"
 
-  /** Raw spreadsheet schema, in file column order (header names as the
-    * vendor emits them). */
+  /** CSV twin of [[FixturePath]] for the DuckDB oracle (same rows, plus an
+    * explicit `row_idx` column carrying the file order the workbook
+    * expresses positionally). */
+  val OracleCsvPath = "/root/repo/fixtures/20240131_IWM_holdings.csv"
+
+  /** CSV-twin schema, in file column order (header names as the vendor
+    * emits them; `row_idx` prepended by the convert). */
   val rawSchema: StructType = StructType(Seq(
     StructField("row_idx", LongType, nullable = false),
     StructField("Ticker", StringType),
@@ -47,8 +58,15 @@ object HoldingsSource {
     "Asset Class" -> "asset_class", "Market Value" -> "market_value",
     "Weight (%)" -> "weight_pct", "Shares" -> "shares", "Price" -> "price")
 
-  /** Load a pre-converted holdings CSV with the vendor headers normalized. */
-  def load(spark: SparkSession, path: String): DataFrame = {
+  /** Load holdings: `.xlsx` paths parse distributed via [[XlsxSource]];
+    * anything else is read as the pre-converted CSV layout. Both produce
+    * the same normalized columns in the same order. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".xlsx")) XlsxSource.holdings(spark, path)
+    else loadCsv(spark, path)
+
+  /** The CSV-twin read (oracle parity + legacy pre-converted feeds). */
+  def loadCsv(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read
       .option("header", "true")
       .schema(rawSchema)

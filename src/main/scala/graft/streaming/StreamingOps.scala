@@ -40,9 +40,10 @@ object StreamingOps {
     * standard exactly-once-to-table pattern built from an idempotent sink
     * rather than sink-side transactions. */
   def mergeSink(stream: DataFrame, sinkPath: String, keyCols: Seq[String],
-                orderCol: String,
-                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+                orderCol: String, checkpoint: String,
+                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.MergeUpsert.insertIfAbsent(
@@ -50,7 +51,8 @@ object StreamingOps {
         ()
       }
       .outputMode("append")
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** Streaming bronze → Gold: each micro-batch of bars lands in bronze and
     * incrementally refreshes ONLY the touched Gold rows
