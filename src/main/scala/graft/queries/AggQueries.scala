@@ -851,16 +851,24 @@ object AggQueries {
           .select(col("ri"),
             bucketOf(col("user_id"), col("ri")).as("bucket"))
           .groupBy("ri", "bucket").agg(count(lit(1)).as("cnt"))
-        val est = ev.distinct()
-          .select(col("user_id"),
-            explode(sequence(lit(0), lit(3))).as("ri"))
-          .select(col("user_id"), col("ri"),
-            bucketOf(col("user_id"), col("ri")).as("bucket"))
-          .join(broadcast(cells), Seq("ri", "bucket"))
-          .groupBy("user_id").agg(min("cnt").as("cms_count"))
+        // The exact-count aggregate IS the distinct-user table — probing
+        // the sketch from it (exact_count riding along as the audit
+        // column) folds what used to be a separate distinct() + final
+        // re-join into one aggregate: two scans of `ev` total, one
+        // broadcast consumer, same oracle. (r6 flagged a28's sample
+        // spread; per-sample GC forensics showed the stalls were not
+        // heap — shrinking the number of jobs/exchanges shrinks the
+        // surface an environmental stall can land on.)
         val exact = ev.groupBy("user_id")
           .agg(count(lit(1)).as("exact_count"))
-        est.join(exact, "user_id")
+        exact
+          .select(col("user_id"), col("exact_count"),
+            explode(sequence(lit(0), lit(3))).as("ri"))
+          .select(col("user_id"), col("exact_count"), col("ri"),
+            bucketOf(col("user_id"), col("ri")).as("bucket"))
+          .join(broadcast(cells), Seq("ri", "bucket"))
+          .groupBy("user_id")
+          .agg(min("cnt").as("cms_count"), max("exact_count").as("exact_count"))
           .orderBy(col("cms_count").desc, col("user_id"))
           .limit(20)
           .select("user_id", "cms_count", "exact_count")

@@ -685,7 +685,7 @@ object PipelineQueries {
     QueryDef(
       "pl14_gold_full",
       Some(goldOracleSql),
-      (s, d) => graft.operators.GoldFeatures.goldTable(Tables.events(s, d))),
+      (s, d) => graft.operators.GoldFeatures.goldTableFold(Tables.events(s, d))),
 
     // GOLD FUSED — the same 15 features as ONE single-pass select over the
     // substrate (no joins; substrate + one WindowExec chain). Verified

@@ -201,19 +201,28 @@ object StreamingOps {
     * have arrived. */
   def streamingIntervalJoin(impressions: DataFrame, clicks: DataFrame,
                             horizon: String = "1 hour"): DataFrame = {
+    // event ids ride along when the source carries them (they make each
+    // result row unique — the natural MERGE key for an idempotent sink);
+    // id-less sources get the bare attribution columns.
+    val impId = impressions.columns.contains("event_id")
+    val clkId = clicks.columns.contains("event_id")
     val imp = impressions
-      .select(col("user_id").as("i_user"), col("ts").as("imp_ts"),
-        col("value").as("imp_value"))
+      .select(Seq(col("user_id").as("i_user"), col("ts").as("imp_ts"),
+        col("value").as("imp_value")) ++
+        (if (impId) Seq(col("event_id").as("imp_id")) else Nil): _*)
       .withWatermark("imp_ts", horizon)
     val clk = clicks
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .select(Seq(col("user_id").as("c_user"), col("ts").as("click_ts")) ++
+        (if (clkId) Seq(col("event_id").as("click_id")) else Nil): _*)
       .withWatermark("click_ts", horizon)
     imp.join(clk,
       col("i_user") === col("c_user") &&
         col("click_ts") >= col("imp_ts") &&
         col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $horizon"))
-      .select(col("i_user").as("user_id"), col("imp_ts"), col("imp_value"),
-        col("click_ts"))
+      .select(Seq(col("i_user").as("user_id"), col("imp_ts"),
+        col("imp_value"), col("click_ts")) ++
+        (if (impId) Seq(col("imp_id")) else Nil) ++
+        (if (clkId) Seq(col("click_id")) else Nil): _*)
   }
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

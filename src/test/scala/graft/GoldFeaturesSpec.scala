@@ -25,7 +25,7 @@ class GoldFeaturesSpec extends SparkSpec {
       (1L, ts("2024-01-10 10:00:00"), 12.0),
       (1L, ts("2024-01-10 15:00:00"), 14.0))
       .toDF("user_id", "ts", "value")
-    GoldFeatures.goldTable(rows).orderBy("day").collect()
+    GoldFeatures.goldTableFold(rows).orderBy("day").collect()
   }
 
   private def row(i: Int) = gold(i)
