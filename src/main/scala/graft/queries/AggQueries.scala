@@ -27,7 +27,7 @@ object AggQueries {
   private def hllRho(v: Column): Column =
     lit(25) - (0 until 24)
       .map(k => when(v >= (1L << k), 1).otherwise(0)).reduce(_ + _)
-  private def oHllRho(v: String): String =
+  private[queries] def oHllRho(v: String): String =
     s"25 - (" + (0 until 24)
       .map(k => s"CASE WHEN $v >= ${1L << k} THEN 1 ELSE 0 END")
       .mkString(" + ") + ")"
@@ -39,7 +39,7 @@ object AggQueries {
         round(lit(256.0) * log(lit(256.0) / v0.cast("double")), 9))
       .otherwise(round(eRaw, 9))
   }
-  private def oHll256Estimate(s: String, v0: String): String = {
+  private[queries] def oHll256Estimate(s: String, v0: String): String = {
     val eRaw = s"7213.0 / 10000.0 / (1.0 + 1079.0 / 1000.0 / 256.0)" +
       s" * 65536.0 * 33554432.0 / CAST($s AS DOUBLE)"
     s"CASE WHEN $eRaw <= 640.0 AND $v0 > 0" +

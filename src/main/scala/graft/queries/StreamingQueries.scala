@@ -210,6 +210,283 @@ object StreamingQueries {
         s.read.parquet(s"$base/sink")
           .select("user_id", "imp_ts", "imp_value", "click_ts",
             "imp_id", "click_id")
+      }),
+
+    // ST3: watermarked streaming exact dedup (the streaming twin of
+    // dd1/u2's keep-first semantics) driven through real micro-batches.
+    // Documents get deterministic event times (base + doc_id seconds —
+    // the whole span is ≪ the 2-hour horizon, so every injected duplicate
+    // is dropped by dedup STATE, never by late-arrival filtering); the
+    // corpus is split into two time-ordered chunks discovered one per
+    // trigger, and chunk 1 carries exact copies of every 5th chunk-0
+    // document — duplicates that cross the batch boundary, provable only
+    // if the dedup state survives between micro-batches. The sink is the
+    // NATIVE exactly-once parquet file sink (st1/st2 prove foreachBatch;
+    // this row proves the transactional file-sink path). Output is the
+    // kept hash set: first-arrival wins, so re-keying on the 16-byte md5
+    // BEFORE the stateful operator makes the result deterministic
+    // regardless of within-batch arrival order — and means the state
+    // store and its shuffle never carry document text (the batch dedup
+    // family's hash-first rule; at 100 TB the state is |distinct|×16
+    // bytes bounded by the watermark horizon, not the stream).
+    //
+    // The oracle is batch DISTINCT over the same corpus: a duplicate
+    // surviving (state loss across batches) or a first arrival dropped
+    // (over-eager state expiry) both break the row-count/hash compare.
+    QueryDef(
+      "st3_stream_dedup",
+      Some("SELECT DISTINCT md5(text) AS text_hash FROM documents"),
+      (s, d) => {
+        val base = Sinks.dir(s, "stream_dedup", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val t0 = 1700000000000L
+        val withTs = docs.withColumn("ts",
+          timestamp_millis(lit(t0) + col("doc_id") * 1000L))
+        val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+        val chunk0 = withTs.filter(col("doc_id") <= mid)
+        // cross-batch duplicates: every 5th chunk-0 doc re-arrives 30 min
+        // later (well inside the horizon) in the SECOND micro-batch
+        val dups = chunk0.filter(col("doc_id") % 5 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTES"))
+        val chunk1 = withTs.filter(col("doc_id") > mid).unionAll(dups)
+        val mt0 = 1700000000000L
+        writeOneFile(s, chunk0, s"$srcDir/chunk_0.parquet", mt0)
+        writeOneFile(s, chunk1, s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+
+        withStreamPartitions(s, 8) {
+          val stream = s.readStream
+            .schema(chunk0.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+          val q = graft.streaming.StreamingOps.streamingDedup(
+              stream, horizon = "2 hours")
+            .select("text_hash")
+            .writeStream
+            .format("parquet")
+            .option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val out = s.read.parquet(s"$base/sink")
+        // non-vacuity: duplicates were actually fed, and none survived
+        val nDistinct = docs.select("text").distinct().count()
+        val nFed = chunk0.count() + chunk1.count()
+        require(nFed > nDistinct,
+          s"st3 fed $nFed rows but only $nDistinct distinct — no dups fed")
+        out.select("text_hash")
+      }),
+
+    // ST4: stateful gap sessionization (flatMapGroupsWithState) driven
+    // through real micro-batches — the streaming twin of pl2 and the
+    // closest thing to the reference's path-dependent state machines
+    // (TrendEvents) running AS A STREAM. Events are split into two
+    // time-ordered chunks (one per trigger); a session whose events
+    // straddle the chunk cut exists in the sink as ONE row only if the
+    // open-session state survives the batch boundary and is extended by
+    // the next batch (a split session changes row count and hashes red).
+    // Closed sessions are emitted exactly once (Append mode); each key's
+    // final still-open session stays in state — its processing-time idle
+    // timeout (6 h wall) can never fire inside an AvailableNow run — so
+    // the oracle excludes each user's LAST session, deterministically.
+    //
+    // Float parity: values are quantized to exact hundredths BEFORE the
+    // stream (integer-valued doubles sum exactly, in any order, while
+    // |Σ| < 2^53) and de-scaled once after the sink read — the mix/lq
+    // doctrine applied to sequential state accumulation. Time parity:
+    // state tracks epoch MILLIS (Timestamp.getTime), so the oracle's gap
+    // predicate and session bounds use ms-truncated timestamps
+    // (date_diff('millisecond') // 1000, date_trunc to ms).
+    //
+    // Scale shape: state is ONE open session (4 numbers) per active key,
+    // bounded by key cardinality, not stream length; the only shuffle is
+    // the groupByKey on user_id.
+    QueryDef(
+      "st4_stream_sessionize",
+      Some("""WITH tagged AS (
+             |  SELECT user_id, ts,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq,
+             |    CASE WHEN lag(ts) OVER
+             |        (PARTITION BY user_id ORDER BY ts) IS NULL
+             |      OR (date_diff('millisecond',
+             |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+             |            ts) // 1000) > 21600
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts, vq,
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS sid
+             |  FROM tagged),
+             |agg AS (
+             |  SELECT user_id, sid,
+             |    date_trunc('milliseconds', min(ts)) AS session_start,
+             |    date_trunc('milliseconds', max(ts)) AS session_end,
+             |    count(*) AS n_events,
+             |    CAST(SUM(vq) AS DOUBLE) / 100.0 AS value_sum
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT user_id, session_start, session_end, n_events,
+             |  value_sum
+             |FROM agg
+             |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)"""
+        .stripMargin),
+      (s, d) => {
+        val base = Sinks.dir(s, "stream_sess", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+          floor(col("value") * 100.0 + 0.5).cast("double").as("value"))
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val span = bounds.getTimestamp(1).getTime - t0 + 1
+        val cut = t0 + span / 2
+        val mt0 = 1700000000000L
+        writeOneFile(s, ev.filter(col("ts") < timestamp_millis(lit(cut))),
+          s"$srcDir/chunk_0.parquet", mt0)
+        writeOneFile(s, ev.filter(col("ts") >= timestamp_millis(lit(cut))),
+          s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+
+        withStreamPartitions(s, 8) {
+          import s.implicits._
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+          val q = graft.streaming.StreamingOps.sessionize(
+              stream.as[graft.streaming.StreamingOps.Ev],
+              gapSeconds = 21600L)
+            .toDF()
+            .writeStream
+            .format("parquet")
+            .option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val out = s.read.parquet(s"$base/sink")
+        // the cross-batch proof: at least one emitted session began
+        // before the chunk cut and ended at/after it — state that
+        // survived the micro-batch boundary and was extended there
+        val crossing = out.filter(
+          col("session_start") < timestamp_millis(lit(cut)) &&
+            col("session_end") >= timestamp_millis(lit(cut))).count()
+        require(crossing > 0,
+          "st4: no session crosses the batch boundary — proof is vacuous")
+        out.select(col("user_id"), col("session_start"),
+          col("session_end"), col("n_events"),
+          (col("value_sum") / 100.0).as("value_sum"))
+      }),
+
+    // ST5: streaming HLL distinct-count maintenance driven through real
+    // micro-batches — the streaming form of the a33 sketch family. Each
+    // micro-batch max-merges its rows into the per-group 256-register
+    // state and emits the refreshed estimate (Update mode → foreachBatch
+    // landing each emission under its batch id); the LAST emission per
+    // group is the sketch over the union of every batch, and because
+    // registers are max-folds the estimate is BIT-EQUAL to the batch a33
+    // column expression over the same rows regardless of how the stream
+    // was batched (StreamingHllSpec pins streaming ≡ batch; this row
+    // closes the loop against the independent DuckDB implementation of
+    // the same register/estimate algebra). n_total rides along as the
+    // exactness witness: state must have seen every row exactly once.
+    //
+    // Scale shape: 256 bytes + one long per group FOREVER — streaming
+    // distinct-count with bounded state and no distinct shuffle, the
+    // thing watermarked dropDuplicates cannot give once its horizon
+    // passes (contrast st3, whose state is hash-set-sized and
+    // horizon-bounded by design).
+    QueryDef(
+      "st5_stream_hll",
+      Some {
+        s"""WITH h AS (
+           |  SELECT event_type,
+           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8)
+           |         AS BIGINT) AS h
+           |  FROM events),
+           |b AS (
+           |  SELECT event_type, h % 256 AS bucket, h >> 8 AS v FROM h),
+           |r AS (
+           |  SELECT event_type, bucket, ${AggQueries.oHllRho("v")} AS rho
+           |  FROM b),
+           |regs AS (
+           |  SELECT event_type, bucket, max(rho) AS mj
+           |  FROM r GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT et.event_type, g.bucket
+           |  FROM (SELECT DISTINCT event_type FROM events) et,
+           |       range(0, 256) g(bucket)),
+           |fr AS (
+           |  SELECT grid.event_type, coalesce(regs.mj, 0) AS mj
+           |  FROM grid LEFT JOIN regs
+           |    ON grid.event_type = regs.event_type
+           |   AND grid.bucket = regs.bucket),
+           |sk AS (
+           |  SELECT event_type,
+           |    CAST(sum(CAST(1 AS BIGINT) << (25 - mj)) AS BIGINT) AS s,
+           |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS v0
+           |  FROM fr GROUP BY 1),
+           |est AS (
+           |  SELECT event_type,
+           |    ${AggQueries.oHll256Estimate("s", "v0")} AS hll_estimate
+           |  FROM sk),
+           |n AS (
+           |  SELECT event_type, count(*) AS n_total
+           |  FROM events GROUP BY 1)
+           |SELECT n.event_type, est.hll_estimate, n.n_total
+           |FROM n JOIN est ON n.event_type = est.event_type"""
+          .stripMargin
+      },
+      (s, d) => {
+        val base = Sinks.dir(s, "stream_hll", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val ev = Tables.events(s, d).select("user_id", "ts", "event_type")
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val span = bounds.getTimestamp(1).getTime - t0 + 1
+        val cut = t0 + span / 2
+        val mt0 = 1700000000000L
+        writeOneFile(s, ev.filter(col("ts") < timestamp_millis(lit(cut))),
+          s"$srcDir/chunk_0.parquet", mt0)
+        writeOneFile(s, ev.filter(col("ts") >= timestamp_millis(lit(cut))),
+          s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+
+        withStreamPartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+          val q = graft.streaming.StreamingOps.streamingHll(stream)
+            .toDF()
+            .writeStream
+            .option("checkpointLocation", s"$base/ckpt")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              if (!batch.isEmpty)
+                batch.write.mode("overwrite").parquet(s"$base/sink/b=$id")
+              ()
+            }
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val emissions = s.read.option("basePath", s"$base/sink")
+          .parquet(s"$base/sink")
+        // ≥ 2 batch generations must have landed, or the merge law was
+        // never exercised across a boundary
+        require(emissions.select("b").distinct().count() >= 2,
+          "st5: fewer than 2 micro-batch emissions — merge proof vacuous")
+        emissions.groupBy("event_type")
+          .agg(max_by(col("estimate"), col("b")).as("hll_estimate"),
+               max_by(col("n_total"), col("b")).as("n_total"))
       })
   )
 }
