@@ -289,10 +289,16 @@ object StreamingQueries {
     // straddle the chunk cut exists in the sink as ONE row only if the
     // open-session state survives the batch boundary and is extended by
     // the next batch (a split session changes row count and hashes red).
-    // Closed sessions are emitted exactly once (Append mode); each key's
-    // final still-open session stays in state — its processing-time idle
-    // timeout (6 h wall) can never fire inside an AvailableNow run — so
-    // the oracle excludes each user's LAST session, deterministically.
+    // Closed sessions are emitted exactly once (Append mode). The still-
+    // open session per key closes by EVENT-TIME timeout: when the
+    // watermark (0s delay → max event time seen) passes session_end+gap,
+    // no event can extend it, so the final watermark-advance batch emits
+    // it. Deterministically, the only sessions NOT in the sink are each
+    // user's LAST session when the stream ends within its gap horizon
+    // (session_end + 6h >= global max ts) — exactly the rows the oracle's
+    // QUALIFY excludes. (Processing-time timeouts are unusable here: they
+    // make shouldRunAnotherBatch true unconditionally, so AvailableNow
+    // spins empty micro-batches forever instead of terminating.)
     //
     // Float parity: values are quantized to exact hundredths BEFORE the
     // stream (integer-valued doubles sum exactly, in any order, while
@@ -329,12 +335,16 @@ object StreamingQueries {
              |    date_trunc('milliseconds', max(ts)) AS session_end,
              |    count(*) AS n_events,
              |    CAST(SUM(vq) AS DOUBLE) / 100.0 AS value_sum
-             |  FROM sess GROUP BY 1, 2)
+             |  FROM sess GROUP BY 1, 2),
+             |mx AS (
+             |  SELECT date_trunc('milliseconds', max(ts)) AS max_ts
+             |  FROM events)
              |SELECT user_id, session_start, session_end, n_events,
              |  value_sum
-             |FROM agg
-             |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)"""
-        .stripMargin),
+             |FROM agg, mx
+             |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+             |  OR date_diff('millisecond', session_end, max_ts)
+             |     > 21600000""".stripMargin),
       (s, d) => {
         val base = Sinks.dir(s, "stream_sess", d)
         reset(s, base)
@@ -358,7 +368,8 @@ object StreamingQueries {
             .option("maxFilesPerTrigger", "1")
             .parquet(srcDir)
           val q = graft.streaming.StreamingOps.sessionize(
-              stream.as[graft.streaming.StreamingOps.Ev],
+              stream.withWatermark("ts", "0 seconds")
+                .as[graft.streaming.StreamingOps.Ev],
               gapSeconds = 21600L)
             .toDF()
             .writeStream

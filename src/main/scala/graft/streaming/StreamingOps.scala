@@ -236,22 +236,35 @@ object StreamingOps {
     *
     * Closed sessions (gap exceeded by a newer event) are emitted exactly
     * once. The still-open session is handled by MODE:
-    *  - streaming (`emitOpenAtEnd = false`, the default): the open session
-    *    stays in state; a processing-time timeout of `gapSeconds` fires
-    *    when the key goes idle, emitting it once and clearing state. It is
-    *    NEVER emitted while still open — re-emitting a growing session
-    *    every micro-batch would produce duplicate/overlapping rows under
-    *    OutputMode.Append.
+    *  - streaming (`emitOpenAtEnd = false`, the default; caller must set a
+    *    watermark on `ts` upstream): the open session stays in state with
+    *    an EVENT-TIME timeout at `session_end + gap` — when the watermark
+    *    passes that point no event can extend the session any more, so it
+    *    is emitted once and cleared. Sessions close by data time, not by
+    *    wall-clock idleness, which makes replays deterministic — and it is
+    *    the only timeout mode compatible with `Trigger.AvailableNow`: a
+    *    processing-time timeout makes `shouldRunAnotherBatch` return true
+    *    unconditionally (FlatMapGroupsWithStateExec), so the "run until
+    *    done" trigger never terminates, spinning empty micro-batches
+    *    forever. An open session is NEVER emitted while still open —
+    *    re-emitting a growing session every micro-batch would produce
+    *    duplicate/overlapping rows under OutputMode.Append.
     *  - batch (`emitOpenAtEnd = true`): timeouts never fire in batch
-    *    execution, so the final open session is emitted at end-of-group —
-    *    matching the batch sessionizer ([[graft.operators.Sessionize]]).
+    *    execution (NoTimeout is used), so the final open session is
+    *    emitted at end-of-group — matching the batch sessionizer
+    *    ([[graft.operators.Sessionize]]).
     */
   def sessionize(ds: Dataset[Ev], gapSeconds: Long,
                  emitOpenAtEnd: Boolean = false): Dataset[SessionAgg] = {
     import ds.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    val streaming = ds.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionAgg](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
           def close(s: SessState) = SessionAgg(uid,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
@@ -279,7 +292,15 @@ object StreamingOps {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutDuration(gapSeconds * 1000L)
+              if (streaming) {
+                // the session is closeable once the watermark passes
+                // last+gap; clamp to wm+1 — Spark rejects a timeout at or
+                // before the current watermark (an already-due session
+                // then fires at the next watermark advance)
+                val due = st.last + gapMs
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(due, wm + 1L))
+              }
             }
             if (emitOpenAtEnd && st != null) out += close(st)
             out.iterator

@@ -171,7 +171,8 @@ class SessionizeSpec extends SparkSpec {
     // default emitOpenAtEnd=false = streaming semantics: a still-open
     // session is NEVER emitted inline (it would be re-emitted with growing
     // bounds every micro-batch under OutputMode.Append); it stays in state
-    // for the processing-time timeout to close.
+    // for the event-time timeout to close once the watermark passes
+    // session_end + gap.
     val out = graft.streaming.StreamingOps.sessionize(ds, 3600L)
       .collect().map(s => (s.user_id, s.n_events, s.value_sum))
     assert(out.toSeq == Seq((1L, 2L, 3.0)))
