@@ -498,6 +498,113 @@ object StreamingQueries {
         emissions.groupBy("event_type")
           .agg(max_by(col("estimate"), col("b")).as("hll_estimate"),
                max_by(col("n_total"), col("b")).as("n_total"))
+      }),
+
+    // ST6: the reference's path-dependent trend state machine
+    // (my_alpaca.py:19-111, pl5's operator) running AS A STREAM — the
+    // deepest cross-batch state proof on the board: not an algebraic
+    // fold (st5's max-registers) or a gap test (st4), but a full
+    // path-dependent machine whose reference price, running extrema, and
+    // point count must survive the micro-batch boundary EXACTLY or
+    // downstream events shift their open/high/low/close and hash red.
+    // Events are split into two time-ordered chunks discovered one per
+    // trigger; segments straddling the cut (require below) prove the
+    // open-segment state carried over and was extended, and every
+    // post-cut segment inherits its reference price from pre-cut state.
+    //
+    // Emission: closed segments only, exactly once, when the crossing row
+    // arrives (Append). Each key's final open segment stays in state —
+    // a price band has no time horizon after which it provably cannot
+    // close, so no watermark timeout can emit it deterministically; the
+    // oracle is therefore pl5's recursive-CTE state machine WITHOUT its
+    // open_ev branch. Float parity is pl5's: identical IEEE ops
+    // (p/ref−1, greatest/least), no accumulation.
+    QueryDef(
+      "st6_stream_trend",
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT user_id AS key, ts, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             |  FROM events),
+             |s AS (
+             |  SELECT key, rn, ts, value,
+             |    value AS ref, ts AS ref_ts, value AS hi, value AS lo,
+             |    1 AS n, FALSE AS crossed,
+             |    CAST(NULL AS DOUBLE) AS ev_open,
+             |    CAST(NULL AS TIMESTAMP) AS ev_start,
+             |    CAST(NULL AS DOUBLE) AS ev_hi, CAST(NULL AS DOUBLE) AS ev_lo,
+             |    CAST(NULL AS INT) AS ev_n
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.key, o.rn, o.ts, o.value,
+             |    CASE WHEN x.cr THEN o.value ELSE s.ref END,
+             |    CASE WHEN x.cr THEN o.ts ELSE s.ref_ts END,
+             |    CASE WHEN x.cr THEN o.value ELSE x.hi2 END,
+             |    CASE WHEN x.cr THEN o.value ELSE x.lo2 END,
+             |    CASE WHEN x.cr THEN 1 ELSE s.n + 1 END,
+             |    x.cr,
+             |    s.ref, s.ref_ts, x.hi2, x.lo2, s.n + 1
+             |  FROM o
+             |  JOIN s ON o.key = s.key AND o.rn = s.rn + 1
+             |  CROSS JOIN LATERAL (
+             |    SELECT greatest(s.hi, o.value) AS hi2,
+             |      least(s.lo, o.value) AS lo2,
+             |      abs(o.value / s.ref - 1.0) >=
+             |        (CASE WHEN s.ref < 1.0 THEN 0.12
+             |              WHEN s.ref < 10.0 THEN 0.08
+             |              WHEN s.ref < 50.0 THEN 0.05
+             |              WHEN s.ref < 200.0 THEN 0.03
+             |              ELSE 0.02 END) AS cr) x)
+             |SELECT key, ev_start AS start_ts, ts AS end_ts,
+             |  ev_open AS open, ev_hi AS high, ev_lo AS low,
+             |  value AS close, value / ev_open - 1.0 AS pct_change,
+             |  ev_n AS n_points, TRUE AS closed
+             |FROM s WHERE crossed""".stripMargin),
+      (s, d) => {
+        val base = Sinks.dir(s, "stream_trend", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val ev = Tables.events(s, d).select(
+          col("user_id").cast("long").as("key"), col("ts"),
+          col("value").cast("double").as("price"))
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val span = bounds.getTimestamp(1).getTime - t0 + 1
+        val cut = t0 + span / 2
+        val mt0 = 1700000000000L
+        writeOneFile(s, ev.filter(col("ts") < timestamp_millis(lit(cut))),
+          s"$srcDir/chunk_0.parquet", mt0)
+        writeOneFile(s, ev.filter(col("ts") >= timestamp_millis(lit(cut))),
+          s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+
+        withStreamPartitions(s, 8) {
+          import s.implicits._
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+          val q = graft.streaming.StreamingOps.streamingTrend(
+              stream.as[graft.operators.TrendEvents.PricePoint])
+            .toDF()
+            .writeStream
+            .format("parquet")
+            .option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val out = s.read.parquet(s"$base/sink")
+        // cross-batch proof: at least one closed segment began before the
+        // chunk cut and closed at/after it — its reference price, extrema,
+        // and count crossed the micro-batch boundary in state
+        val crossing = out.filter(
+          col("start_ts") < timestamp_millis(lit(cut)) &&
+            col("end_ts") >= timestamp_millis(lit(cut))).count()
+        require(crossing > 0,
+          "st6: no segment crosses the batch boundary — proof is vacuous")
+        out.select("key", "start_ts", "end_ts", "open", "high", "low",
+          "close", "pct_change", "n_points", "closed")
       })
   )
 }

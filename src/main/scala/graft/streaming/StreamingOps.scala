@@ -225,6 +225,66 @@ object StreamingOps {
         (if (clkId) Seq(col("click_id")) else Nil): _*)
   }
 
+  /** Open trend-segment state: the reference point plus running extrema —
+    * exactly the five numbers the batch iterator state machine carries
+    * ([[graft.operators.TrendEvents.segment]]). */
+  final case class TrendSegState(
+      refTs: java.sql.Timestamp, ref: Double, hi: Double, lo: Double, n: Int)
+
+  /** The reference's path-dependent trend segmentation
+    * (`data_apis/my_alpaca.py:19-111`) running AS A STREAM — the streaming
+    * twin of [[graft.operators.TrendEvents.segment]], state machine
+    * semantics identical row for row: track the segment's reference (open)
+    * price and running high/low; when a price moves beyond the
+    * price-tiered band (|p/ref − 1| ≥ factor(ref)) emit the completed
+    * segment (crossing row included in hi/lo/n, exactly the batch rule)
+    * and restart the segment at the crossing row.
+    *
+    * Emission contract: only CLOSED segments are emitted (Append-safe,
+    * exactly once, when the crossing row arrives). Each key's final open
+    * segment stays in state — price bands, unlike session gaps, have no
+    * time horizon after which they provably cannot close, so there is no
+    * watermark timeout that could emit it deterministically; a restart
+    * resumes it from the checkpoint. NoTimeout also means AvailableNow
+    * terminates as soon as the data is drained (no extra timeout batches).
+    *
+    * In-batch rows are sorted per key at FULL timestamp precision
+    * (ms + nanos — the batch operator's sortWithinPartitions precision,
+    * not a ms-truncating getTime sort); micro-batches arrive in file
+    * order, so a time-ordered source replays the batch scan exactly.
+    * State is O(1) per key (five numbers); per-invocation memory is the
+    * key's rows in THIS micro-batch only. */
+  def streamingTrend(points: Dataset[graft.operators.TrendEvents.PricePoint])
+      : Dataset[graft.operators.TrendEvents.TrendEvent] = {
+    import graft.operators.TrendEvents.{PricePoint, TrendEvent, targetFactor}
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[TrendSegState, TrendEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[PricePoint], state: GroupState[TrendSegState]) =>
+          val rows = it.toIndexedSeq.sortBy(p => (p.ts.getTime, p.ts.getNanos))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TrendEvent]
+          var st = state.getOption.orNull
+          rows.foreach { p =>
+            if (st == null) {
+              st = TrendSegState(p.ts, p.price, p.price, p.price, 1)
+            } else {
+              val hi2 = math.max(st.hi, p.price)
+              val lo2 = math.min(st.lo, p.price)
+              if (math.abs(p.price / st.ref - 1.0) >= targetFactor(st.ref)) {
+                out += TrendEvent(key, st.refTs, p.ts, st.ref, hi2, lo2,
+                  p.price, p.price / st.ref - 1.0, st.n + 1, closed = true)
+                st = TrendSegState(p.ts, p.price, p.price, p.price, 1)
+              } else {
+                st = TrendSegState(st.refTs, st.ref, hi2, lo2, st.n + 1)
+              }
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionAgg(
       user_id: Long, session_start: java.sql.Timestamp,
