@@ -605,6 +605,109 @@ object StreamingQueries {
           "st6: no segment crosses the batch boundary — proof is vacuous")
         out.select("key", "start_ts", "end_ts", "open", "high", "low",
           "close", "pct_change", "n_points", "closed")
+      }),
+
+    // ST7: checkpoint RECOVERY — the production property the other st
+    // rows assume but don't prove: a streaming query STOPPED and
+    // RESTARTED as a brand-new query object over the same checkpoint
+    // resumes exactly where it left off. Run 1 drains two time-ordered
+    // chunks (its windowed-agg state holds every window the watermark
+    // hasn't passed) and terminates; run 2 — a separate
+    // start()/awaitTermination() lifecycle — discovers only the unseen
+    // files (source offsets from the checkpoint), restores the window
+    // state (state store) and the watermark (commit log), extends
+    // windows that straddle the shutdown boundary with run-2 rows, and a
+    // far-future sentinel flushes everything still open. The sink after
+    // BOTH runs must equal the batch aggregate of all chunks: a lost
+    // window (state not restored), a double-counted chunk (offsets not
+    // restored), or a watermark reset (windows re-emitted, MERGE would
+    // hide count drift but open/close values would differ) all hash red.
+    //
+    // Non-vacuity requires: run 1's sink is a strict subset of the final
+    // answer (the restart did real work), and some window spans the
+    // run boundary with events on both sides (state genuinely extended
+    // across the shutdown, not just flushed).
+    //
+    // Scale shape: identical to st1 — this row adds no new operator
+    // cost, it proves the recovery contract of the same plan.
+    QueryDef(
+      "st7_stream_restart",
+      Some("""SELECT user_id,
+             |  time_bucket(INTERVAL '1 hour', ts) AS win_start,
+             |  arg_min(value, ts) AS open, max(value) AS high,
+             |  min(value) AS low, arg_max(value, ts) AS close,
+             |  count(*) AS n_events
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val base = Sinks.dir(s, "stream_restart", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val ev = Tables.events(s, d).select("user_id", "ts", "value")
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val t1 = bounds.getTimestamp(1).getTime
+        val span = t1 - t0 + 1
+        val cuts = (0 to 3).map(k => t0 + span * k / 3)
+        val mt0 = 1700000000000L
+        def chunk(k: Int): DataFrame = ev.filter(
+          col("ts") >= timestamp_millis(lit(cuts(k))) &&
+            col("ts") < timestamp_millis(lit(cuts(k + 1))))
+
+        def runOnce(): Unit = withStreamPartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+          val q = graft.streaming.StreamingOps.mergeSink(
+            graft.streaming.StreamingOps.tumblingResample(stream),
+            sinkPath = s"$base/sink",
+            keyCols = Seq("user_id", "win_start"), orderCol = "win_start",
+            checkpoint = s"$base/ckpt",
+            trigger = Some(Trigger.AvailableNow()))
+          q.awaitTermination()
+        }
+
+        // run 1: chunks 0 and 1 only
+        writeOneFile(s, chunk(0), s"$srcDir/chunk_0.parquet", mt0)
+        writeOneFile(s, chunk(1), s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        runOnce()
+        val afterRun1 = s.read.parquet(s"$base/sink")
+          .filter(col("user_id") =!= -1L).count()
+
+        // run 2: a NEW query over the SAME checkpoint sees only the new
+        // files — the last data chunk plus the watermark-flushing sentinel
+        writeOneFile(s, chunk(2), s"$srcDir/chunk_2.parquet",
+          mt0 + 120000L)
+        import s.implicits._
+        val sentinel = Seq(
+          (-1L, new java.sql.Timestamp(t1 + 30L * 24 * 3600 * 1000), 0.0))
+          .toDF("user_id", "ts", "value")
+        writeOneFile(s, sentinel, s"$srcDir/chunk_3.parquet",
+          mt0 + 180000L)
+        runOnce()
+
+        val out = s.read.parquet(s"$base/sink")
+          .filter(col("user_id") =!= -1L)
+        require(afterRun1 < out.count(),
+          s"st7: run 1 already emitted everything ($afterRun1 windows) — " +
+            "the restart proved nothing")
+        // a window spanning the shutdown boundary received rows in BOTH
+        // runs: its state crossed the stop/restart, not just the flush
+        val boundary = cuts(2)
+        val spanning = ev
+          .withColumn("w", date_trunc("hour", col("ts")))
+          .groupBy("w")
+          .agg(
+            sum(when(col("ts") < timestamp_millis(lit(boundary)), 1L)
+              .otherwise(0L)).as("before"),
+            sum(when(col("ts") >= timestamp_millis(lit(boundary)), 1L)
+              .otherwise(0L)).as("after"))
+          .filter(col("before") > 0 && col("after") > 0).count()
+        require(spanning > 0,
+          "st7: no window spans the restart boundary — proof is vacuous")
+        out.select("user_id", "win_start", "open", "high", "low", "close",
+          "n_events")
       })
   )
 }
