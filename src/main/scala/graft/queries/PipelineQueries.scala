@@ -16,9 +16,10 @@ object PipelineQueries {
 
   private val DEC = DecimalType(30, 6)
 
-  /** Shared oracle for pl14 (fold) and pl16 (fused) — identical output
-    * contract; any drift between the two compositions fails the hash. */
-  private lazy val goldOracleSql: String = {
+  /** Shared oracle for pl14 (fold), pl16 (fused) and st8 (streaming
+    * incremental refresh) — identical output contract; any drift between
+    * the compositions fails the hash. */
+  private[queries] lazy val goldOracleSql: String = {
         val w = "PARTITION BY user_id ORDER BY day"
         val f5 = s"$w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
         val f20m = s"$w ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"

@@ -708,6 +708,92 @@ object StreamingQueries {
           "st7: no window spans the restart boundary — proof is vacuous")
         out.select("user_id", "win_start", "open", "high", "low", "close",
           "n_events")
+      }),
+
+    // ST8: streaming bronze → Gold incremental refresh — the last
+    // StreamingOps surface without an end-to-end oracle row. Each
+    // micro-batch of raw bars (time-ordered chunked file source, one file
+    // per trigger) lands in bronze (batch-deterministic batch_id=N
+    // overwrite) and incrementally refreshes ONLY the touched Gold rows
+    // (IncrementalGold: affected users × bounded 22-day lookback), merged
+    // into the partitioned gold table with a source-wins upsert. After the
+    // stream drains, the gold TABLE on disk must hash-equal the one-shot
+    // batch feature battery over ALL events — the same goldOracleSql that
+    // pins pl14/pl16, now proving a THIRD composition: per-batch bounded
+    // recompute through real checkpointed micro-batch execution converges
+    // to the declarative answer.
+    //
+    // Non-vacuity: requires ≥2 bronze batch generations (the refresh
+    // genuinely iterated) and that the chunk boundary SPLITS at least one
+    // (user, day) — so batch 2's refresh must UPDATE gold rows batch 1
+    // already wrote (a MERGE update, not a pure insert; a sink that
+    // ignored conflicts would keep batch 1's partial-day features and
+    // hash red).
+    //
+    // Scale shape: per-batch cost is O(affected users × lookback),
+    // independent of history depth — the property that makes a daily
+    // 100 TB gold refresh affordable; all joins inside the refresh are
+    // broadcast batch-sized dims (plan doctrine of IncrementalGold).
+    QueryDef(
+      "st8_stream_gold",
+      Some(PipelineQueries.goldOracleSql),
+      (s, d) => {
+        val base = Sinks.dir(s, "stream_gold", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val ev = Tables.events(s, d).select("user_id", "ts", "value")
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val t1 = bounds.getTimestamp(1).getTime
+        // cut at NOON (UTC) of the middle day, not the raw span midpoint:
+        // the fixture's events end each day just before midnight, so a raw
+        // midpoint lands in the empty minutes near a day boundary and
+        // splits no (user, day) — the update path the row must exercise
+        val mid = t0 + (t1 - t0 + 1) / 2
+        val cut = mid - math.floorMod(mid, 86400000L) + 12L * 3600 * 1000
+        val cuts = Seq(t0, cut, t1 + 1)
+        val mt0 = 1700000000000L
+        for (k <- 0 until 2) {
+          val chunk = ev.filter(
+            col("ts") >= timestamp_millis(lit(cuts(k))) &&
+              col("ts") < timestamp_millis(lit(cuts(k + 1))))
+          writeOneFile(s, chunk, s"$srcDir/chunk_$k.parquet",
+            mt0 + k * 60000L)
+        }
+        // the cut must split some (user, day): batch 2 then refreshes a
+        // day batch 1 already materialized, exercising the MERGE-update
+        // path (not just appends)
+        val split = ev
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("ts") < timestamp_millis(lit(cut)), 1L)
+              .otherwise(0L)).as("before"),
+            sum(when(col("ts") >= timestamp_millis(lit(cut)), 1L)
+              .otherwise(0L)).as("after"))
+          .filter(col("before") > 0 && col("after") > 0).count()
+        require(split > 0,
+          "st8: no (user, day) spans the batch boundary — the refresh " +
+            "update path is untested, proof is vacuous")
+
+        withStreamPartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+          val q = graft.streaming.StreamingOps.goldSink(
+            stream, bronzePath = s"$base/bronze",
+            goldPath = s"$base/gold", checkpoint = s"$base/ckpt",
+            trigger = Some(Trigger.AvailableNow()))
+          q.awaitTermination()
+        }
+        val fs = new Path(s"$base/bronze")
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val gens = fs.listStatus(new Path(s"$base/bronze"))
+          .count(_.getPath.getName.startsWith("batch_id="))
+        require(gens >= 2,
+          s"st8: only $gens bronze batch generation(s) — the incremental " +
+            "refresh never iterated, proof is vacuous")
+        s.read.parquet(s"$base/gold")
       })
   )
 }

@@ -73,14 +73,17 @@ object StreamingOps {
     * a bronze that holds each event exactly once ([[processGoldBatch]] is
     * spec-proven idempotent under redelivery). */
   def goldSink(stream: DataFrame, bronzePath: String, goldPath: String,
-               checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+               checkpoint: String,
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processGoldBatch(batch, bronzePath, goldPath, batchId)
       }
       .outputMode("append")
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** One goldSink micro-batch, exposed for direct replay testing: calling
     * this twice with the same (batch, batchId) must leave bronze and gold
