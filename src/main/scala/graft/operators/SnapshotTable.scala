@@ -52,6 +52,60 @@ object SnapshotTable {
   private def manifestPath(tablePath: String, v: Int) =
     new Path(manifestDir(tablePath), s"v$v.manifest")
 
+  private def schemaPath(tablePath: String, v: Int) =
+    new Path(manifestDir(tablePath), s"v$v.schema.json")
+
+  /** The TABLE schema recorded at commit time for `version` (head when
+    * `None`) — the Delta/Iceberg design: schema lives in table metadata,
+    * not in data-file footers, so a 100 TB read never footer-merges a
+    * million files to discover one added column. `None` for tables
+    * committed before schema tracking (readers then fall back to footer
+    * inference, the legacy behavior). */
+  def tableSchema(spark: SparkSession, tablePath: String,
+                  version: Option[Int] = None)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val v = version.getOrElse {
+      val vs = versions(spark, tablePath)
+      require(vs.nonEmpty, s"no committed snapshots at $tablePath")
+      vs.last
+    }
+    val p = schemaPath(tablePath, v)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  private def asNullable(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Append-commit schema evolution (Iceberg `union_by_name` semantics):
+    * columns present in both keep their exact type (a type CHANGE is
+    * refused loudly — silent widening corrupts downstream readers), new
+    * columns append after the existing ones, dropped-in-source columns
+    * survive (old files still carry them; new files read them as null). */
+  private def evolve(old: org.apache.spark.sql.types.StructType,
+                     nw: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    old.fields.foreach { f =>
+      nw.fields.find(_.name == f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"schema evolution cannot change the type of column '${f.name}' " +
+            s"(${f.dataType.simpleString} -> ${g.dataType.simpleString}); " +
+            "write the cast explicitly into a new column instead")
+      }
+    }
+    val oldNames = old.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      old.fields ++ nw.fields.filterNot(g => oldNames.contains(g.name)))
+  }
+
   /** Committed versions, ascending (empty for a fresh table). */
   def versions(spark: SparkSession, tablePath: String): Seq[Int] = {
     val dir = manifestDir(tablePath)
@@ -207,6 +261,13 @@ object SnapshotTable {
     require(statsCols.forall(c => !c.contains("\t") && !c.contains("=")),
       "stats column names must not contain tab or '='")
     val commitId = java.util.UUID.randomUUID().toString
+    // pre-flight the evolution check BEFORE writing data files so an
+    // incompatible append fails without leaving an orphan data dir (the
+    // authoritative check re-runs under the commit lock below)
+    if (!replace) versions(spark, tablePath).lastOption.foreach { h =>
+      tableSchema(spark, tablePath, Some(h))
+        .foreach(old => evolve(old, asNullable(df.schema)))
+    }
     val dataDir = new Path(new Path(tablePath, "data"), commitId)
     df.write.parquet(dataDir.toString)
     val f = fs(spark, dataDir)
@@ -228,6 +289,22 @@ object SnapshotTable {
             else head.map(readLines(spark, tablePath, _))
               .getOrElse(Seq.empty)
           val v = head.getOrElse(0) + 1
+          // version schema: replace takes the frame's schema; append
+          // evolves the prior version's recorded schema (falling back to
+          // one footer-inferred read for pre-tracking tables)
+          val schema =
+            if (replace || base.isEmpty) asNullable(df.schema)
+            else {
+              val old = tableSchema(spark, tablePath, head)
+                .getOrElse(asNullable(spark.read.parquet(
+                  base.map(l => new Path(tablePath,
+                    parseEntry(l).path).toString): _*).schema))
+              evolve(old, asNullable(df.schema))
+            }
+          // schema sidecar FIRST: a manifest must never be visible
+          // without its schema (readers discover versions by manifest)
+          val so = f.create(schemaPath(tablePath, v), true)
+          try so.write(schema.json.getBytes("UTF-8")) finally so.close()
           val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
           val out = f.create(tmp, false)
           try out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
@@ -267,7 +344,11 @@ object SnapshotTable {
     }
     val files = readManifest(spark, tablePath, v)
       .map(rel => new Path(tablePath, rel).toString)
-    spark.read.parquet(files: _*)
+    // apply the version's RECORDED schema (schema evolution: files
+    // predating an added column read it as null; no footer merging)
+    tableSchema(spark, tablePath, Some(v))
+      .fold(spark.read)(spark.read.schema)
+      .parquet(files: _*)
   }
 
   /** Manifest-stats file pruning: read only the files whose recorded
@@ -282,7 +363,12 @@ object SnapshotTable {
   def readPruned(spark: SparkSession, tablePath: String, colName: String,
                  lower: Option[BigDecimal], upper: Option[BigDecimal],
                  version: Option[Int] = None): DataFrame = {
-    val kept = entries(spark, tablePath, version).filter { e =>
+    val v = version.getOrElse {
+      val vs = versions(spark, tablePath)
+      require(vs.nonEmpty, s"no committed snapshots at $tablePath")
+      vs.last
+    }
+    val kept = entries(spark, tablePath, Some(v)).filter { e =>
       e.stats.get(colName) match {
         case None => true
         case Some((mn, mx)) =>
@@ -292,10 +378,11 @@ object SnapshotTable {
     if (kept.isEmpty) {
       // every file pruned: preserve the schema via an empty frame over
       // the full file set
-      read(spark, tablePath, version).limit(0)
+      read(spark, tablePath, Some(v)).limit(0)
     } else {
-      spark.read.parquet(
-        kept.map(e => new Path(tablePath, e.path).toString): _*)
+      tableSchema(spark, tablePath, Some(v))
+        .fold(spark.read)(spark.read.schema)
+        .parquet(kept.map(e => new Path(tablePath, e.path).toString): _*)
     }
   }
 
@@ -367,6 +454,75 @@ object SnapshotTable {
             f.delete(new Path(tablePath, rel), false)) deleted += 1
       }
       f.delete(manifestPath(tablePath, v), false)
+      f.delete(schemaPath(tablePath, v), false)
+    }
+    deleted
+  }
+
+  /** Incremental append scan (the Delta/Iceberg incremental-read that
+    * feeds streaming sources and downstream syncs): read ONLY the data
+    * files added between `sinceVersion` (exclusive) and `toVersion`
+    * (inclusive, head when `None`). Cost is proportional to the NEW data,
+    * never the table — the manifest set-difference decides the file list
+    * before any I/O, so tailing a 100 TB table costs the appended bytes.
+    *
+    * Valid only over an append-only chain: if any file of `sinceVersion`
+    * is gone from `toVersion` (a replace, upsert rewrite, or compaction
+    * intervened), file-level incremental semantics don't exist and the
+    * call fails loudly — use [[read]] + a data-level diff (u5) there. */
+  def readAppendsSince(spark: SparkSession, tablePath: String,
+                       sinceVersion: Int,
+                       toVersion: Option[Int] = None): DataFrame = {
+    val to = toVersion.getOrElse {
+      val vs = versions(spark, tablePath)
+      require(vs.nonEmpty, s"no committed snapshots at $tablePath")
+      vs.last
+    }
+    val oldFiles = readManifest(spark, tablePath, sinceVersion).toSet
+    val newFiles = readManifest(spark, tablePath, to)
+    val missing = oldFiles -- newFiles.toSet
+    require(missing.isEmpty,
+      s"not an append-only chain: v$sinceVersion file(s) " +
+        s"${missing.take(3).mkString(", ")}… were rewritten before v$to; " +
+        "file-level incremental read is undefined — use a snapshot diff")
+    val added = newFiles.filterNot(oldFiles.contains)
+    if (added.isEmpty) read(spark, tablePath, Some(to)).limit(0)
+    else tableSchema(spark, tablePath, Some(to))
+      .fold(spark.read)(spark.read.schema)
+      .parquet(added.map(rel => new Path(tablePath, rel).toString): _*)
+  }
+
+  /** Orphan GC (Iceberg `remove_orphan_files`): delete data files under
+    * `data/` that NO manifest references and whose commit dir is older
+    * than `olderThanMs` — the debris of crashed writers (data written,
+    * manifest never published). The age horizon is the safety contract:
+    * an in-flight commit's files are always younger than it, so a
+    * concurrent writer can never lose data to the GC. Returns deleted
+    * file count. Like [[vacuum]], this is manifest-sized metadata work
+    * plus deletes — no data bytes are read. */
+  def removeOrphans(spark: SparkSession, tablePath: String,
+                    olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val f = fs(spark, new Path(tablePath))
+    val dataRoot = new Path(tablePath, "data")
+    if (!f.exists(dataRoot)) return 0
+    val referenced = versions(spark, tablePath)
+      .flatMap(readManifest(spark, tablePath, _)).toSet
+    val horizon = System.currentTimeMillis() - olderThanMs
+    var deleted = 0
+    // commit-dir granularity: a writer produces exactly one dir per
+    // attempt, so a dir with NO referenced file is crash debris as a unit
+    // (markers like _SUCCESS included); a dir with any referenced file is
+    // live and left whole
+    f.listStatus(dataRoot).foreach { dir =>
+      if (dir.isDirectory && dir.getModificationTime < horizon) {
+        val files = f.listStatus(dir.getPath).map(_.getPath.getName)
+        val anyRef = files.exists(n =>
+          referenced.contains(s"data/${dir.getPath.getName}/$n"))
+        if (!anyRef) {
+          deleted += files.count(_.endsWith(".parquet"))
+          f.delete(dir.getPath, true)
+        }
+      }
     }
     deleted
   }

@@ -285,5 +285,115 @@ object SortSetQueries {
           "reading a vacuumed snapshot must fail loudly, it did not")
         SnapshotTable.read(s, t)
       }),
+
+    // U7: schema evolution on the snapshot table (Iceberg add-column /
+    // Delta mergeSchema semantics, done the metadata-native way): the
+    // table schema is RECORDED in commit metadata and applied at read —
+    // never discovered by footer-merging a million files. Commit v1
+    // without `source`, append v2 WITH it; the head read returns the
+    // evolved schema with v1's files reading `source` as null, while a
+    // time-travel read of v1 still returns the ORIGINAL schema (asserted
+    // in-query). A type CHANGE on append is refused loudly before any
+    // data is written (silent widening corrupts downstream readers).
+    //
+    // Scale shape: evolution is one sidecar write per commit; reads apply
+    // an explicit schema, so adding a column to a 100 TB table is O(1)
+    // metadata, not a rewrite — the whole point of the table-format
+    // design.
+    QueryDef(
+      "u7_schema_evolution",
+      Some("""SELECT event_id, user_id, value,
+             |  CAST(NULL AS VARCHAR) AS source
+             |FROM events WHERE ts < TIMESTAMP '2024-01-15'
+             |UNION ALL
+             |SELECT event_id, user_id, value, 'vendor_b' AS source
+             |FROM events WHERE ts >= TIMESTAMP '2024-01-15'""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "evolve_table", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d).select("event_id", "user_id", "ts",
+          "value")
+        val cut = lit("2024-01-15").cast("timestamp")
+        SnapshotTable.commit(s,
+          ev.filter(col("ts") < cut).drop("ts"), t)
+        SnapshotTable.commit(s,
+          ev.filter(col("ts") >= cut).drop("ts")
+            .withColumn("source", lit("vendor_b")),
+          t, replace = false)
+        // time travel keeps the PRE-evolution schema
+        require(!SnapshotTable.read(s, t, Some(1))
+          .schema.fieldNames.contains("source"),
+          "u7: v1 time-travel read leaked the evolved column")
+        // a type change on append must be refused before data lands
+        val refused =
+          try {
+            SnapshotTable.commit(s,
+              ev.drop("ts").withColumn("value", col("value").cast("string")),
+              t, replace = false)
+            false
+          } catch { case _: IllegalArgumentException => true }
+        require(refused,
+          "u7: a column type change on append was not refused")
+        val head = SnapshotTable.read(s, t)
+        require(head.schema.fieldNames.contains("source"),
+          "u7: head read is missing the evolved column")
+        head
+      }),
+
+    // U8: incremental append scan (the Delta/Iceberg incremental read
+    // that feeds streaming sources and downstream syncs — the manifest
+    // set-difference picks the NEW files before any I/O). Three append
+    // commits; the query reads exactly what landed AFTER v1 — the oracle
+    // is the declarative slice. In-query requires pin the two contracts:
+    // the incremental read schedules strictly fewer files than the head
+    // (it pruned), and a rewritten chain (upsert) is REFUSED loudly
+    // (file-level increments are undefined across rewrites).
+    //
+    // Scale shape: tailing a 100 TB table costs the appended bytes —
+    // never the table. This is s12's high-watermark sync done at FILE
+    // granularity, with the table format itself as the watermark.
+    QueryDef(
+      "u8_incremental_scan",
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-11'""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "incr_table", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d).select("event_id", "user_id", "ts",
+          "value")
+        def slice(lo: String, hi: Option[String]) = {
+          val base = ev.filter(col("ts") >= lit(lo).cast("timestamp"))
+          hi.fold(base)(h => base.filter(col("ts") < lit(h).cast("timestamp")))
+            .drop("ts")
+        }
+        SnapshotTable.commit(s, slice("2024-01-01", Some("2024-01-11")), t)
+        SnapshotTable.commit(s, slice("2024-01-11", Some("2024-01-21")), t,
+          replace = false)
+        SnapshotTable.commit(s, slice("2024-01-21", None), t,
+          replace = false)
+        val incr = SnapshotTable.readAppendsSince(s, t, sinceVersion = 1)
+        val nIncr = SnapshotTable.entries(s, t, Some(3)).size -
+          SnapshotTable.entries(s, t, Some(1)).size
+        require(nIncr > 0 &&
+          nIncr < SnapshotTable.entries(s, t, Some(3)).size,
+          "u8: the incremental read did not prune the v1 files")
+        // a rewrite breaks the append-only chain: must refuse
+        SnapshotTable.upsertSnapshot(s,
+          slice("2024-01-01", Some("2024-01-02"))
+            .withColumn("value", col("value") + 1.0),
+          t, keyCols = Seq("event_id"), orderCol = "event_id")
+        val refused =
+          try { SnapshotTable.readAppendsSince(s, t, 1).count(); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused,
+          "u8: incremental read over a rewritten chain was not refused")
+        incr
+      }),
   )
 }

@@ -137,4 +137,95 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](read(spark, t, Some(1)))
     intercept[IllegalArgumentException](vacuum(spark, t, keepFrom = 99))
   }
+
+  test("schema evolution: add-column appends, old files read null, " +
+    "time travel keeps the old schema") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), t)
+    commit(spark, Seq((3L, 3.0, "x")).toDF("id", "v", "tag"), t,
+      replace = false)
+    val head = read(spark, t)
+    assert(head.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    val rows = head.orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.isNullAt(2))).toSeq ==
+      Seq((1L, true), (2L, true), (3L, false)))
+    assert(read(spark, t, Some(1)).schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("schema evolution: a dropped-in-source column survives (new files " +
+    "read it as null) and a type change is refused") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "keep")).toDF("id", "x"), t)
+    // source omits x entirely: the table keeps it, the new file nulls it
+    commit(spark, Seq(Tuple1(2L)).toDF("id"), t, replace = false)
+    val head = read(spark, t).orderBy("id").collect()
+    assert(head.map(r => (r.getLong(0), r.isNullAt(1))).toSeq ==
+      Seq((1L, false), (2L, true)))
+    // type change refused, and refused BEFORE writing data (no orphan dir)
+    val ex = intercept[IllegalArgumentException](
+      commit(spark, Seq((3L, 9.9)).toDF("id", "x"), t, replace = false))
+    assert(ex.getMessage.contains("'x'"))
+    val dataDir = new org.apache.hadoop.fs.Path(t, "data")
+    val f = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.listStatus(dataDir).length == 2,
+      "the refused commit left an orphan data dir")
+  }
+
+  test("readAppendsSince returns exactly the appended rows and refuses " +
+    "rewritten chains") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t)
+    commit(spark, Seq((2L, "b")).toDF("id", "x"), t, replace = false)
+    commit(spark, Seq((3L, "c")).toDF("id", "x"), t, replace = false)
+    val incr = SnapshotTable.readAppendsSince(spark, t, 1)
+    assert(incr.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+    // since == to → empty, schema preserved
+    assert(SnapshotTable.readAppendsSince(spark, t, 3).count() == 0)
+    // a replace breaks the chain
+    commit(spark, Seq((9L, "z")).toDF("id", "x"), t)
+    intercept[IllegalArgumentException](
+      SnapshotTable.readAppendsSince(spark, t, 2))
+  }
+
+  test("removeOrphans deletes only unreferenced, aged-out commit debris") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t)
+    // fake a crashed commit: a data dir no manifest references
+    val orphan = new org.apache.hadoop.fs.Path(t, "data/dead-commit")
+    Seq((9L, "z")).toDF("id", "x").write.parquet(orphan.toString)
+    val f = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // young debris is protected by the age horizon
+    assert(SnapshotTable.removeOrphans(spark, t) == 0)
+    assert(f.exists(orphan))
+    // aged debris is collected; the live table is untouched
+    val aged = System.currentTimeMillis() - 48L * 3600 * 1000
+    f.setTimes(orphan, aged, -1)
+    assert(SnapshotTable.removeOrphans(spark, t,
+      olderThanMs = 24L * 3600 * 1000) >= 1)
+    assert(!f.exists(orphan))
+    assert(read(spark, t).count() == 1)
+  }
+
+  test("vacuum drops expired schema sidecars with their manifests") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t)
+    commit(spark, Seq((2L, "b")).toDF("id", "x"), t)
+    vacuum(spark, t, keepFrom = 2)
+    val mdir = new org.apache.hadoop.fs.Path(t, "_manifests")
+    val f = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = f.listStatus(mdir).map(_.getPath.getName).toSet
+    assert(!names.contains("v1.schema.json") &&
+      names.contains("v2.schema.json"), names.toString)
+  }
 }
