@@ -45,6 +45,16 @@ object StreamingQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Snap a cut instant to HALF PAST its hour. The fixture's events die
+    * out in the last ~3 minutes of each day, so a raw span-fraction cut
+    * can land in that dead zone (or at any hour's silent edge) and no
+    * window/(user,day) ends up with rows on BOTH sides — st7's
+    * non-vacuity guard tripped exactly this way at sf0.1 (cut at
+    * 23:59:40, zero rows after it in its hour). :30 of any hour with
+    * data has rows on both sides at every fixture SF. */
+  private def snapHalfHour(t: Long): Long =
+    t - math.floorMod(t, 3600000L) + 1800000L
+
   /** Write `df` as exactly one parquet FILE at `target` with a pinned
     * modification time — the file source processes files in mod-time
     * order, so arrival order is data the test controls, not an accident
@@ -110,7 +120,9 @@ object StreamingQueries {
         val t0 = bounds.getTimestamp(0).getTime
         val t1 = bounds.getTimestamp(1).getTime
         val span = t1 - t0 + 1
-        val cuts = (0 to 2).map(k => t0 + span * k / 2)
+        // interior cut snapped to :30 so the 1-hour windows genuinely
+        // form ACROSS the batch boundary at every SF (see snapHalfHour)
+        val cuts = Seq(t0, snapHalfHour(t0 + span / 2), t1 + 1)
         // deterministic, widely spaced mod-times (file-source order key)
         val mt0 = 1700000000000L
         for (k <- 0 until 2) {
@@ -140,6 +152,19 @@ object StreamingQueries {
             trigger = Some(Trigger.AvailableNow()))
           q.awaitTermination()
         }
+        // a window must have rows in BOTH chunks: the cross-batch
+        // window/watermark machinery is the thing this row proves
+        val boundary = cuts(1)
+        val crossing = ev
+          .groupBy(date_trunc("hour", col("ts")).as("w"))
+          .agg(
+            sum(when(col("ts") < timestamp_millis(lit(boundary)), 1L)
+              .otherwise(0L)).as("before"),
+            sum(when(col("ts") >= timestamp_millis(lit(boundary)), 1L)
+              .otherwise(0L)).as("after"))
+          .filter(col("before") > 0 && col("after") > 0).limit(1).count()
+        require(crossing > 0,
+          "st1: no window spans the batch boundary — proof is vacuous")
         s.read.parquet(s"$base/sink")
           .filter(col("user_id") =!= -1L)
           .select("user_id", "win_start", "open", "high", "low", "close",
@@ -648,7 +673,10 @@ object StreamingQueries {
         val t0 = bounds.getTimestamp(0).getTime
         val t1 = bounds.getTimestamp(1).getTime
         val span = t1 - t0 + 1
-        val cuts = (0 to 3).map(k => t0 + span * k / 3)
+        // interior cuts snapped to :30 so the restart boundary always has
+        // events on both sides within one window (see snapHalfHour)
+        val cuts = Seq(t0, snapHalfHour(t0 + span / 3),
+          snapHalfHour(t0 + span * 2 / 3), t1 + 1)
         val mt0 = 1700000000000L
         def chunk(k: Int): DataFrame = ev.filter(
           col("ts") >= timestamp_millis(lit(cuts(k))) &&
