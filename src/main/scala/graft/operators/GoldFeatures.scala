@@ -273,12 +273,19 @@ object GoldFeatures {
     // collect_list skips null ats (no-premarket days), matching the
     // reference's rolling over the premarket-days-only series.
     val med = (element_at(col("__lst"), 10) + element_at(col("__lst"), 11)) / 2.0
+    // Compared (and emitted) as a 1e-6-quantized LONG: `ln` is the one
+    // per-row transcendental in the battery, and libm implementations are
+    // only 1-ulp-accurate — Spark's Math.log and DuckDB's ln disagree on
+    // real inputs (first seen at sf0.1, r_pm_hist maxdev 1.1e-16). The
+    // oracle's own lrq applies the same 1e6 floor-quantization to its ln
+    // for the same reason.
     sub.withColumn("__ats", ats)
       .withColumn("__lst", sort_array(collect_list(col("__ats")).over(f20)))
       .select(col("user_id"), col("day"),
         when(size(col("__lst")) >= 20,
-          log((col("__ats") + eps) / (med + eps)))
-          .as("r_pm_hist"))
+          floor(log((col("__ats") + eps) / (med + eps)) * 1e6 + 0.5)
+            .cast("long"))
+          .as("r_pm_hist_q"))
   }
 
   /** 15. premarket VWAP return (:717): pm VWAP over previous REGULAR-hours
@@ -370,7 +377,8 @@ object GoldFeatures {
         .as("hhi_premarket_volume"),
       when(n20 >= 20, (rpm - mu) / nullif(sd, lit(0.0))).as("z_pm"),
       when(size(col("__lst")) >= 20,
-        log((col("__ats") + 0.01) / (med + 0.01))).as("r_pm_hist"),
+        floor(log((col("__ats") + 0.01) / (med + 0.01)) * 1e6 + 0.5)
+          .cast("long")).as("r_pm_hist_q"),
       (vwapPm / nullif(lag("reg_close", 1).over(wDay), lit(0.0)) - 1.0)
         .as("pm_vwap_return"))
   }

@@ -143,12 +143,13 @@ object PipelineQueries {
            |    END AS z_pm,
            |    CASE WHEN len(list_filter(list(ats) OVER ($f20),
            |        x -> x IS NOT NULL)) >= 20 THEN
-           |      ln((ats + 0.01) /
+           |      CAST(floor(ln((ats + 0.01) /
            |        ((list_sort(list_filter(list(ats) OVER ($f20),
            |            x -> x IS NOT NULL))[10] +
            |          list_sort(list_filter(list(ats) OVER ($f20),
            |            x -> x IS NOT NULL))[11]) / 2.0 + 0.01))
-           |    END AS r_pm_hist,
+           |        * 1e6 + 0.5) AS BIGINT)
+           |    END AS r_pm_hist_q,
            |    (CASE WHEN pm_vol_sum > 0.0 THEN
            |      CAST(pm_vt_sum AS DOUBLE) / 1e6 / pm_vol_sum END)
            |      / NULLIF(prev_reg_close, 0.0) - 1.0 AS pm_vwap_return

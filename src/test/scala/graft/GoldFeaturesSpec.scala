@@ -59,7 +59,7 @@ class GoldFeaturesSpec extends SparkSpec {
     assert(row(2).isNullAt(row(2).fieldIndex("rvol_20d")))
     assert(row(2).isNullAt(row(2).fieldIndex("dist_max_20d")))
     assert(row(2).isNullAt(row(2).fieldIndex("z_pm")))
-    assert(row(2).isNullAt(row(2).fieldIndex("r_pm_hist")))
+    assert(row(2).isNullAt(row(2).fieldIndex("r_pm_hist_q")))
     // std_return_last5d needs 5 days
     assert(row(2).isNullAt(row(2).fieldIndex("std_return_last5d")))
   }
@@ -69,7 +69,7 @@ class GoldFeaturesSpec extends SparkSpec {
       "rvol_20d", "gap_pct", "dist_max_20d", "upper_wick_ratio_last1d",
       "lower_wick_ratio_last1d", "weekday_0", "weekday_1", "weekday_2",
       "weekday_3", "weekday_4", "weekday_sin", "weekday_cos",
-      "days_since_holiday", "hhi_premarket_volume", "z_pm", "r_pm_hist",
+      "days_since_holiday", "hhi_premarket_volume", "z_pm", "r_pm_hist_q",
       "pm_vwap_return")
     assert(cols.subsetOf(gold.head.schema.fieldNames.toSet))
   }

@@ -96,7 +96,7 @@ class GoldenEndToEndSpec extends SparkSpec {
     assert(row(1L, 4).getAs[Int]("weekday_4") == 1)
     // 20-day-gated features are null on a 10-day sample
     for (k <- Seq(1L, 2L); d <- 0 until 10; c <- Seq("rvol_20d",
-        "dist_max_20d", "z_pm", "r_pm_hist")) {
+        "dist_max_20d", "z_pm", "r_pm_hist_q")) {
       val r = row(k, d)
       assert(r.isNullAt(r.fieldIndex(c)), s"$c should be null k=$k d=$d")
     }
