@@ -637,5 +637,151 @@ object MlPrepQueries {
           .filter(col("rn") <= col("m"))
           .select(col("vec_id"), col("label").cast("long").as("label"))
       }),
+
+    // EVAL REPORT: per-period classification metrics — precision/recall/F1
+    // per class plus tie-aware ROC AUC — the distributed half of the
+    // reference's month-by-month model evaluation loop
+    // (my_model.py:567-651 `evaluate_all_models_monthly`: pandas loop per
+    // (model, year, month) over precision_recall_fscore_support +
+    // roc_auc_score). The model itself is out of engine scope; the score
+    // column here is a deterministic stand-in, and every metric downstream
+    // of (label, score) is computed exactly.
+    //
+    // Scale shape — the part worth copying at 100 TB: AUC is the
+    // Mann-Whitney rank-sum, but NO per-row ranking window ever runs.
+    // Scores are histogrammed per (period, score) first (one hash
+    // aggregate over the data — the only full-data pass), and ranks,
+    // tie-counts, confusion cells, and the rank-sum all derive from the
+    // HISTOGRAM (periods × score-domain rows, KBs): min-rank = cumulative
+    // count + 1, a tied block of size c contributes pos·(2·cum + c + 1)
+    // to twice the positive rank-sum. Works for any bounded/quantized
+    // score domain — which at scale a model score is made to be (quantize
+    // to 1e-4 first, exactly how large-scale AUC jobs do it). The
+    // fixture's one-month span makes "monthly" degenerate, so the period
+    // is the ISO week — the operator is granularity-parametric.
+    //
+    // Tie correctness is load-bearing: scores collide ACROSS classes by
+    // construction (label-1 rows keep their base score unless
+    // event_id%3=0), so a naive row_number AUC would be nondeterministic
+    // and wrong; the average-rank algebra here is exact (asserted
+    // non-vacuously in-query).
+    QueryDef(
+      "mlprep_eval_report",
+      Some("""WITH base AS (
+             |  SELECT date_trunc('week', ts) AS period,
+             |    CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END AS y,
+             |    CAST(event_id % 20 AS DOUBLE) / 20.0e0 +
+             |      CASE WHEN value >= 100.0e0 AND event_id % 3 = 0
+             |        THEN 0.35e0 ELSE 0.0e0 END AS s
+             |  FROM events),
+             |hist AS (
+             |  SELECT period, s, count(*) AS cnt, sum(y) AS pos
+             |  FROM base GROUP BY 1, 2),
+             |h2 AS (
+             |  SELECT *, COALESCE(SUM(cnt) OVER (PARTITION BY period
+             |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |    1 PRECEDING), 0) AS cum
+             |  FROM hist),
+             |agg AS (
+             |  SELECT period,
+             |    CAST(SUM(cnt) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN s >= 0.5e0 THEN pos ELSE 0 END)
+             |      AS BIGINT) AS tp,
+             |    CAST(SUM(CASE WHEN s >= 0.5e0 THEN cnt - pos ELSE 0 END)
+             |      AS BIGINT) AS fp,
+             |    CAST(SUM(CASE WHEN s < 0.5e0 THEN pos ELSE 0 END)
+             |      AS BIGINT) AS fn,
+             |    CAST(SUM(CASE WHEN s < 0.5e0 THEN cnt - pos ELSE 0 END)
+             |      AS BIGINT) AS tn,
+             |    CAST(SUM(pos * (2 * cum + cnt + 1)) AS BIGINT) AS r2pos,
+             |    CAST(SUM(pos) AS BIGINT) AS np,
+             |    CAST(SUM(cnt - pos) AS BIGINT) AS nn
+             |  FROM h2 GROUP BY 1),
+             |m AS (
+             |  SELECT *,
+             |    CASE WHEN tp + fp = 0 THEN 0.0e0
+             |      ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+             |    END AS p1,
+             |    CASE WHEN tp + fn = 0 THEN 0.0e0
+             |      ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+             |    END AS r1,
+             |    CASE WHEN tn + fn = 0 THEN 0.0e0
+             |      ELSE CAST(tn AS DOUBLE) / CAST(tn + fn AS DOUBLE)
+             |    END AS p0,
+             |    CASE WHEN tn + fp = 0 THEN 0.0e0
+             |      ELSE CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)
+             |    END AS r0
+             |  FROM agg)
+             |SELECT period, n, tp, fp, fn, tn,
+             |  CAST(floor(p1 * 1e9 + 0.5e0) AS BIGINT) AS p1_q,
+             |  CAST(floor(r1 * 1e9 + 0.5e0) AS BIGINT) AS r1_q,
+             |  CAST(floor((CASE WHEN p1 + r1 = 0.0e0 THEN 0.0e0
+             |    ELSE 2.0e0 * p1 * r1 / (p1 + r1) END) * 1e9 + 0.5e0)
+             |    AS BIGINT) AS f1_1_q,
+             |  CAST(floor(p0 * 1e9 + 0.5e0) AS BIGINT) AS p0_q,
+             |  CAST(floor(r0 * 1e9 + 0.5e0) AS BIGINT) AS r0_q,
+             |  CAST(floor((CASE WHEN p0 + r0 = 0.0e0 THEN 0.0e0
+             |    ELSE 2.0e0 * p0 * r0 / (p0 + r0) END) * 1e9 + 0.5e0)
+             |    AS BIGINT) AS f1_0_q,
+             |  CAST(floor((CASE WHEN np = 0 OR nn = 0 THEN 0.0e0
+             |    ELSE CAST(r2pos - np * (np + 1) AS DOUBLE) /
+             |      (2.0e0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+             |    END) * 1e9 + 0.5e0) AS BIGINT) AS auc_q
+             |FROM m""".stripMargin),
+      (s, d) => {
+        val base = Tables.events(s, d).select(
+          date_trunc("week", col("ts")).as("period"),
+          when(col("value") >= 100.0, 1L).otherwise(0L).as("y"),
+          ((col("event_id") % 20).cast("double") / 20.0 +
+            when(col("value") >= 100.0 && col("event_id") % 3 === 0,
+              0.35).otherwise(0.0)).as("s"))
+        val hist = base.groupBy("period", "s")
+          .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+        val wCum = Window.partitionBy("period").orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val h2 = hist.withColumn("cum",
+          coalesce(sum("cnt").over(wCum), lit(0L)))
+        val agg = h2.groupBy("period").agg(
+          sum("cnt").as("n"),
+          sum(when(col("s") >= 0.5, col("pos")).otherwise(0L)).as("tp"),
+          sum(when(col("s") >= 0.5, col("cnt") - col("pos"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("s") < 0.5, col("pos")).otherwise(0L)).as("fn"),
+          sum(when(col("s") < 0.5, col("cnt") - col("pos"))
+            .otherwise(0L)).as("tn"),
+          sum(col("pos") * (lit(2L) * col("cum") + col("cnt") + lit(1L)))
+            .as("r2pos"),
+          sum("pos").as("np"),
+          sum(col("cnt") - col("pos")).as("nn"))
+        // non-vacuity: cross-class score ties must exist, or the
+        // average-rank algebra this row exists to verify went untested
+        val mixed = h2.filter(col("pos") > 0 && col("pos") < col("cnt"))
+          .limit(1).count()
+        require(mixed > 0,
+          "eval_report: no score bucket mixes classes — tie handling " +
+            "is untested, proof is vacuous")
+        def ratio(num: Column, den: Column): Column =
+          when(den === 0, 0.0).otherwise(num.cast("double") /
+            den.cast("double"))
+        def q9(c: Column): Column =
+          floor(c * 1e9 + 0.5).cast("long")
+        val p1 = ratio(col("tp"), col("tp") + col("fp"))
+        val r1 = ratio(col("tp"), col("tp") + col("fn"))
+        val p0 = ratio(col("tn"), col("tn") + col("fn"))
+        val r0 = ratio(col("tn"), col("tn") + col("fp"))
+        def f1(p: Column, r: Column): Column =
+          when(p + r === 0.0, 0.0)
+            .otherwise(lit(2.0) * p * r / (p + r))
+        val auc = when(col("np") === 0 || col("nn") === 0, 0.0)
+          .otherwise(
+            (col("r2pos") - col("np") * (col("np") + lit(1L)))
+              .cast("double") /
+            (lit(2.0) * col("np").cast("double") * col("nn").cast("double")))
+        agg.select(col("period"), col("n"), col("tp"), col("fp"),
+          col("fn"), col("tn"),
+          q9(p1).as("p1_q"), q9(r1).as("r1_q"), q9(f1(p1, r1)).as("f1_1_q"),
+          q9(p0).as("p0_q"), q9(r0).as("r0_q"), q9(f1(p0, r0)).as("f1_0_q"),
+          q9(auc).as("auc_q"))
+      }),
   )
 }
