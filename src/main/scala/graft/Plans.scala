@@ -505,6 +505,35 @@ object Plans {
         schema.contains("chunk_checksum") && !schema.contains("payload")
       }
     }
+    // u8's contract at the I/O layer: the incremental read SCHEDULES only
+    // the files the later commits added — the manifest set-difference
+    // decides before any scan task exists (tailing a 100 TB table costs
+    // the appended bytes)
+    check("u8 shape: incremental append scan reads only the added files") {
+      import org.apache.spark.sql.functions.input_file_name
+      import graft.operators.SnapshotTable
+      val t = Sinks.dir(spark, "plans_incr")
+      val p = new org.apache.hadoop.fs.Path(t)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      SnapshotTable.commit(spark, spark.range(0, 100).toDF("id")
+        .repartition(4), t)
+      SnapshotTable.commit(spark, spark.range(100, 120).toDF("id")
+        .repartition(2), t, replace = false)
+      val added = SnapshotTable.entries(spark, t, Some(2)).size -
+        SnapshotTable.entries(spark, t, Some(1)).size
+      val readFiles = SnapshotTable.readAppendsSince(spark, t, 1)
+        .select(input_file_name()).distinct().count()
+      added == 2 && readFiles == added
+    }
+    // mlprep_eval_report's scale contract: the rank/cumulative window runs
+    // over the score HISTOGRAM, never the raw rows — every Window in the
+    // plan must sit on top of a hash aggregate
+    check("eval_report shape: windows run over the histogram aggregate") {
+      val plan = planOf("mlprep_eval_report")
+      val lastWin = plan.lastIndexOf("Window")
+      lastWin > 0 && plan.indexOf("HashAggregate", lastWin) > lastWin
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
