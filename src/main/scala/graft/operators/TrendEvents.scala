@@ -35,7 +35,24 @@ object TrendEvents {
   final case class TrendEvent(
       key: Long, start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp,
       open: Double, high: Double, low: Double, close: Double,
-      pct_change: Double, n_points: Int, closed: Boolean)
+      pct_change: Option[Double], n_points: Int, closed: Boolean)
+
+  /** Band-crossing test with an EXPLICIT zero-reference policy. A raw
+    * `abs(p/ref - 1) >= factor` silently diverges across engines once a
+    * 0.0 price becomes a segment reference (sf0.1 has them): IEEE gives
+    * p/0 = +inf (trips any band when p > 0; 0/0 = NaN never does) while
+    * DuckDB defines double division by zero as NULL (never trips). The
+    * policy here is the IEEE/pandas behavior of the reference
+    * (my_alpaca.py's plain numpy division), written branch-explicitly so
+    * the oracle can state the identical condition. */
+  def crossingFrom(ref: Double, p: Double): Boolean =
+    if (ref == 0.0) p > 0.0
+    else math.abs(p / ref - 1.0) >= targetFactor(ref)
+
+  /** Segment pct_change; None (SQL NULL) when the reference is 0 — the
+    * IEEE value would be +inf/NaN, which no oracle can roundtrip. */
+  def pctFrom(ref: Double, p: Double): Option[Double] =
+    if (ref == 0.0) None else Some(p / ref - 1.0)
 
   /** Tagged merged-stream row for the two-granularity scan. tag 0 = coarse
     * bar marker (open/hi/lo/close of the window), tag 1 = fine tick. */
@@ -69,7 +86,8 @@ object TrendEvents {
             if (start == null) null
             else if (n > 1 || !emittedAny)
               TrendEvent(start.key, start.ts, last.ts, start.price, hi, lo,
-                last.price, last.price / start.price - 1.0, n, closed = false)
+                last.price, pctFrom(start.price, last.price), n,
+                closed = false)
             else null
 
           private var last: PricePoint = _
@@ -88,10 +106,10 @@ object TrendEvents {
               } else {
                 hi = math.max(hi, r.price); lo = math.min(lo, r.price); n += 1
                 last = r
-                val factor = targetFactor(start.price)
-                if (math.abs(r.price / start.price - 1.0) >= factor) {
+                if (crossingFrom(start.price, r.price)) {
                   queued = TrendEvent(r.key, start.ts, r.ts, start.price, hi,
-                    lo, r.price, r.price / start.price - 1.0, n, closed = true)
+                    lo, r.price, pctFrom(start.price, r.price), n,
+                    closed = true)
                   emitted = true
                   start = r; hi = r.price; lo = r.price; n = 1
                 }
@@ -152,13 +170,10 @@ object TrendEvents {
           private var emitted = false
           private val queue = scala.collection.mutable.Queue.empty[TrendEvent]
 
-          private def crossing(p: Double): Boolean =
-            math.abs(p / ref - 1.0) >= targetFactor(ref)
-
           private def flushOpen(): Unit =
             if (haveKey && (n > 1 || !emitted))
               queue += TrendEvent(curKey, startTs, lastTs, ref, hi, lo,
-                lastPrice, lastPrice / ref - 1.0, n, closed = false)
+                lastPrice, pctFrom(ref, lastPrice), n, closed = false)
 
           private def advance(): Unit = {
             while (queue.isEmpty && it.hasNext) {
@@ -179,17 +194,22 @@ object TrendEvents {
                 if (fineUntil == null) {
                   n += 1; lastPrice = r.price; lastTs = r.ts
                   val fac = targetFactor(ref)
-                  val hits = (r.hi / ref - 1.0 >= fac) ||
-                             (r.lo / ref - 1.0 <= -fac)
+                  // zero-ref policy (see crossingFrom): hi/0 = +inf trips
+                  // the upper band iff hi > 0; lo/0 can never trip the
+                  // lower one for non-negative prices
+                  val hits =
+                    if (ref == 0.0) r.hi > 0.0
+                    else (r.hi / ref - 1.0 >= fac) ||
+                         (r.lo / ref - 1.0 <= -fac)
                   if (hits) fineUntil = r.winEnd // drill into fine rows
                   else { hi = math.max(hi, r.hi); lo = math.min(lo, r.lo) }
                 }
               } else if (fineUntil != null && r.ts.before(fineUntil)) {
                 // fine tick inside a crossing window: precise lookup
                 hi = math.max(hi, r.price); lo = math.min(lo, r.price)
-                if (crossing(r.price)) {
+                if (crossingFrom(ref, r.price)) {
                   queue += TrendEvent(curKey, startTs, r.ts, ref, hi, lo,
-                    r.price, r.price / ref - 1.0, n, closed = true)
+                    r.price, pctFrom(ref, r.price), n, closed = true)
                   emitted = true
                   startTs = r.ts; ref = r.price; hi = r.price; lo = r.price
                   n = 1; lastPrice = r.price; lastTs = r.ts; fineUntil = null

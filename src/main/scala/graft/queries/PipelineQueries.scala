@@ -217,9 +217,9 @@ object PipelineQueries {
       "pl2_sessionize",
       Some(s"""WITH tagged AS (
               |  SELECT user_id, ts, event_id, value,
-              |    CASE WHEN date_part('epoch', ts) -
-              |      date_part('epoch', lag(ts, 1) OVER
-              |        (PARTITION BY user_id ORDER BY ts)) > 21600
+              |    CASE WHEN epoch_us(ts) -
+              |      epoch_us(lag(ts, 1) OVER
+              |        (PARTITION BY user_id ORDER BY ts)) > 21600000000
               |      OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts)
               |        IS NULL
               |    THEN 1 ELSE 0 END AS is_new
@@ -364,6 +364,7 @@ object PipelineQueries {
              |  CROSS JOIN LATERAL (
              |    SELECT greatest(s.hi, o.value) AS hi2,
              |      least(s.lo, o.value) AS lo2,
+             |      (s.ref = 0.0 AND o.value > 0.0) OR
              |      abs(o.value / s.ref - 1.0) >=
              |        (CASE WHEN s.ref < 1.0 THEN 0.12
              |              WHEN s.ref < 10.0 THEN 0.08
@@ -373,7 +374,9 @@ object PipelineQueries {
              |closed_ev AS (
              |  SELECT key, ev_start AS start_ts, ts AS end_ts,
              |    ev_open AS open, ev_hi AS high, ev_lo AS low,
-             |    value AS close, value / ev_open - 1.0 AS pct_change,
+             |    value AS close,
+             |    CASE WHEN ev_open = 0.0 THEN NULL
+             |      ELSE value / ev_open - 1.0 END AS pct_change,
              |    ev_n AS n_points, TRUE AS closed
              |  FROM s WHERE crossed),
              |last_state AS (
@@ -383,7 +386,8 @@ object PipelineQueries {
              |open_ev AS (
              |  SELECT key, ref_ts AS start_ts, ts AS end_ts, ref AS open,
              |    hi AS high, lo AS low, value AS close,
-             |    value / ref - 1.0 AS pct_change, n AS n_points,
+             |    CASE WHEN ref = 0.0 THEN NULL
+             |      ELSE value / ref - 1.0 END AS pct_change, n AS n_points,
              |    FALSE AS closed
              |  FROM last_state WHERE n > 1 OR NOT any_emitted)
              |SELECT * FROM closed_ev UNION ALL SELECT * FROM open_ev""".stripMargin),
@@ -599,21 +603,24 @@ object PipelineQueries {
              |    ts AS start_ts,
              |    CASE WHEN tag = 0 THEN r_open ELSE r_price END AS ref,
              |    CASE WHEN tag = 0 THEN
-             |      (CASE WHEN (r_hi / r_open - 1.0 >= (CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
-             |              OR (r_lo / r_open - 1.0 <= -(CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |      (CASE WHEN (CASE WHEN r_open = 0.0 THEN r_hi > 0.0
+             |           ELSE (r_hi / r_open - 1.0 >= (CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |              OR (r_lo / r_open - 1.0 <= -(CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END)) END)
              |       THEN r_open ELSE greatest(r_open, r_hi) END)
              |    ELSE r_price END AS hi,
              |    CASE WHEN tag = 0 THEN
-             |      (CASE WHEN (r_hi / r_open - 1.0 >= (CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
-             |              OR (r_lo / r_open - 1.0 <= -(CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |      (CASE WHEN (CASE WHEN r_open = 0.0 THEN r_hi > 0.0
+             |           ELSE (r_hi / r_open - 1.0 >= (CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |              OR (r_lo / r_open - 1.0 <= -(CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END)) END)
              |       THEN r_open ELSE least(r_open, r_lo) END)
              |    ELSE r_price END AS lo,
              |    CASE WHEN tag = 0 THEN 1 ELSE 0 END AS n,
              |    r_price AS last_price,
              |    ts AS last_ts,
              |    CASE WHEN tag = 0 AND
-             |      ((r_hi / r_open - 1.0 >= (CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
-             |        OR (r_lo / r_open - 1.0 <= -(CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END)))
+             |      (CASE WHEN r_open = 0.0 THEN r_hi > 0.0
+             |       ELSE (r_hi / r_open - 1.0 >= (CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END))
+             |        OR (r_lo / r_open - 1.0 <= -(CASE WHEN r_open < 1.0 THEN 0.12 WHEN r_open < 10.0 THEN 0.08 WHEN r_open < 50.0 THEN 0.05 WHEN r_open < 200.0 THEN 0.03 ELSE 0.02 END)) END)
              |      THEN winEnd END AS fine_until,
              |    FALSE AS crossed, FALSE AS emitted,
              |    CAST(NULL AS TIMESTAMP) AS ev_start, CAST(NULL AS DOUBLE) AS ev_open,
@@ -646,7 +653,9 @@ object PipelineQueries {
              |  FROM o JOIN s ON o.key = s.key AND o.rn = s.rn + 1
              |  CROSS JOIN LATERAL (
              |    SELECT fu, is_coarse_live, is_fine_live, hits, hi2, lo2,
-             |      (is_fine_live AND abs(o.r_price / s.ref - 1.0) >= fac) AS cross
+             |      (is_fine_live AND
+             |        ((s.ref = 0.0 AND o.r_price > 0.0) OR
+             |         abs(o.r_price / s.ref - 1.0) >= fac)) AS cross
              |    FROM (SELECT
              |      CASE WHEN s.fine_until IS NOT NULL AND o.ts >= s.fine_until
              |           THEN CAST(NULL AS TIMESTAMP) ELSE s.fine_until END AS fu,
@@ -655,13 +664,17 @@ object PipelineQueries {
              |      (o.tag = 0 AND f.fu IS NULL) AS is_coarse_live,
              |      (o.tag = 1 AND f.fu IS NOT NULL) AS is_fine_live,
              |      (o.tag = 0 AND f.fu IS NULL AND
-             |        ((o.r_hi / s.ref - 1.0 >= f.fac) OR (o.r_lo / s.ref - 1.0 <= -f.fac)))
+             |        (CASE WHEN s.ref = 0.0 THEN o.r_hi > 0.0
+             |         ELSE (o.r_hi / s.ref - 1.0 >= f.fac)
+             |           OR (o.r_lo / s.ref - 1.0 <= -f.fac) END))
              |        AS hits,
              |      greatest(s.hi, o.r_price) AS hi2, least(s.lo, o.r_price) AS lo2) g) x),
              |closed_ev AS (
              |  SELECT key, ev_start AS start_ts, ts AS end_ts, ev_open AS open,
              |    ev_hi AS high, ev_lo AS low, r_price AS close,
-             |    r_price / ev_open - 1.0 AS pct_change, ev_n AS n_points,
+             |    CASE WHEN ev_open = 0.0 THEN NULL
+             |      ELSE r_price / ev_open - 1.0 END AS pct_change,
+             |    ev_n AS n_points,
              |    TRUE AS closed
              |  FROM s WHERE crossed),
              |last_state AS (
@@ -671,7 +684,9 @@ object PipelineQueries {
              |open_ev AS (
              |  SELECT key, start_ts, last_ts AS end_ts, ref AS open,
              |    hi AS high, lo AS low, last_price AS close,
-             |    last_price / ref - 1.0 AS pct_change, CAST(n AS INT) AS n_points,
+             |    CASE WHEN ref = 0.0 THEN NULL
+             |      ELSE last_price / ref - 1.0 END AS pct_change,
+             |    CAST(n AS INT) AS n_points,
              |    FALSE AS closed
              |  FROM last_state WHERE n > 1 OR NOT emitted)
              |SELECT * FROM closed_ev UNION ALL SELECT * FROM open_ev""".stripMargin),

@@ -343,9 +343,9 @@ object StreamingQueries {
              |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq,
              |    CASE WHEN lag(ts) OVER
              |        (PARTITION BY user_id ORDER BY ts) IS NULL
-             |      OR (date_diff('millisecond',
+             |      OR date_diff('microsecond',
              |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
-             |            ts) // 1000) > 21600
+             |            ts) > 21600000000
              |    THEN 1 ELSE 0 END AS is_new
              |  FROM events),
              |sess AS (
@@ -573,6 +573,7 @@ object StreamingQueries {
              |  CROSS JOIN LATERAL (
              |    SELECT greatest(s.hi, o.value) AS hi2,
              |      least(s.lo, o.value) AS lo2,
+             |      (s.ref = 0.0 AND o.value > 0.0) OR
              |      abs(o.value / s.ref - 1.0) >=
              |        (CASE WHEN s.ref < 1.0 THEN 0.12
              |              WHEN s.ref < 10.0 THEN 0.08
@@ -581,7 +582,9 @@ object StreamingQueries {
              |              ELSE 0.02 END) AS cr) x)
              |SELECT key, ev_start AS start_ts, ts AS end_ts,
              |  ev_open AS open, ev_hi AS high, ev_lo AS low,
-             |  value AS close, value / ev_open - 1.0 AS pct_change,
+             |  value AS close,
+             |  CASE WHEN ev_open = 0.0 THEN NULL
+             |    ELSE value / ev_open - 1.0 END AS pct_change,
              |  ev_n AS n_points, TRUE AS closed
              |FROM s WHERE crossed""".stripMargin),
       (s, d) => {

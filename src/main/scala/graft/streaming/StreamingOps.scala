@@ -259,7 +259,8 @@ object StreamingOps {
     * key's rows in THIS micro-batch only. */
   def streamingTrend(points: Dataset[graft.operators.TrendEvents.PricePoint])
       : Dataset[graft.operators.TrendEvents.TrendEvent] = {
-    import graft.operators.TrendEvents.{PricePoint, TrendEvent, targetFactor}
+    import graft.operators.TrendEvents.{PricePoint, TrendEvent, crossingFrom,
+      pctFrom}
     import points.sparkSession.implicits._
     points.groupByKey(_.key)
       .flatMapGroupsWithState[TrendSegState, TrendEvent](
@@ -274,9 +275,9 @@ object StreamingOps {
             } else {
               val hi2 = math.max(st.hi, p.price)
               val lo2 = math.min(st.lo, p.price)
-              if (math.abs(p.price / st.ref - 1.0) >= targetFactor(st.ref)) {
+              if (crossingFrom(st.ref, p.price)) {
                 out += TrendEvent(key, st.refTs, p.ts, st.ref, hi2, lo2,
-                  p.price, p.price / st.ref - 1.0, st.n + 1, closed = true)
+                  p.price, pctFrom(st.ref, p.price), st.n + 1, closed = true)
                 st = TrendSegState(p.ts, p.price, p.price, p.price, 1)
               } else {
                 st = TrendSegState(st.refTs, st.ref, hi2, lo2, st.n + 1)
@@ -317,10 +318,15 @@ object StreamingOps {
     *    emitted at end-of-group — matching the batch sessionizer
     *    ([[graft.operators.Sessionize]]).
     */
+  /** Exact microseconds of a Timestamp (getTime floors fractional millis
+    * into the ms part; getNanos holds the full sub-second fraction). */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   def sessionize(ds: Dataset[Ev], gapSeconds: Long,
                  emitOpenAtEnd: Boolean = false): Dataset[SessionAgg] = {
     import ds.sparkSession.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
     val streaming = ds.isStreaming
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout()
@@ -329,8 +335,14 @@ object StreamingOps {
       .flatMapGroupsWithState[SessState, SessionAgg](
         OutputMode.Append(), timeoutConf) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          // state carries exact event-time MICROS (the gap test must not
+          // lose sub-millisecond fractions across a batch boundary — same
+          // boundary class as the batch twin's unix_timestamp fix);
+          // emitted bounds truncate to ms, the precision the sink and
+          // oracle compare at
           def close(s: SessState) = SessionAgg(uid,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            new java.sql.Timestamp(Math.floorDiv(s.start, 1000L)),
+            new java.sql.Timestamp(Math.floorDiv(s.last, 1000L)),
             s.n, s.sum)
           if (state.hasTimedOut) {
             // idle key: the open session is now closed by time, not data.
@@ -338,15 +350,15 @@ object StreamingOps {
             state.remove()
             out
           } else {
-            val rows = it.toIndexedSeq.sortBy(_.ts.getTime)
+            val rows = it.toIndexedSeq.sortBy(e => micros(e.ts))
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
             var st = state.getOption.orNull
             rows.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               st match {
                 case null =>
                   st = SessState(t, t, 1L, e.value)
-                case s if (t - s.last) / 1000L > gapSeconds =>
+                case s if t - s.last > gapUs =>
                   out += close(s)
                   st = SessState(t, t, 1L, e.value)
                 case s =>
@@ -357,10 +369,13 @@ object StreamingOps {
               state.update(st)
               if (streaming) {
                 // the session is closeable once the watermark passes
-                // last+gap; clamp to wm+1 — Spark rejects a timeout at or
-                // before the current watermark (an already-due session
-                // then fires at the next watermark advance)
-                val due = st.last + gapMs
+                // last+gap (ms floor of the exact micros horizon: fires
+                // iff wm_ms > floor((last+gap)/1000), i.e. any kept
+                // future row is already past the gap); clamp to wm+1 —
+                // Spark rejects a timeout at or before the current
+                // watermark (an already-due session then fires at the
+                // next watermark advance)
+                val due = Math.floorDiv(st.last + gapUs, 1000L)
                 val wm = state.getCurrentWatermarkMs()
                 state.setTimeoutTimestamp(math.max(due, wm + 1L))
               }
