@@ -16,10 +16,15 @@ object Sessionize {
                      gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gap = unix_timestamp(col(tsCol)) -
-      unix_timestamp(lag(col(tsCol), 1).over(w))
+    // MICROSECOND-exact gap: unix_timestamp() floors to whole seconds, so
+    // a true gap of (gap, gap+1s) reads as exactly `gap` and fails the
+    // strict >. One such boundary gap exists at sf0.1 — the off-by-one
+    // session the sf0.01 gate never sees. Exact integer micros make the
+    // strict > unambiguous on both engines (oracle: epoch_us).
+    val gap = unix_micros(col(tsCol)) -
+      unix_micros(lag(col(tsCol), 1).over(w))
     df.withColumn("is_new_session",
-        when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+        when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L))
       .withColumn("session_id", sum("is_new_session").over(run))
       .drop("is_new_session")
   }
