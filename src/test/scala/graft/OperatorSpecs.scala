@@ -50,6 +50,30 @@ class AsOfJoinSpec extends SparkSpec {
 }
 
 class TrendEventsSpec extends SparkSpec {
+  test("zero-price reference: next positive price closes (IEEE policy), " +
+    "pct_change is None, a zero price does not") {
+    import spark.implicits._
+    // 0.0 becomes the reference; IEEE p/0 = +inf trips any band for
+    // p > 0, 0/0 = NaN never does — crossingFrom states this explicitly
+    // so the DuckDB oracle (double/0 = NULL there) can match
+    val pts = Seq(
+      TrendEvents.PricePoint(1L, ts("2024-01-01 10:00:00"), 0.0),
+      TrendEvents.PricePoint(1L, ts("2024-01-01 11:00:00"), 0.0),
+      TrendEvents.PricePoint(1L, ts("2024-01-01 12:00:00"), 3.29),
+      TrendEvents.PricePoint(1L, ts("2024-01-01 13:00:00"), 3.30)
+    ).toDS()
+    val ev = TrendEvents.segment(pts).collect().sortBy(_.start_ts.getTime)
+    // segment 1: ref 0.0, the second 0.0 does NOT close (0/0 -> NaN),
+    // 3.29 does (inf); pct undefined -> None
+    assert(ev(0).closed && ev(0).open == 0.0 && ev(0).close == 3.29
+      && ev(0).n_points == 3 && ev(0).pct_change.isEmpty)
+    // segment 2: normal band math resumes from ref 3.29
+    assert(!ev(1).closed && ev(1).open == 3.29
+      && ev(1).pct_change.contains(3.30 / 3.29 - 1.0))
+    assert(TrendEvents.crossingFrom(0.0, 0.0) == false)
+    assert(TrendEvents.crossingFrom(0.0, 0.01) == true)
+  }
+
   test("threshold crossings split segments; final open segment emitted") {
     import spark.implicits._
     // prices at tier >= 200 -> factor 0.02: 300 -> 306.01 crosses (+2.003%)
@@ -158,6 +182,36 @@ class SessionizeSpec extends SparkSpec {
       .collect().sortBy(s => (s.user_id, s.session_start.getTime))
       .map(s => (s.user_id, s.n_events, s.value_sum))
     assert(streamed.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+
+  test("sub-second gap boundary: strictly-greater in exact micros") {
+    import spark.implicits._
+    val base = ts("2024-01-01 00:00:00")
+    def at(us: Long) = {
+      val t = new java.sql.Timestamp(base.getTime + us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    // gaps of exactly 3600s and 3600.000001s around whole-second floors:
+    // unix_timestamp-style truncation would see both as 3600 (no split);
+    // exact micros split only the second
+    val rows = Seq(
+      (1L, at(0L), 1.0),
+      (1L, at(3600000000L), 2.0),          // gap == 3600s exactly -> same
+      (1L, at(7200000001L), 3.0))          // gap == 3600.000001s -> new
+      .toDF("user_id", "ts", "value")
+    val ids = Sessionize.withSessionIds(rows, "user_id", "ts", 3600L)
+      .orderBy("ts").collect().map(_.getAs[Long]("session_id")).toSeq
+    assert(ids == Seq(1L, 1L, 2L), ids.toString)
+    // streaming twin: identical boundary decisions
+    val ds = Seq(
+      graft.streaming.StreamingOps.Ev(1L, at(0L), 1.0),
+      graft.streaming.StreamingOps.Ev(1L, at(3600000000L), 2.0),
+      graft.streaming.StreamingOps.Ev(1L, at(7200000001L), 3.0)).toDS()
+    val out = graft.streaming.StreamingOps
+      .sessionize(ds, 3600L, emitOpenAtEnd = true)
+      .collect().sortBy(_.session_start.getTime).map(_.n_events).toSeq
+    assert(out == Seq(2L, 1L), out.toString)
   }
 
   test("streaming-mode emission withholds the open session (append-safe)") {
