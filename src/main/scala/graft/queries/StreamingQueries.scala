@@ -45,15 +45,38 @@ object StreamingQueries {
     try body finally s.conf.set(key, prev)
   }
 
-  /** Snap a cut instant to HALF PAST its hour. The fixture's events die
-    * out in the last ~3 minutes of each day, so a raw span-fraction cut
-    * can land in that dead zone (or at any hour's silent edge) and no
-    * window/(user,day) ends up with rows on BOTH sides — st7's
-    * non-vacuity guard tripped exactly this way at sf0.1 (cut at
-    * 23:59:40, zero rows after it in its hour). :30 of any hour with
-    * data has rows on both sides at every fixture SF. */
-  private def snapHalfHour(t: Long): Long =
-    t - math.floorMod(t, 3600000L) + 1800000L
+  /** A cut instant GUARANTEED to split a per-user window or session at
+    * any fixture density: the midpoint of the tightest SAME-USER
+    * consecutive event pair inside [lo, hi) — same hour when `sameHour`
+    * (a (user, 1-hour-window) then has rows on both sides of the cut),
+    * else within `maxGapUs` (a session whose gap threshold exceeds it
+    * then spans the cut). Dumber choices fail on real fixture geometry:
+    * a raw span-fraction cut landed in the dead last minutes of a day at
+    * sf0.1 (23:59:40, zero rows after it in its hour) and a fixed :30
+    * snap starves at sf0.001's ~1.4 events/hour — while same-user
+    * same-hour pairs exist at every SF (49 at sf0.001). The midpoint
+    * `(prev+next+1)/2` is strictly after `prev` and at most `next`, so
+    * both sides are non-empty by construction. Deterministic: ties on
+    * gap break by timestamp. */
+  private def cutInsideUserPair(ev: DataFrame, lo: Long, hi: Long,
+                                sameHour: Boolean,
+                                maxGapUs: Long = Long.MaxValue): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val pairs = ev
+      .filter(col("ts") >= timestamp_millis(lit(lo)) &&
+        col("ts") < timestamp_millis(lit(hi)))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("ts"))
+      .withColumn("gap", unix_micros(col("ts")) - unix_micros(col("prev")))
+    val eligible =
+      if (sameHour) pairs.filter(
+        date_trunc("hour", col("prev")) === date_trunc("hour", col("ts")))
+      else pairs.filter(col("gap") <= maxGapUs)
+    val r = eligible.orderBy(col("gap"), col("ts"), col("user_id")).head()
+    (r.getAs[java.sql.Timestamp]("prev").getTime +
+      r.getAs[java.sql.Timestamp]("ts").getTime + 1) / 2
+  }
 
   /** Write `df` as exactly one parquet FILE at `target` with a pinned
     * modification time — the file source processes files in mod-time
@@ -119,10 +142,11 @@ object StreamingQueries {
         val bounds = ev.agg(min("ts"), max("ts")).head()
         val t0 = bounds.getTimestamp(0).getTime
         val t1 = bounds.getTimestamp(1).getTime
-        val span = t1 - t0 + 1
-        // interior cut snapped to :30 so the 1-hour windows genuinely
-        // form ACROSS the batch boundary at every SF (see snapHalfHour)
-        val cuts = Seq(t0, snapHalfHour(t0 + span / 2), t1 + 1)
+        // interior cut between a same-user same-hour event pair so a
+        // (user, window) genuinely forms ACROSS the batch boundary at
+        // every SF
+        val cuts = Seq(t0,
+          cutInsideUserPair(ev, t0, t1 + 1, sameHour = true), t1 + 1)
         // deterministic, widely spaced mod-times (file-source order key)
         val mt0 = 1700000000000L
         for (k <- 0 until 2) {
@@ -152,11 +176,11 @@ object StreamingQueries {
             trigger = Some(Trigger.AvailableNow()))
           q.awaitTermination()
         }
-        // a window must have rows in BOTH chunks: the cross-batch
+        // a (user, window) must have rows in BOTH chunks: the cross-batch
         // window/watermark machinery is the thing this row proves
         val boundary = cuts(1)
         val crossing = ev
-          .groupBy(date_trunc("hour", col("ts")).as("w"))
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("w"))
           .agg(
             sum(when(col("ts") < timestamp_millis(lit(boundary)), 1L)
               .otherwise(0L)).as("before"),
@@ -378,8 +402,11 @@ object StreamingQueries {
           floor(col("value") * 100.0 + 0.5).cast("double").as("value"))
         val bounds = ev.agg(min("ts"), max("ts")).head()
         val t0 = bounds.getTimestamp(0).getTime
-        val span = bounds.getTimestamp(1).getTime - t0 + 1
-        val cut = t0 + span / 2
+        val t1 = bounds.getTimestamp(1).getTime
+        // cut between a same-user pair with gap <= 6 h: that user's
+        // session provably spans the batch boundary at every SF
+        val cut = cutInsideUserPair(ev, t0, t1 + 1, sameHour = false,
+          maxGapUs = 21600L * 1000000L)
         val mt0 = 1700000000000L
         writeOneFile(s, ev.filter(col("ts") < timestamp_millis(lit(cut))),
           s"$srcDir/chunk_0.parquet", mt0)
@@ -676,10 +703,13 @@ object StreamingQueries {
         val t0 = bounds.getTimestamp(0).getTime
         val t1 = bounds.getTimestamp(1).getTime
         val span = t1 - t0 + 1
-        // interior cuts snapped to :30 so the restart boundary always has
-        // events on both sides within one window (see snapHalfHour)
-        val cuts = Seq(t0, snapHalfHour(t0 + span / 3),
-          snapHalfHour(t0 + span * 2 / 3), t1 + 1)
+        // the RESTART boundary (cuts(2)) splits a same-user same-hour
+        // pair in the upper span so a (user, window) provably spans it at
+        // every SF; cuts(1) needs no such guarantee and halves the lower
+        // span
+        val c2 = cutInsideUserPair(ev, t0 + span / 3, t1 + 1,
+          sameHour = true)
+        val cuts = Seq(t0, t0 + (c2 - t0) / 2, c2, t1 + 1)
         val mt0 = 1700000000000L
         def chunk(k: Int): DataFrame = ev.filter(
           col("ts") >= timestamp_millis(lit(cuts(k))) &&
@@ -728,13 +758,13 @@ object StreamingQueries {
         val boundary = cuts(2)
         val spanning = ev
           .withColumn("w", date_trunc("hour", col("ts")))
-          .groupBy("w")
+          .groupBy("user_id", "w")
           .agg(
             sum(when(col("ts") < timestamp_millis(lit(boundary)), 1L)
               .otherwise(0L)).as("before"),
             sum(when(col("ts") >= timestamp_millis(lit(boundary)), 1L)
               .otherwise(0L)).as("after"))
-          .filter(col("before") > 0 && col("after") > 0).count()
+          .filter(col("before") > 0 && col("after") > 0).limit(1).count()
         require(spanning > 0,
           "st7: no window spans the restart boundary — proof is vacuous")
         out.select("user_id", "win_start", "open", "high", "low", "close",
@@ -825,6 +855,82 @@ object StreamingQueries {
           s"st8: only $gens bronze batch generation(s) — the incremental " +
             "refresh never iterated, proof is vacuous")
         s.read.parquet(s"$base/gold")
+      }),
+
+    // ST9: the snapshot table as a STREAMING SOURCE
+    // (sources/SnapshotStreamSource — offsets are committed VERSIONS,
+    // each micro-batch is the manifest set-difference of data files):
+    // the streaming completion of u8's incremental append scan and the
+    // Delta/Iceberg streaming-source pattern. Three append commits land
+    // BETWEEN three separate stream lifecycles over one checkpoint: each
+    // run must deliver exactly the rows its new commits added — the
+    // version offset restores from the checkpoint (the SerializedOffset
+    // decode path), nothing is re-read, nothing is skipped. The sink is
+    // the idempotent keyed MERGE, the oracle the declarative whole-table
+    // slice union.
+    //
+    // Non-vacuity: the sink count after each run must equal the exact
+    // prefix-slice count — a re-delivered batch (offset not restored) or
+    // a skipped commit (offset overshot) both fail the equality before
+    // the hash ever runs.
+    //
+    // Scale shape: each batch costs the appended bytes (file list decided
+    // from manifest metadata, never a table scan), and a rewritten chain
+    // (compaction/upsert between offsets) fails loudly instead of
+    // silently re-delivering rewritten rows.
+    QueryDef(
+      "st9_snapshot_tail",
+      Some("""SELECT event_id, user_id, value FROM events"""),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val base = Sinks.dir(s, "snap_tail", d)
+        reset(s, base)
+        val t = s"$base/table"
+        val ev = Tables.events(s, d).select("event_id", "user_id", "ts",
+          "value")
+        def slice(lo: String, hi: Option[String]) = {
+          val b = ev.filter(col("ts") >= lit(lo).cast("timestamp"))
+          hi.fold(b)(h => b.filter(col("ts") < lit(h).cast("timestamp")))
+            .drop("ts")
+        }
+        val s1 = slice("2024-01-01", Some("2024-01-11"))
+        val s2 = slice("2024-01-11", Some("2024-01-21"))
+        val s3 = slice("2024-01-21", None)
+
+        def runOnce(): Unit = withStreamPartitions(s, 8) {
+          val stream = s.readStream.format("snapshot-table")
+            .option("path", t).load()
+          val q = stream.writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              graft.operators.MergeUpsert.insertIfAbsent(
+                b.sparkSession, b, s"$base/sink",
+                keyCols = Seq("event_id"), orderCol = "event_id")
+              ()
+            }
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        def sunk(): Long = s.read.parquet(s"$base/sink").count()
+
+        SnapshotTable.commit(s, s1, t)
+        runOnce()
+        val n1 = sunk()
+        require(n1 == s1.count(),
+          s"st9: run 1 delivered $n1 rows, expected exactly v1's slice")
+        SnapshotTable.commit(s, s2, t, replace = false)
+        runOnce()
+        val n2 = sunk()
+        require(n2 == n1 + s2.count(),
+          s"st9: run 2 delivered ${n2 - n1} new rows, expected exactly " +
+            "v2's appended slice — the checkpointed version offset did " +
+            "not resume correctly")
+        SnapshotTable.commit(s, s3, t, replace = false)
+        runOnce()
+        s.read.parquet(s"$base/sink")
+          .select("event_id", "user_id", "value")
       })
   )
 }
