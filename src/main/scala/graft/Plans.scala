@@ -534,6 +534,14 @@ object Plans {
       val lastWin = plan.lastIndexOf("Window")
       lastWin > 0 && plan.indexOf("HashAggregate", lastWin) > lastWin
     }
+    // sim10's corpus side must stream against BROADCAST query/pool frames
+    // only (the pool is NQ×R rows by construction) — any shuffle join or
+    // cartesian means the rerank pulled the corpus through an exchange
+    check("sim10: pool rides broadcast joins, no cartesian") {
+      val p = planOf("sim10_mmr_rerank")
+      !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+        !p.contains("ShuffledHashJoin")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

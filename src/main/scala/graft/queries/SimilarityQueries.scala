@@ -60,6 +60,13 @@ object SimilarityQueries {
   private val SemTau = 0.4
   /** sim6 ADC survivor pool reranked exactly (per query). */
   private val PqPool = 50
+  /** sim10 MMR: pool size per query (bounded by the retrieval stage),
+    * picks per query, and the relevance/diversity trade-off. λ = 0.5
+    * EXACTLY so `1−λ` is bit-identical to `λ` on both engines (any other
+    * λ makes `1.0−λ` a different rounding than the literal). */
+  private val MmrPool = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.5
 
   /** Quantized embedding as list<BIGINT> (oracle side of
     * [[VectorOps.quant]]). */
@@ -816,6 +823,105 @@ object SimilarityQueries {
               lit(Dim.toDouble)), 9).as("drift_rms"),
             round(sqrt(col("qr").cast("double") / lit(1.0e6) /
               col("n").cast("double")), 9).as("mean_residual"))
+      }),
+
+    // SIM10: MMR diversification rerank (graft.operators.Mmr) on top of
+    // the brute-force top-R candidate pool — the retrieval-then-diversify
+    // composition a RAG/data-curation pipeline runs: an ANN stage bounds
+    // the pool (R per query), then the greedy λ·rel − (1−λ)·max-sim-to-
+    // selected pass picks K diverse results. The greedy loop is
+    // sequential PER QUERY but parallel ACROSS queries
+    // (groupByKey.flatMapGroups, pool bounded by construction — never
+    // driver-side). λ = 0.5 exactly so 1−λ is the same IEEE double as λ
+    // on both engines; rel and pairwise sims are integer-dot cosines
+    // (the grid doctrine above), so the greedy argmax compares
+    // bit-identical doubles and the oracle's recursive CTE replays the
+    // selection exactly. Scores ship 1e-6-quantized (the tx7 pattern).
+    QueryDef(
+      "sim10_mmr_rerank",
+      Some(s"""WITH RECURSIVE qv AS (
+              |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    CAST($oDot AS DOUBLE) /
+              |      (sqrt(CAST(${oNorm("q")} AS DOUBLE)) *
+              |       sqrt(CAST(${oNorm("c")} AS DOUBLE))) AS rel
+              |  FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < $NQ),
+              |pool AS (
+              |  SELECT query_id, cand_id, rel FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY query_id
+              |      ORDER BY rel DESC, cand_id) AS rn
+              |    FROM scored) WHERE rn <= $MmrPool),
+              |sims AS (
+              |  SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
+              |    CAST($oDot AS DOUBLE) /
+              |      (sqrt(CAST(${oNorm("q")} AS DOUBLE)) *
+              |       sqrt(CAST(${oNorm("c")} AS DOUBLE))) AS sim
+              |  FROM pool p1
+              |  JOIN pool p2 ON p2.query_id = p1.query_id
+              |    AND p2.cand_id <> p1.cand_id
+              |  JOIN qv q ON q.vec_id = p1.cand_id
+              |  JOIN qv c ON c.vec_id = p2.cand_id),
+              |mmr AS (
+              |  SELECT query_id, 1 AS pick_rank, cand_id,
+              |    0.5 * rel AS score, [cand_id] AS chosen
+              |  FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY query_id
+              |      ORDER BY rel DESC, cand_id) AS rn
+              |    FROM pool) WHERE rn = 1
+              |  UNION ALL
+              |  SELECT query_id, pick_rank, cand_id, score,
+              |    list_append(chosen, cand_id) AS chosen
+              |  FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY query_id
+              |      ORDER BY score DESC, cand_id) AS rn
+              |    FROM (
+              |      SELECT m.query_id, m.pick_rank + 1 AS pick_rank,
+              |        p.cand_id,
+              |        0.5 * p.rel - 0.5 * (
+              |          SELECT max(s.sim) FROM sims s
+              |          WHERE s.query_id = m.query_id
+              |            AND s.a = p.cand_id
+              |            AND list_contains(m.chosen, s.b)) AS score,
+              |        m.chosen
+              |      FROM mmr m JOIN pool p
+              |        ON p.query_id = m.query_id
+              |        AND NOT list_contains(m.chosen, p.cand_id)
+              |      WHERE m.pick_rank < $MmrK) t) tt
+              |  WHERE rn = 1)
+              |SELECT query_id, CAST(pick_rank AS BIGINT) AS pick_rank,
+              |  cand_id,
+              |  CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS mmr_q
+              |FROM mmr""".stripMargin),
+      (s, d) => {
+        val st = EmbedStage(s, d)
+        val emb = st.vectors.select(col("vec_id"), col("qv"), col("nsq"))
+        val q = emb.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+            col("nsq").as("nsq_q"))
+        val c = emb.select(col("vec_id").as("cand_id"),
+          col("qv").as("qv_c"), col("nsq").as("nsq_c"))
+        val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
+          (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
+        // top-R WITHOUT the vector payload (arrays never ride the sort);
+        // the ≤ NQ×R pool re-joins its qv after the cut.
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("cand_id"))
+        val top = broadcast(q).crossJoin(c)
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), cosine.as("rel"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= MmrPool)
+          .select("query_id", "cand_id", "rel")
+        val pool = emb.select(col("vec_id").as("cand_id"), col("qv"))
+          .join(broadcast(top), "cand_id")
+          .select("query_id", "cand_id", "rel", "qv")
+        graft.operators.Mmr.rerank(pool, MmrK, MmrLambda).toDF()
+          .select(col("query_id"),
+            col("rank").cast("long").as("pick_rank"), col("cand_id"),
+            floor(col("mmr_score") * 1000000.0 + 0.5).cast("long")
+              .as("mmr_q"))
       }),
   )
 }
