@@ -542,6 +542,15 @@ object Plans {
       !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
         !p.contains("ShuffledHashJoin")
     }
+    // sim11's Lloyd iteration: the refined centroids ride a 1-row
+    // broadcast and reassignment is a per-row fold — the corpus must
+    // never be exchanged by vec_id (no explode-×C + re-group, no
+    // per-vector window), and no shuffle join anywhere
+    check("sim11: reassignment folds in-row, corpus never keyed by vec_id") {
+      val p = planOf("sim11_kmeans_refine")
+      !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+        !p.contains("hashpartitioning(vec_id")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

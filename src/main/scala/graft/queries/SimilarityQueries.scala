@@ -923,5 +923,106 @@ object SimilarityQueries {
             floor(col("mmr_score") * 1000000.0 + 0.5).cast("long")
               .as("mmr_q"))
       }),
+
+    // SIM11: one distributed Lloyd (k-means) refinement of the IVF coarse
+    // centroids — the training step a production vector index runs
+    // (IvfIndex's scaladoc promises it; this is that operator). Start
+    // from the stage's coarse assignment, recompute each cluster's mean,
+    // QUANTIZE it back to the 1e-6 embedding grid (floor(mean+0.5) — the
+    // same correctly-rounded IEEE tree both engines), then reassign every
+    // vector to its nearest refined centroid by EXACT integer L2
+    // (64 × (2e6)² ≈ 2.6e14 « 2^63, so the argmin compares exact longs —
+    // no float accumulation anywhere).
+    //
+    // Scale shape: iteration = two corpus scans, no corpus shuffle. The
+    // mean pass is a posexplode → (cid, dim) hash-agg (map-side partial,
+    // shuffle carries ≤ C×Dim cells); the refined centroids collapse to a
+    // ONE-ROW broadcast frame, and reassignment is a per-row FOLD over
+    // the C-entry centroid array (aggregate over a sorted struct array,
+    // strict-less keeps the smallest cid on ties) — argmin without
+    // exploding the corpus ×C or windowing by vec_id. Empty coarse
+    // clusters simply contribute no centroid (the standard drop-empty
+    // Lloyd policy). Per-row distances are exact longs, so the per-
+    // cluster SSE is an exact long sum (rows × 2.6e14 « 2^63 up to ~3e4
+    // rows; beyond that, de-scale per-row or sum in DECIMAL).
+    QueryDef(
+      "sim11_kmeans_refine",
+      Some {
+        import graft.operators.IvfIndex
+        s"""WITH q AS (
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |asg AS (
+           |  SELECT vec_id, qv,
+           |    ${IvfIndex.oracleAssign(IvfIndex.oracleDots("qv", Dim))}
+           |      AS cid0
+           |  FROM q),
+           |g AS (
+           |  SELECT cid0, i, CAST(sum(qv[i]) AS BIGINT) AS sx,
+           |    count(*) AS n
+           |  FROM asg CROSS JOIN generate_series(1, $Dim) t(i)
+           |  GROUP BY cid0, i),
+           |cent AS (
+           |  SELECT cid0 AS cid1,
+           |    list(CAST(floor(CAST(sx AS DOUBLE) / n + 0.5) AS BIGINT)
+           |      ORDER BY i) AS cq
+           |  FROM g GROUP BY cid0),
+           |dist AS (
+           |  SELECT a.vec_id, a.cid0, c.cid1,
+           |    CAST(list_sum(list_transform(generate_series(1, $Dim),
+           |      i -> (a.qv[i] - c.cq[i]) * (a.qv[i] - c.cq[i])))
+           |      AS BIGINT) AS d
+           |  FROM asg a CROSS JOIN cent c),
+           |re AS (
+           |  SELECT vec_id, cid0, cid1, d FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY d, cid1) AS rn
+           |    FROM dist) WHERE rn = 1)
+           |SELECT cid1, count(*) AS n1,
+           |  CAST(sum(CASE WHEN cid1 <> cid0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS moved,
+           |  CAST(sum(d) AS BIGINT) AS sse_q
+           |FROM re GROUP BY cid1""".stripMargin
+      },
+      (s, d) => {
+        val v = EmbedStage(s, d).vectors
+          .select(col("vec_id"), col("qv"), col("cid").as("cid0"))
+        // refined centroid = grid-rounded per-dim mean over the coarse
+        // cluster (exact long sums; one tiny (cid, dim) shuffle)
+        val g = v.select(col("cid0"),
+            posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy("cid0", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        val cent = g.groupBy(col("cid0").as("cid1"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"),
+              floor(col("sx").cast("double") / col("n") + 0.5)
+                .cast("long").as("cq")))),
+            e => e.getField("cq")).as("cq"))
+        // ALL refined centroids as one broadcast row, cid-sorted so the
+        // fold's strict-less keeps the smallest cid on distance ties
+        val cents = cent
+          .agg(array_sort(collect_list(struct(col("cid1"), col("cq"))))
+            .as("cents"))
+        val dRow = (cq: Column) => aggregate(
+          zip_with(col("qv"), cq, (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, t) => a + t)
+        val best = aggregate(col("cents"),
+          struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid1")),
+          (acc, c) => {
+            val dd = dRow(c.getField("cq"))
+            when(dd < acc.getField("d"),
+              struct(dd.as("d"), c.getField("cid1").as("cid1")))
+              .otherwise(acc)
+          })
+        v.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid0"), best.as("best"))
+          .select(col("vec_id"), col("cid0"),
+            col("best.cid1").as("cid1"), col("best.d").as("d"))
+          .groupBy("cid1")
+          .agg(count(lit(1)).as("n1"),
+            sum(when(col("cid1") =!= col("cid0"), 1L).otherwise(0L))
+              .as("moved"),
+            sum("d").as("sse_q"))
+      }),
   )
 }
