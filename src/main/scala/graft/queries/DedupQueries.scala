@@ -921,5 +921,95 @@ object DedupQueries {
               .when(nearHit, col("jq").cast("double") / 1000000.0)
               .as("jaccard"))
       }),
+
+    // DD13: canonical-document selection — the step after clustering
+    // (dd7) that dedup pipelines actually ship: each near-dup cluster
+    // keeps its HIGHEST-QUALITY member (tx2's quality heuristic; ties →
+    // smallest doc_id) and drops the rest. Output is the per-cluster
+    // decision record: the canonical doc, the cluster size, how many
+    // documents the cluster removes from the corpus, and the canonical's
+    // quantized quality score.
+    //
+    // Scale shape: the cluster frame (doc_id, cluster_id) is keyed by
+    // doc_id and joins the per-doc quality projection on that key — a
+    // co-located equi-join, never a broadcast of the (potentially huge)
+    // duplicate set. The argmax runs as a window INSIDE each cluster;
+    // cluster sizes are bounded by the near-dup relation, not the corpus.
+    QueryDef(
+      "dd13_cluster_canonical",
+      Some {
+        val pairsSql = oLshNearDup(StagedBands, StagedThreshold)
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |$pairsSql
+           |  )),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs),
+           |walk(doc_id, label) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, w.label FROM walk w JOIN edges e
+           |    ON w.doc_id = e.src),
+           |comp AS (
+           |  SELECT doc_id, min(label) AS cluster_id FROM walk
+           |  GROUP BY doc_id),
+           |sizes AS (
+           |  SELECT cluster_id, count(*) AS cluster_size FROM comp
+           |  GROUP BY cluster_id),
+           |qual AS (
+           |  SELECT doc_id,
+           |    ${oQualityScore("n_tokens", "n_stop", "n_distinct")}
+           |      AS quality
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |      CAST(len(list_distinct(string_split(text, ' ')))
+           |        AS BIGINT) AS n_distinct,
+           |      CAST(len(list_filter(string_split(text, ' '),
+           |        w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+           |    FROM documents)),
+           |ranked AS (
+           |  SELECT c.cluster_id, c.doc_id, s.cluster_size, q.quality,
+           |    row_number() OVER (PARTITION BY c.cluster_id
+           |      ORDER BY q.quality DESC, c.doc_id) AS rn
+           |  FROM comp c
+           |  JOIN sizes s USING (cluster_id)
+           |  JOIN qual q USING (doc_id))
+           |SELECT cluster_id, doc_id AS canonical_doc, cluster_size,
+           |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped,
+           |  CAST(floor(quality * 1000000.0 + 0.5) AS BIGINT) AS q_quality
+           |FROM ranked WHERE rn = 1""".stripMargin
+      },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stage = graft.operators.DedupStage(s, d)
+        val docs = stage.profiles.persist()
+        val pairs =
+          expandPairs(stage.membership, stage.stagedPairs, dupReps(docs))
+            .select("doc_a", "doc_b")
+        val comp = graft.operators.ConnectedComponents.run(pairs)
+        val sizes = comp.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        val toks = tokens(col("text"))
+        val qual = Tables.fanOut(Tables.documents(s, d)).select(
+            col("doc_id"),
+            qualityScore(size(toks).cast("long"),
+              size(filter(toks, w => w === "the" || w === "a"))
+                .cast("long"),
+              size(array_distinct(toks)).cast("long")).as("quality"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("quality").desc, col("doc_id"))
+        comp.join(qual, "doc_id")
+          .join(broadcast(sizes), "cluster_id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+            col("cluster_size"),
+            (col("cluster_size") - 1).cast("long").as("n_dropped"),
+            floor(col("quality") * 1000000.0 + 0.5).cast("long")
+              .as("q_quality"))
+      }),
   )
 }
