@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** mix6 DSIR hash-LM bucket count: bounds both unigram-LM count tables
+    * at B rows regardless of corpus size (the importance-resampling
+    * design's scale invariant). */
+  private val DsirB = 4096
+
   /** Marker-token sets per language for the n-gram frequency heuristic.
     * (Synthetic corpus → synthetic marker table; the operator structure —
     * per-language token-hit scoring + deterministic argmax — is the real
@@ -1079,6 +1084,93 @@ object TextQueries {
           .filter(col("rnk") <= 5)
           .select(col("source"), col("doc_id"), col("nt").as("n_tokens"),
             col("es_key"), col("rnk"))
+      }),
+
+    // MIX6: DSIR-style importance selection — score every document by
+    // how target-domain-like it is under two HASHED unigram LMs (the
+    // published importance-resampling recipe for pretraining data
+    // selection: per-token log p_target(b) − log p_corpus(b), add-1
+    // smoothed, summed over the doc and length-normalized; docs with
+    // positive mean log-ratio read "more like the target than the
+    // average corpus doc" and are kept). The target domain here is
+    // source='src0' — the deterministic stand-in for the curated target
+    // dataset a real run ships.
+    //
+    // The LM dimension is a 4096-bucket TOKEN HASH space, not the raw
+    // vocabulary — that's the actual DSIR design, and it's what makes
+    // the operator corpus-size-independent: both count tables are ≤ B
+    // rows at ANY corpus size, so they broadcast forever, and the corpus
+    // is scanned once (token explode → two tiny hash-aggs, then a pure
+    // projection + per-doc sum, all map-side-combinable).
+    //
+    // Parity: per-token log-ratio is floor-quantized to 1e-6 BEFORE the
+    // per-doc sum (the tx10 lrq doctrine — libm ln is 1-ulp-accurate,
+    // never emitted raw), so the doc sum is exact long arithmetic and
+    // the mean derives through one identical IEEE tree.
+    QueryDef(
+      "mix6_dsir_select",
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, source,
+              |    ${oHash32("'ds:' || w")} % $DsirB AS b
+              |  FROM (
+              |    SELECT doc_id, source,
+              |      unnest(string_split(text, ' ')) AS w
+              |    FROM documents)),
+              |tcnt AS (
+              |  SELECT b, count(*) AS ct FROM tok
+              |  WHERE source = 'src0' GROUP BY b),
+              |tt AS (
+              |  SELECT count(*) AS t FROM tok WHERE source = 'src0'),
+              |ccnt AS (SELECT b, count(*) AS cc FROM tok GROUP BY b),
+              |tot AS (SELECT count(*) AS tc FROM tok),
+              |q AS (
+              |  SELECT doc_id, source,
+              |    CAST(floor((ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE))
+              |      - ln(CAST(t + $DsirB AS DOUBLE))
+              |      - ln(CAST(cc + 1 AS DOUBLE))
+              |      + ln(CAST(tc + $DsirB AS DOUBLE)))
+              |      * 1000000.0 + 0.5) AS BIGINT) AS lrq
+              |  FROM tok LEFT JOIN tcnt USING (b) JOIN ccnt USING (b)
+              |  CROSS JOIN tt CROSS JOIN tot),
+              |a AS (
+              |  SELECT doc_id, source, CAST(count(*) AS BIGINT)
+              |      AS n_tokens,
+              |    CAST(sum(lrq) AS BIGINT) AS s
+              |  FROM q GROUP BY 1, 2)
+              |SELECT doc_id, source = 'src0' AS is_target, n_tokens,
+              |  CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+              |    AS lr_mean,
+              |  CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+              |    > 0.0 AS keep
+              |FROM a""".stripMargin),
+      (s, d) => {
+        val tok = Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), col("source"),
+            explode(tokens(col("text"))).as("w"))
+          .select(col("doc_id"), col("source"),
+            (hash32(concat(lit("ds:"), col("w"))) % DsirB).as("b"))
+          .persist()
+        val tgt = tok.filter(col("source") === "src0")
+        val tcnt = tgt.groupBy("b").agg(count(lit(1)).as("ct"))
+        val tt = tgt.agg(count(lit(1)).as("t"))
+        val ccnt = tok.groupBy("b").agg(count(lit(1)).as("cc"))
+        val tot = tok.agg(count(lit(1)).as("tc"))
+        val lr = log((coalesce(col("ct"), lit(0L)) + 1).cast("double")) -
+          log((col("t") + DsirB).cast("double")) -
+          log((col("cc") + 1).cast("double")) +
+          log((col("tc") + DsirB).cast("double"))
+        val lrq = floor(lr * 1000000.0 + 0.5).cast("long")
+        val a = tok.join(broadcast(tcnt), Seq("b"), "left")
+          .join(broadcast(ccnt), "b")
+          .crossJoin(broadcast(tt)).crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("source"), lrq.as("lrq"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_tokens"), sum("lrq").as("s"))
+        val lrMean = col("s").cast("double") /
+          col("n_tokens").cast("double") / 1000000.0
+        a.select(col("doc_id"),
+          (col("source") === "src0").as("is_target"), col("n_tokens"),
+          lrMean.as("lr_mean"), (lrMean > 0.0).as("keep"))
       }),
 
     // TX14: vocabulary-growth profile (Heaps' law curve) — cumulative
