@@ -55,6 +55,9 @@ object SnapshotTable {
   private def schemaPath(tablePath: String, v: Int) =
     new Path(manifestDir(tablePath), s"v$v.schema.json")
 
+  private def dvPath(tablePath: String, v: Int) =
+    new Path(manifestDir(tablePath), s"v$v.deletes")
+
   /** The TABLE schema recorded at commit time for `version` (head when
     * `None`) — the Delta/Iceberg design: schema lives in table metadata,
     * not in data-file footers, so a 100 TB read never footer-merges a
@@ -525,5 +528,147 @@ object SnapshotTable {
       }
     }
     deleted
+  }
+
+  /** One committed delete vector: the key column, where its key file
+    * lives, and the exact data files it applies to (the files present
+    * when the delete committed — Iceberg's sequence-number scoping at
+    * file granularity, so a later re-insert of a deleted key is NOT
+    * hidden by an older delete). */
+  final case class DeleteVector(version: Int, keyCol: String,
+                                dir: String, appliesTo: Set[String])
+
+  /** All delete vectors of the table, discovered by sidecar listing —
+    * deliberately NOT via [[versions]]: a vacuumed manifest's delete
+    * vector must keep applying to files that carried forward into
+    * retained versions. */
+  def deleteVectors(spark: SparkSession,
+                    tablePath: String): Seq[DeleteVector] = {
+    val dir = manifestDir(tablePath)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".deletes") =>
+        n.stripPrefix("v").stripSuffix(".deletes").toInt }
+      .sorted
+      .map { v =>
+        val p = dvPath(tablePath, v)
+        val in = f.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList
+          finally in.close()
+        val Array(keyCol, rel) = lines.head.split("\t", 2)
+        DeleteVector(v, keyCol, rel, lines.tail.toSet)
+      }
+  }
+
+  /** Equality-delete commit — MERGE-ON-READ row deletion (Iceberg v2
+    * delete files / Delta deletion vectors): instead of rewriting every
+    * data file containing a matching row (the copy-on-write `pl11` path —
+    * proportional to the DATA touched), commit a small KEY FILE plus a
+    * metadata pointer; readers subtract it at scan time. Deleting 0.1%
+    * of a 100 TB table costs the matched keys' bytes, not a rewrite.
+    *
+    * The delete is scoped to the data files present at commit time (the
+    * sidecar records them), so appends AFTER the delete — including
+    * re-inserts of deleted keys — are untouched. Keys are computed from
+    * the current merge-on-read view, so deleting an already-deleted key
+    * is a no-op. The new version's manifest carries the SAME data-file
+    * lines as its base: time travel to the pre-delete version still sees
+    * every row, and [[readAppendsSince]] still sees an append-only chain.
+    *
+    * Retention: DV sidecars and key files survive [[vacuum]] (a carried-
+    * forward file may still need an old DV); a compaction rewrite
+    * (read-back via [[readMor]], commit replace) folds deletes into data
+    * and strands the old DVs against files no manifest references —
+    * harmless, and GC-able with the expired manifests. */
+  def deleteWhere(spark: SparkSession, tablePath: String, keyCol: String,
+                  predicate: org.apache.spark.sql.Column): Int = {
+    val vs = versions(spark, tablePath)
+    require(vs.nonEmpty, s"no committed snapshots at $tablePath")
+    val commitId = java.util.UUID.randomUUID().toString
+    val dvDir = new Path(new Path(tablePath, "deletes"), commitId)
+    readMor(spark, tablePath, Some(vs.last)).filter(predicate)
+      .select(keyCol).distinct().write.parquet(dvDir.toString)
+    val f = fs(spark, dvDir)
+    val lock = new Path(manifestDir(tablePath), "_commit.lock")
+    var attempts = 0
+    while (attempts < 500) {
+      attempts += 1
+      if (tryLock(f, lock)) {
+        try {
+          val head = versions(spark, tablePath).last
+          val base = readLines(spark, tablePath, head)
+          val v = head + 1
+          tableSchema(spark, tablePath, Some(head)).foreach { sch =>
+            val so = f.create(schemaPath(tablePath, v), true)
+            try so.write(sch.json.getBytes("UTF-8")) finally so.close()
+          }
+          // DV sidecar BEFORE the manifest: a reader that can see v's
+          // manifest must be able to see v's deletes
+          val dp = f.create(dvPath(tablePath, v), true)
+          try dp.write(
+            (s"$keyCol\tdeletes/$commitId" +:
+              base.map(l => parseEntry(l).path))
+              .mkString("\n").getBytes("UTF-8"))
+          finally dp.close()
+          val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
+          val out = f.create(tmp, false)
+          try out.write(base.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          require(f.rename(tmp, manifestPath(tablePath, v)),
+            s"manifest publish failed for v$v at $tablePath")
+          return v
+        } finally f.delete(lock, false)
+      } else {
+        try {
+          val age = System.currentTimeMillis() -
+            f.getFileStatus(lock).getModificationTime
+          if (age > LockStaleMs) f.delete(lock, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException(
+      s"commit contention: lock not acquired after 500 attempts at " +
+        tablePath)
+  }
+
+  /** Merge-on-read snapshot read: the pinned file set of `version` minus
+    * every applicable delete vector. Files are grouped by WHICH deletes
+    * apply to them (group count is bounded by the distinct append/delete
+    * interleavings, not by data size), each group anti-joins its keys on
+    * the key column, and the groups union back — so the subtraction is
+    * one broadcast-able anti-join per key column over each group, never
+    * a rewrite. A table with no delete vectors reads identically to
+    * [[read]]. */
+  def readMor(spark: SparkSession, tablePath: String,
+              version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse {
+      val vs = versions(spark, tablePath)
+      require(vs.nonEmpty, s"no committed snapshots at $tablePath")
+      vs.last
+    }
+    val dvs = deleteVectors(spark, tablePath).filter(_.version <= v)
+    if (dvs.isEmpty) return read(spark, tablePath, Some(v))
+    val files = readManifest(spark, tablePath, v)
+    val reader = tableSchema(spark, tablePath, Some(v))
+      .fold(spark.read)(spark.read.schema)
+    files.groupBy(rel => dvs.filter(_.appliesTo.contains(rel))
+        .map(_.version))
+      .map { case (dvVersions, group) =>
+        val df = reader.parquet(
+          group.map(rel => new Path(tablePath, rel).toString): _*)
+        dvs.filter(dv => dvVersions.contains(dv.version))
+          .groupBy(_.keyCol).toSeq.sortBy(_._1)
+          .foldLeft(df) { case (acc, (kc, ds)) =>
+            val keys = ds.map(dd => spark.read.parquet(
+                new Path(tablePath, dd.dir).toString))
+              .reduce(_ unionByName _).distinct()
+            acc.join(keys, Seq(kc), "left_anti")
+          }
+      }
+      .reduce(_ unionByName _)
   }
 }

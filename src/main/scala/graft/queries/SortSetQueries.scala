@@ -395,5 +395,62 @@ object SortSetQueries {
           "u8: incremental read over a rewritten chain was not refused")
         incr
       }),
+
+    // U9: merge-on-read DELETE — equality delete vectors (Iceberg v2
+    // delete files / Delta deletion vectors) on the snapshot table,
+    // proven end-to-end against real table I/O. Three commits: v1 seeds
+    // every event; v2 DELETEs event_id % 5 = 0 by committing a KEY FILE
+    // (no data file is rewritten — asserted in-query); v3 APPENDS a
+    // restated batch that RE-INSERTS a subset of the deleted keys
+    // (event_id % 35 = 0, value + 1000); v4 deletes user_id % 11 = 0
+    // across both generations. The head merge-on-read view must show the
+    // re-inserted rows (v2's delete is scoped to v1's files — sequence-
+    // number semantics; an unscoped equality delete would wrongly hide
+    // them) while both deletes apply to their own generations. Time
+    // travel to v1 still sees every row (asserted).
+    //
+    // Scale shape: DELETE cost is the matched keys' bytes + one manifest
+    // write — deleting 0.1% of a 100 TB table never rewrites data files
+    // (pl11 is the copy-on-write alternative; this is the merge-on-read
+    // one). The read-side subtraction is an anti-join per delete vector
+    // group, broadcast-able while DVs are small — exactly the Iceberg
+    // read path.
+    QueryDef(
+      "u9_delete_vectors",
+      Some("""WITH orig AS (
+             |  SELECT event_id, user_id, value FROM events),
+             |app AS (
+             |  SELECT event_id, user_id, value + 1000.0 AS value
+             |  FROM events WHERE event_id % 35 = 0)
+             |SELECT event_id, user_id, value FROM orig
+             |WHERE event_id % 5 <> 0 AND user_id % 11 <> 0
+             |UNION ALL
+             |SELECT event_id, user_id, value FROM app
+             |WHERE user_id % 11 <> 0""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "dv_table", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        SnapshotTable.commit(s, ev, t)
+        val before = SnapshotTable.entries(s, t, Some(1)).map(_.path)
+        SnapshotTable.deleteWhere(s, t, "event_id",
+          col("event_id") % 5 === 0)
+        // the delete must not have rewritten or dropped any data file
+        require(SnapshotTable.entries(s, t, Some(2)).map(_.path) == before,
+          "u9: merge-on-read delete rewrote the data file set")
+        SnapshotTable.commit(s,
+          ev.filter(col("event_id") % 35 === 0)
+            .withColumn("value", col("value") + 1000.0),
+          t, replace = false)
+        SnapshotTable.deleteWhere(s, t, "event_id",
+          col("user_id") % 11 === 0)
+        // time travel to the pre-delete version still sees every row
+        require(SnapshotTable.readMor(s, t, Some(1)).count() == ev.count(),
+          "u9: v1 time travel was affected by later delete vectors")
+        SnapshotTable.readMor(s, t)
+      }),
   )
 }

@@ -228,4 +228,64 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!names.contains("v1.schema.json") &&
       names.contains("v2.schema.json"), names.toString)
   }
+
+  test("merge-on-read delete: no rewrite, keys subtracted, time travel") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"), t)
+    val before = entries(spark, t, Some(1)).map(_.path)
+    val v2 = deleteWhere(spark, t, "id", col("id") % 2 === 0)
+    assert(v2 == 2)
+    // the data-file set is untouched — that's the merge-on-read contract
+    assert(entries(spark, t, Some(2)).map(_.path) == before)
+    assert(readMor(spark, t).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L))
+    // time travel to v1 sees the pre-delete rows
+    assert(readMor(spark, t, Some(1)).count() == 3)
+    // plain read of v2 ignores DVs by design (file-level view)
+    assert(read(spark, t, Some(2)).count() == 3)
+  }
+
+  test("equality delete is scoped to its generation: re-inserts survive") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "x"), t)
+    deleteWhere(spark, t, "id", col("id") === 2L)
+    // re-insert the deleted key in a LATER append — the v2 delete must
+    // not hide it (sequence-number scoping)
+    commit(spark, Seq((2L, "b2")).toDF("id", "x"), t, replace = false)
+    val rows = readMor(spark, t).as[(Long, String)].collect().sorted
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b2")), rows.mkString(","))
+    // while time travel to the deleted-but-not-reinserted version shows
+    // only the survivor
+    assert(readMor(spark, t, Some(2)).as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a")))
+  }
+
+  test("delete vectors keep applying after their manifest is vacuumed") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "x"), t)
+    deleteWhere(spark, t, "id", col("id") === 1L)         // v2
+    commit(spark, Seq((3L, "c")).toDF("id", "x"), t, replace = false) // v3
+    vacuum(spark, t, keepFrom = 3)
+    // v2's manifest is gone but its DV still applies to v1's files,
+    // which carried forward into v3
+    assert(readMor(spark, t).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("deleting an already-deleted key is a no-op delete vector") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "x"), t)
+    deleteWhere(spark, t, "id", col("id") === 2L)
+    // second delete matches only already-deleted rows → empty key file
+    deleteWhere(spark, t, "id", col("x") === "b")
+    assert(readMor(spark, t).count() == 1)
+  }
 }
