@@ -335,7 +335,10 @@ object SnapshotTable {
         tablePath)
   }
 
-  /** Read a pinned snapshot (`version = None` → current head). The
+  /** Read a pinned snapshot (`version = None` → current head) at FILE
+    * level — delete vectors are NOT applied (use [[readMor]] on tables
+    * that take merge-on-read deletes; on DV-free tables the two are
+    * identical). The
     * returned frame holds the version's exact file list — later commits,
     * compactions, or vacuums of OTHER versions cannot change or tear it. */
   def read(spark: SparkSession, tablePath: String,
@@ -408,7 +411,12 @@ object SnapshotTable {
       .map(rel => f.getFileStatus(new Path(tablePath, rel)).getLen).sum
     val nFiles = math.max(1, math.ceil(
       totalBytes.toDouble / targetBytes).toInt)
-    commit(spark, read(spark, tablePath, Some(head)).repartition(nFiles),
+    // readMor, not read: compaction must FOLD delete vectors into the
+    // rewritten data (a DV-blind rewrite would resurrect deleted rows —
+    // the new files are outside every old DV's scope). On a DV-free
+    // table readMor ≡ read.
+    commit(spark,
+      readMor(spark, tablePath, Some(head)).repartition(nFiles),
       tablePath, replace = true)
   }
 
@@ -432,7 +440,9 @@ object SnapshotTable {
     val merged = versions(spark, tablePath).lastOption match {
       case None => deduped
       case Some(v) =>
-        read(spark, tablePath, Some(v))
+        // readMor: the merge base must honor delete vectors, or the
+        // rewrite would resurrect deleted rows (see compactSnapshot)
+        readMor(spark, tablePath, Some(v))
           .join(deduped.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(deduped)
     }

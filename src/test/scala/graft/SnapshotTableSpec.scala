@@ -278,6 +278,26 @@ class SnapshotTableSpec extends SparkSpec {
       .sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("compaction and upsert fold delete vectors, never resurrect") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"), t)
+    deleteWhere(spark, t, "id", col("id") === 2L)
+    compactSnapshot(spark, t)
+    // the rewrite folded the DV: 2 stays gone at the new head
+    assert(readMor(spark, t).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L))
+    // and an upsert on a DV'd table honors the deletes in its base
+    val t2 = tbl()
+    commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "x"), t2)
+    deleteWhere(spark, t2, "id", col("id") === 2L)
+    upsertSnapshot(spark, Seq((3L, "c")).toDF("id", "x"), t2,
+      keyCols = Seq("id"), orderCol = "id")
+    assert(readMor(spark, t2).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("deleting an already-deleted key is a no-op delete vector") {
     val s = spark
     import s.implicits._
