@@ -783,5 +783,82 @@ object MlPrepQueries {
           q9(p0).as("p0_q"), q9(r0).as("r0_q"), q9(f1(p0, r0)).as("f1_0_q"),
           q9(auc).as("auc_q"))
       }),
+
+    // CALIBRATION: the reliability diagram next to eval_report's
+    // rank/threshold metrics — is a score of 0.7 actually right 70% of
+    // the time? Scores bucket into 10 fixed-width bins (clipped at the
+    // top — the synthetic score reaches 1.3); each bin reports count,
+    // mean predicted score, empirical positive rate, the calibration gap
+    // |mean_pred − frac_pos|, and the bin's Brier contribution.
+    //
+    // Scale shape: ONE hash aggregate over (bin) — 10 cells regardless
+    // of data size, map-side combinable; no window, no join.
+    //
+    // Parity: the score is a multiple of 0.01 by construction, so
+    // s_q = floor(s·100 + 0.5) makes every bin sum exact long
+    // arithmetic — mean/rate/gap/Brier then derive through one
+    // identical IEEE tree, reported 1e9-quantized (the eval_report
+    // pattern).
+    QueryDef(
+      "mlprep_calibration",
+      Some("""WITH base AS (
+             |  SELECT CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END AS y,
+             |    CAST(event_id % 20 AS DOUBLE) / 20.0e0 +
+             |      CASE WHEN value >= 100.0e0 AND event_id % 3 = 0
+             |        THEN 0.35e0 ELSE 0.0e0 END AS s
+             |  FROM events),
+             |q AS (
+             |  SELECT y, CAST(floor(s * 100.0e0 + 0.5e0) AS BIGINT) AS sq,
+             |    least(CAST(floor(s * 10.0e0) AS BIGINT), 9) AS bin
+             |  FROM base),
+             |b AS (
+             |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(sq) AS BIGINT) AS ssq,
+             |    CAST(sum(y) AS BIGINT) AS pos,
+             |    CAST(sum((sq - 100 * y) * (sq - 100 * y)) AS BIGINT)
+             |      AS sse
+             |  FROM q GROUP BY bin),
+             |m AS (
+             |  SELECT bin, n,
+             |    CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0
+             |      AS mean_pred,
+             |    CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+             |    CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0e0
+             |      AS brier
+             |  FROM b)
+             |SELECT bin, n,
+             |  CAST(floor(mean_pred * 1e9 + 0.5e0) AS BIGINT)
+             |    AS mean_pred_q,
+             |  CAST(floor(frac_pos * 1e9 + 0.5e0) AS BIGINT)
+             |    AS frac_pos_q,
+             |  CAST(floor(abs(mean_pred - frac_pos) * 1e9 + 0.5e0)
+             |    AS BIGINT) AS gap_q,
+             |  CAST(floor(brier * 1e9 + 0.5e0) AS BIGINT) AS brier_q
+             |FROM m""".stripMargin),
+      (s, d) => {
+        val base = Tables.events(s, d).select(
+          when(col("value") >= 100.0, 1L).otherwise(0L).as("y"),
+          ((col("event_id") % 20).cast("double") / 20.0 +
+            when(col("value") >= 100.0 && col("event_id") % 3 === 0,
+              0.35).otherwise(0.0)).as("s"))
+        val q = base.select(col("y"),
+          floor(col("s") * 100.0 + 0.5).cast("long").as("sq"),
+          least(floor(col("s") * 10.0).cast("long"), lit(9L)).as("bin"))
+        val b = q.groupBy("bin").agg(
+          count(lit(1)).as("n"), sum("sq").as("ssq"),
+          sum("y").as("pos"),
+          sum((col("sq") - lit(100L) * col("y")) *
+            (col("sq") - lit(100L) * col("y"))).as("sse"))
+        val meanPred = col("ssq").cast("double") /
+          col("n").cast("double") / 100.0
+        val fracPos = col("pos").cast("double") / col("n").cast("double")
+        val brier = col("sse").cast("double") /
+          col("n").cast("double") / 10000.0
+        def q9(c: org.apache.spark.sql.Column) =
+          floor(c * 1e9 + 0.5).cast("long")
+        b.select(col("bin"), col("n"),
+          q9(meanPred).as("mean_pred_q"), q9(fracPos).as("frac_pos_q"),
+          q9(abs(meanPred - fracPos)).as("gap_q"), q9(brier).as("brier_q"))
+      }),
   )
 }
