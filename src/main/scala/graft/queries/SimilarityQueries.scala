@@ -1024,5 +1024,115 @@ object SimilarityQueries {
               .as("moved"),
             sum("d").as("sse_q"))
       }),
+
+    // SIM12: the full k-means TRAINING loop — sim11's Lloyd step iterated
+    // (3 rounds), emitting the per-iteration convergence telemetry an
+    // operator watches: surviving cluster count, vectors that changed
+    // cluster, and exact integer SSE (monotone non-increasing movement =
+    // the loop is converging; `moved` hitting 0 = done). Same parity
+    // machinery as sim11 — grid-quantized centroids, exact long
+    // distances, strict-less smallest-cid tie-break — replayed by the
+    // oracle as three chained CTE blocks.
+    //
+    // Scale shape per round: one (cid, dim) hash-agg (≤ C×Dim cells on
+    // the wire) + one broadcast fold reassignment — two corpus scans,
+    // never a corpus shuffle; each round's assignment persists so round
+    // i+1 reads a materialized frame, not i's recomputed lineage (at
+    // 100s of rounds you also checkpoint every ~10 to cut lineage — the
+    // ConnectedComponents doctrine; 3 rounds don't need it).
+    QueryDef(
+      "sim12_kmeans_train",
+      Some {
+        import graft.operators.IvfIndex
+        val Iters = 3
+        val blocks = (1 to Iters).map { i =>
+          s"""g$i AS (
+             |  SELECT cid, i, CAST(sum(qv[i]) AS BIGINT) AS sx,
+             |    count(*) AS n
+             |  FROM asg${i - 1} CROSS JOIN generate_series(1, $Dim) t(i)
+             |  GROUP BY cid, i),
+             |cent$i AS (
+             |  SELECT cid AS cidc,
+             |    list(CAST(floor(CAST(sx AS DOUBLE) / n + 0.5) AS BIGINT)
+             |      ORDER BY i) AS cq
+             |  FROM g$i GROUP BY cid),
+             |dist$i AS (
+             |  SELECT a.vec_id, a.qv, a.cid AS cid_prev, c.cidc AS cid,
+             |    CAST(list_sum(list_transform(generate_series(1, $Dim),
+             |      i -> (a.qv[i] - c.cq[i]) * (a.qv[i] - c.cq[i])))
+             |      AS BIGINT) AS d
+             |  FROM asg${i - 1} a CROSS JOIN cent$i c),
+             |asg$i AS (
+             |  SELECT vec_id, qv, cid, cid_prev, d FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d, cid) AS rn
+             |    FROM dist$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val stats = (1 to Iters).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS iter,
+             |  CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+             |  CAST(sum(CASE WHEN cid <> cid_prev THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS moved,
+             |  CAST(sum(d) AS BIGINT) AS sse_q
+             |FROM asg$i""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH q AS (
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |asg0 AS (
+           |  SELECT vec_id, qv,
+           |    ${IvfIndex.oracleAssign(IvfIndex.oracleDots("qv", Dim))}
+           |      AS cid
+           |  FROM q),
+           |$blocks
+           |$stats""".stripMargin
+      },
+      (s, d) => {
+        val Iters = 3
+        var asg = EmbedStage(s, d).vectors
+          .select(col("vec_id"), col("qv"), col("cid"))
+        val dRow = (cq: Column) => aggregate(
+          zip_with(col("qv"), cq, (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, t) => a + t)
+        val perIter = (1 to Iters).map { it =>
+          val cent = asg
+            .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+            .groupBy("cid", "pos")
+            .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+            .groupBy(col("cid").as("cidc"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("pos"),
+                floor(col("sx").cast("double") / col("n") + 0.5)
+                  .cast("long").as("cq")))),
+              e => e.getField("cq")).as("cq"))
+          val cents = cent
+            .agg(array_sort(collect_list(struct(col("cidc").as("cid1"),
+              col("cq")))).as("cents"))
+          val best = aggregate(col("cents"),
+            struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid1")),
+            (acc, c) => {
+              val dd = dRow(c.getField("cq"))
+              when(dd < acc.getField("d"),
+                struct(dd.as("d"), c.getField("cid1").as("cid1")))
+                .otherwise(acc)
+            })
+          val next = asg.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("qv"),
+              col("cid").as("cid_prev"), best.as("best"))
+            .select(col("vec_id"), col("qv"),
+              col("best.cid1").as("cid"), col("cid_prev"),
+              col("best.d").as("d"))
+            .persist()
+          val stats = next.agg(
+              countDistinct("cid").cast("long").as("n_clusters"),
+              sum(when(col("cid") =!= col("cid_prev"), 1L).otherwise(0L))
+                .as("moved"),
+              sum("d").as("sse_q"))
+            .select(lit(it).cast("long").as("iter"), col("n_clusters"),
+              col("moved"), col("sse_q"))
+          asg = next.select("vec_id", "qv", "cid")
+          stats
+        }
+        perIter.reduce(_ unionByName _)
+      }),
   )
 }
