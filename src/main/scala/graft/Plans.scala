@@ -551,6 +551,26 @@ object Plans {
       !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
         !p.contains("hashpartitioning(vec_id")
     }
+    // sim12 holds sim11's invariant across every training round
+    check("sim12: no corpus shuffle in any training round") {
+      val p = planOf("sim12_kmeans_train")
+      !p.contains("CartesianProduct") &&
+        !p.contains("hashpartitioning(vec_id")
+    }
+    // mix6's LM count tables must BROADCAST onto the token stream (they
+    // are ≤ B rows by the hash-bucket construction) — a shuffle join
+    // there would re-key the whole token explosion
+    check("mix6: LM dims broadcast, token stream never shuffle-joined") {
+      val p = planOf("mix6_dsir_select")
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+        !p.contains("CartesianProduct")
+    }
+    // dd13: the canonical pick must not broadcast the (unbounded)
+    // cluster membership — only the cluster-size dim rides broadcast
+    check("dd13: no cartesian in the canonical selection") {
+      val p = planOf("dd13_cluster_canonical")
+      !p.contains("CartesianProduct")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
