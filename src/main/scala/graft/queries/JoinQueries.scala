@@ -442,5 +442,56 @@ object JoinQueries {
             col("n_parts").as("parts_b")), "name_b")
           .select("name_a", "name_b", "dist", "parts_a", "parts_b")
       }),
+
+    // J15: SCD2 as-of dimension enrichment — the lookup pl17's interval
+    // dimension EXISTS for, composed end-to-end: every event joins the
+    // attribute version valid on its day (user equi-key + day within
+    // [valid_from, valid_to] — the classic warehouse SCD2 pattern), here
+    // rolled up per validity interval: event count, how many events
+    // carry the interval's dominant type, and the dominance fraction.
+    // Both sides derive from the SAME shared code/SQL as pl17
+    // (PipelineQueries.scd2Dim / scd2OracleCtes), so dimension drift
+    // between producer and consumer fails the hash.
+    //
+    // Scale shape: equi-key on user_id with the interval check as a
+    // residual — at 100 TB both sides are user-bucketed so the join is
+    // exchange-free, and per-user interval counts are small (runs over
+    // days), bounding the range fanout.
+    QueryDef(
+      "j15_scd2_enrich",
+      Some(s"""WITH ${PipelineQueries.scd2OracleCtes},
+              |e AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day, event_type
+              |  FROM events)
+              |SELECT e.user_id, s.run_id,
+              |  s.event_type AS dominant_type,
+              |  CAST(count(*) AS BIGINT) AS n_events,
+              |  CAST(sum(CASE WHEN e.event_type = s.event_type
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dominant,
+              |  CAST(sum(CASE WHEN e.event_type = s.event_type
+              |    THEN 1 ELSE 0 END) AS DOUBLE) /
+              |    CAST(count(*) AS DOUBLE) AS dominant_frac
+              |FROM e JOIN scd s
+              |  ON e.user_id = s.user_id
+              |  AND e.day BETWEEN s.valid_from AND s.valid_to
+              |GROUP BY 1, 2, 3""".stripMargin),
+      (s, d) => {
+        val dim = PipelineQueries.scd2Dim(s, d).select(
+          col("user_id").as("dim_user"), col("run_id"),
+          col("event_type").as("dominant_type"),
+          col("valid_from"), col("valid_to"))
+        val e = Tables.events(s, d).select(col("user_id"),
+          to_date(col("ts")).as("day"), col("event_type"))
+        e.join(dim, col("user_id") === col("dim_user") &&
+            col("day").between(col("valid_from"), col("valid_to")))
+          .groupBy(col("user_id"), col("run_id"), col("dominant_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === col("dominant_type"), 1L)
+              .otherwise(0L)).as("n_dominant"))
+          .select(col("user_id"), col("run_id"), col("dominant_type"),
+            col("n_events"), col("n_dominant"),
+            (col("n_dominant").cast("double") /
+              col("n_events").cast("double")).as("dominant_frac"))
+      }),
   )
 }

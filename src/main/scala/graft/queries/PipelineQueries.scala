@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Parity, QueryDef, Sinks, Tables}
 import graft.operators.{Ewm, Sessionize, TrendEvents}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -15,6 +16,64 @@ object PipelineQueries {
   import Parity._
 
   private val DEC = DecimalType(30, 6)
+
+  /** pl17's SCD2 dimension build (per-user dominant-event-type validity
+    * intervals), shared with j15's enrichment join — the dimension one
+    * query commits is the dimension the other consumes. */
+  private[queries] def scd2Dim(s: SparkSession,
+                               d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wMode = Window.partitionBy("user_id", "day")
+      .orderBy(col("cnt").desc, col("event_type"))
+    val wLag = Window.partitionBy("user_id").orderBy("day")
+    val wRun = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dom = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wMode))
+      .filter(col("rn") === 1)
+      .select("user_id", "day", "event_type")
+    val prev = lag("event_type", 1).over(wLag)
+    dom
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(wRun))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(min("day").as("valid_from"), max("day").as("valid_to"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "run_id", "event_type", "valid_from",
+        "valid_to", "n_days")
+  }
+
+  /** pl17's oracle CTE prefix (through the interval table `scd`), shared
+    * with j15 so both replay the identical dimension derivation. */
+  private[queries] val scd2OracleCtes: String =
+    """c AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |dom AS (
+      |  SELECT user_id, day, event_type FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |      ORDER BY cnt DESC, event_type) AS rn
+      |    FROM c) WHERE rn = 1),
+      |runs AS (
+      |  SELECT user_id, day, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM dom WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |grp AS (
+      |  SELECT user_id, day, event_type,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM runs),
+      |scd AS (
+      |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+      |    min(day) AS valid_from, max(day) AS valid_to,
+      |    count(*) AS n_days
+      |  FROM grp GROUP BY 1, 2, 3)""".stripMargin
 
   /** Shared oracle for pl14 (fold), pl16 (fused) and st8 (streaming
     * incremental refresh) — identical output contract; any drift between
@@ -779,54 +838,11 @@ object PipelineQueries {
     // windows.
     QueryDef(
       "pl17_scd2_intervals",
-      Some("""WITH c AS (
-             |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
-             |    count(*) AS cnt
-             |  FROM events GROUP BY 1, 2, 3),
-             |dom AS (
-             |  SELECT user_id, day, event_type FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY user_id, day
-             |      ORDER BY cnt DESC, event_type) AS rn
-             |    FROM c) WHERE rn = 1),
-             |runs AS (
-             |  SELECT user_id, day, event_type,
-             |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-             |      THEN 1 ELSE 0 END AS chg
-             |  FROM dom WINDOW w AS (PARTITION BY user_id ORDER BY day)),
-             |grp AS (
-             |  SELECT user_id, day, event_type,
-             |    sum(chg) OVER (PARTITION BY user_id ORDER BY day
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-             |  FROM runs)
-             |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
-             |  min(day) AS valid_from, max(day) AS valid_to,
-             |  count(*) AS n_days
-             |FROM grp GROUP BY 1, 2, 3""".stripMargin),
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val wMode = Window.partitionBy("user_id", "day")
-          .orderBy(col("cnt").desc, col("event_type"))
-        val wLag = Window.partitionBy("user_id").orderBy("day")
-        val wRun = Window.partitionBy("user_id").orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val dom = Tables.events(s, d)
-          .groupBy(col("user_id"), to_date(col("ts")).as("day"),
-            col("event_type"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(wMode))
-          .filter(col("rn") === 1)
-          .select("user_id", "day", "event_type")
-        val prev = lag("event_type", 1).over(wLag)
-        dom
-          .withColumn("chg",
-            when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
-          .withColumn("run_id", sum("chg").over(wRun))
-          .groupBy("user_id", "run_id", "event_type")
-          .agg(min("day").as("valid_from"), max("day").as("valid_to"),
-            count(lit(1)).as("n_days"))
-          .select("user_id", "run_id", "event_type", "valid_from",
-            "valid_to", "n_days")
-      }),
+      Some(s"""WITH $scd2OracleCtes
+              |SELECT user_id, run_id, event_type,
+              |  valid_from, valid_to, n_days
+              |FROM scd""".stripMargin),
+      (s, d) => scd2Dim(s, d)),
 
     // S10 (WHEN MATCHED half): SCD-1 source-wins MERGE via partition-level
     // copy-on-write ([[graft.operators.MergeUpsert.upsertPartitioned]]) —

@@ -1343,5 +1343,56 @@ object TextQueries {
             (sum("n").over(cumW).cast("double") / col("t").cast("double"))
               .as("cum_share"))
       }),
+
+    // TX17: per-document n-gram NOVELTY against the earlier corpus — the
+    // doc-granular complement of tx14's corpus-level Heaps curve, and
+    // the signal a continual-pretraining pipeline watches: what fraction
+    // of a document's distinct 3-gram shingles has never appeared in any
+    // LOWER-doc_id document (ingestion order)? A crawl of near-dups reads
+    // ~0; fresh material reads high; the per-doc ratio decays as the
+    // corpus grows.
+    //
+    // Scale shape: every gram is a 32-bit hash the moment it leaves the
+    // tokenizer (no strings on the wire); first-occurrence is one
+    // gram-keyed min aggregate; the join back is gram-keyed on BOTH
+    // sides (the aggregate reuses the explode's partitioning), then one
+    // doc-keyed count — two hash-key shuffles total, map-side
+    // combinable, no window over the corpus.
+    QueryDef(
+      "tx17_novelty",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS ts
+              |  FROM documents),
+              |sh AS (
+              |  SELECT doc_id,
+              |    unnest(list_distinct(list_transform(
+              |      ${oShinglesFromList("ts")},
+              |      g -> ${oHash32("g")}))) AS g
+              |  FROM toks),
+              |first AS (
+              |  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+              |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0
+              |    END) AS BIGINT) AS n_novel,
+              |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0
+              |    END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+              |FROM sh s JOIN first f USING (g)
+              |GROUP BY s.doc_id""".stripMargin),
+      (s, d) => {
+        val dg = Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"),
+            explode(array_distinct(
+              transform(shingles(col("text")), g => hash32(g)))).as("g"))
+          .persist() // feeds the first-occurrence dim AND the join back
+        val first = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
+        dg.join(first, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            (col("n_novel").cast("double") /
+              col("n_grams").cast("double")).as("novelty"))
+      }),
   )
 }
