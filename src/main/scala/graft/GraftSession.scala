@@ -22,7 +22,11 @@ object GraftSession {
     * read.
     */
   val requiredConfigs: Map[String, String] = Map(
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // native graft functions (ewm_nr, dot_long) in every session — the
+    // standard extensions injection, so query code can call them without
+    // per-session registration
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions"
   )
 
   def builder(master: String, shufflePartitions: String): SparkSession.Builder = {

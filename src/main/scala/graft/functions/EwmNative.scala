@@ -83,9 +83,11 @@ object EwmNative {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("ewm_nr"),
       new ExpressionInfo(classOf[EwmNr].getName, "ewm_nr"),
       { case Seq(c, a) => EwmNr(c, a) }: PartialFunction[Seq[Expression], Expression]))
+    ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
+  }
 }

@@ -19,15 +19,31 @@ object VectorOps {
   def quant(c: Column): Column =
     transform(c, x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long"))
 
-  /** Exact integer inner product of two quantized vectors.
+  /** Exact integer inner product of two quantized vectors — the NATIVE
+    * codegen'd expression ([[graft.functions.DotLong]], injected by
+    * GraftExtensions in every [[graft.GraftSession]]): one primitive
+    * long loop inside whole-stage codegen, no intermediate array.
     *
-    * Measured dead end (sim5 pair join, sf0.1): unrolling the 64-term dot
-    * into element_at chains — nominally "codegen'd" vs the interpreted
-    * `aggregate(zip_with)` lambda — ran 1.6× SLOWER (2.33s vs 1.44s
-    * median). The ~250-node expression blows past the codegen splitting
-    * thresholds and each GetArrayItem re-checks bounds, while the lambda
-    * interpreter streams the primitive arrays once. Keep dotL everywhere. */
-  def dotL(a: Column, b: Column): Column =
+    * Measured history of this hot path (sim1/sim5 warmed, sf0.1):
+    *  - `aggregate(zip_with)` lambda — the interpreted baseline; per
+    *    pair it allocates the 64-element product array and folds it.
+    *  - 64-term unrolled element_at chain — 1.6× SLOWER than the lambda
+    *    (~250 Catalyst nodes blow the codegen splitting thresholds,
+    *    every GetArrayItem re-checks bounds). Dead end.
+    *  - [[graft.functions.DotLong]] — WITHIN HOST NOISE of the lambda
+    *    at this Dim=64 / 6k-vector fixture (interleaved A/B: the
+    *    apparent ±20% swings track host drift, not the variant). Chosen
+    *    as default anyway: it removes the per-pair intermediate
+    *    allocation and the per-element lambda interpretation — the
+    *    costs that grow with Dim and corpus size — and keeps the dot
+    *    inside whole-stage codegen.
+    * [[dotLRef]] keeps the lambda form as the parity reference
+    * (`DotLongSpec` pins equality on every array shape). */
+  def dotL(a: Column, b: Column): Column = call_function("dot_long", a, b)
+
+  /** The composed higher-order form of [[dotL]] — parity/testing
+    * reference only. */
+  def dotLRef(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Exact squared norm (long): 64 axes × (~3e5)² ≈ 6e12 « 2^53, so the
