@@ -1969,5 +1969,73 @@ object AggQueries {
             (sum(when(col("rn") <= col("kk"), col("qr"))).cast("double") /
               max("kk").cast("double") / 1000000.0).as("cvar5"))
       }),
+
+    // A41: Lo-MacKinlay VARIANCE RATIO per user — the classic
+    // mean-reversion / momentum diagnostic: Var(k-period diff) /
+    // (k · Var(1-period diff)); ≈1 for a random walk, <1 mean-reverting,
+    // >1 trending. Simple (non-overlap-corrected) population estimator
+    // over each user's event-ordered series; k = 5.
+    //
+    // Parity: price diffs are exact hundredths ([[Parity.lq]] — values
+    // carry 2 decimals), both moment sums are exact longs, and the
+    // variances/ratio derive through one identical IEEE tree, reported
+    // 1e9-quantized. Scale shape: one windowed lag pass per user (one
+    // hash exchange) + one per-user aggregate — the w-family shape.
+    QueryDef(
+      "a41_variance_ratio",
+      Some(s"""WITH d AS (
+              |  SELECT user_id,
+              |    ${oLq("(value - lag(value, 1) OVER w)")} AS q1,
+              |    ${oLq("(value - lag(value, 5) OVER w)")} AS q5
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |a AS (
+              |  SELECT user_id,
+              |    CAST(count(q1) AS BIGINT) AS n1,
+              |    CAST(sum(q1) AS BIGINT) AS s1,
+              |    CAST(sum(q1 * q1) AS BIGINT) AS ss1,
+              |    CAST(count(q5) AS BIGINT) AS n5,
+              |    CAST(sum(q5) AS BIGINT) AS s5,
+              |    CAST(sum(q5 * q5) AS BIGINT) AS ss5
+              |  FROM d GROUP BY 1),
+              |v AS (
+              |  SELECT user_id, n1, n5,
+              |    (CAST(ss1 AS DOUBLE) / 10000.0 -
+              |      (CAST(s1 AS DOUBLE) / 100.0) *
+              |      (CAST(s1 AS DOUBLE) / 100.0) / CAST(n1 AS DOUBLE))
+              |      / CAST(n1 AS DOUBLE) AS var1,
+              |    (CAST(ss5 AS DOUBLE) / 10000.0 -
+              |      (CAST(s5 AS DOUBLE) / 100.0) *
+              |      (CAST(s5 AS DOUBLE) / 100.0) / CAST(n5 AS DOUBLE))
+              |      / CAST(n5 AS DOUBLE) AS var5
+              |  FROM a WHERE n5 >= 2)
+              |SELECT user_id, n1, n5,
+              |  CAST(floor(var5 / (5.0 * var1) * 1.0E9 + 0.5) AS BIGINT)
+              |    AS vr5_q
+              |FROM v WHERE var1 > 0.0""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val dd = Tables.events(s, d).select(col("user_id"),
+          lq(col("value") - lag("value", 1).over(w)).as("q1"),
+          lq(col("value") - lag("value", 5).over(w)).as("q5"))
+        def popVar(ss: Column, sm: Column, n: Column): Column =
+          (ss.cast("double") / 10000.0 -
+            (sm.cast("double") / 100.0) * (sm.cast("double") / 100.0) /
+              n.cast("double")) / n.cast("double")
+        val a = dd.groupBy("user_id").agg(
+          count("q1").as("n1"), sum("q1").as("s1"),
+          sum(col("q1") * col("q1")).as("ss1"),
+          count("q5").as("n5"), sum("q5").as("s5"),
+          sum(col("q5") * col("q5")).as("ss5"))
+          .filter(col("n5") >= 2)
+        val var1 = popVar(col("ss1"), col("s1"), col("n1"))
+        val var5 = popVar(col("ss5"), col("s5"), col("n5"))
+        a.select(col("user_id"), col("n1"), col("n5"),
+            var1.as("var1"),
+            floor(var5 / (lit(5.0) * var1) * 1.0e9 + 0.5).cast("long")
+              .as("vr5_q"))
+          .filter(col("var1") > 0.0)
+          .select("user_id", "n1", "n5", "vr5_q")
+      }),
   )
 }
