@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.{AggQueries, DedupQueries, GraphQueries, JoinQueries,
   MlPrepQueries, MultimodalQueries, PipelineQueries, ScalarQueries,
-  ScanFilterQueries, SimilarityQueries, SortSetQueries, StreamingQueries,
-  TextQueries, WindowQueries}
+  ScanFilterQueries, SimilarityQueries, SortSetQueries, SqlQueries,
+  StreamingQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,7 @@ object SparkEntry {
       MultimodalQueries.all ++
       PipelineQueries.all ++
       MlPrepQueries.all ++
+      SqlQueries.all ++
       StreamingQueries.all
     // a duplicate name would silently shadow its twin in the `queries`
     // map — Verify would then "pass" having never run the shadowed one

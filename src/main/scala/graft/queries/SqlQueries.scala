@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+
+/** The `spark.sql(...)` TEXT entry point — the reference's Athena SQL
+  * layer (SURVEY §3.2: SQL in the console → Presto parse → distributed
+  * plan → Iceberg). Every other graft query builds its plan through the
+  * DataFrame API; a reference user's SQL transcripts enter through SQL
+  * text, and this family proves that surface end-to-end: the statement
+  * goes through Spark's SQL parser into the SAME Catalyst pipeline and
+  * must hash-match the DuckDB oracle like any DataFrame-built plan.
+  */
+object SqlQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // SQL1: the §3.2 Bronze→clean sequence as ONE Spark SQL text over a
+    // registered view — timestamp parse from the raw string (CTAS
+    // shape), null-parse guard, retention DELETE as a predicate, NY
+    // wall-time day (the ALTER+UPDATE local_timestamp step), per-day
+    // OHLC bars, the null/negative audit counter, and the corrective
+    // vwap UPDATE as a CASE (`vwap=(low+high)/2 WHERE vwap<low OR
+    // vwap>high` — the transcript's final statement).
+    //
+    // Parity notes: the synthetic vwap0 = close + (open−close)·2 keeps
+    // every arithmetic exact-in-double (2-decimal inputs, ×2 and /2 are
+    // exact IEEE scalings), so the CASE compares identical doubles on
+    // both engines. Scale shape: one scan → one (user, day) hash
+    // aggregate — identical plan to a2's DataFrame form; the parser is
+    // the only thing this row adds.
+    QueryDef(
+      "sql1_bronze_clean",
+      Some("""WITH src AS (
+             |  SELECT event_id, user_id,
+             |    CAST(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+             |      '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts2,
+             |    value
+             |  FROM events),
+             |filt AS (
+             |  SELECT * FROM src
+             |  WHERE ts2 IS NOT NULL AND ts2 >= TIMESTAMP '2024-01-08'),
+             |days AS (
+             |  SELECT *, CAST((ts2 AT TIME ZONE 'UTC')
+             |    AT TIME ZONE 'America/New_York' AS DATE) AS ny_day
+             |  FROM filt),
+             |picked AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY user_id, ny_day
+             |      ORDER BY ts2, event_id) AS rn_a,
+             |    row_number() OVER (PARTITION BY user_id, ny_day
+             |      ORDER BY ts2 DESC, event_id DESC) AS rn_d
+             |  FROM days),
+             |bars AS (
+             |  SELECT user_id, ny_day,
+             |    max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             |    max(value) AS high, min(value) AS low,
+             |    max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count_if(value < 0) AS BIGINT) AS n_neg
+             |  FROM picked GROUP BY 1, 2),
+             |fixed AS (
+             |  SELECT *, close + (open - close) * 2 AS vwap0 FROM bars)
+             |SELECT user_id, ny_day, open, high, low, close, n, n_neg,
+             |  CASE WHEN vwap0 < low OR vwap0 > high
+             |    THEN (low + high) / 2 ELSE vwap0 END AS vwap,
+             |  CAST(CASE WHEN vwap0 < low OR vwap0 > high
+             |    THEN 1 ELSE 0 END AS BIGINT) AS corrected
+             |FROM fixed""".stripMargin),
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events_v")
+        s.sql(
+          """WITH src AS (
+            |  SELECT event_id, user_id,
+            |    to_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss'),
+            |      'yyyy-MM-dd HH:mm:ss') AS ts2,
+            |    value
+            |  FROM events_v),
+            |filt AS (
+            |  SELECT * FROM src
+            |  WHERE ts2 IS NOT NULL AND ts2 >= TIMESTAMP '2024-01-08'),
+            |days AS (
+            |  SELECT *,
+            |    to_date(from_utc_timestamp(ts2, 'America/New_York'))
+            |      AS ny_day
+            |  FROM filt),
+            |picked AS (
+            |  SELECT *,
+            |    row_number() OVER (PARTITION BY user_id, ny_day
+            |      ORDER BY ts2, event_id) AS rn_a,
+            |    row_number() OVER (PARTITION BY user_id, ny_day
+            |      ORDER BY ts2 DESC, event_id DESC) AS rn_d
+            |  FROM days),
+            |bars AS (
+            |  SELECT user_id, ny_day,
+            |    max(CASE WHEN rn_a = 1 THEN value END) AS open,
+            |    max(value) AS high, min(value) AS low,
+            |    max(CASE WHEN rn_d = 1 THEN value END) AS close,
+            |    count(*) AS n,
+            |    count_if(value < 0) AS n_neg
+            |  FROM picked GROUP BY 1, 2),
+            |fixed AS (
+            |  SELECT *, close + (open - close) * 2 AS vwap0 FROM bars)
+            |SELECT user_id, ny_day, open, high, low, close, n, n_neg,
+            |  CASE WHEN vwap0 < low OR vwap0 > high
+            |    THEN (low + high) / 2 ELSE vwap0 END AS vwap,
+            |  CAST(CASE WHEN vwap0 < low OR vwap0 > high
+            |    THEN 1 ELSE 0 END AS BIGINT) AS corrected
+            |FROM fixed""".stripMargin)
+      }),
+  )
+}
