@@ -1104,6 +1104,66 @@ object PipelineQueries {
           .select("user_id", "event_id", "value")
       }),
 
+    // PL23: conversion ATTRIBUTION — the third leg of the product-
+    // analytics triple beside funnel (a26) and retention (a27): for
+    // every 'purchase' event, which touchpoint gets the credit? Events
+    // sessionize per user (pl2's 6-hour gap operator, shared code), and
+    // within the session each conversion reports its FIRST-touch (the
+    // session's opening event type) and LAST-touch (the immediately
+    // preceding event's type — null for a session-opening conversion)
+    // plus how many touches preceded it.
+    //
+    // Scale shape: one user-keyed session pass, then ONE window over
+    // (user, session) serves first/last/rank together — a single hash
+    // exchange + sort, no join at all; conversions filter AFTER the
+    // window so the frame is shared.
+    QueryDef(
+      "pl23_attribution",
+      Some("""WITH tagged AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN epoch_us(ts) -
+             |      epoch_us(lag(ts, 1) OVER
+             |        (PARTITION BY user_id ORDER BY ts)) > 21600000000
+             |      OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts)
+             |        IS NULL
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS session_id
+             |  FROM tagged),
+             |att AS (
+             |  SELECT user_id, session_id, event_id, event_type,
+             |    first_value(event_type) OVER w AS first_touch,
+             |    lag(event_type, 1) OVER w AS last_touch,
+             |    CAST(row_number() OVER w - 1 AS BIGINT) AS n_preceding
+             |  FROM sess
+             |  WINDOW w AS (PARTITION BY user_id, session_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT user_id, session_id, event_id AS conversion_id,
+             |  first_touch, last_touch, n_preceding
+             |FROM att WHERE event_type = 'purchase'""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select("user_id", "ts", "event_id", "event_type")
+        val sess = Sessionize.withSessionIds(ev, "user_id", "ts",
+          gapSeconds = 21600L)
+        val w = Window.partitionBy("user_id", "session_id")
+          .orderBy("ts", "event_id")
+        sess
+          .withColumn("first_touch", first("event_type").over(w))
+          .withColumn("last_touch", lag("event_type", 1).over(w))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("session_id"),
+            col("event_id").as("conversion_id"), col("first_touch"),
+            col("last_touch"), (col("rn") - 1).cast("long")
+              .as("n_preceding"))
+      }),
+
     // S9 (end-to-end): batched-source ingestion through the real sink —
     // the reference's chunked symbol-universe pull (alpa.py:68-79, one
     // request per 200-symbol chunk) driven through
