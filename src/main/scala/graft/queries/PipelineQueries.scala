@@ -1036,7 +1036,10 @@ object PipelineQueries {
              |  AND e.event_id BETWEEN r.elo AND r.ehi""".stripMargin),
       (s, d) => {
         import graft.operators.{SnapshotTable, ZOrder}
-        val NFiles = 64
+        // 32 files: enough grid resolution for a decisive z-vs-linear
+        // margin on the eighth-width box (z ≈ 2-3 files vs linear ≈ 5),
+        // half the per-iteration commit+stats I/O of 64
+        val NFiles = 32
         val ev = Tables.events(s, d)
           .select("user_id", "event_id", "value")
         def fresh(name: String): String = {
