@@ -931,6 +931,82 @@ object StreamingQueries {
         runOnce()
         s.read.parquet(s"$base/sink")
           .select("event_id", "user_id", "value")
+      }),
+
+    // ST10: CHANGE DATA FEED — the snapshot table's commits tailed as
+    // TYPED change rows (Delta CDF / Iceberg changelog shape): appends
+    // stream as change_op='insert'; a merge-on-read DELETE commit (u9's
+    // deleteWhere) streams its key file as change_op='delete' rows (key
+    // column set, the rest null). Without this mode a delete commit is
+    // an empty batch and every downstream tail silently diverges from
+    // the table's merge-on-read state — st10 proves the divergence is
+    // closed: three checkpointed AvailableNow runs (seed → delete →
+    // append), each resuming from the version offset, and the
+    // accumulated CDC log hash-matches the declarative
+    // inserts ∪ delete-keys oracle.
+    //
+    // Scale shape: an insert batch costs the appended bytes (manifest
+    // set-difference), a delete batch costs the KEY FILE's bytes —
+    // tailing a 100 TB table's deletes never touches the data files.
+    QueryDef(
+      "st10_change_feed",
+      Some("""WITH a AS (
+             |  SELECT event_id, user_id, value FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-11'),
+             |b AS (
+             |  SELECT event_id, user_id, value FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-11'
+             |    AND ts < TIMESTAMP '2024-01-21'),
+             |del AS (
+             |  SELECT DISTINCT event_id FROM a WHERE event_id % 5 = 0)
+             |SELECT event_id, user_id, value, 'insert' AS change_op
+             |FROM a
+             |UNION ALL
+             |SELECT event_id, user_id, value, 'insert' AS change_op
+             |FROM b
+             |UNION ALL
+             |SELECT event_id, CAST(NULL AS BIGINT) AS user_id,
+             |  CAST(NULL AS DOUBLE) AS value, 'delete' AS change_op
+             |FROM del""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val base = Sinks.dir(s, "cdc_tail", d)
+        reset(s, base)
+        val t = s"$base/table"
+        val ev = Tables.events(s, d).select("event_id", "user_id", "ts",
+          "value")
+        def slice(lo: String, hi: Option[String]) = {
+          val b = ev.filter(col("ts") >= lit(lo).cast("timestamp"))
+          hi.fold(b)(h => b.filter(col("ts") < lit(h).cast("timestamp")))
+            .drop("ts")
+        }
+        val s1 = slice("2024-01-01", Some("2024-01-11"))
+        val s2 = slice("2024-01-11", Some("2024-01-21"))
+        def runOnce(): Unit = withStreamPartitions(s, 8) {
+          val stream = s.readStream.format("snapshot-table")
+            .option("path", t).option("changeFeed", "true").load()
+          val q = stream.writeStream
+            .format("parquet").option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        SnapshotTable.commit(s, s1, t)
+        runOnce()
+        SnapshotTable.deleteWhere(s, t, "event_id",
+          col("event_id") % 5 === 0)
+        runOnce()
+        val nDel = s.read.parquet(s"$base/sink")
+          .filter(col("change_op") === "delete").count()
+        require(nDel > 0,
+          "st10: the delete commit produced no CDC delete rows — the " +
+            "change feed is not surfacing merge-on-read deletes")
+        SnapshotTable.commit(s, s2, t, replace = false)
+        runOnce()
+        s.read.parquet(s"$base/sink")
+          .select("event_id", "user_id", "value", "change_op")
       })
   )
 }

@@ -39,6 +39,7 @@ import org.apache.spark.sql.types.StructType
   */
 class SnapshotStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
+  import SnapshotStreamSource.OpCol
 
   override def shortName(): String = "snapshot-table"
 
@@ -46,14 +47,23 @@ class SnapshotStreamProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "snapshot-table source requires .option(\"path\", <tablePath>)"))
 
+  private def changeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed").exists(_.toBoolean)
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String])
       : (String, StructType) = {
     val t = path(parameters)
-    val s = schema.orElse(
+    val base = schema.orElse(
       SnapshotTable.tableSchema(sqlContext.sparkSession, t)).getOrElse(
       SnapshotTable.read(sqlContext.sparkSession, t).schema)
+    val s =
+      if (changeFeed(parameters))
+        StructType(base.fields.map(_.copy(nullable = true)) :+
+          org.apache.spark.sql.types.StructField(OpCol,
+            org.apache.spark.sql.types.StringType, nullable = false))
+      else base
     (shortName(), s)
   }
 
@@ -63,12 +73,20 @@ class SnapshotStreamProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val t = path(parameters)
     new SnapshotStreamSource(sqlContext, t,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      changeFeed(parameters))
   }
 }
 
+object SnapshotStreamSource {
+  /** CDC op column name in change-feed mode ('insert' | 'delete'). */
+  val OpCol = "change_op"
+}
+
 class SnapshotStreamSource(sqlContext: SQLContext, tablePath: String,
-                           override val schema: StructType) extends Source {
+                           override val schema: StructType,
+                           changeFeed: Boolean = false) extends Source {
+  import SnapshotStreamSource.OpCol
 
   private def spark = sqlContext.sparkSession
 
@@ -86,14 +104,48 @@ class SnapshotStreamSource(sqlContext: SQLContext, tablePath: String,
       .map(v => LongOffset(v.toLong))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val from = start.map(version).getOrElse(0)
     val to = version(end)
     val batch =
-      if (from == 0)
-        // first-ever batch: the table head at `to` IS the initial load
-        SnapshotTable.read(spark, tablePath, Some(to))
-      else
-        SnapshotTable.readAppendsSince(spark, tablePath, from, Some(to))
+      if (!changeFeed) {
+        if (from == 0)
+          // first-ever batch: the table head at `to` IS the initial load
+          SnapshotTable.read(spark, tablePath, Some(to))
+        else
+          SnapshotTable.readAppendsSince(spark, tablePath, from, Some(to))
+      } else {
+        // CHANGE FEED (Delta CDF / Iceberg changelog shape): inserts are
+        // the appended files; merge-on-read DELETES surface as typed
+        // rows — the DV's key file projected into the table schema (key
+        // column set, the rest null) with change_op='delete'. Without
+        // this mode a delete commit is an EMPTY batch and downstream
+        // tails silently diverge from the table's merge-on-read state.
+        val dataSchema = StructType(schema.fields.filterNot(_.name == OpCol))
+        def asCdc(df: DataFrame, op: String): DataFrame =
+          df.select(dataSchema.fields.map(f => col(f.name)): _*)
+            .withColumn(OpCol, lit(op))
+        val inserts =
+          if (from == 0)
+            // initial load: the NET state (deletes before `to` already
+            // folded by the merge-on-read view)
+            SnapshotTable.readMor(spark, tablePath, Some(to))
+          else
+            SnapshotTable.readAppendsSince(spark, tablePath, from, Some(to))
+        val deletes =
+          if (from == 0) Seq.empty
+          else SnapshotTable.deleteVectors(spark, tablePath)
+            .filter(dv => dv.version > from && dv.version <= to)
+            .map { dv =>
+              val keys = spark.read.parquet(
+                new org.apache.hadoop.fs.Path(tablePath, dv.dir).toString)
+              keys.select(dataSchema.fields.map { f =>
+                if (f.name == dv.keyCol) col(f.name).cast(f.dataType)
+                else lit(null).cast(f.dataType).as(f.name)
+              }: _*).withColumn(OpCol, lit("delete"))
+            }
+        (asCdc(inserts, "insert") +: deletes).reduce(_ unionByName _)
+      }
     org.apache.spark.sql.graft.StreamingShim.asStreaming(spark, batch)
   }
 

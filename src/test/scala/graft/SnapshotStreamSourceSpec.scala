@@ -71,4 +71,40 @@ class SnapshotStreamSourceSpec extends SparkSpec {
     assert(stream.schema.fieldNames.toSeq == Seq("id", "v"))
     assert(stream.isStreaming)
   }
+
+  private def tailCdc(t: String, sink: String, ckpt: String): Unit = {
+    val q = spark.readStream.format("snapshot-table")
+      .option("path", t).option("changeFeed", "true").load()
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("change feed: initial load is the NET state, later deletes typed") {
+    val d = dir()
+    val (t, sink, ckpt) = (s"$d/t", s"$d/sink", s"$d/ckpt")
+    import org.apache.spark.sql.functions.col
+    SnapshotTable.commit(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"), t)
+    // delete BEFORE the stream ever starts: the initial CDC load must be
+    // the merge-on-read net state, not the raw files
+    SnapshotTable.deleteWhere(spark, t, "id", col("id") === 2L)
+    tailCdc(t, sink, ckpt)
+    val initial = spark.read.parquet(sink)
+    assert(initial.filter(col("change_op") === "delete").count() == 0)
+    assert(initial.select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L))
+    // a delete AFTER the stream started surfaces as typed delete rows
+    SnapshotTable.deleteWhere(spark, t, "id", col("id") === 3L)
+    tailCdc(t, sink, ckpt)
+    val rows = spark.read.parquet(sink)
+    val dels = rows.filter(col("change_op") === "delete")
+    assert(dels.count() == 1 && dels.select("id").head().getLong(0) == 3L)
+    // the deleted row's non-key columns are null in the CDC row
+    assert(dels.filter(col("x").isNull).count() == 1)
+  }
 }
