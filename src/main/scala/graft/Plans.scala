@@ -551,6 +551,23 @@ object Plans {
       !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
         !p.contains("hashpartitioning(vec_id")
     }
+    // readMor's delete-vector subtraction: the key file is small by
+    // construction (matched keys, not data), so the anti-join must
+    // BROADCAST it onto the data scan — a shuffle anti-join would re-key
+    // the whole table to subtract a handful of keys
+    check("readMor: delete vectors subtract via broadcast anti-join") {
+      import graft.operators.SnapshotTable
+      import org.apache.spark.sql.functions.col
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_plans_mor").toString + "/t"
+      SnapshotTable.commit(spark,
+        spark.range(0, 1000).toDF("id"), t)
+      SnapshotTable.deleteWhere(spark, t, "id", col("id") % 7 === 0)
+      val p = SnapshotTable.readMor(spark, t)
+        .queryExecution.executedPlan.toString
+      p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
+        !p.contains("SortMergeJoin")
+    }
     // sim12 holds sim11's invariant across every training round
     check("sim12: no corpus shuffle in any training round") {
       val p = planOf("sim12_kmeans_train")
