@@ -52,9 +52,9 @@ object VectorOps {
 }
 
 /** The MATERIALIZED vector-index stage shared by the similarity family
-  * (sim1–sim6) — reference semantics per `SURVEY.md` §2's similarity rows;
-  * the staging itself is the standard large-corpus design (index once,
-  * query many), not a reference feature.
+  * (sim1–sim12) — reference semantics per `SURVEY.md` §2's similarity
+  * rows; the staging itself is the standard large-corpus design (index
+  * once, query many), not a reference feature.
   *
   * Motivation: the six similarity operators all start from the same
   * per-vector substrate — quantize the embedding, square the norm, inner-
