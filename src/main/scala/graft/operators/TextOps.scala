@@ -124,4 +124,81 @@ object TextOps {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
   def oFingerprint(x: String): String =
     s"md5(array_to_string(list_sort(list_distinct(string_split($x, ' '))), ' '))"
+
+  /** The fixed query term set tx7 and sim13 rank the corpus for. */
+  val Bm25Terms: Seq[String] = Seq("spark", "query", "stream")
+
+  /** BM25 (Robertson–Spärck Jones, k1=1.2, b=0.75) per-document scores for
+    * a fixed query term set, quantized to a LONG at 1e-6 — the ranking key
+    * both tx7 (lexical top-k) and sim13 (hybrid-fusion lexical leg) order
+    * by. Shared so the two rows cannot drift.
+    *
+    * Shape: ONE per-doc tokenize/tf scan (persisted — both the corpus-stats
+    * aggregate and the scoring scan read it), corpus stats broadcast back
+    * as a 1-row frame. Parity follows tx7's doctrine: idf ln floor-
+    * quantized to a long at 1e9 and rebuilt as long/1e9, every constant an
+    * explicit double, the emitted score `floor(score·1e6+0.5)` AS LONG.
+    */
+  def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, w => w === t)).cast("long").as(s"tf_$i")
+    }
+    val base = graft.Tables.fanOut(graft.Tables.documents(s, d)).select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+      .persist()
+    val statAggs =
+      (sum("dl").cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl") +:
+      terms.indices.map { i =>
+        count(when(col(s"tf_$i") > 0, 1)).cast("long").as(s"df_$i")
+      }
+    val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
+      statAggs: _*)
+    val score = terms.indices.map { i =>
+      (floor(log(((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)) /
+          (col(s"df_$i").cast("double") + lit(0.5))) * lit(1e9) + lit(0.5))
+        .cast("long").cast("double") / lit(1e9)) *
+      (col(s"tf_$i").cast("double") * (lit(1.2) + lit(1.0))) /
+      (col(s"tf_$i").cast("double") + lit(1.2) *
+        (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(score * lit(1e6) + lit(0.5)).cast("long").as("score_q"))
+  }
+
+  /** Oracle CTE block for [[bm25Scores]]: defines `bm_base`, `bm_stats`
+    * and `bm_scored(doc_id, score_q)` — splice after `WITH`. */
+  def oBm25Cte(terms: Seq[String]): String = {
+    val oTf = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n    ")
+    val oStats = terms.indices.map { i =>
+      s"CAST(count(CASE WHEN tf_$i > 0 THEN 1 END) AS BIGINT) AS df_$i"
+    }.mkString(", ")
+    val oScore = terms.indices.map { i =>
+      s"(CAST(floor(ln((CAST(n_docs - df_$i AS DOUBLE) + 0.5e0) / " +
+      s"(CAST(df_$i AS DOUBLE) + 0.5e0)) * 1.0e9 + 0.5e0) AS BIGINT) / 1.0e9) * " +
+      s"(CAST(tf_$i AS DOUBLE) * (1.2e0 + 1.0e0)) / " +
+      s"(CAST(tf_$i AS DOUBLE) + 1.2e0 * " +
+      s"(1.0e0 - 0.75e0 + 0.75e0 * CAST(dl AS DOUBLE) / avgdl))"
+    }.mkString(" + ")
+    s"""bm_base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $oTf
+       |  FROM documents),
+       |bm_stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      AS avgdl,
+       |    $oStats
+       |  FROM bm_base),
+       |bm_scored AS (
+       |  SELECT doc_id,
+       |    CAST(floor(($oScore) * 1.0e6 + 0.5e0) AS BIGINT) AS score_q
+       |  FROM bm_base, bm_stats)""".stripMargin
+  }
 }

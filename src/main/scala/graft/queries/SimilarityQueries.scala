@@ -1134,5 +1134,108 @@ object SimilarityQueries {
         }
         perIter.reduce(_ unionByName _)
       }),
+
+    // SIM13: HYBRID retrieval fusion — reciprocal-rank fusion (RRF,
+    // Cormack/Clarke/Buettcher '09: score(d) = Σ_legs 1/(k + rank_leg(d)),
+    // k=60) of a lexical BM25 ranking (tx7's scorer, shared via
+    // TextOps.bm25Scores so the legs cannot drift) and a vector cosine
+    // ranking (sim1's exact integer-grid scoring) over the doc-aligned
+    // corpus — the standard two-tower retrieval stack's merge step.
+    // Query = document QV ("more like this"): its embedding drives the
+    // vector leg, the fixed Bm25Terms drive the lexical leg; the query
+    // doc itself is excluded from both pools.
+    //
+    // Scale shape: each leg is TakeOrdered top-R (R=100) — never a global
+    // rank over the corpus. Ranks are then row_number over the R-row pool
+    // (a single-partition window over a CONSTANT-bounded frame, not the
+    // data), and the fusion is a full-outer join of two R-row frames —
+    // every post-retrieval structure is O(R), independent of corpus size.
+    //
+    // Parity: ranks are exact ints (both legs tiebreak on doc_id; the
+    // lexical order key is tx7's quantized LONG, the vector key the
+    // bit-identical cosine double), each contribution 1/(60+rank) and the
+    // two-term sum are identical IEEE trees, and the emitted fusion score
+    // is floor(rrf·1e9+0.5) AS LONG.
+    {
+      val QV = 0        // query document/vector id
+      val PoolR = 100   // per-leg retrieval depth
+      val FuseK = 20    // fused results returned
+      val RrfK = 60.0   // RRF rank damping constant
+      QueryDef(
+        "sim13_hybrid_rrf",
+        Some(s"""WITH ${graft.operators.TextOps.oBm25Cte(
+                    graft.operators.TextOps.Bm25Terms)},
+                |lexpool AS (
+                |  SELECT doc_id, score_q FROM bm_scored WHERE doc_id <> $QV
+                |  ORDER BY score_q DESC, doc_id LIMIT $PoolR),
+                |lex AS (
+                |  SELECT doc_id, row_number() OVER (
+                |    ORDER BY score_q DESC, doc_id) AS rank_lex
+                |  FROM lexpool),
+                |qv AS (
+                |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+                |vscored AS (
+                |  SELECT c.vec_id AS doc_id,
+                |    CAST($oDot AS DOUBLE) /
+                |      (sqrt(CAST(${oNorm("q")} AS DOUBLE)) *
+                |       sqrt(CAST(${oNorm("c")} AS DOUBLE))) AS cosine
+                |  FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+                |  WHERE q.vec_id = $QV),
+                |vecpool AS (
+                |  SELECT doc_id, cosine FROM vscored
+                |  ORDER BY cosine DESC, doc_id LIMIT $PoolR),
+                |vec AS (
+                |  SELECT doc_id, row_number() OVER (
+                |    ORDER BY cosine DESC, doc_id) AS rank_vec
+                |  FROM vecpool),
+                |fused AS (
+                |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                |    l.rank_lex, v.rank_vec,
+                |    COALESCE(1.0e0 / ($RrfK + CAST(l.rank_lex AS DOUBLE)), 0.0e0) +
+                |    COALESCE(1.0e0 / ($RrfK + CAST(v.rank_vec AS DOUBLE)), 0.0e0)
+                |      AS rrf
+                |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+                |SELECT doc_id,
+                |  CAST(floor(rrf * 1.0e9 + 0.5e0) AS BIGINT) AS rrf_q,
+                |  rank_lex, rank_vec
+                |FROM fused
+                |ORDER BY rrf_q DESC, doc_id
+                |LIMIT $FuseK""".stripMargin),
+        (s, d) => {
+          val lexW = Window.orderBy(col("score_q").desc, col("doc_id"))
+          val lex = graft.operators.TextOps
+            .bm25Scores(s, d, graft.operators.TextOps.Bm25Terms)
+            .filter(col("doc_id") =!= QV)
+            .orderBy(col("score_q").desc, col("doc_id")).limit(PoolR)
+            .withColumn("rank_lex", row_number().over(lexW).cast("long"))
+            .select("doc_id", "rank_lex")
+          val emb = EmbedStage(s, d).vectors
+            .select(col("vec_id"), col("qv"), col("nsq"))
+          val q = emb.filter(col("vec_id") === QV)
+            .select(col("qv").as("qv_q"), col("nsq").as("nsq_q"))
+          val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
+            (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
+          val vecW = Window.orderBy(col("cosine").desc, col("doc_id"))
+          val vec = broadcast(q)
+            .crossJoin(emb.filter(col("vec_id") =!= QV)
+              .select(col("vec_id").as("doc_id"), col("qv").as("qv_c"),
+                col("nsq").as("nsq_c")))
+            .select(col("doc_id"), cosine.as("cosine"))
+            .orderBy(col("cosine").desc, col("doc_id")).limit(PoolR)
+            .withColumn("rank_vec", row_number().over(vecW).cast("long"))
+            .select("doc_id", "rank_vec")
+          val rrf =
+            coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex").cast("double")),
+              lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec").cast("double")),
+              lit(0.0))
+          lex.join(vec, Seq("doc_id"), "full_outer")
+            .select(col("doc_id"),
+              floor(rrf * lit(1e9) + lit(0.5)).cast("long").as("rrf_q"),
+              col("rank_lex"), col("rank_vec"))
+            .orderBy(col("rrf_q").desc, col("doc_id"))
+            .limit(FuseK)
+        })
+    },
   )
 }

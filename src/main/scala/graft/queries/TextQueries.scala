@@ -297,74 +297,20 @@ object TextQueries {
     //   orders by that same long, so a last-ulp libm ln difference can
     //   only matter if it crosses a 1e-9 floor boundary (~1e-7 odds per
     //   distinct term, 3 terms per corpus).
-    {
-      val terms = Seq("spark", "query", "stream")
-      val oTf = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS BIGINT) AS tf_$i"
-      }.mkString(",\n    ")
-      val oStats = terms.indices.map { i =>
-        s"CAST(count(CASE WHEN tf_$i > 0 THEN 1 END) AS BIGINT) AS df_$i"
-      }.mkString(", ")
-      val oScore = terms.indices.map { i =>
-        s"(CAST(floor(ln((CAST(n_docs - df_$i AS DOUBLE) + 0.5e0) / " +
-        s"(CAST(df_$i AS DOUBLE) + 0.5e0)) * 1.0e9 + 0.5e0) AS BIGINT) / 1.0e9) * " +
-        s"(CAST(tf_$i AS DOUBLE) * (1.2e0 + 1.0e0)) / " +
-        s"(CAST(tf_$i AS DOUBLE) + 1.2e0 * " +
-        s"(1.0e0 - 0.75e0 + 0.75e0 * CAST(dl AS DOUBLE) / avgdl))"
-      }.mkString(" + ")
-      QueryDef(
-        "tx7_bm25",
-        Some(s"""WITH base AS (
-                |  SELECT doc_id,
-                |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-                |    $oTf
-                |  FROM documents),
-                |stats AS (
-                |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                |    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-                |      AS avgdl,
-                |    $oStats
-                |  FROM base)
-                |SELECT doc_id,
-                |  CAST(floor(($oScore) * 1.0e6 + 0.5e0) AS BIGINT) AS score_q
-                |FROM base, stats
-                |ORDER BY score_q DESC, doc_id
-                |LIMIT 20""".stripMargin),
-        (s, d) => {
-          val toks = tokens(col("text"))
-          val tfCols = terms.zipWithIndex.map { case (t, i) =>
-            size(filter(toks, w => w === t)).cast("long").as(s"tf_$i")
-          }
-          // persist: the tokenize + per-term tf pass is the dominant cost
-          // and BOTH the stats aggregate and the scoring scan read it
-          val base = Tables.fanOut(Tables.documents(s, d)).select(
-            col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
-            .persist()
-          val statAggs =
-            (sum("dl").cast("double") / count(lit(1)).cast("double"))
-              .as("avgdl") +:
-            terms.indices.map { i =>
-              count(when(col(s"tf_$i") > 0, 1)).cast("long").as(s"df_$i")
-            }
-          val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
-            statAggs: _*)
-          val score = terms.indices.map { i =>
-            // idf floor-quantized to long at 1e9, rebuilt as long/1e9 —
-            // mirrors the oracle tree exactly (see parity note above)
-            (floor(log(((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)) /
-                (col(s"df_$i").cast("double") + lit(0.5))) * lit(1e9) + lit(0.5))
-              .cast("long").cast("double") / lit(1e9)) *
-            (col(s"tf_$i").cast("double") * (lit(1.2) + lit(1.0))) /
-            (col(s"tf_$i").cast("double") + lit(1.2) *
-              (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
-          }.reduce(_ + _)
-          base.crossJoin(broadcast(stats))
-            .select(col("doc_id"),
-              floor(score * lit(1e6) + lit(0.5)).cast("long").as("score_q"))
-            .orderBy(col("score_q").desc, col("doc_id"))
-            .limit(20)
-        })
-    },
+    //
+    // The scorer itself lives in TextOps.bm25Scores / oBm25Cte, shared
+    // with sim13's hybrid-fusion lexical leg so the two rows cannot drift.
+    QueryDef(
+      "tx7_bm25",
+      Some(s"""WITH ${oBm25Cte(Bm25Terms)}
+              |SELECT doc_id, score_q
+              |FROM bm_scored
+              |ORDER BY score_q DESC, doc_id
+              |LIMIT 20""".stripMargin),
+      (s, d) =>
+        bm25Scores(s, d, Bm25Terms)
+          .orderBy(col("score_q").desc, col("doc_id"))
+          .limit(20)),
 
     // TX8: PII / identifier scrub — the redaction pass a training-data
     // pipeline runs before anything leaves the raw zone: mask identifier
