@@ -2037,5 +2037,73 @@ object AggQueries {
           .filter(col("var1") > 0.0)
           .select("user_id", "n1", "n5", "vr5_q")
       }),
+
+    // A42: exact two-sample Kolmogorov–Smirnov statistic per user — the
+    // distribution-drift test an ML platform runs between cohorts (here:
+    // 'view' vs 'click' event values). D = max_x |F1(x) − F2(x)| computed
+    // EXACTLY, no sampling: values land on the lq hundredths grid, one
+    // hash-aggregate counts each (user, value) cell per sample, and the
+    // two empirical CDFs advance together down ONE sorted pass over the
+    // cell table (window cumsums). Right-continuity is free: evaluating at
+    // every observed support point after both step functions have stepped
+    // is exactly where the sup of the difference lives.
+    //
+    // Scale shape: the data-sized work is the single (user, vc) hash-agg —
+    // map-side combinable, one shuffle; the window runs over the BOUNDED
+    // cell table (≤ distinct values per user), not the events. Parity:
+    // counts are exact longs, both CDFs and their difference are identical
+    // int→double division trees, and D is emitted floor-quantized at 1e9.
+    QueryDef(
+      "a42_ks_drift",
+      Some(s"""WITH cells AS (
+              |  SELECT user_id, ${oLq("value")} AS vc,
+              |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+              |      AS BIGINT) AS c1,
+              |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+              |      AS BIGINT) AS c2
+              |  FROM events WHERE event_type IN ('view', 'click')
+              |  GROUP BY 1, 2),
+              |cdf AS (
+              |  SELECT user_id,
+              |    sum(c1) OVER w AS f1, sum(c2) OVER w AS f2,
+              |    sum(c1) OVER u AS n_view, sum(c2) OVER u AS n_click
+              |  FROM cells
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY vc
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |  u AS (PARTITION BY user_id)),
+              |ks AS (
+              |  SELECT user_id,
+              |    CAST(min(n_view) AS BIGINT) AS n_view,
+              |    CAST(min(n_click) AS BIGINT) AS n_click,
+              |    max(abs(CAST(f1 AS DOUBLE) / CAST(n_view AS DOUBLE) -
+              |            CAST(f2 AS DOUBLE) / CAST(n_click AS DOUBLE)))
+              |      AS d
+              |  FROM cdf GROUP BY user_id)
+              |SELECT user_id, n_view, n_click,
+              |  CAST(floor(d * 1.0e9 + 0.5e0) AS BIGINT) AS ks_q
+              |FROM ks WHERE n_view > 0 AND n_click > 0""".stripMargin),
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .groupBy(col("user_id"), lq(col("value")).as("vc"))
+          .agg(count(when(col("event_type") === "view", 1)).as("c1"),
+               count(when(col("event_type") === "click", 1)).as("c2"))
+        val w = Window.partitionBy("user_id").orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val u = Window.partitionBy("user_id")
+        val cdf = cells
+          .withColumn("f1", sum("c1").over(w))
+          .withColumn("f2", sum("c2").over(w))
+          .withColumn("n_view", sum("c1").over(u))
+          .withColumn("n_click", sum("c2").over(u))
+        cdf.groupBy("user_id")
+          .agg(min("n_view").as("n_view"), min("n_click").as("n_click"),
+            max(abs(col("f1").cast("double") / col("n_view").cast("double") -
+                    col("f2").cast("double") / col("n_click").cast("double")))
+              .as("d"))
+          .filter(col("n_view") > 0 && col("n_click") > 0)
+          .select(col("user_id"), col("n_view"), col("n_click"),
+            floor(col("d") * lit(1e9) + lit(0.5)).cast("long").as("ks_q"))
+      }),
   )
 }
