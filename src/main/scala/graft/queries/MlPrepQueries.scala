@@ -860,5 +860,122 @@ object MlPrepQueries {
           q9(meanPred).as("mean_pred_q"), q9(fracPos).as("frac_pos_q"),
           q9(abs(meanPred - fracPos)).as("gap_q"), q9(brier).as("brier_q"))
       }),
+
+    // PSI feature-drift audit: Population Stability Index of `value`
+    // between the chronological train/test split, over TRAIN-decile bins
+    // (the fit/transform asymmetry every serving-drift monitor uses: bin
+    // edges come from the reference population only). PSI_i =
+    // (p_test − p_train)·ln(p_test/p_train), Laplace-smoothed
+    // ((cnt+0.5)/(n+5) for 10 bins) so an empty bin stays finite; industry
+    // reading: Σ < 0.1 stable, > 0.25 drifted.
+    //
+    // Scale shape: decile edges ride mlprep_binning's machinery — the
+    // hundredths-grid histogram (bounded by distinct values, not rows),
+    // one sorted cumulative pass, edges broadcast back; binning is then a
+    // per-row CASE and the PSI table is ONE 10-cell hash-agg with the
+    // totals broadcast onto it. Parity: counts exact longs, smoothed
+    // ratios identical IEEE trees, the one transcendental (ln) floor-
+    // quantized to a long at 1e9 (lrq doctrine), PSI emitted at 1e9.
+    QueryDef(
+      "mlprep_psi_drift",
+      Some("""WITH ev AS (
+             |  SELECT CAST(ts AS DATE) AS day, value FROM events),
+             |c AS (
+             |  SELECT CAST(max(day) - INTERVAL 7 DAY AS DATE) AS cutoff
+             |  FROM ev),
+             |h AS (
+             |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+             |    count(*) AS cnt
+             |  FROM ev, c WHERE ev.day < c.cutoff GROUP BY 1),
+             |cm AS (
+             |  SELECT vc,
+             |    sum(cnt) OVER (ORDER BY vc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER () AS total
+             |  FROM h),
+             |e AS (
+             |  SELECT
+             |    CAST(min(CASE WHEN cum >= (total * 10 + 99) // 100 THEN vc END) AS DOUBLE) / 100.0 AS e1,
+             |    CAST(min(CASE WHEN cum >= (total * 20 + 99) // 100 THEN vc END) AS DOUBLE) / 100.0 AS e2,
+             |    CAST(min(CASE WHEN cum >= (total * 30 + 99) // 100 THEN vc END) AS DOUBLE) / 100.0 AS e3,
+             |    CAST(min(CASE WHEN cum >= (total * 40 + 99) // 100 THEN vc END) AS DOUBLE) / 100.0 AS e4,
+             |    CAST(min(CASE WHEN cum >= (total * 50 + 99) // 100 THEN vc END) AS DOUBLE) / 100.0 AS e5,
+             |    CAST(min(CASE WHEN cum >= (total * 60 + 99) // 100 THEN vc END) AS DOUBLE) / 100.0 AS e6,
+             |    CAST(min(CASE WHEN cum >= (total * 70 + 99) // 100 THEN vc END) AS DOUBLE) / 100.0 AS e7,
+             |    CAST(min(CASE WHEN cum >= (total * 80 + 99) // 100 THEN vc END) AS DOUBLE) / 100.0 AS e8,
+             |    CAST(min(CASE WHEN cum >= (total * 90 + 99) // 100 THEN vc END) AS DOUBLE) / 100.0 AS e9
+             |  FROM cm),
+             |binned AS (
+             |  SELECT CASE WHEN day < cutoff THEN 1 ELSE 0 END AS is_train,
+             |    CAST(CASE WHEN value <= e1 THEN 0 WHEN value <= e2 THEN 1
+             |      WHEN value <= e3 THEN 2 WHEN value <= e4 THEN 3
+             |      WHEN value <= e5 THEN 4 WHEN value <= e6 THEN 5
+             |      WHEN value <= e7 THEN 6 WHEN value <= e8 THEN 7
+             |      WHEN value <= e9 THEN 8 ELSE 9 END AS BIGINT) AS bin
+             |  FROM ev, c, e),
+             |counts AS (
+             |  SELECT bin,
+             |    CAST(count(CASE WHEN is_train = 1 THEN 1 END) AS BIGINT)
+             |      AS n_train,
+             |    CAST(count(CASE WHEN is_train = 0 THEN 1 END) AS BIGINT)
+             |      AS n_test
+             |  FROM binned GROUP BY bin),
+             |tot AS (
+             |  SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
+             |    CAST(sum(n_test) AS BIGINT) AS t_test
+             |  FROM counts)
+             |SELECT bin, n_train, n_test,
+             |  CAST(floor(
+             |    ((CAST(n_test AS DOUBLE) + 0.5e0) / (CAST(t_test AS DOUBLE) + 5.0e0) -
+             |     (CAST(n_train AS DOUBLE) + 0.5e0) / (CAST(t_train AS DOUBLE) + 5.0e0)) *
+             |    (CAST(floor(ln(
+             |      ((CAST(n_test AS DOUBLE) + 0.5e0) / (CAST(t_test AS DOUBLE) + 5.0e0)) /
+             |      ((CAST(n_train AS DOUBLE) + 0.5e0) / (CAST(t_train AS DOUBLE) + 5.0e0))
+             |    ) * 1.0e9 + 0.5e0) AS BIGINT) / 1.0e9)
+             |    * 1.0e9 + 0.5e0) AS BIGINT) AS psi_q
+             |FROM counts, tot""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("value"))
+          .persist() // cutoff + decile-fit aggregates + the binning scan
+        val cutoff = ev.agg(date_sub(max("day"), 7).as("cutoff"))
+        val cumW = Window.orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val allW = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        def q(pct: Int) =
+          min(when(col("cum") >= expr(s"(total * $pct + 99) DIV 100"),
+            col("vc"))).cast("double") / 100.0
+        val edges = ev.crossJoin(broadcast(cutoff))
+          .filter(col("day") < col("cutoff"))
+          .select(floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+          .groupBy("vc").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(cumW))
+          .withColumn("total", sum("cnt").over(allW))
+          .agg(q(10).as("e1"),
+            (2 to 9).map(i => q(i * 10).as(s"e$i")): _*)
+        val bin = (1 to 9).foldLeft(when(col("value") <= col("e1"), 0L)) {
+          case (acc, i) if i > 1 => acc.when(col("value") <= col(s"e$i"), i - 1L)
+          case (acc, _) => acc
+        }.otherwise(9L)
+        val counts = ev.crossJoin(broadcast(cutoff)).crossJoin(broadcast(edges))
+          .select(when(col("day") < col("cutoff"), 1).otherwise(0)
+            .as("is_train"), bin.as("bin"))
+          .groupBy("bin")
+          .agg(count(when(col("is_train") === 1, 1)).as("n_train"),
+               count(when(col("is_train") === 0, 1)).as("n_test"))
+        val tot = counts.agg(sum("n_train").as("t_train"),
+          sum("n_test").as("t_test"))
+        val pTr = (col("n_train").cast("double") + lit(0.5)) /
+          (col("t_train").cast("double") + lit(5.0))
+        val pTe = (col("n_test").cast("double") + lit(0.5)) /
+          (col("t_test").cast("double") + lit(5.0))
+        val lr = floor(log(pTe / pTr) * lit(1e9) + lit(0.5))
+          .cast("long").cast("double") / lit(1e9)
+        counts.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_train"), col("n_test"),
+            floor((pTe - pTr) * lr * lit(1e9) + lit(0.5)).cast("long")
+              .as("psi_q"))
+      }),
   )
 }
