@@ -645,6 +645,98 @@ object SnapshotTable {
         tablePath)
   }
 
+  /** Roll the table back to `toVersion` as a NEW commit (Delta RESTORE /
+    * Iceberg rollback-to-snapshot): the restored state is exactly
+    * `readMor(toVersion)`, history is PRESERVED (every prior version —
+    * including the ones being undone — stays time-travel readable; the
+    * restore is itself one more manifest), and the cost is metadata-only
+    * unless a post-`toVersion` delete vector touches the target's files.
+    *
+    * Delete-vector interaction (the subtle part): vectors apply by
+    * `dv.version <= readVersion` over recorded file paths, so a DV
+    * committed AFTER `toVersion` would wrongly subtract rows from a
+    * restored head that re-references the same paths. Files touched by
+    * such a vector are therefore REWRITTEN with their as-of-`toVersion`
+    * content (raw bytes minus DVs ≤ `toVersion` — folded in, since old
+    * vectors reference the old paths and cannot follow); untouched files
+    * carry over BY REFERENCE with their manifest stats verbatim. Restore
+    * cost is proportional to the post-target-deleted file set, never the
+    * table. */
+  def restoreSnapshot(spark: SparkSession, tablePath: String,
+                      toVersion: Int): Int = {
+    val vs = versions(spark, tablePath)
+    require(vs.contains(toVersion),
+      s"restore target v$toVersion not committed at $tablePath")
+    val tLines = readLines(spark, tablePath, toVersion)
+    val allDvs = deleteVectors(spark, tablePath)
+    val postDvs = allDvs.filter(_.version > toVersion)
+    val affected = tLines.map(l => parseEntry(l).path)
+      .filter(rel => postDvs.exists(_.appliesTo.contains(rel))).toSet
+    val commitId = java.util.UUID.randomUUID().toString
+    val f = fs(spark, new Path(tablePath))
+    val newFileLines: Seq[String] =
+      if (affected.isEmpty) Seq.empty
+      else {
+        val priorDvs = allDvs.filter(_.version <= toVersion)
+        val reader = tableSchema(spark, tablePath, Some(toVersion))
+          .fold(spark.read)(spark.read.schema)
+        val df = affected.groupBy(rel =>
+            priorDvs.filter(_.appliesTo.contains(rel)).map(_.version))
+          .map { case (dvVersions, group) =>
+            val base = reader.parquet(
+              group.map(rel => new Path(tablePath, rel).toString).toSeq: _*)
+            priorDvs.filter(dv => dvVersions.contains(dv.version))
+              .groupBy(_.keyCol).toSeq.sortBy(_._1)
+              .foldLeft(base) { case (acc, (kc, ds)) =>
+                val keys = ds.map(dd => spark.read.parquet(
+                    new Path(tablePath, dd.dir).toString))
+                  .reduce(_ unionByName _).distinct()
+                acc.join(keys, Seq(kc), "left_anti")
+              }
+          }
+          .reduce(_ unionByName _)
+        val dataDir = new Path(new Path(tablePath, "data"), commitId)
+        df.write.parquet(dataDir.toString)
+        f.listStatus(dataDir).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => renderEntry(FileEntry(s"data/$commitId/${p.getName}",
+            Map.empty)))
+      }
+    val carried = tLines.filter(l => !affected.contains(parseEntry(l).path))
+    val lock = new Path(manifestDir(tablePath), "_commit.lock")
+    var attempts = 0
+    while (attempts < 500) {
+      attempts += 1
+      if (tryLock(f, lock)) {
+        try {
+          val v = versions(spark, tablePath).last + 1
+          tableSchema(spark, tablePath, Some(toVersion)).foreach { sch =>
+            val so = f.create(schemaPath(tablePath, v), true)
+            try so.write(sch.json.getBytes("UTF-8")) finally so.close()
+          }
+          val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
+          val out = f.create(tmp, false)
+          try out.write((carried ++ newFileLines).mkString("\n")
+            .getBytes("UTF-8"))
+          finally out.close()
+          require(f.rename(tmp, manifestPath(tablePath, v)),
+            s"manifest publish failed for v$v at $tablePath")
+          return v
+        } finally f.delete(lock, false)
+      } else {
+        try {
+          val age = System.currentTimeMillis() -
+            f.getFileStatus(lock).getModificationTime
+          if (age > LockStaleMs) f.delete(lock, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException(
+      s"commit contention: lock not acquired after 500 attempts at " +
+        tablePath)
+  }
+
   /** Merge-on-read snapshot read: the pinned file set of `version` minus
     * every applicable delete vector. Files are grouped by WHICH deletes
     * apply to them (group count is bounded by the distinct append/delete

@@ -452,5 +452,70 @@ object SortSetQueries {
           "u9: v1 time travel was affected by later delete vectors")
         SnapshotTable.readMor(s, t)
       }),
+
+    // U10: RESTORE / rollback-to-snapshot (Delta RESTORE, Iceberg
+    // rollback): both paths of SnapshotTable.restoreSnapshot driven
+    // end-to-end against one declarative oracle.
+    //   v1 commit base → v2 MOR delete (event_id%7) → v3 append →
+    //   v4 = restore(2): no post-target delete vectors exist, so the
+    //     restore must be METADATA-ONLY (same file set re-referenced) —
+    //     asserted — and v3 (the undone append) must stay time-travel
+    //     readable — asserted;
+    //   v5 MOR delete (user_id%13, vectors over v1's files) →
+    //   v6 = restore(3): v5's vector would wrongly apply to a
+    //     re-referenced head, so exactly the files it touches (v1's) are
+    //     rewritten with as-of-3 content (the v2 delete folded in) while
+    //     v3's untouched append files carry over BY REFERENCE — both
+    //     asserted on the manifest file sets. Final state = as-of-3:
+    //     base minus the %7 delete plus the appended rows, with the %13
+    //     delete undone — the oracle's UNION.
+    QueryDef(
+      "u10_restore",
+      Some("""WITH orig AS (
+             |  SELECT event_id, user_id, value FROM events),
+             |app AS (
+             |  SELECT event_id, user_id, value + 500.0 AS value
+             |  FROM events WHERE event_id % 50 = 0)
+             |SELECT event_id, user_id, value FROM orig
+             |WHERE event_id % 7 <> 0
+             |UNION ALL
+             |SELECT event_id, user_id, value FROM app""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "restore_table", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        SnapshotTable.commit(s, ev, t)
+        SnapshotTable.deleteWhere(s, t, "event_id",
+          col("event_id") % 7 === 0)
+        SnapshotTable.commit(s,
+          ev.filter(col("event_id") % 50 === 0)
+            .withColumn("value", col("value") + 500.0),
+          t, replace = false)
+        val v4 = SnapshotTable.restoreSnapshot(s, t, 2)
+        require(v4 == 4, s"u10: restore committed v$v4, expected v4")
+        require(SnapshotTable.entries(s, t, Some(4)).map(_.path).toSet ==
+          SnapshotTable.entries(s, t, Some(2)).map(_.path).toSet,
+          "u10: DV-free restore must be metadata-only (same file set)")
+        val nBase = ev.count()
+        val n7 = ev.filter(col("event_id") % 7 === 0).count()
+        val n50 = ev.filter(col("event_id") % 50 === 0).count()
+        require(SnapshotTable.readMor(s, t, Some(3)).count() ==
+          nBase - n7 + n50,
+          "u10: the undone version must stay time-travel readable")
+        SnapshotTable.deleteWhere(s, t, "user_id",
+          col("user_id") % 13 === 0)
+        SnapshotTable.restoreSnapshot(s, t, 3)
+        val v1f = SnapshotTable.entries(s, t, Some(1)).map(_.path).toSet
+        val v3f = SnapshotTable.entries(s, t, Some(3)).map(_.path).toSet
+        val v6f = SnapshotTable.entries(s, t, Some(6)).map(_.path).toSet
+        require((v3f -- v1f).subsetOf(v6f),
+          "u10: untouched append files must carry over by reference")
+        require(v6f.intersect(v1f).isEmpty,
+          "u10: files a post-target vector touches must be rewritten")
+        SnapshotTable.readMor(s, t)
+      }),
   )
 }

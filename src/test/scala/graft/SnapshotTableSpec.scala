@@ -308,4 +308,50 @@ class SnapshotTableSpec extends SparkSpec {
     deleteWhere(spark, t, "id", col("x") === "b")
     assert(readMor(spark, t).count() == 1)
   }
+
+  test("restore is metadata-only without post-target deletes and " +
+      "preserves history") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "x"), t)
+    commit(spark, Seq((9L, "z")).toDF("id", "x"), t) // v2 replace
+    val v3 = restoreSnapshot(spark, t, 1)
+    assert(v3 == 3)
+    // same files re-referenced, nothing rewritten
+    assert(entries(spark, t, Some(3)).map(_.path).toSet ==
+      entries(spark, t, Some(1)).map(_.path).toSet)
+    assert(read(spark, t).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L))
+    // the undone v2 stays readable; restoring a restore works too
+    assert(read(spark, t, Some(2)).select("id").head().getLong(0) == 9L)
+    val v4 = restoreSnapshot(spark, t, 2)
+    assert(v4 == 4 &&
+      read(spark, t).select("id").head().getLong(0) == 9L)
+  }
+
+  test("restore rewrites exactly the files a post-target vector touches, " +
+      "folding in pre-target deletes") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"), t)
+    deleteWhere(spark, t, "id", col("id") === 2L)   // v2: pre-target DV
+    commit(spark, Seq((4L, "d")).toDF("id", "x"), t,
+      replace = false)                              // v3: append
+    restoreSnapshot(spark, t, 2)                    // v4: drops the append
+    deleteWhere(spark, t, "id", col("id") === 3L)   // v5: DV on v1's files
+    val v6 = restoreSnapshot(spark, t, 3)
+    assert(v6 == 6)
+    // as-of-3 state: v2's delete applied, v5's undone, append back
+    assert(readMor(spark, t).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L, 4L))
+    val v1f = entries(spark, t, Some(1)).map(_.path).toSet
+    val v3f = entries(spark, t, Some(3)).map(_.path).toSet
+    val v6f = entries(spark, t, Some(6)).map(_.path).toSet
+    // v1's files (touched by v5's vector) rewritten; the append files
+    // (untouched by it) carried by reference
+    assert(v6f.intersect(v1f).isEmpty)
+    assert((v3f -- v1f).subsetOf(v6f))
+  }
 }
