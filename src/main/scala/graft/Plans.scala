@@ -588,6 +588,27 @@ object Plans {
       val p = planOf("dd13_cluster_canonical")
       !p.contains("CartesianProduct")
     }
+    // sim13: both retrieval legs must pool via TakeOrdered (top-R, never
+    // a global sort/rank of the corpus) and the 1-row stat/query
+    // broadcasts must never degrade to a cartesian
+    check("sim13: TakeOrdered pools on both legs, no cartesian") {
+      val p = planOf("sim13_hybrid_rrf")
+      "TakeOrdered".r.findAllIn(p).length >= 2 &&
+        !p.contains("CartesianProduct")
+    }
+    // a42: the data-sized work is ONE hash-agg shuffle; the CDF window
+    // and final agg share the user_id partitioning (no third exchange)
+    check("a42: at most two exchanges (cells agg + user window)") {
+      "Exchange hashpartitioning".r
+        .findAllIn(planOf("a42_ks_drift")).length <= 2
+    }
+    // psi: decile edges and totals ride broadcast onto the scan — a
+    // shuffle join anywhere would re-key the events for a 10-row dim
+    check("psi: edges/totals broadcast, no shuffle join") {
+      val p = planOf("mlprep_psi_drift")
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+        !p.contains("CartesianProduct")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
