@@ -609,6 +609,14 @@ object Plans {
       !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
         !p.contains("CartesianProduct")
     }
+    // j16: the key-free interval join must ride the bucket EQUI key
+    // (hash/SMJ/broadcast-hash — partition-parallel at any scale), never
+    // a nested-loop/cartesian range scan
+    check("j16: bucket equi-join, no nested-loop range scan") {
+      val p = planOf("j16_grid_interval_join")
+      !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

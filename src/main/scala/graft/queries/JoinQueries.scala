@@ -493,5 +493,51 @@ object JoinQueries {
             (col("n_dominant").cast("double") /
               col("n_events").cast("double")).as("dominant_frac"))
       }),
+
+    // J16: GRID-BUCKETED interval join — the large×large time-overlap
+    // join with NO shared equi key, the case j6 (equi key + range) and
+    // j6b (tiny broadcast dim) don't cover. A naive plan is a nested
+    // loop over the cross product — unrunnable at scale. The standard
+    // fix (the Databricks range-join / GeoSpark grid technique): quantize
+    // time into fixed buckets, EXPLODE each interval into the ≤3 buckets
+    // it can touch (bucket width = half the window, so the fan-out is a
+    // small constant), map each point to its single bucket, equi-join on
+    // the bucket — shuffle-able, partition-parallel, skew-safe — then
+    // refine with the exact interval predicate. Each (point, interval)
+    // pair meets exactly once because the point owns ONE bucket.
+    //
+    // Workload: "hot windows" — every event with value ≥ 280 opens a
+    // ±15 min window (both sides data-sized, windows carry no user key);
+    // count, per event, the hot windows that contain it. All bucket and
+    // refine arithmetic is exact integer microseconds; the oracle is the
+    // declarative interval join.
+    QueryDef(
+      "j16_grid_interval_join",
+      Some("""WITH hot AS (
+             |  SELECT event_id AS hot_id, ts AS hts
+             |  FROM events WHERE value >= 280.0)
+             |SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_hot
+             |FROM events e JOIN hot h
+             |  ON e.ts >= h.hts - INTERVAL 15 MINUTE
+             |  AND e.ts < h.hts + INTERVAL 15 MINUTE
+             |  AND e.event_id <> h.hot_id
+             |GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val W = 900000000L // 15 min in microseconds = bucket width
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("em"))
+        // exact integer bucket math (all micros positive, so DIV == floor)
+        val pts = ev.withColumn("b", expr(s"em DIV $W"))
+        val hot = Tables.events(s, d).filter(col("value") >= 280.0)
+          .select(col("event_id").as("hot_id"),
+            unix_micros(col("ts")).as("hm"))
+          .withColumn("b", explode(sequence(
+            expr(s"(hm - $W) DIV $W"), expr(s"(hm + $W) DIV $W"))))
+        pts.join(hot, Seq("b"))
+          .filter(col("em") >= col("hm") - W && col("em") < col("hm") + W &&
+            col("event_id") =!= col("hot_id"))
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_hot"))
+      }),
   )
 }
