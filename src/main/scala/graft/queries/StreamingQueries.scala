@@ -1007,6 +1007,91 @@ object StreamingQueries {
         runOnce()
         s.read.parquet(s"$base/sink")
           .select("event_id", "user_id", "value", "change_op")
+      }),
+
+    // ST11: STREAM-STATIC dimension enrichment — the join class st1–st10
+    // don't cover: a micro-batched stream joined to a batch table that is
+    // a SLOWLY CHANGING dimension. The property proven end-to-end: the
+    // static side is resolved per RUN, so rows arriving after the dim
+    // changes join the NEW version while already-sunk rows keep the old
+    // one — exactly-once across the restart via the transactional file
+    // sink + checkpoint (st7's pattern), enrichment correctness via the
+    // declarative two-era oracle (chunk 1 × dim v1 ∪ chunk 2 × dim v2,
+    // the cut written into the SQL as noon of the middle day).
+    //
+    // Scale shape: the dim rides the stream-static BROADCAST hash join
+    // inside every micro-batch (asserted: nation keys from both eras in
+    // the sink); the stream is never re-keyed for the join.
+    QueryDef(
+      "st11_stream_static_join",
+      Some("""WITH b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+             |k AS (SELECT (epoch_ms(t0) +
+             |  (epoch_ms(t1) - epoch_ms(t0) + 1) // 2) AS mid FROM b),
+             |c AS (SELECT mid - mid % 86400000 + 43200000 AS cut FROM k)
+             |SELECT e.event_id, e.user_id,
+             |  CAST(cu.c_nationkey AS BIGINT) AS nation_key, e.value
+             |FROM events e JOIN customer cu ON e.user_id = cu.c_custkey, c
+             |WHERE epoch_ms(e.ts) < c.cut
+             |UNION ALL
+             |SELECT e.event_id, e.user_id,
+             |  CAST(cu.c_nationkey + 100 AS BIGINT) AS nation_key, e.value
+             |FROM events e JOIN customer cu ON e.user_id = cu.c_custkey, c
+             |WHERE epoch_ms(e.ts) >= c.cut""".stripMargin),
+      (s, d) => {
+        val base = Sinks.dir(s, "stream_dimjoin", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val dimDir = s"$base/dim"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value")
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val t1 = bounds.getTimestamp(1).getTime
+        // noon of the middle day (st8's cut): both eras provably
+        // non-empty at every SF
+        val mid = t0 + (t1 - t0 + 1) / 2
+        val cut = mid - math.floorMod(mid, 86400000L) + 43200000L
+        val cuts = Seq(t0, cut, t1 + 1)
+        val mt0 = 1700000000000L
+        def chunk(k: Int): DataFrame = ev.filter(
+          col("ts") >= timestamp_millis(lit(cuts(k))) &&
+            col("ts") < timestamp_millis(lit(cuts(k + 1))))
+        def dim(bump: Int): DataFrame = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"),
+            (col("c_nationkey").cast("long") + bump).as("nation_key"))
+        def runOnce(): Unit = withStreamPartitions(s, 8) {
+          val q = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            // resolved here, inside the run: each restart re-reads the
+            // CURRENT dim state (the slowly-changing-dimension contract)
+            .join(broadcast(s.read.parquet(dimDir)), Seq("user_id"))
+            .select("event_id", "user_id", "nation_key", "value")
+            .writeStream
+            .format("parquet")
+            .option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // era 1: dim v1, first chunk only
+        dim(0).write.mode("overwrite").parquet(dimDir)
+        writeOneFile(s, chunk(0), s"$srcDir/chunk_0.parquet", mt0)
+        runOnce()
+        // the dim changes, THEN the second chunk arrives
+        dim(100).write.mode("overwrite").parquet(dimDir)
+        writeOneFile(s, chunk(1), s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        runOnce()
+        val out = s.read.parquet(s"$base/sink")
+        // both eras must be present — a degenerate cut (or a dim frozen
+        // at either version) makes the proof vacuous
+        require(out.filter(col("nation_key") < 100).count() > 0 &&
+          out.filter(col("nation_key") >= 100).count() > 0,
+          "st11: sink does not contain both dimension eras")
+        out.select("event_id", "user_id", "nation_key", "value")
       })
   )
 }
