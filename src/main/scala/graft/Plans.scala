@@ -609,6 +609,13 @@ object Plans {
       !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
         !p.contains("CartesianProduct")
     }
+    // sim14: the kNN join's pair space must come from the cell equi key
+    // (Σ|cell|² bounded), never an all-pairs loop over the corpus
+    check("sim14: cell equi-join, no all-pairs scan") {
+      val p = planOf("sim14_knn_join")
+      !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")
+    }
     // j16: the key-free interval join must ride the bucket EQUI key
     // (hash/SMJ/broadcast-hash — partition-parallel at any scale), never
     // a nested-loop/cartesian range scan

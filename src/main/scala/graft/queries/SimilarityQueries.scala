@@ -1237,5 +1237,69 @@ object SimilarityQueries {
             .limit(FuseK)
         })
     },
+
+    // SIM14: batch kNN JOIN — the top-k neighbor LIST for EVERY vector
+    // (the kNN-graph construction primitive behind connectivity-based
+    // dedup, label propagation, and diversity scoring), not the
+    // fixed-query-set search of sim1/sim2/sim4 nor sim5's pairwise
+    // keep/drop decision. Candidates come from the IVF cell assignment
+    // (single-probe: a vector's neighbors are sought in ITS cell — the
+    // standard cell-local kNN-join; boundary misses are the documented
+    // recall trade of single-probe, measured for this index family by
+    // sim8's recall audit). The join is corpus ⋈ corpus on the cell id —
+    // a co-located equi join whose pair space is Σ|cell|², bounded by
+    // the quantizer's cell sizes, never n².
+    //
+    // Parity: sim4's exact integer-grid scoring and assignment replay;
+    // ranks tiebreak on cand_id; k=3.
+    {
+      val KnnK = 3
+      QueryDef(
+        "sim14_knn_join",
+        Some {
+          import graft.operators.IvfIndex
+          val oDotQC =
+            "list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i]))"
+          s"""WITH qv AS (
+             |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+             |d AS (
+             |  SELECT vec_id, qv, ${IvfIndex.oracleDots("qv", Dim)} AS dl
+             |  FROM qv),
+             |asg AS (
+             |  SELECT vec_id, qv, ${IvfIndex.oracleAssign("dl")} AS cid
+             |  FROM d),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    CAST($oDotQC AS DOUBLE) /
+             |      (sqrt(CAST(${oNorm("q")} AS DOUBLE)) *
+             |       sqrt(CAST(${oNorm("c")} AS DOUBLE))) AS cosine
+             |  FROM asg q JOIN asg c
+             |    ON q.cid = c.cid AND c.vec_id <> q.vec_id)
+             |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank, cosine
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, cand_id) AS rn
+             |  FROM scored) WHERE rn <= $KnnK""".stripMargin
+        },
+        (s, d) => {
+          val v = EmbedStage(s, d).vectors
+            .select(col("vec_id"), col("qv"), col("nsq"), col("cid"))
+          val q = v.select(col("vec_id").as("query_id"),
+            col("qv").as("qv_q"), col("nsq").as("nsq_q"), col("cid"))
+          val c = v.select(col("vec_id").as("cand_id"),
+            col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"))
+          val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
+            (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
+          val wTop = Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("cand_id"))
+          q.join(c, "cid")
+            .filter(col("cand_id") =!= col("query_id"))
+            .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
+            .withColumn("rn", row_number().over(wTop))
+            .filter(col("rn") <= KnnK)
+            .select(col("query_id"), col("cand_id"),
+              col("rn").cast("long").as("rank"), col("cosine"))
+        })
+    },
   )
 }
