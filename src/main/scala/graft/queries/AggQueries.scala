@@ -2105,5 +2105,111 @@ object AggQueries {
           .select(col("user_id"), col("n_view"), col("n_click"),
             floor(col("d") * lit(1e9) + lit(0.5)).cast("long").as("ks_q"))
       }),
+
+    // A43: ANALYZE-TABLE statistics collection — the per-column stats
+    // pass every CBO and table format runs (row/null counts, min/max,
+    // and ndv via the a33 HLL-256 sketch, since an exact count-distinct
+    // per column shuffles every distinct key). ONE data-sized pass: the
+    // table melts to (column, hash-input, numeric) long-format rows and
+    // every statistic is a hash-agg GROUPED BY column name — the shuffle
+    // carries |cols|·256 fixed-width register rows plus |cols| min/max
+    // cells regardless of input size.
+    //
+    // Parity: numerics hash their EXACT integer form (ids raw, value on
+    // the lq hundredths grid — never a float→string cast, whose
+    // formatting is engine-specific); min/max live on the same integer
+    // grid (null for string columns on both sides); the sketch replays
+    // a33's engine-identical register/estimate trees.
+    QueryDef(
+      "a43_analyze_stats",
+      Some {
+        s"""WITH m AS (
+           |  SELECT 'event_id' AS c, CAST(event_id AS VARCHAR) AS hv,
+           |    event_id AS q FROM events
+           |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR),
+           |    user_id FROM events
+           |  UNION ALL SELECT 'event_type', event_type,
+           |    CAST(NULL AS BIGINT) FROM events
+           |  UNION ALL SELECT 'value',
+           |    CAST(${oLq("value")} AS VARCHAR), ${oLq("value")}
+           |    FROM events
+           |  UNION ALL SELECT 'props', props, CAST(NULL AS BIGINT)
+           |    FROM events),
+           |base AS (
+           |  SELECT c, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(count(*) - count(hv) AS BIGINT) AS n_nulls,
+           |    min(q) AS min_q, max(q) AS max_q
+           |  FROM m GROUP BY 1),
+           |h AS (
+           |  SELECT c, CAST('0x' || substr(md5(hv),1,8) AS BIGINT) AS h
+           |  FROM m WHERE hv IS NOT NULL),
+           |b AS (
+           |  SELECT c, h % 256 AS bucket, h >> 8 AS v FROM h),
+           |r AS (
+           |  SELECT c, bucket, ${oHllRho("v")} AS rho FROM b),
+           |regs AS (
+           |  SELECT c, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT cs.c, g.bucket
+           |  FROM (SELECT DISTINCT c FROM m) cs, range(0, 256) g(bucket)),
+           |fr AS (
+           |  SELECT grid.c, coalesce(regs.mj, 0) AS mj
+           |  FROM grid LEFT JOIN regs
+           |    ON grid.c = regs.c AND grid.bucket = regs.bucket),
+           |sk AS (
+           |  SELECT c,
+           |    CAST(sum(CAST(1 AS BIGINT) << (25 - mj)) AS BIGINT) AS s,
+           |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS v0
+           |  FROM fr GROUP BY 1),
+           |est AS (
+           |  SELECT c, ${oHll256Estimate("s", "v0")} AS ndv_hll FROM sk)
+           |SELECT base.c AS col_name, base.n_rows, base.n_nulls,
+           |  est.ndv_hll, base.min_q, base.max_q
+           |FROM base JOIN est ON base.c = est.c""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val nullQ = lit(null).cast("long")
+        val m = Tables.events(s, d).select(explode(array(
+            struct(lit("event_id").as("c"),
+              col("event_id").cast("string").as("hv"),
+              col("event_id").as("q")),
+            struct(lit("user_id").as("c"),
+              col("user_id").cast("string").as("hv"),
+              col("user_id").as("q")),
+            struct(lit("event_type").as("c"), col("event_type").as("hv"),
+              nullQ.as("q")),
+            struct(lit("value").as("c"),
+              lq(col("value")).cast("string").as("hv"),
+              lq(col("value")).as("q")),
+            struct(lit("props").as("c"), col("props").as("hv"),
+              nullQ.as("q")))).as("m"))
+          .select(col("m.c").as("c"), col("m.hv").as("hv"),
+            col("m.q").as("q"))
+          .persist() // base stats + the register pipeline both read it
+        val base = m.groupBy("c").agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count("hv")).as("n_nulls"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        val b = m.filter(col("hv").isNotNull)
+          .select(col("c"), hash32(col("hv")).as("h"))
+          .select(col("c"), (col("h") % 256).as("bucket"),
+            shiftright(col("h"), 8).as("v"))
+        val regs = b.withColumn("rho", hllRho(col("v")))
+          .groupBy("c", "bucket").agg(max("rho").as("mj"))
+        val grid = m.select("c").distinct()
+          .withColumn("bucket", explode(sequence(lit(0), lit(255))))
+        val sk = grid.join(regs, Seq("c", "bucket"), "left")
+          .withColumn("mj", coalesce(col("mj"), lit(0)))
+          .groupBy("c").agg(
+            sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - mj)")).as("s"),
+            sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v0"))
+        val est = sk.select(col("c"),
+          hll256Estimate(col("s"), col("v0")).as("ndv_hll"))
+        base.join(est, "c")
+          .select(col("c").as("col_name"), col("n_rows"), col("n_nulls"),
+            col("ndv_hll"), col("min_q"), col("max_q"))
+      }),
   )
 }
