@@ -173,4 +173,33 @@ object PassageGraph {
              (col("deg") - 1).cast("double")))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Common-neighbor link prediction: for every NON-adjacent pair with at
+    * least `minCommon` shared neighbors, the common-neighbor count and
+    * neighbor-set Jaccard (cn / (deg_u + deg_v − cn)) — the "probably the
+    * same cluster, no shared passage yet" candidates a dedup pipeline
+    * re-verifies with an exact stage.
+    *
+    * Scale shape: pairs come from the WEDGE join (u→w ⋈ w→v, u<v), so
+    * the pair space is Σ deg(w)² — bounded by the stage's MaxDf passage
+    * cap, never |V|²; adjacency is subtracted with an anti-join and the
+    * degree dim joins back on the pair endpoints. All counts exact longs;
+    * the one ratio is quantized at 1e9. */
+  def linkPrediction(edges: DataFrame, deg: DataFrame,
+                     minCommon: Int): DataFrame = {
+    val cn = edges.select(col("src").as("u"), col("dst").as("w"))
+      .join(edges.select(col("src").as("w"), col("dst").as("v")), "w")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common_n"))
+      .filter(col("common_n") >= minCommon)
+    cn.join(edges.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(deg.select(col("doc_id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("doc_id").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("common_n"),
+        floor(col("common_n").cast("double") /
+            (col("du") + col("dv") - col("common_n")).cast("double") *
+            lit(1e9) + lit(0.5))
+          .cast("long").as("jaccard_q"))
+  }
 }

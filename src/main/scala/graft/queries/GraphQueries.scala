@@ -117,6 +117,39 @@ object GraphQueries {
       (s, d) => {
         val (edges, deg) = PassageGraph(s, d)
         PassageGraph.triangleCounts(edges, deg)
+      }),
+
+    // G3: common-neighbor LINK PREDICTION — the recommendation/cluster-
+    // completion primitive over the duplication graph: non-adjacent doc
+    // pairs ranked by shared-neighbor evidence (count + neighbor-set
+    // Jaccard). The wedge-join pair space is Σ deg(w)², bounded by the
+    // stage's df cap; semantics, scale shape, and parity in
+    // [[PassageGraph.linkPrediction]].
+    QueryDef(
+      "g3_link_prediction",
+      Some(oGraph +
+        s""",
+           |cn AS (
+           |  SELECT a.src AS u, b.dst AS v,
+           |    CAST(count(*) AS BIGINT) AS common_n
+           |  FROM e a JOIN e b ON a.dst = b.src
+           |  WHERE a.src < b.dst
+           |  GROUP BY 1, 2
+           |  HAVING count(*) >= 1),
+           |ne AS (
+           |  SELECT cn.* FROM cn
+           |  WHERE NOT EXISTS (SELECT 1 FROM e
+           |    WHERE e.src = cn.u AND e.dst = cn.v))
+           |SELECT ne.u, ne.v, ne.common_n,
+           |  CAST(floor(CAST(ne.common_n AS DOUBLE) /
+           |    CAST(du.deg + dv.deg - ne.common_n AS DOUBLE) *
+           |    1.0e9 + 0.5e0) AS BIGINT) AS jaccard_q
+           |FROM ne
+           |JOIN deg du ON du.doc_id = ne.u
+           |JOIN deg dv ON dv.doc_id = ne.v""".stripMargin),
+      (s, d) => {
+        val (edges, deg) = PassageGraph(s, d)
+        PassageGraph.linkPrediction(edges, deg, minCommon = 1)
       })
   )
 }
