@@ -199,6 +199,37 @@ object SnapshotTable {
       catch { case _: java.io.IOException => false }
     }
 
+  /** Run `body` under the table's commit lock (atomic-create file lock
+    * with stale-holder recovery) — the serialization point every commit
+    * flavor shares. `body` receives the filesystem and must itself read
+    * the CURRENT head (versions may have advanced while waiting). */
+  private def withCommitLock[T](spark: SparkSession, tablePath: String)(
+      body: org.apache.hadoop.fs.FileSystem => T): T = {
+    val f = fs(spark, manifestDir(tablePath))
+    f.mkdirs(manifestDir(tablePath))
+    val lock = new Path(manifestDir(tablePath), "_commit.lock")
+    var attempts = 0
+    while (attempts < 500) {
+      attempts += 1
+      if (tryLock(f, lock)) {
+        try return body(f) finally f.delete(lock, false)
+      } else {
+        // crashed-holder recovery: a lock past the staleness horizon is
+        // deleted; the delete+create pair then races through the atomic
+        // create above, so at most one stealer wins
+        try {
+          val age = System.currentTimeMillis() -
+            f.getFileStatus(lock).getModificationTime
+          if (age > LockStaleMs) f.delete(lock, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException(
+      s"commit contention: lock not acquired after 500 attempts at " +
+        tablePath)
+  }
+
   /** Render one stats value as an exact decimal for the manifest.
     * Numerics keep full precision; dates become epoch days, timestamps
     * epoch millis. Unsupported types contribute no stats (never pruned —
@@ -279,60 +310,39 @@ object SnapshotTable {
       .filter(_.getName.endsWith(".parquet"))
       .map(p => renderEntry(FileEntry(s"data/$commitId/${p.getName}",
         stats.getOrElse(p.getName, Map.empty))))
-    f.mkdirs(manifestDir(tablePath))
-    val lock = new Path(manifestDir(tablePath), "_commit.lock")
-    var attempts = 0
-    while (attempts < 500) {
-      attempts += 1
-      if (tryLock(f, lock)) {
-        try {
-          val head = versions(spark, tablePath).lastOption
-          val base =
-            if (replace) Seq.empty
-            else head.map(readLines(spark, tablePath, _))
-              .getOrElse(Seq.empty)
-          val v = head.getOrElse(0) + 1
-          // version schema: replace takes the frame's schema; append
-          // evolves the prior version's recorded schema (falling back to
-          // one footer-inferred read for pre-tracking tables)
-          val schema =
-            if (replace || base.isEmpty) asNullable(df.schema)
-            else {
-              val old = tableSchema(spark, tablePath, head)
-                .getOrElse(asNullable(spark.read.parquet(
-                  base.map(l => new Path(tablePath,
-                    parseEntry(l).path).toString): _*).schema))
-              evolve(old, asNullable(df.schema))
-            }
-          // schema sidecar FIRST: a manifest must never be visible
-          // without its schema (readers discover versions by manifest)
-          val so = f.create(schemaPath(tablePath, v), true)
-          try so.write(schema.json.getBytes("UTF-8")) finally so.close()
-          val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
-          val out = f.create(tmp, false)
-          try out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
-          finally out.close()
-          // under the lock the destination cannot exist; rename gives
-          // readers atomic manifest visibility
-          require(f.rename(tmp, manifestPath(tablePath, v)),
-            s"manifest publish failed for v$v at $tablePath")
-          return v
-        } finally f.delete(lock, false)
-      } else {
-        // crashed-holder recovery: a lock past the staleness horizon is
-        // deleted; the delete+create pair then races through the atomic
-        // create above, so at most one stealer wins
-        try {
-          val age = System.currentTimeMillis() -
-            f.getFileStatus(lock).getModificationTime
-          if (age > LockStaleMs) f.delete(lock, false)
-        } catch { case _: java.io.FileNotFoundException => () }
-        Thread.sleep(10)
-      }
+    withCommitLock(spark, tablePath) { f =>
+      val head = versions(spark, tablePath).lastOption
+      val base =
+        if (replace) Seq.empty
+        else head.map(readLines(spark, tablePath, _))
+          .getOrElse(Seq.empty)
+      val v = head.getOrElse(0) + 1
+      // version schema: replace takes the frame's schema; append
+      // evolves the prior version's recorded schema (falling back to
+      // one footer-inferred read for pre-tracking tables)
+      val schema =
+        if (replace || base.isEmpty) asNullable(df.schema)
+        else {
+          val old = tableSchema(spark, tablePath, head)
+            .getOrElse(asNullable(spark.read.parquet(
+              base.map(l => new Path(tablePath,
+                parseEntry(l).path).toString): _*).schema))
+          evolve(old, asNullable(df.schema))
+        }
+      // schema sidecar FIRST: a manifest must never be visible
+      // without its schema (readers discover versions by manifest)
+      val so = f.create(schemaPath(tablePath, v), true)
+      try so.write(schema.json.getBytes("UTF-8")) finally so.close()
+      val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
+      val out = f.create(tmp, false)
+      try out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // under the lock the destination cannot exist; rename gives
+      // readers atomic manifest visibility
+      require(f.rename(tmp, manifestPath(tablePath, v)),
+        s"manifest publish failed for v$v at $tablePath")
+      v
     }
-    throw new IllegalStateException(
-      s"commit contention: lock not acquired after 500 attempts at " +
-        tablePath)
   }
 
   /** Read a pinned snapshot (`version = None` → current head) at FILE
@@ -601,48 +611,77 @@ object SnapshotTable {
     val dvDir = new Path(new Path(tablePath, "deletes"), commitId)
     readMor(spark, tablePath, Some(vs.last)).filter(predicate)
       .select(keyCol).distinct().write.parquet(dvDir.toString)
-    val f = fs(spark, dvDir)
-    val lock = new Path(manifestDir(tablePath), "_commit.lock")
-    var attempts = 0
-    while (attempts < 500) {
-      attempts += 1
-      if (tryLock(f, lock)) {
-        try {
-          val head = versions(spark, tablePath).last
-          val base = readLines(spark, tablePath, head)
-          val v = head + 1
-          tableSchema(spark, tablePath, Some(head)).foreach { sch =>
-            val so = f.create(schemaPath(tablePath, v), true)
-            try so.write(sch.json.getBytes("UTF-8")) finally so.close()
-          }
-          // DV sidecar BEFORE the manifest: a reader that can see v's
-          // manifest must be able to see v's deletes
-          val dp = f.create(dvPath(tablePath, v), true)
-          try dp.write(
-            (s"$keyCol\tdeletes/$commitId" +:
-              base.map(l => parseEntry(l).path))
-              .mkString("\n").getBytes("UTF-8"))
-          finally dp.close()
-          val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
-          val out = f.create(tmp, false)
-          try out.write(base.mkString("\n").getBytes("UTF-8"))
-          finally out.close()
-          require(f.rename(tmp, manifestPath(tablePath, v)),
-            s"manifest publish failed for v$v at $tablePath")
-          return v
-        } finally f.delete(lock, false)
-      } else {
-        try {
-          val age = System.currentTimeMillis() -
-            f.getFileStatus(lock).getModificationTime
-          if (age > LockStaleMs) f.delete(lock, false)
-        } catch { case _: java.io.FileNotFoundException => () }
-        Thread.sleep(10)
+    withCommitLock(spark, tablePath) { f =>
+      val head = versions(spark, tablePath).last
+      val base = readLines(spark, tablePath, head)
+      val v = head + 1
+      tableSchema(spark, tablePath, Some(head)).foreach { sch =>
+        val so = f.create(schemaPath(tablePath, v), true)
+        try so.write(sch.json.getBytes("UTF-8")) finally so.close()
       }
+      // DV sidecar BEFORE the manifest: a reader that can see v's
+      // manifest must be able to see v's deletes
+      val dp = f.create(dvPath(tablePath, v), true)
+      try dp.write(
+        (s"$keyCol\tdeletes/$commitId" +:
+          base.map(l => parseEntry(l).path))
+          .mkString("\n").getBytes("UTF-8"))
+      finally dp.close()
+      val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
+      val out = f.create(tmp, false)
+      try out.write(base.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      require(f.rename(tmp, manifestPath(tablePath, v)),
+        s"manifest publish failed for v$v at $tablePath")
+      v
     }
-    throw new IllegalStateException(
-      s"commit contention: lock not acquired after 500 attempts at " +
-        tablePath)
+  }
+
+  /** WRITE–AUDIT–PUBLISH commit (the Iceberg WAP pattern): stage the
+    * data files, run the caller's audit on a read-back of EXACTLY the
+    * staged files (catching writer bugs, not just bad input frames), and
+    * only then publish the manifest. A failing audit deletes the staged
+    * files and leaves the table at its prior version — readers can never
+    * observe unaudited data because visibility IS the manifest, and a
+    * crash between stage and publish leaves only orphan files that
+    * [[removeOrphans]] reclaims. Replace semantics (the curated-publish
+    * use case). Returns Right(version) or Left(auditError). */
+  def commitAudited(spark: SparkSession, df: DataFrame, tablePath: String,
+                    audit: DataFrame => Option[String],
+                    statsCols: Seq[String] = Seq.empty)
+      : Either[String, Int] = {
+    require(statsCols.forall(c => !c.contains("\t") && !c.contains("=")),
+      "stats column names must not contain tab or '='")
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(new Path(tablePath, "data"), commitId)
+    df.write.parquet(dataDir.toString)
+    val f = fs(spark, dataDir)
+    val staged = spark.read.schema(asNullable(df.schema))
+      .parquet(dataDir.toString)
+    audit(staged) match {
+      case Some(err) =>
+        f.delete(dataDir, true)
+        Left(err)
+      case None =>
+        val stats = fileStats(spark, dataDir, statsCols)
+        val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => renderEntry(FileEntry(s"data/$commitId/${p.getName}",
+            stats.getOrElse(p.getName, Map.empty))))
+        Right(withCommitLock(spark, tablePath) { ff =>
+          val v = versions(spark, tablePath).lastOption.getOrElse(0) + 1
+          val so = ff.create(schemaPath(tablePath, v), true)
+          try so.write(asNullable(df.schema).json.getBytes("UTF-8"))
+          finally so.close()
+          val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
+          val out = ff.create(tmp, false)
+          try out.write(newFiles.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          require(ff.rename(tmp, manifestPath(tablePath, v)),
+            s"manifest publish failed for v$v at $tablePath")
+          v
+        })
+    }
   }
 
   /** Roll the table back to `toVersion` as a NEW commit (Delta RESTORE /
@@ -703,38 +742,21 @@ object SnapshotTable {
             Map.empty)))
       }
     val carried = tLines.filter(l => !affected.contains(parseEntry(l).path))
-    val lock = new Path(manifestDir(tablePath), "_commit.lock")
-    var attempts = 0
-    while (attempts < 500) {
-      attempts += 1
-      if (tryLock(f, lock)) {
-        try {
-          val v = versions(spark, tablePath).last + 1
-          tableSchema(spark, tablePath, Some(toVersion)).foreach { sch =>
-            val so = f.create(schemaPath(tablePath, v), true)
-            try so.write(sch.json.getBytes("UTF-8")) finally so.close()
-          }
-          val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
-          val out = f.create(tmp, false)
-          try out.write((carried ++ newFileLines).mkString("\n")
-            .getBytes("UTF-8"))
-          finally out.close()
-          require(f.rename(tmp, manifestPath(tablePath, v)),
-            s"manifest publish failed for v$v at $tablePath")
-          return v
-        } finally f.delete(lock, false)
-      } else {
-        try {
-          val age = System.currentTimeMillis() -
-            f.getFileStatus(lock).getModificationTime
-          if (age > LockStaleMs) f.delete(lock, false)
-        } catch { case _: java.io.FileNotFoundException => () }
-        Thread.sleep(10)
+    withCommitLock(spark, tablePath) { f =>
+      val v = versions(spark, tablePath).last + 1
+      tableSchema(spark, tablePath, Some(toVersion)).foreach { sch =>
+        val so = f.create(schemaPath(tablePath, v), true)
+        try so.write(sch.json.getBytes("UTF-8")) finally so.close()
       }
+      val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
+      val out = f.create(tmp, false)
+      try out.write((carried ++ newFileLines).mkString("\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      require(f.rename(tmp, manifestPath(tablePath, v)),
+        s"manifest publish failed for v$v at $tablePath")
+      v
     }
-    throw new IllegalStateException(
-      s"commit contention: lock not acquired after 500 attempts at " +
-        tablePath)
   }
 
   /** Merge-on-read snapshot read: the pinned file set of `version` minus

@@ -1256,5 +1256,53 @@ object PipelineQueries {
           keyCol = "user_id", tsCol = "ts", orderCol = "event_id")
         s.read.parquet(out).select("event_id", "user_id", "ts", "value")
       }),
+
+    // PL24: WRITE–AUDIT–PUBLISH commit gate (the Iceberg WAP pattern —
+    // the curated-publish discipline a production lakehouse runs: data
+    // quality checks sit BETWEEN the write and table visibility, so a
+    // bad batch can never be observed by readers, not even briefly).
+    // SnapshotTable.commitAudited stages the files, audits a read-back
+    // of exactly what was staged, and publishes the manifest only on
+    // pass. The scenario drives both gates end-to-end:
+    //   1. a clean batch passes its audit and lands as v1;
+    //   2. a corrupted batch (nulled keys — the p6/p8 audit class) is
+    //      REJECTED: asserted that the version chain is untouched AND
+    //      the staged files were reclaimed (no orphan data dir).
+    // The final read therefore hash-matches the clean batch only.
+    QueryDef(
+      "pl24_wap_commit",
+      Some("SELECT event_id, user_id, value FROM events"),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "wap_table", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        def audit(staged: org.apache.spark.sql.DataFrame)
+            : Option[String] = {
+          val agg = staged.agg(
+            count(lit(1)).as("n"),
+            count(when(col("user_id").isNull, 1)).as("bad")).head()
+          if (agg.getLong(1) > 0) Some(s"${agg.getLong(1)} null keys")
+          else if (agg.getLong(0) == 0L) Some("empty batch")
+          else None
+        }
+        val r1 = SnapshotTable.commitAudited(s, ev, t, audit)
+        require(r1 == Right(1), s"pl24: clean batch rejected: $r1")
+        val corrupted = ev.withColumn("user_id",
+          when(col("event_id") % 10 === 0, lit(null).cast("long"))
+            .otherwise(col("user_id")))
+        val r2 = SnapshotTable.commitAudited(s, corrupted, t, audit)
+        require(r2.isLeft, "pl24: corrupted batch passed the audit")
+        require(SnapshotTable.versions(s, t) == Seq(1),
+          "pl24: failed audit must leave the version chain untouched")
+        val dataDirs = fsys.listStatus(
+          new org.apache.hadoop.fs.Path(t, "data")).length
+        require(dataDirs == 1,
+          s"pl24: rejected batch left $dataDirs staged data dirs, " +
+            "expected 1")
+        SnapshotTable.read(s, t)
+      }),
   )
 }

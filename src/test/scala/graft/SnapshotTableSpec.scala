@@ -309,6 +309,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(readMor(spark, t).count() == 1)
   }
 
+  test("commitAudited publishes only on a passing audit") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t)
+    def audit(df: org.apache.spark.sql.DataFrame): Option[String] =
+      if (df.filter(col("x").isNull).count() > 0) Some("null x") else None
+    // rejected: version chain untouched, staged files reclaimed
+    val bad = Seq((2L, null: String)).toDF("id", "x")
+    assert(commitAudited(spark, bad, t, audit) == Left("null x"))
+    assert(versions(spark, t) == Seq(1))
+    assert(read(spark, t).select("id").head().getLong(0) == 1L)
+    val dataDirs = new java.io.File(t, "data").listFiles().length
+    assert(dataDirs == 1)
+    // accepted: lands as the next version with replace semantics
+    assert(commitAudited(spark, Seq((9L, "z")).toDF("id", "x"), t,
+      audit) == Right(2))
+    assert(read(spark, t).select("id").head().getLong(0) == 9L)
+  }
+
   test("restore is metadata-only without post-target deletes and " +
       "preserves history") {
     val s = spark
