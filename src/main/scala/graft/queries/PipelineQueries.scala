@@ -1304,5 +1304,72 @@ object PipelineQueries {
             "expected 1")
         SnapshotTable.read(s, t)
       }),
+
+    // PL25: FINGERPRINT-DIFF incremental view maintenance — how a derived
+    // table is kept fresh when late/backfilled bronze rows can land in
+    // ARBITRARY old partitions (so a high-watermark sync like s12 cannot
+    // see them): every (user, day) group carries an order-free content
+    // fingerprint (sum of portable row hashes — commutative, so partition
+    // order can't perturb it); refresh compares the CURRENT bronze
+    // fingerprints against the ones recorded in the materialized view and
+    // recomputes ONLY the groups whose fingerprint moved or appeared.
+    // Refresh cost is proportional to the CHANGED partitions, never the
+    // table. (Hash equality standing in for content equality is the
+    // standard trade — a 32-bit-per-row sum collision is the documented
+    // residual risk.)
+    //
+    // Scenario: the view materializes from an incomplete bronze load
+    // (every 50th event missing), the full bronze then "arrives", and the
+    // refresh is asserted to recompute EXACTLY the groups containing late
+    // rows; the refreshed view hash-matches the full recompute (oracle).
+    QueryDef(
+      "pl25_stale_refresh",
+      Some(s"""SELECT user_id, CAST(ts AS DATE) AS day,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS day_value
+              |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val out = Sinks.dir(s, "stale_view", d)
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        def dailyAgg(bronze: org.apache.spark.sql.DataFrame) =
+          bronze.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"),
+              (sum(lq(col("value"))).cast("double") / 100.0)
+                .as("day_value"),
+              // order-free content fingerprint: commutative long sum of
+              // a portable per-row hash over the full row identity
+              sum(hash32(concat_ws("|", col("event_id"), col("ts"),
+                col("value")))).as("fp"))
+        val full = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value")
+        // v1 materializes from the incomplete load
+        dailyAgg(full.filter(col("event_id") % 50 =!= 0))
+          .write.parquet(out)
+        val view = s.read.parquet(out)
+        // staleness scan: current bronze fingerprints vs recorded ones
+        val cur = dailyAgg(full)
+        val keys = Seq("user_id", "day")
+        val stale = cur.select(col("user_id"), col("day"),
+            col("fp").as("fp_cur"))
+          .join(view.select(col("user_id"), col("day"),
+            col("fp").as("fp_old")), keys, "left")
+          .filter(col("fp_old").isNull || col("fp_cur") =!= col("fp_old"))
+          .select("user_id", "day")
+        val nStale = stale.count()
+        val nLate = full.filter(col("event_id") % 50 === 0)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct().count()
+        require(nStale == nLate,
+          s"pl25: refresh touched $nStale groups, late rows live in " +
+            s"$nLate — the fingerprint diff must find exactly those")
+        // recompute ONLY the stale groups; untouched rows come from the
+        // materialized view verbatim
+        val refreshed = cur.join(stale, keys, "left_semi")
+          .unionByName(view.join(stale, keys, "left_anti"))
+        refreshed.select("user_id", "day", "n", "day_value")
+      }),
   )
 }
