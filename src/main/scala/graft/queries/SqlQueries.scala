@@ -107,5 +107,55 @@ object SqlQueries {
             |    THEN 1 ELSE 0 END AS BIGINT) AS corrected
             |FROM fixed""".stripMargin)
       }),
+
+    // SQL2: SQL text OVER THE TABLE FORMAT — the "Athena reads Iceberg"
+    // composition (§3.2's other half): the snapshot table takes a commit
+    // plus a merge-on-read delete, its readMor view registers as a temp
+    // view, and an analyst-shaped window query (per-user last-5 with lag
+    // deltas) runs as pure SQL text against it. The row proves the text
+    // surface and the table-format read path compose: the manifest-
+    // pinned, delete-vector-subtracted frame is what the parser's plan
+    // scans, and the hash must match the declarative oracle over the
+    // surviving rows.
+    QueryDef(
+      "sql2_table_sql",
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, ts, value FROM events
+             |  WHERE event_id % 6 <> 0),
+             |w AS (
+             |  SELECT user_id, event_id, value,
+             |    value - lag(value) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS dv,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM t)
+             |SELECT user_id, event_id, value, dv,
+             |  CAST(rn AS BIGINT) AS rn
+             |FROM w WHERE rn <= 5""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        import org.apache.spark.sql.functions.col
+        val t = graft.Sinks.dir(s, "sql2_table", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        SnapshotTable.commit(s,
+          Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+          t)
+        SnapshotTable.deleteWhere(s, t, "event_id",
+          col("event_id") % 6 === 0)
+        SnapshotTable.readMor(s, t).createOrReplaceTempView("sql2_tbl")
+        s.sql(
+          """WITH w AS (
+            |  SELECT user_id, event_id, value,
+            |    value - lag(value) OVER (PARTITION BY user_id
+            |      ORDER BY ts, event_id) AS dv,
+            |    row_number() OVER (PARTITION BY user_id
+            |      ORDER BY ts DESC, event_id DESC) AS rn
+            |  FROM sql2_tbl)
+            |SELECT user_id, event_id, value, dv,
+            |  CAST(rn AS BIGINT) AS rn
+            |FROM w WHERE rn <= 5""".stripMargin)
+      }),
   )
 }
