@@ -2211,5 +2211,76 @@ object AggQueries {
           .select(col("c").as("col_name"), col("n_rows"), col("n_nulls"),
             col("ndv_hll"), col("min_q"), col("max_q"))
       }),
+
+    // A44: THEIL–SEN robust trend — the median of pairwise slopes over
+    // each user's last-20 points (up to 29% outlier breakdown vs OLS's
+    // zero; the robust-regression primitive a monitoring pipeline runs on
+    // contaminated series). Pair space is windowed: K(K−1)/2 ≤ 190 pairs
+    // per user REGARDLESS of history length — the self-join rides the
+    // user key and the bounded tail, never the table against itself.
+    //
+    // Parity: slopes are value-per-day doubles from one identical
+    // ((Δv·86400e6)/Δt_micros) tree, floor-quantized to a 1e-6 long
+    // grid; the median then avoids interpolation entirely by emitting
+    // 2·median as an EXACT long — the sum of the two middle positions
+    // of the sorted slope multiset (odd n: both positions coincide, the
+    // value doubles). Position selection over a sorted multiset is
+    // tie-order-independent.
+    QueryDef(
+      "a44_theil_sen",
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tm, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events),
+             |tail20 AS (SELECT * FROM t WHERE rn <= 20),
+             |pairs AS (
+             |  SELECT a.user_id,
+             |    CAST(floor((b.value - a.value) * 86400000000.0e0 /
+             |      CAST(b.tm - a.tm AS DOUBLE) * 1.0e6 + 0.5e0)
+             |      AS BIGINT) AS sq
+             |  FROM tail20 a JOIN tail20 b
+             |    ON a.user_id = b.user_id AND a.tm < b.tm),
+             |ranked AS (
+             |  SELECT user_id, sq,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY sq)
+             |      AS r,
+             |    count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM pairs)
+             |SELECT user_id, CAST(min(n) AS BIGINT) AS n_pairs,
+             |  CAST(sum(sq * (CASE WHEN r = (n + 1) // 2 THEN 1 ELSE 0 END
+             |    + CASE WHEN r = n // 2 + 1 THEN 1 ELSE 0 END)) AS BIGINT)
+             |    AS med2_q
+             |FROM ranked GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val wDesc = Window.partitionBy("user_id")
+          .orderBy(col("tm").desc, col("event_id").desc)
+        val tail20 = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tm"), col("value"))
+          .withColumn("rn", row_number().over(wDesc))
+          .filter(col("rn") <= 20)
+        val a = tail20.select(col("user_id"), col("tm").as("tm_a"),
+          col("value").as("v_a"))
+        val b = tail20.select(col("user_id"), col("tm").as("tm_b"),
+          col("value").as("v_b"))
+        val slope = (col("v_b") - col("v_a")) * lit(86400000000.0) /
+          (col("tm_b") - col("tm_a")).cast("double")
+        val pairs = a.join(b, "user_id")
+          .filter(col("tm_a") < col("tm_b"))
+          .select(col("user_id"),
+            floor(slope * lit(1e6) + lit(0.5)).cast("long").as("sq"))
+        val wRank = Window.partitionBy("user_id").orderBy("sq")
+        val wAll = Window.partitionBy("user_id")
+        val ranked = pairs
+          .withColumn("r", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wAll))
+        val weight =
+          when(col("r") === expr("(n + 1) DIV 2"), 1).otherwise(0) +
+          when(col("r") === expr("n DIV 2 + 1"), 1).otherwise(0)
+        ranked.groupBy("user_id")
+          .agg(min("n").cast("long").as("n_pairs"),
+            sum(col("sq") * weight).cast("long").as("med2_q"))
+      }),
   )
 }
