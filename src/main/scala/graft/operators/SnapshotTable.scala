@@ -465,7 +465,12 @@ object SnapshotTable {
     * contract every table format has). Returns deleted data-file count. */
   def vacuum(spark: SparkSession, tablePath: String, keepFrom: Int): Int = {
     val all = versions(spark, tablePath)
-    val (expired, kept) = all.partition(_ < keepFrom)
+    // TAG retention (Iceberg tag semantics): a version named by any ref
+    // is immune to expiry regardless of the retention horizon — tags
+    // exist precisely to pin audited/baseline snapshots past it.
+    val pinned = refs(spark, tablePath).values.toSet
+    val (expired, kept) = all.partition(v =>
+      v < keepFrom && !pinned.contains(v))
     require(kept.nonEmpty, s"vacuum would delete every snapshot " +
       s"(keepFrom=$keepFrom, versions=${all.mkString(",")})")
     val keepFiles = kept.flatMap(readManifest(spark, tablePath, _)).toSet
@@ -480,6 +485,57 @@ object SnapshotTable {
       f.delete(schemaPath(tablePath, v), false)
     }
     deleted
+  }
+
+  private def refPath(tablePath: String, name: String) = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid ref name: $name")
+    new Path(manifestDir(tablePath), s"ref-$name")
+  }
+
+  /** Named refs (Iceberg TAGS): name → pinned version. A tag survives
+    * later commits AND [[vacuum]] (tagged versions never expire), so
+    * "the audited baseline" or "what the Q3 model trained on" stays
+    * addressable forever. Stored one tiny file per ref under the
+    * manifest dir; moves serialize on the commit lock. */
+  def refs(spark: SparkSession, tablePath: String): Map[String, Int] = {
+    val dir = manifestDir(tablePath)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("ref-") => n.stripPrefix("ref-") }
+      .map { name =>
+        val in = f.open(refPath(tablePath, name))
+        val v =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        name -> v.toInt
+      }.toMap
+  }
+
+  /** Create or move a ref to `version` (must be committed). */
+  def setRef(spark: SparkSession, tablePath: String, name: String,
+             version: Int): Unit =
+    withCommitLock(spark, tablePath) { f =>
+      require(versions(spark, tablePath).contains(version),
+        s"ref '$name' target v$version not committed at $tablePath")
+      val out = f.create(refPath(tablePath, name), true)
+      try out.write(version.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Drop a ref (the version becomes expirable again). */
+  def dropRef(spark: SparkSession, tablePath: String, name: String): Unit =
+    withCommitLock(spark, tablePath) { f =>
+      f.delete(refPath(tablePath, name), false); ()
+    }
+
+  /** Merge-on-read view of the version a ref names. */
+  def readRef(spark: SparkSession, tablePath: String,
+              name: String): DataFrame = {
+    val v = refs(spark, tablePath).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no ref '$name' at $tablePath"))
+    readMor(spark, tablePath, Some(v))
   }
 
   /** Incremental append scan (the Delta/Iceberg incremental-read that

@@ -517,5 +517,42 @@ object SortSetQueries {
           "u10: files a post-target vector touches must be rewritten")
         SnapshotTable.readMor(s, t)
       }),
+
+    // U11: named refs / TAGS (Iceberg tag semantics) — the addressable-
+    // snapshot layer: "the audited baseline" stays pinned by NAME through
+    // later commits AND through vacuum (tagged versions never expire,
+    // exactly why tags exist), while untagged intermediates expire
+    // normally. The scenario: v1 tagged 'baseline', two curation commits,
+    // then vacuum at keepFrom=3 — asserted that the untagged v2 is gone
+    // (its read fails loudly), the tagged v1 is intact, and the tag
+    // resolves to the full original content (the oracle).
+    QueryDef(
+      "u11_tags",
+      Some("SELECT event_id, user_id, value FROM events"),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "tags_table", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        SnapshotTable.commit(s, ev, t)
+        SnapshotTable.setRef(s, t, "baseline", 1)
+        SnapshotTable.commit(s, ev.filter(col("event_id") % 3 =!= 0), t)
+        SnapshotTable.commit(s,
+          ev.filter(col("event_id") % 3 =!= 0 && col("event_id") % 5 =!= 0),
+          t)
+        SnapshotTable.setRef(s, t, "candidate", 3)
+        SnapshotTable.vacuum(s, t, keepFrom = 3)
+        require(SnapshotTable.versions(s, t) == Seq(1, 3),
+          "u11: vacuum must expire only the untagged intermediate")
+        require(scala.util.Try(
+            SnapshotTable.read(s, t, Some(2)).count()).isFailure,
+          "u11: the expired untagged version must fail loudly")
+        require(SnapshotTable.readRef(s, t, "candidate").count() ==
+          SnapshotTable.read(s, t, Some(3)).count(),
+          "u11: the moved-forward tag must resolve to its version")
+        SnapshotTable.readRef(s, t, "baseline")
+      }),
   )
 }

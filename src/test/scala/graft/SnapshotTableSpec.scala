@@ -329,6 +329,30 @@ class SnapshotTableSpec extends SparkSpec {
     assert(read(spark, t).select("id").head().getLong(0) == 9L)
   }
 
+  test("tags pin versions through vacuum; dropped tags become expirable") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t)
+    commit(spark, Seq((2L, "b")).toDF("id", "x"), t)
+    commit(spark, Seq((3L, "c")).toDF("id", "x"), t)
+    setRef(spark, t, "baseline", 1)
+    vacuum(spark, t, keepFrom = 3)
+    // tagged v1 survives, untagged v2 expired
+    assert(versions(spark, t) == Seq(1, 3))
+    assert(readRef(spark, t, "baseline").select("id").head()
+      .getLong(0) == 1L)
+    // moving then dropping the tag releases the pin
+    setRef(spark, t, "baseline", 3)
+    assert(refs(spark, t) == Map("baseline" -> 3))
+    dropRef(spark, t, "baseline")
+    vacuum(spark, t, keepFrom = 3)
+    assert(versions(spark, t) == Seq(3))
+    intercept[IllegalArgumentException] {
+      readRef(spark, t, "baseline")
+    }
+  }
+
   test("restore is metadata-only without post-target deletes and " +
       "preserves history") {
     val s = spark
