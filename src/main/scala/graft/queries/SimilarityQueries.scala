@@ -1301,5 +1301,85 @@ object SimilarityQueries {
               col("rn").cast("long").as("rank"), col("cosine"))
         })
     },
+
+    // SIM15: attribute-FILTERED ANN — "top-k among candidates with the
+    // query's label" (the filtered-search axis every vector store
+    // exposes; category-scoped retrieval). The filter is a PRE-filter:
+    // the label rides the candidate JOIN KEY next to the IVF cell, so
+    // out-of-label vectors never materialize as candidates — the correct
+    // plan when the filter is selective (a POST-filter would score the
+    // full cell and then discard, starving top-k below k). Labels come
+    // from a thin (vec_id, label) projection joined onto the stage —
+    // broadcast at fixture scale, co-located equi join at corpus scale.
+    QueryDef(
+      "sim15_filtered_ann",
+      Some {
+        import graft.operators.IvfIndex
+        val oDotQC =
+          "list_sum(list_transform(generate_series(1, len(p.qv_q)), i -> p.qv_q[i] * c.qv[i]))"
+        val oNormQ = "list_sum(list_transform(p.qv_q, v -> v * v))"
+        val oNormC = "list_sum(list_transform(c.qv, v -> v * v))"
+        s"""WITH qv AS (
+           |  SELECT vec_id, label, $oQuant AS qv FROM embeddings),
+           |d AS (
+           |  SELECT vec_id, label, qv, ${IvfIndex.oracleDots("qv", Dim)}
+           |    AS dl
+           |  FROM qv),
+           |asg AS (
+           |  SELECT vec_id, label, qv, ${IvfIndex.oracleAssign("dl")}
+           |    AS cid
+           |  FROM d),
+           |qd AS (
+           |  SELECT vec_id, label, qv, dl FROM d WHERE vec_id < $NQ),
+           |qp AS (
+           |  SELECT query_id, label, qv_q, cid FROM (
+           |    SELECT q.vec_id AS query_id, q.label, q.qv AS qv_q,
+           |      CAST(t.j AS INT) AS cid,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY q.dl[t.j + 1] DESC, t.j) AS rn
+           |    FROM qd q, generate_series(0, ${IvfIndex.C - 1}) t(j))
+           |  WHERE rn <= ${IvfIndex.P}),
+           |scored AS (
+           |  SELECT p.query_id, c.vec_id AS cand_id, c.label,
+           |    CAST($oDotQC AS DOUBLE) /
+           |      (sqrt(CAST($oNormQ AS DOUBLE)) *
+           |       sqrt(CAST($oNormC AS DOUBLE))) AS cosine
+           |  FROM qp p JOIN asg c
+           |    ON p.cid = c.cid AND p.label = c.label
+           |   AND c.vec_id <> p.query_id)
+           |SELECT query_id, cand_id, label, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, cand_id) AS rn
+           |  FROM scored) WHERE rn <= $TopK""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val lab = graft.Tables.embeddings(s, d).select("vec_id", "label")
+        val v = EmbedStage(s, d).vectors.join(lab, "vec_id")
+        val corpus = v.select(col("vec_id").as("cand_id"),
+          col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"),
+          col("label"))
+        val qd = v.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("label"),
+            col("qv").as("qv_q"), col("nsq").as("nsq_q"),
+            posexplode(col("dl")))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("col").desc, col("pos").asc)
+        val probes = qd.withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= IvfIndex.P)
+          .select(col("query_id"), col("label"), col("qv_q"),
+            col("nsq_q"), col("pos").as("cid"))
+        val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
+          (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
+        val scored = corpus.join(broadcast(probes), Seq("cid", "label"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), col("label"),
+            cosine.as("cosine"))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        scored.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= TopK)
+          .select("query_id", "cand_id", "label", "cosine")
+      }),
   )
 }
