@@ -90,11 +90,11 @@ object TextOps {
   }
   def oQualityScore(nTokens: String, nStop: String,
                     nDistinct: String): String =
-    s"""(CASE WHEN $nTokens >= 20 THEN 0.4 ELSE 0.0 END +
+    s"""(CASE WHEN $nTokens >= 20 THEN 0.4e0 ELSE 0.0e0 END +
        |     CASE WHEN CAST($nStop AS DOUBLE) / CAST($nTokens AS DOUBLE)
-       |       BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END +
+       |       BETWEEN 0.01e0 AND 0.5e0 THEN 0.3e0 ELSE 0.0e0 END +
        |     CASE WHEN CAST($nDistinct AS DOUBLE) / CAST($nTokens AS DOUBLE)
-       |       >= 0.3 THEN 0.3 ELSE 0.0 END)""".stripMargin
+       |       >= 0.3e0 THEN 0.3e0 ELSE 0.0e0 END)""".stripMargin
 
   /** PII / identifier scrub patterns. Conservative regex classes chosen to
     * parse AND match identically under Java regex (Spark executors) and

@@ -668,7 +668,7 @@ object MlPrepQueries {
     QueryDef(
       "mlprep_eval_report",
       Some("""WITH base AS (
-             |  SELECT date_trunc('week', ts) AS period,
+             |  SELECT CAST(date_trunc('week', ts) AS DATE) AS period,
              |    CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END AS y,
              |    CAST(event_id % 20 AS DOUBLE) / 20.0e0 +
              |      CASE WHEN value >= 100.0e0 AND event_id % 3 = 0
@@ -730,7 +730,7 @@ object MlPrepQueries {
              |FROM m""".stripMargin),
       (s, d) => {
         val base = Tables.events(s, d).select(
-          date_trunc("week", col("ts")).as("period"),
+          date_trunc("week", col("ts")).cast("date").as("period"),
           when(col("value") >= 100.0, 1L).otherwise(0L).as("y"),
           ((col("event_id") % 20).cast("double") / 20.0 +
             when(col("value") >= 100.0 && col("event_id") % 3 === 0,
