@@ -79,10 +79,15 @@ def main(cur_path, prior_path, out_path):
         pct = (c["med"] / p["med"] - 1.0) * 100 if p["med"] > 0 else 0.0
         entry = {"prior_med": p["med"], "med": c["med"],
                  "pct": round(pct, 1)}
-        # real move = >25% and the two rounds' own [min, med] noise windows
-        # don't overlap (each round's med/min spread is its noise envelope)
+        # real move = >25%, the two rounds' own [min, med] noise windows
+        # don't overlap (each round's med/min spread is its noise envelope),
+        # AND the absolute move exceeds both rounds' measured noise floors
+        # (a shift smaller than the no-op query's own cost is unattributable
+        # — two same-code runs were observed to flag disjoint ~0.1s drifts
+        # on sub-second queries without this guard)
         beyond_noise = (c["min"] > p["med"] or c["med"] < p["min"])
-        if abs(pct) > 25 and beyond_noise:
+        beyond_floor = abs(c["med"] - p["med"]) > max(cur_nf, prior_nf)
+        if abs(pct) > 25 and beyond_noise and beyond_floor:
             entry["flag"] = "regression" if pct > 0 else "improvement"
             flagged.append(q)
         deltas[q] = entry
