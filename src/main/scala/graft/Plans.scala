@@ -624,6 +624,20 @@ object Plans {
       !p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct")
     }
+    // pl26: both sides are WRITTEN bucketed on the join key, so the
+    // SortMergeJoin must consume the bucket layout directly — any
+    // Exchange here means the layout-level shuffle elimination (the
+    // whole point of bucketing a 100 TB fact table) silently broke
+    check("pl26: bucketed SMJ, zero exchanges") {
+      val p = planOf("pl26_bucketed_join")
+      p.contains("SortMergeJoin") && !p.contains("Exchange")
+    }
+    // a45: the transition matrix is event_type^2 rows — its
+    // row-normalizing join must broadcast, never re-shuffle
+    check("a45: broadcast row-normalization join") {
+      val p = planOf("a45_markov_transitions")
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

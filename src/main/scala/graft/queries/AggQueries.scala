@@ -2282,5 +2282,48 @@ object AggQueries {
           .agg(min("n").cast("long").as("n_pairs"),
             sum(col("sq") * weight).cast("long").as("med2_q"))
       }),
+
+    // A45: first-order Markov transition matrix over per-user event
+    // sequences — the sequence-mining primitive behind next-event
+    // prediction and session-flow analysis (the reference's per-symbol
+    // ordered scans, my_alpaca.py's state machine, generalized to
+    // empirical transition probabilities). Scale shape: the lead()
+    // window partitions by user (bounded per key, one exchange); the
+    // transition counts collapse to event_type² rows (a handful), so
+    // the row-normalizing join is a broadcast of KBs no matter the
+    // input size. Ordering is fully deterministic: (ts, event_id)
+    // with event_id unique. P(nxt|cur) is one double division of two
+    // exact longs — identical IEEE tree both engines — at 1e9.
+    QueryDef(
+      "a45_markov_transitions",
+      Some("""WITH seq AS (
+             |  SELECT event_type AS cur,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS nxt
+             |  FROM events),
+             |t AS (
+             |  SELECT cur, nxt, count(*) AS n FROM seq
+             |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot
+             |  FROM t GROUP BY 1)
+             |SELECT t.cur, t.nxt, t.n, r.tot,
+             |  CAST(floor(CAST(t.n AS DOUBLE) / CAST(r.tot AS DOUBLE)
+             |    * 1.0e9 + 0.5e0) AS BIGINT) AS p_q
+             |FROM t JOIN r ON t.cur = r.cur""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val t = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("cur"))
+          .withColumn("nxt", lead("cur", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        val r = broadcast(t.groupBy("cur").agg(sum("n").as("tot")))
+        t.join(r, "cur").select(col("cur"), col("nxt"), col("n"),
+          col("tot"),
+          floor(col("n").cast("double") / col("tot").cast("double")
+            * 1.0e9 + 0.5).cast("long").as("p_q"))
+      }),
   )
 }

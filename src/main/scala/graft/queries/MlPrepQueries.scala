@@ -1092,5 +1092,51 @@ object MlPrepQueries {
           q9(db1 / det).as("b_hour_q"),
           q9(db2 / det).as("b_dow_q"))
       }),
+
+    // K-FOLD CROSS-VALIDATION ASSIGNMENT — the random-split counterpart
+    // to the temporal/rolling/year splits above (the reference caps its
+    // monthly loop with sklearn CV; distributed, the fold id must be a
+    // pure function of the ROW, not of a partitioning-dependent RNG
+    // draw order). fold = portable-hash(vec_id) mod 5: deterministic at
+    // any parallelism, collision-free by construction (each row in
+    // exactly one fold), no shuffle beyond the one counting hash-agg.
+    // Per (fold, label): member count, exact id checksum (proves the
+    // assignment itself, not just the sizes), and the complementary
+    // train-side count — train_n + n = label_total for every fold, the
+    // leakage-free partition property. The label totals are a handful
+    // of rows, broadcast back (never a second scan).
+    QueryDef(
+      "mlprep_cv_folds",
+      Some {
+        val h = graft.operators.TextOps
+          .oHash32("'cv:' || CAST(vec_id AS VARCHAR)")
+        s"""WITH f AS (
+           |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+           |    $h % 5 AS fold
+           |  FROM embeddings),
+           |t AS (
+           |  SELECT fold, label, count(*) AS n,
+           |    CAST(SUM(vec_id) AS BIGINT) AS id_sum
+           |  FROM f GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT label, CAST(SUM(n) AS BIGINT) AS label_total
+           |  FROM t GROUP BY 1)
+           |SELECT t.fold, t.label, t.n, t.id_sum,
+           |  tot.label_total - t.n AS train_n
+           |FROM t JOIN tot ON t.label = tot.label""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val f = Tables.embeddings(s, d).select(
+          col("vec_id"), col("label").cast("long").as("label"),
+          (hash32(concat(lit("cv:"), col("vec_id").cast("string")))
+            % 5).as("fold"))
+        val t = f.groupBy("fold", "label")
+          .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+        val tot = broadcast(t.groupBy("label")
+          .agg(sum("n").as("label_total")))
+        t.join(tot, "label").select(col("fold"), col("label"), col("n"),
+          col("id_sum"), (col("label_total") - col("n")).as("train_n"))
+      }),
   )
 }

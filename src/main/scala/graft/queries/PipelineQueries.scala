@@ -1371,5 +1371,72 @@ object PipelineQueries {
           .unionByName(view.join(stale, keys, "left_anti"))
         refreshed.select("user_id", "day", "n", "day_value")
       }),
+
+    // BUCKETED CO-LOCATED JOIN — the layout-level shuffle eliminator
+    // (SURVEY §3 "partitioning & shuffle"; the reference's repeated
+    // user-keyed fact⋈profile merges, my_alpaca.py's per-symbol joins).
+    // Both sides are WRITTEN bucketed by the join key (8 buckets,
+    // sorted within), so the join planner sees matching hash-distributed
+    // layouts and emits a SortMergeJoin with ZERO Exchange on either
+    // side — the property that matters at 100 TB, where both sides are
+    // too big to broadcast and an on-the-fly shuffle of the fact table
+    // is the dominant cost. A merge join hint keeps the small fixture on
+    // the same SortMergeJoin shape the 100 TB run would take (broadcast
+    // would hide the property being proven);
+    // Plans pins SortMergeJoin + no Exchange. At scale the bucket count
+    // scales with the data (buckets ≈ data / target-partition-size);
+    // the property proven here is count-invariant.
+    //
+    // Parity: day/user sums ride the lq long grid (2-decimal values →
+    // exact hundredth counts; |Σ|·100 ≪ 2^63 at any SF), the share is
+    // one double division of the two de-scaled sums — identical IEEE
+    // tree both engines — floor-quantized at 1e9.
+    QueryDef(
+      "pl26_bucketed_join",
+      Some(s"""WITH a AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    SUM(${Parity.oLq("value")}) AS day_q, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |b AS (
+             |  SELECT user_id, SUM(${Parity.oLq("value")}) AS tot_q,
+             |    count(*) AS n_events
+             |  FROM events GROUP BY 1)
+             |SELECT a.user_id, a.day, a.day_q, a.n, b.tot_q, b.n_events,
+             |  CASE WHEN b.tot_q = 0 THEN CAST(0 AS BIGINT)
+             |    ELSE CAST(floor(CAST(a.day_q AS DOUBLE) /
+             |      CAST(b.tot_q AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT)
+             |  END AS share_q
+             |FROM a JOIN b ON a.user_id = b.user_id""".stripMargin),
+      (s, d) => {
+        import Parity.lq
+        val ev = Tables.events(s, d)
+        val a = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(lq(col("value"))).as("day_q"), count(lit(1)).as("n"))
+        val b = ev.groupBy(col("user_id"))
+          .agg(sum(lq(col("value"))).as("tot_q"),
+            count(lit(1)).as("n_events"))
+        // external bucketed tables on per-app scratch paths; the catalog
+        // entry (which carries the bucket spec) lives in this session's
+        // in-memory catalog, the files are reclaimed by the Sinks hook
+        val tag = (s.sparkContext.applicationId + "_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).replaceAll("[^A-Za-z0-9_]", "_")
+        val (ta, tb) = (s"graft_bkt_day_$tag", s"graft_bkt_user_$tag")
+        a.write.mode("overwrite").option("path", Sinks.dir(s, "bkt_day", d))
+          .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(ta)
+        b.write.mode("overwrite").option("path", Sinks.dir(s, "bkt_user", d))
+          .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(tb)
+        // the merge hint rides the logical plan (a session conf toggle
+        // would be lost to lazy planning): it pins SortMergeJoin, the
+        // join shape a 100 TB fact⋈fact actually uses, and the matching
+        // bucket layouts are what make it exchange-free (Plans-pinned)
+        val ja = s.table(ta).hint("merge"); val jb = s.table(tb)
+        ja.join(jb, "user_id").select(
+          ja("user_id"), col("day"), col("day_q"), col("n"),
+          col("tot_q"), col("n_events"),
+          when(col("tot_q") === 0L, 0L).otherwise(
+            floor(col("day_q").cast("double") /
+              col("tot_q").cast("double") * 1.0e9 + 0.5).cast("long"))
+            .as("share_q"))
+      }),
   )
 }

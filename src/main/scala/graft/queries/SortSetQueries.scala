@@ -554,5 +554,81 @@ object SortSetQueries {
           "u11: the moved-forward tag must resolve to its version")
         SnapshotTable.readRef(s, t, "baseline")
       }),
+
+    // U12: PARTITION-SPEC EVOLUTION (Iceberg's headline layout feature):
+    // a table's early commits are laid out by day only; later commits
+    // evolve the spec to segment by user_id as well — WITHOUT rewriting
+    // history. Because pruning in this table format is per-FILE manifest
+    // stats (exactly Iceberg's model), the two layouts coexist in one
+    // manifest and every scan plans each file against the stats it
+    // actually has:
+    //   - a day probe prunes across BOTH layouts (both record day stats);
+    //   - a user probe prunes only NEW-spec files — old-spec files carry
+    //     no user stats and are conservatively kept (the Iceberg rule:
+    //     a new partition field never prunes pre-evolution files).
+    // All three properties are asserted on the manifest file sets
+    // in-query; the returned frame is the user probe with its exact
+    // row filter, hash-verified against the declarative oracle. At
+    // 100 TB this is the zero-rewrite migration path when a grown table
+    // needs a finer layout for its dominant predicate.
+    QueryDef(
+      "u12_partition_evolution",
+      Some(s"""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+             |    CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS total
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, day, CAST(n AS BIGINT) AS n, total
+             |FROM daily WHERE user_id BETWEEN 1 AND 2""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "spec_evolve", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val split = lit("2024-01-10").cast("date")
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            (sum(lq(col("value"))).cast("double") / 100.0).as("total"))
+        // spec A (history): day-ranged files, day stats only
+        SnapshotTable.commit(s,
+          daily.filter(col("day") < split).repartitionByRange(4, col("day")),
+          t, statsCols = Seq("day"))
+        // spec B (evolved): user-ranged files, day AND user stats;
+        // append — spec-A files ride into the manifest untouched
+        SnapshotTable.commit(s,
+          daily.filter(col("day") >= split)
+            .repartitionByRange(4, col("user_id")),
+          t, replace = false, statsCols = Seq("day", "user_id"))
+        val ents = SnapshotTable.entries(s, t)
+        val (specB, specA) = ents.partition(_.stats.contains("user_id"))
+        require(specA.nonEmpty && specB.nonEmpty,
+          "u12: both layout generations must coexist in the manifest")
+        def kept(colName: String, lo: BigDecimal, hi: BigDecimal) =
+          ents.filter(_.stats.get(colName) match {
+            case None => true
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+          })
+        // day probe in spec-A territory: prunes across both layouts —
+        // every spec-B file (day >= split) is skipped by its day stats
+        val dLo = BigDecimal(java.time.LocalDate.parse("2024-01-02").toEpochDay)
+        val dHi = BigDecimal(java.time.LocalDate.parse("2024-01-04").toEpochDay)
+        val keptD = kept("day", dLo, dHi)
+        require(keptD.nonEmpty && keptD.forall(!_.stats.contains("user_id")),
+          "u12: the early-day probe must prune every evolved-spec file")
+        require(keptD.size < specA.size,
+          "u12: day stats must prune within the old layout too")
+        // user probe: the NEW partition field prunes only new-spec files;
+        // every old-spec file is conservatively kept
+        val keptU = kept("user_id", BigDecimal(1), BigDecimal(2))
+        require(specA.forall(e => keptU.exists(_.path == e.path)),
+          "u12: pre-evolution files must survive a new-field probe")
+        require(keptU.count(_.stats.contains("user_id")) < specB.size,
+          "u12: the evolved layout must actually prune on the new field")
+        SnapshotTable.readPruned(s, t, "user_id",
+            Some(BigDecimal(1)), Some(BigDecimal(2)))
+          .filter(col("user_id").between(1, 2))
+          .select("user_id", "day", "n", "total")
+      }),
   )
 }
