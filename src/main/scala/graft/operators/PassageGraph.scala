@@ -149,6 +149,30 @@ object PassageGraph {
     ranks
   }
 
+  /** Multi-source BFS: exact hop distance from the nearest seed, capped
+    * at `iters` hops — the Pregel frontier-relaxation round (reachability
+    * / contamination-radius queries over the duplication graph: "every
+    * doc within k hops of a known-bad doc"). Per round ONE equi-join of
+    * the edge table against the |V|-bounded distance frame and ONE
+    * min-aggregate; lineage cut per round like [[pagerank]] — K rounds
+    * never stack K joins into one plan. Distances are exact longs, so
+    * cross-engine parity is free. */
+  def bfs(edgesIn: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val edges = edgesIn.repartition(col("src")).persist()
+    var dist = seeds.select(col("doc_id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = edges
+        .join(dist.select(col("doc_id").as("src"), col("dist")), "src")
+        .select(col("dst").as("doc_id"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("doc_id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(false)
+    dist
+  }
+
   /** Per-node triangle count + local clustering coefficient —
     * `(doc_id, deg, triangles, clustering)`. The coefficient is one
     * division of exact integers (identical IEEE tree both engines). */

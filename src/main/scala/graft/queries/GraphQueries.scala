@@ -22,6 +22,9 @@ object GraphQueries {
   private val Iters = 8
   /** Damping on the percent grid: r' = 15%·(1/N) + 85%·Σ contrib. */
   private val DampPct = 85
+  /** BFS relaxation rounds (g4) — the fixture graph's diameter from the
+    * seed set is ≤ 2 at every SF, so 4 rounds prove convergence slack. */
+  private val BfsIters = 4
 
   /** Oracle CTE preamble mirroring [[PassageGraph.edgesOf]]/degrees:
     * documents → distinct (doc, passage-hash) → df-capped shared-passage
@@ -150,6 +153,44 @@ object GraphQueries {
       (s, d) => {
         val (edges, deg) = PassageGraph(s, d)
         PassageGraph.linkPrediction(edges, deg, minCommon = 1)
-      })
+      }),
+
+    // G4: multi-source BFS hop distance — reachability over the
+    // duplication graph ("every doc within k hops of a seed"), the
+    // contamination-radius query a lakehouse runs when a known-bad
+    // document family must be quarantined transitively (one shared
+    // passage at a time). Seeds are the 5 lowest-id graph nodes
+    // (deterministic: doc_id is unique). Four Pregel rounds: per round
+    // one src-partitioned equi-join + one min-agg over the |V|-bounded
+    // frontier frame, lineage cut per round; the oracle unrolls the
+    // same four relaxations as CTE steps (the g1 doctrine). Distances
+    // are exact longs — parity is structural.
+    QueryDef(
+      "g4_bfs_distance",
+      Some(oGraph + (s""",
+           |f0 AS (
+           |  SELECT doc_id, CAST(0 AS BIGINT) AS dist
+           |  FROM (SELECT doc_id FROM deg ORDER BY doc_id LIMIT 5))""" +
+        (1 to BfsIters).map { k =>
+          s""",
+           |f$k AS (
+           |  SELECT doc_id, MIN(dist) AS dist FROM (
+           |    SELECT doc_id, dist FROM f${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS doc_id, p.dist + 1 AS dist
+           |    FROM e JOIN f${k - 1} p ON e.src = p.doc_id) GROUP BY 1)"""
+        }.mkString + s"""
+           |SELECT f.doc_id, d.deg, f.dist
+           |FROM f$BfsIters f JOIN deg d USING (doc_id)""").stripMargin),
+      (s, d) => {
+        val (edges, deg) = PassageGraph(s, d)
+        val seeds = deg.orderBy("doc_id").limit(5).select("doc_id")
+        val dist = PassageGraph.bfs(edges, seeds, BfsIters)
+        // non-vacuity: the frontier must actually expand past the seeds,
+        // or the relaxation rounds under test never fired
+        require(dist.filter(col("dist") > 0).limit(1).count() > 0,
+          "g4: BFS frontier never left the seed set")
+        dist.join(deg, "doc_id").select("doc_id", "deg", "dist")
+      }),
   )
 }

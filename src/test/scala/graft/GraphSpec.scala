@@ -83,4 +83,22 @@ class GraphSpec extends SparkSpec {
       assert(r.getAs[Double]("clustering") === 0.0)
     }
   }
+
+  test("bfs: hop distances on a path graph, min over multiple seeds") {
+    // symmetric path 1-2-3-4-5
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    def dists(seeds: Seq[Long], iters: Int): Map[Long, Long] =
+      PassageGraph.bfs(path, seeds.toDF("doc_id"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // single seed at one end: exact hop counts
+    assert(dists(Seq(1L), 4) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // iteration cap bounds the reach: 2 rounds from node 1 stop at 3
+    assert(dists(Seq(1L), 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two seeds: every node takes the nearer one
+    assert(dists(Seq(1L, 5L), 4) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
 }
