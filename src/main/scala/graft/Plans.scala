@@ -638,6 +638,12 @@ object Plans {
       val p = planOf("a45_markov_transitions")
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
     }
+    // j17: the fact scan's PartitionFilters must carry the runtime
+    // dim-derived day set — without it the partitioned fact is read in
+    // full and the row proves nothing
+    check("j17: dynamic partition pruning on the fact scan") {
+      planOf("j17_dpp_prune").toLowerCase.contains("dynamicpruning")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -539,5 +539,47 @@ object JoinQueries {
           .groupBy("event_id")
           .agg(count(lit(1)).as("n_hot"))
       }),
+
+    // J17: DYNAMIC PARTITION PRUNING — the runtime half of partition
+    // pruning, which static pushdown (s1) cannot do: the fact table is
+    // day-PARTITIONED on disk, the probe days are known only by READING
+    // a filtered dim, and Catalyst injects the dim's day set into the
+    // fact scan's partition filters at execution (via the reused
+    // broadcast), so 26 of 30 day-directories are never opened. At
+    // 100 TB this is THE mechanism that keeps star-schema joins from
+    // scanning the whole fact table when the predicate lives on the
+    // dimension; Plans pins `dynamicpruningexpression` in the fact
+    // scan's partition filters. Both sides are real parquet sources
+    // (the dim is written and read back so its filter cannot constant-
+    // fold into a static partition predicate). Parity: counts and lq
+    // long sums; the flag rule (day-of-month mod 7 = 3) is exact
+    // integer arithmetic on both engines.
+    QueryDef(
+      "j17_dpp_prune",
+      Some(s"""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+             |    CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS total
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, day, CAST(n AS BIGINT) AS n, total
+             |FROM daily
+             |WHERE EXTRACT(DAY FROM day) % 7 = 3""".stripMargin),
+      (s, d) => {
+        val base = graft.Sinks.dir(s, "dpp", d)
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            (sum(lq(col("value"))).cast("double") / 100.0).as("total"))
+        daily.repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day")
+          .parquet(s"$base/fact")
+        daily.select("day").distinct()
+          .withColumn("flag", dayofmonth(col("day")) % 7)
+          .write.mode("overwrite").parquet(s"$base/dim")
+        val fact = s.read.parquet(s"$base/fact")
+        val dim = s.read.parquet(s"$base/dim")
+          .filter(col("flag") === 3).select("day")
+        fact.join(broadcast(dim), "day")
+          .select("user_id", "day", "n", "total")
+      }),
   )
 }
