@@ -644,6 +644,19 @@ object Plans {
     check("j17: dynamic partition pruning on the fact scan") {
       planOf("j17_dpp_prune").toLowerCase.contains("dynamicpruning")
     }
+    // a46: grouping sets are ONE Expand + hash-agg pass over the scan —
+    // a second exchange would mean the grains re-shuffled separately
+    check("a46: one Expand, at most one exchange") {
+      val p = planOf("a46_grouping_sets")
+      p.contains("Expand") &&
+        "Exchange hashpartitioning".r.findAllIn(p).length <= 1
+    }
+    // pl27: the native session rollup is one user-keyed exchange (the
+    // hand-rolled pl2 needs the same exchange TWICE: lag pass + agg)
+    check("pl27: single exchange for the native session window") {
+      "Exchange hashpartitioning".r
+        .findAllIn(planOf("pl27_native_session")).length == 1
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -2325,5 +2325,38 @@ object AggQueries {
           floor(col("n").cast("double") / col("tot").cast("double")
             * 1.0e9 + 0.5).cast("long").as("p_q"))
       }),
+
+    // A46: GROUPING SETS — the multi-grain report a35's CUBE cannot
+    // express (CUBE/ROLLUP are fixed lattices; sets pick exactly the
+    // grains wanted: by-type, by-day, and the grand total — NOT the
+    // (type, day) cross grain, which a dashboard rollup rarely needs
+    // and which dominates the output row count at scale). One pass,
+    // one Expand+hash-agg; grouping() flags disambiguate real NULLs
+    // from placeholder NULLs, exactly the Spark SQL surface an analyst
+    // writes. Runs as SQL text over a temp view (session-scoped name,
+    // Verify/Bench run queries sequentially in one session).
+    QueryDef(
+      "a46_grouping_sets",
+      Some(s"""SELECT event_type, CAST(ts AS DATE) AS day,
+             |  count(*) AS n,
+             |  CAST(GROUPING(event_type) AS BIGINT) AS g_et,
+             |  CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day,
+             |  CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0 AS total
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)),
+             |  ())""".stripMargin),
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            lq(col("value")).as("vq"))
+          .createOrReplaceTempView("graft_a46_ev")
+        s.sql("""SELECT event_type, day, count(*) AS n,
+                |  CAST(grouping(event_type) AS BIGINT) AS g_et,
+                |  CAST(grouping(day) AS BIGINT) AS g_day,
+                |  CAST(SUM(vq) AS DOUBLE) / 100.0 AS total
+                |FROM graft_a46_ev
+                |GROUP BY GROUPING SETS ((event_type), (day), ())"""
+          .stripMargin)
+      }),
   )
 }

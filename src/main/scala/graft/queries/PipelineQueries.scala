@@ -1438,5 +1438,50 @@ object PipelineQueries {
               col("tot_q").cast("double") * 1.0e9 + 0.5).cast("long"))
             .as("share_q"))
       }),
+
+    // NATIVE SESSION WINDOW — the same gap sessionization as pl2, but
+    // through Spark's built-in `session_window` aggregate (ONE hash-agg
+    // with runtime session merging — no lag window, no running-sum pass,
+    // one exchange instead of two). pl2 keeps the hand-rolled island
+    // construction because it also needs per-EVENT session ids; this row
+    // proves the native per-SESSION rollup against a declarative oracle
+    // replaying session_window's exact boundary rule: a new session
+    // starts when the inter-event gap is >= 6h (the window's end is
+    // exclusive — pl2's hand-rolled rule is the strict > variant; the
+    // two differ only on an exactly-6h gap, absent from microsecond
+    // data but encoded faithfully here anyway). session end is
+    // last-event ts + gap, Spark's definition.
+    QueryDef(
+      "pl27_native_session",
+      Some(s"""WITH tagged AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts, 1) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+             |        >= 21600000000
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS sid
+             |  FROM tagged)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 6 HOUR AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(SUM(${oLq("value")}) AS DOUBLE) / 100.0
+             |    AS session_value
+             |FROM sess GROUP BY user_id, sid""".stripMargin),
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(lq(col("value"))).cast("double") / 100.0)
+              .as("session_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("session_value"))),
   )
 }
