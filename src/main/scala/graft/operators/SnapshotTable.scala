@@ -58,6 +58,9 @@ object SnapshotTable {
   private def dvPath(tablePath: String, v: Int) =
     new Path(manifestDir(tablePath), s"v$v.deletes")
 
+  private def timePath(tablePath: String, v: Int) =
+    new Path(manifestDir(tablePath), s"v$v.time")
+
   /** The TABLE schema recorded at commit time for `version` (head when
     * `None`) — the Delta/Iceberg design: schema lives in table metadata,
     * not in data-file footers, so a 100 TB read never footer-merges a
@@ -291,7 +294,8 @@ object SnapshotTable {
     * assignment and manifest publish — pure metadata — are serialized. */
   def commit(spark: SparkSession, df: DataFrame, tablePath: String,
              replace: Boolean = true,
-             statsCols: Seq[String] = Seq.empty): Int = {
+             statsCols: Seq[String] = Seq.empty,
+             commitTime: Option[Long] = None): Int = {
     require(statsCols.forall(c => !c.contains("\t") && !c.contains("=")),
       "stats column names must not contain tab or '='")
     val commitId = java.util.UUID.randomUUID().toString
@@ -337,12 +341,57 @@ object SnapshotTable {
       val out = f.create(tmp, false)
       try out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      // commit-time sidecar BEFORE the manifest publish: a version must
+      // never be visible without its place on the time axis (mirrors the
+      // schema-sidecar-first rule above)
+      commitTime.foreach { t =>
+        val to = f.create(timePath(tablePath, v), true)
+        try to.write(t.toString.getBytes("UTF-8")) finally to.close()
+      }
       // under the lock the destination cannot exist; rename gives
       // readers atomic manifest visibility
       require(f.rename(tmp, manifestPath(tablePath, v)),
         s"manifest publish failed for v$v at $tablePath")
       v
     }
+  }
+
+  /** The logical commit time recorded for `version`, if any. */
+  def commitTimeOf(spark: SparkSession, tablePath: String,
+                   version: Int): Option[Long] = {
+    val p = timePath(tablePath, version)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** TIMESTAMP AS OF time travel (Delta `TIMESTAMP AS OF` / Iceberg
+    * snapshot-at-timestamp): the latest version whose recorded commit
+    * time is ≤ `ts`. Commit times are LOGICAL longs supplied at commit —
+    * not wall clock — so replays and tests are deterministic; a real
+    * deployment passes its event-time watermark or ingest batch time.
+    * Versions committed without a time have no place on the time axis
+    * and are skipped (they remain readable by version/ref). Fails
+    * loudly when nothing precedes `ts`, and — via [[read]] — when the
+    * resolved version has been vacuumed. */
+  def readAsOfTime(spark: SparkSession, tablePath: String,
+                   ts: Long): DataFrame = {
+    val timed = versions(spark, tablePath)
+      .flatMap(v => commitTimeOf(spark, tablePath, v).map(v -> _))
+    require(timed.nonEmpty,
+      s"no time-annotated snapshots at $tablePath")
+    val at = timed.filter(_._2 <= ts)
+    require(at.nonEmpty,
+      s"no snapshot at or before t=$ts at $tablePath " +
+        s"(earliest is t=${timed.map(_._2).min})")
+    // ties on the logical time resolve to the later version (the
+    // deterministic "latest wins" a reader expects)
+    read(spark, tablePath, Some(at.maxBy { case (v, t) => (t, v) }._1))
   }
 
   /** Read a pinned snapshot (`version = None` → current head) at FILE

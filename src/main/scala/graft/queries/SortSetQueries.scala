@@ -630,5 +630,53 @@ object SortSetQueries {
           .filter(col("user_id").between(1, 2))
           .select("user_id", "day", "n", "total")
       }),
+
+    // U13: TIMESTAMP AS OF time travel (Delta `TIMESTAMP AS OF` /
+    // Iceberg snapshot-at-timestamp), completing the resolution trio:
+    // by version (u5/u10), by name (u11 refs), by TIME. Commit times
+    // are logical longs (a real pipeline passes its ingest batch time;
+    // wall clock would make the row nondeterministic), and resolution
+    // is "latest version at or before t". The scenario commits three
+    // generations at t=100/200/300, reads AS OF t=250 (→ the t=200
+    // table, not the newer t=300 one), and asserts the boundary
+    // semantics in-query: AS OF the exact commit time resolves to that
+    // commit, AS OF before the first fails loudly, and an UNTIMED
+    // commit stays off the time axis while remaining readable by
+    // version.
+    QueryDef(
+      "u13_time_travel_ts",
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_id % 3 <> 0""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "asof_table", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        SnapshotTable.commit(s, ev, t, commitTime = Some(100L))
+        SnapshotTable.commit(s, ev.filter(col("event_id") % 3 =!= 0), t,
+          commitTime = Some(200L))
+        SnapshotTable.commit(s,
+          ev.filter(col("event_id") % 3 =!= 0 && col("event_id") % 5 =!= 0),
+          t, commitTime = Some(300L))
+        // an untimed maintenance commit (an empty append — the no-op
+        // flavor of a compaction replay) must not shadow the time axis;
+        // it stays version-addressable only
+        val vU = SnapshotTable.commit(s, ev.limit(0), t, replace = false)
+        require(SnapshotTable.readAsOfTime(s, t, 300L).count() ==
+          SnapshotTable.read(s, t, Some(3)).count(),
+          "u13: AS OF the exact commit time must resolve to that commit")
+        require(scala.util.Try(
+            SnapshotTable.readAsOfTime(s, t, 99L)).isFailure,
+          "u13: AS OF before the first commit must fail loudly")
+        require(SnapshotTable.read(s, t, Some(vU)).count() ==
+          SnapshotTable.read(s, t, Some(3)).count(),
+          "u13: the untimed commit stays readable by version")
+        require(SnapshotTable.readAsOfTime(s, t, 9999L).count() ==
+          SnapshotTable.read(s, t, Some(3)).count(),
+          "u13: the untimed head must not shadow time-axis resolution")
+        SnapshotTable.readAsOfTime(s, t, 250L)
+      }),
   )
 }

@@ -398,4 +398,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(v6f.intersect(v1f).isEmpty)
     assert((v3f -- v1f).subsetOf(v6f))
   }
+
+  test("readAsOfTime: latest-at-or-before, tie → later version, " +
+    "untimed commits stay off the time axis") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "a")).toDF("id", "x"), t,
+      commitTime = Some(100L))
+    commit(spark, Seq((2L, "b")).toDF("id", "x"), t,
+      commitTime = Some(200L))
+    // same logical time as v2: a tie resolves to the LATER version
+    commit(spark, Seq((3L, "c")).toDF("id", "x"), t,
+      commitTime = Some(200L))
+    val vU = commit(spark, Seq((9L, "z")).toDF("id", "x"), t) // untimed
+    def idAt(ts: Long) =
+      readAsOfTime(spark, t, ts).head().getLong(0)
+    assert(idAt(100L) == 1L) // exact boundary → that commit
+    assert(idAt(150L) == 1L) // between commits → earlier
+    assert(idAt(200L) == 3L) // tie → later version wins
+    assert(idAt(9999L) == 3L) // untimed head never shadows the axis
+    assert(read(spark, t, Some(vU)).head().getLong(0) == 9L)
+    assert(commitTimeOf(spark, t, vU).isEmpty)
+    intercept[IllegalArgumentException](readAsOfTime(spark, t, 99L))
+  }
 }
