@@ -1381,5 +1381,123 @@ object SimilarityQueries {
           .filter(col("rn") <= TopK)
           .select("query_id", "cand_id", "label", "cosine")
       }),
+
+    // SIM16: SCALAR (int8) QUANTIZATION recall — the fourth compression
+    // flavor beside IVF (sim4), PQ (sim6), and sign-LSH (sim2): each
+    // DIMENSION is affinely mapped to 0..255 by its corpus min/max (the
+    // faiss SQ8 / Lucene int8 HNSW trick — 4× memory cut, distances on
+    // byte codes), and the audit reports per-query top-k recall of the
+    // int8 ranking against the exact ranking, sim8's methodology on a
+    // different axis of approximation.
+    //
+    // Scale shape: the dim-stats pass is ONE min/max aggregate whose
+    // shuffle carries Dim cells regardless of corpus size, re-attached
+    // as a 1-row broadcast (never a driver collect); encoding is a pure
+    // projection; both rankings share the sim1 broadcast-probe scan.
+    //
+    // Parity: codes derive from the stage's exact-long grid through one
+    // guarded affine tree — (double)(q-mn) * 255 / (double)(mx-mn),
+    // floor+0.5 — identical on both engines; code dots/norms are exact
+    // longs (≤ 255²·64 ≪ 2^63); recall is a ratio of counts.
+    QueryDef(
+      "sim16_sq_recall",
+      Some {
+        val code = "CASE WHEN mx[i] = mn[i] THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(floor(CAST(qv[i] - mn[i] AS DOUBLE) * 255.0 / " +
+          "CAST(mx[i] - mn[i] AS DOUBLE) + 0.5) AS BIGINT) END"
+        val oDotC =
+          "list_sum(list_transform(generate_series(1, len(q.code)), i -> q.code[i] * c.code[i]))"
+        val oNormC = (t: String) =>
+          s"list_sum(list_transform($t.code, v -> v * v))"
+        s"""WITH qv AS (
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |ds AS (
+           |  SELECT i AS pos, MIN(qv[i]) AS mn, MAX(qv[i]) AS mx
+           |  FROM qv CROSS JOIN generate_series(1, $Dim) t(i)
+           |  GROUP BY 1),
+           |da AS (
+           |  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+           |  FROM ds),
+           |cv AS (
+           |  SELECT vec_id, qv,
+           |    list_transform(generate_series(1, $Dim), i -> $code)
+           |      AS code
+           |  FROM qv CROSS JOIN da),
+           |exact AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY CAST($oDot AS DOUBLE) /
+           |          (sqrt(CAST(${oNorm("q")} AS DOUBLE)) *
+           |           sqrt(CAST(${oNorm("c")} AS DOUBLE))) DESC, c.vec_id)
+           |        AS rn
+           |    FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < $NQ) WHERE rn <= $TopK),
+           |approx AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY CAST($oDotC AS DOUBLE) /
+           |          (sqrt(CAST(${oNormC("q")} AS DOUBLE)) *
+           |           sqrt(CAST(${oNormC("c")} AS DOUBLE))) DESC, c.vec_id)
+           |        AS rn
+           |    FROM cv q JOIN cv c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < $NQ) WHERE rn <= $TopK)
+           |SELECT e.query_id, count(*) AS n_exact,
+           |  CAST(count(a.cand_id) AS BIGINT) AS n_hit,
+           |  CAST(count(a.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    AS recall
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+           |GROUP BY 1""".stripMargin
+      },
+      (s, d) => {
+        val v = EmbedStage(s, d).vectors.select("vec_id", "qv", "nsq")
+        // Dim-cell min/max aggregate → 1-row broadcast of two arrays
+        val stats = broadcast(
+          v.select(posexplode(col("qv")))
+            .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
+              col("mx")))).as("a"))
+            .select(transform(col("a"), e => e.getField("mn")).as("mn"),
+              transform(col("a"), e => e.getField("mx")).as("mx")))
+        val codeAt = (i: Column) => {
+          val q = element_at(col("qv"), i)
+          val mn = element_at(col("mn"), i); val mx = element_at(col("mx"), i)
+          when(mx === mn, lit(0L)).otherwise(
+            floor((q - mn).cast("double") * 255.0 /
+              (mx - mn).cast("double") + 0.5).cast("long"))
+        }
+        val cv = v.crossJoin(stats).select(col("vec_id"), col("qv"),
+          col("nsq"),
+          transform(sequence(lit(1), lit(Dim)), codeAt).as("code"))
+          .withColumn("cnsq", dotL(col("code"), col("code")))
+        def leg(qvCol: String, nCol: String) = {
+          val q = cv.filter(col("vec_id") < NQ)
+            .select(col("vec_id").as("query_id"),
+              col(qvCol).as("a_q"), col(nCol).as("n_q"))
+          val c = cv.select(col("vec_id").as("cand_id"),
+            col(qvCol).as("a_c"), col(nCol).as("n_c"))
+          val cos = dotL(col("a_q"), col("a_c")).cast("double") /
+            (nrmOf(col("n_q")) * nrmOf(col("n_c")))
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("cand_id"))
+          c.crossJoin(broadcast(q))
+            .filter(col("cand_id") =!= col("query_id"))
+            .select(col("query_id"), col("cand_id"), cos.as("cos"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= TopK).select("query_id", "cand_id")
+        }
+        val exact = leg("qv", "nsq")
+        val approx = leg("code", "cnsq")
+          .select(col("query_id").as("a_qid"), col("cand_id").as("a_cand"))
+        exact.join(approx, col("query_id") === col("a_qid") &&
+            col("cand_id") === col("a_cand"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("a_cand")).as("n_hit"),
+            (count(col("a_cand")).cast("double") /
+              count(lit(1)).cast("double")).as("recall"))
+      }),
   )
 }
