@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
 object AggQueries {
   import Parity._
 
+  /** Benford first-digit expectations log10(1+1/d) on the 1e-9 grid,
+    * computed ONCE at class init and embedded as the SAME literal in
+    * both engines' plans (a48) — no runtime libm anywhere. */
+  private val BenfordQ: IndexedSeq[Long] = (1 to 9).map(dd =>
+    math.floor(math.log10(1.0 + 1.0 / dd) * 1e9 + 0.5).toLong)
+
   /** HLL-256 primitives shared by a33/a33b so the cross-engine IEEE
     * trees are identical BY CONSTRUCTION (each Scala helper mirrors its
     * oracle-string twin term for term). rho = leading-zero rank of the
@@ -2357,6 +2363,138 @@ object AggQueries {
                 |FROM graft_a46_ev
                 |GROUP BY GROUPING SETS ((event_type), (day), ())"""
           .stripMargin)
+      }),
+
+    // A47: one-way ANOVA F statistic per day (does event_type explain
+    // the value variance?) — completing the classical-test family
+    // beside chi-square (a24, categorical×categorical) and KS (a42,
+    // distribution drift): this is the categorical×numeric cell. The
+    // histogram-first doctrine again: ONE data-sized hash aggregate
+    // collects exact per-(day, type) moment longs on the lq grid (F is
+    // scale-invariant, so the 0.01-unit grid needs no de-scale);
+    // sums-of-squares are windows over those ≤ types-per-day cells.
+    // The only order-sensitive float reduction — Σ_g s1_g²/n_g — rides
+    // the a24 trick: each group's term is quantized to a 1e3-grid long
+    // (≈6.7e15 max, inside 2^63) and the integer sum is order-free;
+    // every other float op is one shared IEEE tree.
+    QueryDef(
+      "a47_anova_f",
+      Some(s"""WITH g AS (
+             |  SELECT CAST(ts AS DATE) AS day, event_type,
+             |    count(*) AS n, SUM(${oLq("value")}) AS s1,
+             |    SUM(${oLq("value")} * ${oLq("value")}) AS s2
+             |  FROM events GROUP BY 1, 2),
+             |w AS (
+             |  SELECT day,
+             |    CAST(count(*) OVER d AS BIGINT) AS k,
+             |    CAST(SUM(n) OVER d AS BIGINT) AS nn,
+             |    CAST(SUM(s1) OVER d AS BIGINT) AS ss1,
+             |    CAST(SUM(s2) OVER d AS BIGINT) AS ss2,
+             |    CAST(SUM(CAST(floor(CAST(s1 AS DOUBLE) *
+             |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) * 1000.0
+             |        + 0.5e0) AS BIGINT)) OVER d AS BIGINT) AS tq
+             |  FROM g
+             |  WINDOW d AS (PARTITION BY day)),
+             |c AS (SELECT DISTINCT * FROM w),
+             |f AS (
+             |  SELECT day, k, nn,
+             |    CAST(tq AS DOUBLE) / 1000.0 -
+             |      CAST(ss1 AS DOUBLE) * CAST(ss1 AS DOUBLE) /
+             |      CAST(nn AS DOUBLE) AS ssb,
+             |    CAST(ss2 AS DOUBLE) - CAST(tq AS DOUBLE) / 1000.0 AS ssw
+             |  FROM c WHERE k >= 2 AND nn > k)
+             |SELECT day, k, nn,
+             |  CAST(floor(ssb * 1.0e3 + 0.5e0) AS BIGINT) AS ssb_q,
+             |  CAST(floor(ssw * 1.0e3 + 0.5e0) AS BIGINT) AS ssw_q,
+             |  CAST(floor((ssb / CAST(k - 1 AS DOUBLE)) /
+             |    (ssw / CAST(nn - k AS DOUBLE)) * 1.0e6 + 0.5e0)
+             |    AS BIGINT) AS f_q
+             |FROM f""".stripMargin),
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(lq(col("value"))).as("s1"),
+            sum(lq(col("value")) * lq(col("value"))).as("s2"))
+        val dw = Window.partitionBy("day")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        val term = floor(col("s1").cast("double") *
+          col("s1").cast("double") / col("n").cast("double") * 1000.0
+          + 0.5).cast("long")
+        val c = g.select(col("day"),
+            count(lit(1)).over(dw).as("k"),
+            sum("n").over(dw).as("nn"),
+            sum("s1").over(dw).as("ss1"),
+            sum("s2").over(dw).as("ss2"),
+            sum(term).over(dw).as("tq"))
+          .distinct()
+          .filter(col("k") >= 2 && col("nn") > col("k"))
+        val td = col("tq").cast("double") / 1000.0
+        val ssb = td - col("ss1").cast("double") *
+          col("ss1").cast("double") / col("nn").cast("double")
+        val ssw = col("ss2").cast("double") - td
+        c.select(col("day"), col("k"), col("nn"),
+          floor(ssb * 1.0e3 + 0.5).cast("long").as("ssb_q"),
+          floor(ssw * 1.0e3 + 0.5).cast("long").as("ssw_q"),
+          floor((ssb / (col("k") - 1).cast("double")) /
+            (ssw / (col("nn") - col("k")).cast("double")) * 1.0e6 + 0.5)
+            .cast("long").as("f_q"))
+      }),
+
+    // A48: Benford first-digit audit — the fraud/data-forensics scan a
+    // finance lakehouse runs over freshly ingested numeric columns
+    // (fabricated or unit-mangled values break the log-uniform
+    // first-digit law long before any semantic check can). The first
+    // significant digit is extracted WITHOUT libm (no runtime log10 —
+    // 1-ulp divergence territory): the value's exact hundredth-grid
+    // long renders as a decimal string on both engines, and its first
+    // character IS the digit. The nine Benford expectations are
+    // COMPILE-TIME constants on the 1e-9 grid, shared by literal value
+    // with the oracle; the deviation is one identical IEEE tree per
+    // digit row (9 rows — the histogram-first doctrine at its
+    // smallest).
+    QueryDef(
+      "a48_benford",
+      Some {
+        val probs = (1 to 9).map(dd =>
+          s"($dd, ${BenfordQ(dd - 1)})").mkString(", ")
+        s"""WITH pos AS (
+           |  SELECT ${oLq("value")} AS q FROM events
+           |  WHERE ${oLq("value")} > 0),
+           |dig AS (
+           |  SELECT CAST(substr(CAST(q AS VARCHAR), 1, 1) AS BIGINT)
+           |    AS digit, count(*) AS n
+           |  FROM pos GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM dig),
+           |exp0 (digit, pq) AS (VALUES $probs)
+           |SELECT e.digit, COALESCE(d.n, 0) AS n,
+           |  CAST(e.pq AS BIGINT) AS expected_q,
+           |  CAST(floor(CAST(COALESCE(d.n, 0) AS DOUBLE) /
+           |    CAST(t.nn AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT)
+           |    AS observed_q,
+           |  CAST(floor(CAST(COALESCE(d.n, 0) AS DOUBLE) /
+           |    CAST(t.nn AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT) -
+           |    CAST(e.pq AS BIGINT) AS dev_q
+           |FROM exp0 e LEFT JOIN dig d ON d.digit = e.digit
+           |CROSS JOIN tot t""".stripMargin
+      },
+      (s, d) => {
+        val q = lq(col("value"))
+        val dig = Tables.events(s, d)
+          .filter(q > 0)
+          .groupBy(substring(q.cast("string"), 1, 1).cast("long")
+            .as("digit"))
+          .agg(count(lit(1)).as("n"))
+        val exp0 = broadcast(s.createDataFrame(
+          (1 to 9).map(dd => (dd.toLong, BenfordQ(dd - 1)))
+        ).toDF("digit", "expected_q"))
+        val tot = broadcast(dig.agg(sum("n").as("nn")))
+        val obs = floor(coalesce(col("n"), lit(0L)).cast("double") /
+          col("nn").cast("double") * 1.0e9 + 0.5).cast("long")
+        exp0.join(dig, Seq("digit"), "left").crossJoin(tot)
+          .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+            col("expected_q"), obs.as("observed_q"),
+            (obs - col("expected_q")).as("dev_q"))
       }),
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.Parity.{lq, oLq}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
@@ -1006,6 +1007,37 @@ object WindowQueries {
             when(count(col("kq")).over(g) === 3,
               sum("kq").over(g).cast("double") / 3.0 / 1000000.0)
               .as("pct_d"))
+      }),
+
+    // W28: TIME-based RANGE window frame — the frame mode every other
+    // window row here deliberately avoids (ROWS frames need a unique
+    // tiebreak; a RANGE frame is defined on the ORDER VALUE itself:
+    // all peers of the current timestamp are in-frame, so the result
+    // is deterministic under ties BY CONSTRUCTION). Per event: count
+    // and exact-grid sum of the same user's events in the trailing
+    // hour — the "activity in the last hour" feature a ROWS-19 frame
+    // (w8/w16) can only approximate when event spacing is uneven. At
+    // scale it is the same single user-keyed exchange + one sort as
+    // every ROWS battery; the frame bound costs nothing extra.
+    QueryDef(
+      "w28_range_frame",
+      Some(s"""SELECT event_id, user_id, ts,
+             |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             |  CAST(SUM(${oLq("value")}) OVER w AS DOUBLE) / 100.0
+             |    AS sum_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          (sum(lq(col("value"))).over(w).cast("double") / 100.0)
+            .as("sum_1h"))
       }),
   )
 }
