@@ -657,6 +657,19 @@ object Plans {
       "Exchange hashpartitioning".r
         .findAllIn(planOf("pl27_native_session")).length == 1
     }
+    // w28: the RANGE frame costs the same single user-keyed exchange
+    // as any ROWS battery — a second exchange means the frame mode
+    // broke the shared partitioning
+    check("w28: single exchange for the RANGE frame") {
+      "Exchange hashpartitioning".r
+        .findAllIn(planOf("w28_range_frame")).length == 1
+    }
+    // a48: the 9-row expectation dim and the 1-row total attach by
+    // broadcast — any shuffle join re-keys the corpus for constants
+    check("a48: broadcast-only joins") {
+      val p = planOf("a48_benford")
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
