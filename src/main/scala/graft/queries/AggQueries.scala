@@ -2496,5 +2496,57 @@ object AggQueries {
             col("expected_q"), obs.as("observed_q"),
             (obs - col("expected_q")).as("dev_q"))
       }),
+
+    // A49: value-WEIGHTED median per event_type — the "half the money,
+    // not half the rows" statistic (the VWAP complement: a7 is the
+    // weighted MEAN; a16/a32 are the unweighted medians). Definition:
+    // the smallest value v such that events with value ≤ v carry at
+    // least half the total weight, weights = the values themselves on
+    // the exact hundredth grid. One sorted window pass per type
+    // (cumulative exact-long weight), then an argmin pick with a full
+    // (value, event_id) tiebreak — all integer comparisons, zero
+    // floats until the final de-scale.
+    QueryDef(
+      "a49_weighted_median",
+      Some(s"""WITH q AS (
+             |  SELECT event_type, event_id, ${oLq("value")} AS qv
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type, event_id, qv,
+             |    SUM(qv) OVER (PARTITION BY event_type
+             |      ORDER BY qv, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cumw,
+             |    SUM(qv) OVER (PARTITION BY event_type) AS totw
+             |  FROM q),
+             |p AS (
+             |  SELECT event_type, qv, cumw, totw,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY qv, event_id) AS rn
+             |  FROM c WHERE 2 * cumw >= totw)
+             |SELECT event_type,
+             |  CAST(qv AS DOUBLE) / 100.0 AS wmedian,
+             |  CAST(totw AS DOUBLE) / 100.0 AS total_value
+             |FROM p WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        val ord = Window.partitionBy("event_type")
+          .orderBy(col("qv"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val all = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            lq(col("value")).as("qv"))
+          .withColumn("cumw", sum("qv").over(cum))
+          .withColumn("totw", sum("qv").over(all))
+          .filter(lit(2L) * col("cumw") >= col("totw"))
+          .withColumn("rn", row_number().over(ord))
+          .filter(col("rn") === 1)
+          .select(col("event_type"),
+            (col("qv").cast("double") / 100.0).as("wmedian"),
+            (col("totw").cast("double") / 100.0).as("total_value"))
+      }),
   )
 }

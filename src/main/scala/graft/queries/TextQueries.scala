@@ -1340,5 +1340,51 @@ object TextQueries {
             (col("n_novel").cast("double") /
               col("n_grams").cast("double")).as("novelty"))
       }),
+
+    // MIX7: temperature-scaled mixture weights — the α-smoothing every
+    // multilingual/multi-domain training run applies (weights ∝ n^α,
+    // α = 0.5): big sources are down-weighted, small ones up-weighted,
+    // without the inversion a uniform target would cause. Complements
+    // mix1 (externally-given weights, binding-constraint rates): here
+    // the weights DERIVE from the observed counts. Parity note: sqrt
+    // is IEEE-exact on both engines (unlike log/exp, which the lrq
+    // doctrine quantizes), so n^0.5 is the one fractional power usable
+    // raw; each weight is still floor-quantized to a 1e6 long before
+    // the cross-source sum so the total is order-free integer
+    // arithmetic. Everything runs on the 20-row source-count table;
+    // the corpus is scanned once.
+    QueryDef(
+      "mix7_temperature_mixture",
+      Some("""WITH c AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1),
+             |w AS (
+             |  SELECT source, n,
+             |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1.0e6 + 0.5e0)
+             |      AS BIGINT) AS wq
+             |  FROM c),
+             |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS twq FROM w)
+             |SELECT source, n, wq,
+             |  CAST(floor(CAST(wq AS DOUBLE) / CAST(twq AS DOUBLE)
+             |    * 1.0e9 + 0.5e0) AS BIGINT) AS share_q,
+             |  CAST(floor(CAST(wq AS DOUBLE) / CAST(twq AS DOUBLE)
+             |    * 10000.0) AS BIGINT) AS quota,
+             |  CAST(floor(CAST(wq AS DOUBLE) / CAST(twq AS DOUBLE)
+             |    * 10000.0 / CAST(n AS DOUBLE) * 1.0e9 + 0.5e0)
+             |    AS BIGINT) AS rate_q
+             |FROM w CROSS JOIN t""".stripMargin),
+      (s, d) => {
+        val c = Tables.fanOut(Tables.documents(s, d))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+        val w = c.withColumn("wq",
+          floor(sqrt(col("n").cast("double")) * 1.0e6 + 0.5).cast("long"))
+        val t = broadcast(w.agg(sum("wq").as("twq")))
+        val share = col("wq").cast("double") / col("twq").cast("double")
+        w.crossJoin(t).select(col("source"), col("n"), col("wq"),
+          floor(share * 1.0e9 + 0.5).cast("long").as("share_q"),
+          floor(share * 10000.0).cast("long").as("quota"),
+          floor(share * 10000.0 / col("n").cast("double") * 1.0e9 + 0.5)
+            .cast("long").as("rate_q"))
+      }),
   )
 }
