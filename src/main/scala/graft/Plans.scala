@@ -670,6 +670,12 @@ object Plans {
       val p = planOf("a48_benford")
       !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
     }
+    // pl28: the MV rewrite must answer from the summary scan; the base
+    // fact table never opens
+    check("pl28: aggregate answered from the MV, base table unread") {
+      val p = planOf("pl28_mv_rewrite")
+      p.contains("mv_counts") && !p.contains("events.parquet")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

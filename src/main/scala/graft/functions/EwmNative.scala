@@ -89,5 +89,8 @@ class GraftExtensions
       new ExpressionInfo(classOf[EwmNr].getName, "ewm_nr"),
       { case Seq(c, a) => EwmNr(c, a) }: PartialFunction[Seq[Expression], Expression]))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
+    // the MV query-rewrite rule (graft.plans.MvRewrite) — inert until a
+    // view is registered AND an aggregate opts in by its reserved alias
+    ext.injectOptimizerRule(s => new graft.plans.MvCountRewrite(s))
   }
 }

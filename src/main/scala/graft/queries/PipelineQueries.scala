@@ -1483,5 +1483,48 @@ object PipelineQueries {
             col("session_window.start").as("session_start"),
             col("session_window.end").as("session_end"),
             col("n_events"), col("session_value"))),
+
+    // MATERIALIZED-VIEW QUERY REWRITE — the injectOptimizerRule
+    // surface, end-to-end: a pre-aggregated per-user summary is built
+    // and registered, and the SAME aggregate asked again is answered by
+    // Catalyst from the MV scan — the base table never opens (asserted
+    // on the executed plan in-query AND in Plans). The rule
+    // (plans/MvRewrite.scala) is deliberately narrow and opt-in by a
+    // reserved output alias, keeps original exprIds so downstream
+    // operators never notice, and disqualifies any Filter/Join between
+    // aggregate and scan. The oracle computes from the RAW table — the
+    // hash compare IS the staleness-free guarantee an MV system
+    // promises at its refresh point. At 100 TB this is the difference
+    // between a dashboard query costing a full fact scan and costing a
+    // |users|-row read.
+    //
+    // The refresh runs with the rewrite de-registered for its own
+    // statement (every MV system's refresh reads the BASE by
+    // definition): on re-runs the registry still holds the previous
+    // entry, and a build that matched its own rule would read the very
+    // files it is overwriting. (A rename-behind-a-Project disguise does
+    // NOT work — CollapseProject folds the alias straight into the
+    // aggregate before the rewrite rule sees it.)
+    QueryDef(
+      "pl28_mv_rewrite",
+      Some("""SELECT user_id, count(*) AS mv_user_event_count
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, d) => {
+        import graft.plans.MvRegistry
+        val mvPath = Sinks.dir(s, "mv_counts", d)
+        MvRegistry.clear()
+        Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as(MvRegistry.CountAlias))
+          .write.mode("overwrite").parquet(mvPath)
+        MvRegistry.register(s"$d/events.parquet", mvPath)
+        val q = Tables.events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as(MvRegistry.CountAlias))
+        val pstr = q.queryExecution.executedPlan.toString
+        require(pstr.contains("mv_counts"),
+          s"pl28: the MV rewrite did not fire:\n$pstr")
+        require(!pstr.contains("events.parquet"),
+          "pl28: the rewritten plan still scans the base table")
+        q
+      }),
   )
 }
