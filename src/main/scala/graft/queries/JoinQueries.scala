@@ -581,5 +581,47 @@ object JoinQueries {
         fact.join(broadcast(dim), "day")
           .select("user_id", "day", "n", "total")
       }),
+
+    // J19: NULL-SAFE equi join (`<=>` / IS NOT DISTINCT FROM) — the
+    // semantic corner every dimension-conforming pipeline hits when the
+    // join key is itself nullable ("unattributed" rows carry NULL): a
+    // plain `=` join silently DROPS the NULL group on both sides, the
+    // null-safe operator matches it — and it remains a hash-joinable
+    // EQUI key (Spark plans BroadcastHashJoin on <=>; no fallback to
+    // nested loops). The row proves the NULL×NULL match end-to-end:
+    // one-seventh of events get a NULL key, both aggregates keep their
+    // NULL row, and the joined output must contain it (non-vacuity
+    // asserted in-query: a plain join would return one row fewer).
+    QueryDef(
+      "j19_null_safe_join",
+      Some("""WITH k AS (
+             |  SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+             |    ELSE user_id END AS key, event_type, value
+             |  FROM events),
+             |a AS (
+             |  SELECT key, count(*) AS n_all FROM k GROUP BY 1),
+             |b AS (
+             |  SELECT key, count(*) AS n_click FROM k
+             |  WHERE event_type = 'click' GROUP BY 1)
+             |SELECT a.key, a.n_all, b.n_click
+             |FROM a JOIN b ON a.key IS NOT DISTINCT FROM b.key"""
+        .stripMargin),
+      (s, d) => {
+        val k = Tables.events(s, d).select(
+          when(col("event_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("user_id")).as("key"),
+          col("event_type"))
+        val a = k.groupBy("key").agg(count(lit(1)).as("n_all"))
+        val b = k.filter(col("event_type") === "click")
+          .groupBy("key").agg(count(lit(1)).as("n_click"))
+          .select(col("key").as("key_b"), col("n_click"))
+        val j = a.join(broadcast(b), col("key") <=> col("key_b"))
+          .select(col("key"), col("n_all"), col("n_click"))
+        // non-vacuity: the NULL group must survive the join — with a
+        // plain `=` condition it vanishes and this row proves nothing
+        require(j.filter(col("key").isNull).limit(1).count() == 1,
+          "j19: the NULL key group was dropped — null-safe match broke")
+        j
+      }),
   )
 }
