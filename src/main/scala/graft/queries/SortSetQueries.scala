@@ -678,5 +678,43 @@ object SortSetQueries {
           "u13: the untimed head must not shadow time-axis resolution")
         SnapshotTable.readAsOfTime(s, t, 250L)
       }),
+
+    // O7: NULL ORDERING — the cross-engine trap made explicit: Spark
+    // sorts NULLS FIRST ascending by default, DuckDB NULLS LAST, so
+    // ANY rank over a nullable key that does not pin the null position
+    // hash-diverges between engines (and between a migration's before/
+    // after). This row ranks a nullable key BOTH ways with explicit
+    // NULLS FIRST and NULLS LAST on both engines — the only portable
+    // form — with a full unique tiebreak (the house limit rule).
+    // One-seventh of events carry a NULL key (the j19 derivation).
+    QueryDef(
+      "o7_null_ordering",
+      Some("""WITH k AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 7 = 0 THEN NULL
+             |      ELSE user_id END AS key
+             |  FROM events)
+             |SELECT event_id, key,
+             |  row_number() OVER (ORDER BY key ASC NULLS FIRST,
+             |    event_id) AS rn_nf,
+             |  row_number() OVER (ORDER BY key ASC NULLS LAST,
+             |    event_id) AS rn_nl,
+             |  row_number() OVER (ORDER BY key DESC NULLS LAST,
+             |    event_id) AS rn_desc_nl
+             |FROM k""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = Tables.events(s, d).select(col("event_id"),
+          when(col("event_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("user_id")).as("key"))
+        k.select(col("event_id"), col("key"),
+          row_number().over(Window.orderBy(
+            col("key").asc_nulls_first, col("event_id"))).as("rn_nf"),
+          row_number().over(Window.orderBy(
+            col("key").asc_nulls_last, col("event_id"))).as("rn_nl"),
+          row_number().over(Window.orderBy(
+            col("key").desc_nulls_last, col("event_id")))
+            .as("rn_desc_nl"))
+      }),
   )
 }
