@@ -92,5 +92,11 @@ class GraftExtensions
     // the MV query-rewrite rule (graft.plans.MvRewrite) — inert until a
     // view is registered AND an aggregate opts in by its reserved alias
     ext.injectOptimizerRule(s => new graft.plans.MvCountRewrite(s))
+    // group top-k as a whole-operator extension (graft.plans.GroupTopK):
+    // marker-shape rewrite to the custom logical node + the strategy that
+    // plans it as partial/final bounded-heap execs — inert unless a plan
+    // carries the reserved rank-column marker
+    ext.injectOptimizerRule(s => new graft.plans.GroupTopKRewrite(s))
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
   }
 }
