@@ -709,12 +709,44 @@ object SortSetQueries {
             .otherwise(col("user_id")).as("key"))
         k.select(col("event_id"), col("key"),
           row_number().over(Window.orderBy(
-            col("key").asc_nulls_first, col("event_id"))).as("rn_nf"),
+            col("key").asc_nulls_first, col("event_id")))
+            .cast("long").as("rn_nf"),
           row_number().over(Window.orderBy(
-            col("key").asc_nulls_last, col("event_id"))).as("rn_nl"),
+            col("key").asc_nulls_last, col("event_id")))
+            .cast("long").as("rn_nl"),
           row_number().over(Window.orderBy(
             col("key").desc_nulls_last, col("event_id")))
-            .as("rn_desc_nl"))
+            .cast("long").as("rn_desc_nl"))
+      }),
+
+    // O8: top-k PER GROUP through the custom whole-operator extension
+    // (graft.plans.GroupTopK): the injected rewrite replaces the
+    // row_number-filter marker plan with GroupTopKPlan, and the injected
+    // strategy plans it as partial (map-side heap prune before the
+    // exchange) + final (exact) GroupTopKExec — no WindowExec, no sort
+    // anywhere. The oracle is the declarative form the operator
+    // replaces; row_number + the full (value DESC, event_id) tiebreak
+    // makes the survivor SET deterministic, which is exactly the
+    // property that lets the heap operator answer a rank query.
+    QueryDef(
+      "o8_group_topk",
+      Some("""SELECT user_id, event_id, value FROM (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY value DESC, event_id) AS rn
+             |  FROM events)
+             |WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "event_id", "value")
+        val out = graft.plans.GroupTopK.topK(ev, 3,
+          Seq(col("user_id")), Seq(col("value").desc, col("event_id")))
+        // the rewrite is load-bearing for the 100 TB claim — fail loudly
+        // if a Spark upgrade stops the marker shape from matching
+        val phys = out.queryExecution.executedPlan.toString
+        require(phys.contains("GroupTopK "),
+          "o8: expected the GroupTopK strategy to plan the marker shape, " +
+            s"got:\n$phys")
+        out
       }),
   )
 }
