@@ -2467,7 +2467,8 @@ object AggQueries {
            |  FROM pos GROUP BY 1),
            |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM dig),
            |exp0 (digit, pq) AS (VALUES $probs)
-           |SELECT e.digit, COALESCE(d.n, 0) AS n,
+           |SELECT CAST(e.digit AS BIGINT) AS digit,
+           |  COALESCE(d.n, 0) AS n,
            |  CAST(e.pq AS BIGINT) AS expected_q,
            |  CAST(floor(CAST(COALESCE(d.n, 0) AS DOUBLE) /
            |    CAST(t.nn AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT)
