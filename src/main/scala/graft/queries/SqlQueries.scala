@@ -157,5 +157,44 @@ object SqlQueries {
             |  CAST(rn AS BIGINT) AS rn
             |FROM w WHERE rn <= 5""".stripMargin)
       }),
+
+    // SQL3: CORRELATED scalar subquery (the TPC-H Q17 shape — "rows
+    // below half their part's average quantity"). What this row proves
+    // is DECORRELATION: Catalyst's RewriteCorrelatedScalarSubquery must
+    // turn the per-row subquery into ONE per-part aggregate joined back
+    // to the fact — executed as two scans + a hash/merge join, never a
+    // subquery per row (which would be O(n·groups) and a scale killer;
+    // the naive interpretation at 100 TB re-scans lineitem per row).
+    // Plan-pinned in `Plans` (aggregate + equi-join, no per-row
+    // subquery execution).
+    //
+    // Parity: l_quantity is integral (1..50), so per-part sums are
+    // exact in double at any accumulation order, avg = one exact IEEE
+    // division, and ×0.5 is an exact scaling — the boundary compare is
+    // bit-identical on both engines. Output sums ride exact BIGINTs.
+    QueryDef(
+      "sql3_decorrelated_subquery",
+      Some("""SELECT l.l_partkey AS partkey,
+             |  CAST(count(*) AS BIGINT) AS n_small,
+             |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+             |    AS qty_small
+             |FROM lineitem l
+             |WHERE l.l_quantity < (
+             |  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+             |  WHERE l2.l_partkey = l.l_partkey)
+             |GROUP BY 1""".stripMargin),
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql(
+          """SELECT l.l_partkey AS partkey,
+            |  CAST(count(*) AS BIGINT) AS n_small,
+            |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+            |    AS qty_small
+            |FROM lineitem_v l
+            |WHERE l.l_quantity < (
+            |  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem_v l2
+            |  WHERE l2.l_partkey = l.l_partkey)
+            |GROUP BY 1""".stripMargin)
+      }),
   )
 }
