@@ -508,6 +508,43 @@ object SnapshotTable {
     commit(spark, merged, tablePath, replace = true)
   }
 
+  /** The three-clause MERGE (Delta `WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT / WHEN NOT MATCHED BY SOURCE DELETE`): the source
+    * declares itself the complete truth for the rows satisfying `scope`,
+    * so target rows IN scope that the source no longer carries are
+    * DELETED, matched keys take the source row (anywhere), and new keys
+    * insert — one atomic commit.
+    *
+    * `scope` bounds the delete clause the way every production
+    * full-sync does (Delta's `notMatchedBySource.delete(condition)`):
+    * an UNSCOPED not-matched-by-source delete turns every incremental
+    * sync into a full-table truncate-load — any row the batch didn't
+    * mention would vanish. At 100 TB the `!scope` keep-filter and the
+    * key anti-join are one scan of the current snapshot; untouched
+    * rows are rewritten only at file granularity (the same
+    * copy-on-write cost upsertSnapshot pays).
+    */
+  def fullSync(spark: SparkSession, source: DataFrame, tablePath: String,
+               keyCols: Seq[String], orderCol: String,
+               scope: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val deduped = source.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val merged = versions(spark, tablePath).lastOption match {
+      case None => deduped
+      case Some(v) =>
+        // in-scope survivors must come from the source alone; out-of-
+        // scope rows survive unless the source updates their key
+        readMor(spark, tablePath, Some(v))
+          .filter(!scope)
+          .join(deduped.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(deduped)
+    }
+    commit(spark, merged, tablePath, replace = true)
+  }
+
   /** Drop manifests older than `keepFrom` and delete every data file no
     * surviving manifest references. Readers pinned at ≥ keepFrom are
     * unaffected; reads of expired versions fail loudly (the retention

@@ -1401,7 +1401,9 @@ object PipelineQueries {
              |  SELECT user_id, SUM(${Parity.oLq("value")}) AS tot_q,
              |    count(*) AS n_events
              |  FROM events GROUP BY 1)
-             |SELECT a.user_id, a.day, a.day_q, a.n, b.tot_q, b.n_events,
+             |SELECT a.user_id, a.day,
+             |  CAST(a.day_q AS BIGINT) AS day_q, a.n,
+             |  CAST(b.tot_q AS BIGINT) AS tot_q, b.n_events,
              |  CASE WHEN b.tot_q = 0 THEN CAST(0 AS BIGINT)
              |    ELSE CAST(floor(CAST(a.day_q AS DOUBLE) /
              |      CAST(b.tot_q AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT)
@@ -1525,6 +1527,67 @@ object PipelineQueries {
         require(!pstr.contains("events.parquet"),
           "pl28: the rewritten plan still scans the base table")
         q
+      }),
+
+    // PL29: the THREE-clause MERGE — WHEN MATCHED UPDATE / WHEN NOT
+    // MATCHED INSERT / WHEN NOT MATCHED BY SOURCE DELETE (Delta's
+    // `notMatchedBySource.delete(condition)`). pl13/pl19 cover the
+    // two-clause upsert; the delete clause is what a reconciliation
+    // sync needs: the source is the complete truth for its scope, so
+    // rows the feed DROPPED must leave the table. The delete is scoped
+    // (users 0 mod 5 from Jan-10 on) — the source owns that slice;
+    // everything outside survives untouched unless the source updates
+    // its key. Driven through SnapshotTable as ONE atomic commit, with
+    // time travel back to the pre-sync version asserted in-query.
+    //
+    // The revised feed: the owned slice with every 3rd event dropped
+    // (upstream deletions) and values shifted +1000 (updates; exact in
+    // IEEE for 2-decimal inputs).
+    QueryDef(
+      "pl29_full_sync",
+      Some("""WITH target AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-20'),
+             |src AS (
+             |  SELECT event_id, user_id, ts, value + 1000.0 AS value
+             |  FROM target
+             |  WHERE user_id % 5 = 0 AND ts >= TIMESTAMP '2024-01-10'
+             |    AND event_id % 3 <> 0),
+             |kept AS (
+             |  SELECT t.* FROM target t
+             |  WHERE NOT (t.user_id % 5 = 0
+             |      AND t.ts >= TIMESTAMP '2024-01-10')
+             |    AND NOT EXISTS (SELECT 1 FROM src s
+             |      WHERE s.event_id = t.event_id))
+             |SELECT event_id, user_id, ts, value FROM kept
+             |UNION ALL
+             |SELECT event_id, user_id, ts, value FROM src""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "pl29_sync", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val target = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value")
+          .filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+        val v0 = SnapshotTable.commit(s, target, t)
+        val scope = col("user_id") % 5 === 0 &&
+          col("ts") >= lit("2024-01-10").cast("timestamp")
+        val src = target.filter(scope && col("event_id") % 3 =!= 0)
+          .withColumn("value", col("value") + 1000.0)
+        SnapshotTable.fullSync(s, src, t,
+          Seq("event_id"), "ts", scope)
+        val out = SnapshotTable.read(s, t)
+        // the delete clause fired: the rows the feed dropped (event_id
+        // 0 mod 3 inside the scope) must be gone from the table
+        require(out.filter(scope && col("event_id") % 3 === 0).isEmpty,
+          "pl29: an in-scope row the source dropped survived the sync")
+        // atomicity: the pre-sync snapshot is intact via time travel
+        require(SnapshotTable.read(s, t, Some(v0)).count() ==
+          target.count(),
+          "pl29: time travel to the pre-sync version must see the seed")
+        out.select("event_id", "user_id", "ts", "value")
       }),
   )
 }
