@@ -1092,6 +1092,99 @@ object StreamingQueries {
           out.filter(col("nation_key") >= 100).count() > 0,
           "st11: sink does not contain both dimension eras")
         out.select("event_id", "user_id", "nation_key", "value")
-      })
+      }),
+
+    // ST12: stream-stream LEFT OUTER interval join — st2's attribution
+    // with the half the inner join cannot answer: impressions that got
+    // NO click. The null-row emission is the subtle semantics being
+    // proven: an unmatched impression may only emit once the CLICK-side
+    // watermark passes imp_ts + horizon (before that, a match could
+    // still arrive — emitting earlier would be wrong, never emitting is
+    // the common silent failure). Tail impressions would sit in state
+    // forever at stream end, so a final sentinel chunk (one far-future
+    // row per side, filtered from the result) advances the watermark
+    // past every real row's horizon — the st1 finalize pattern applied
+    // to join state eviction. Result is batching-invariant, so the
+    // oracle is the declarative batch LEFT JOIN.
+    //
+    // Scale shape: identical state bound to st2 (horizon-bounded, both
+    // sides keyed on user_id); the outer emission is the state-eviction
+    // path, so it adds no memory.
+    QueryDef(
+      "st12_stream_left_join",
+      Some("""SELECT v.user_id, v.ts AS imp_ts, v.value AS imp_value,
+             |  c.ts AS click_ts,
+             |  v.event_id AS imp_id, c.event_id AS click_id
+             |FROM events v LEFT JOIN events c ON v.user_id = c.user_id
+             |  AND c.event_type = 'click'
+             |  AND c.ts >= v.ts
+             |  AND c.ts <= v.ts + INTERVAL 1 HOUR
+             |WHERE v.event_type = 'view'""".stripMargin),
+      (s, d) => {
+        val base = Sinks.dir(s, "stream_ssjl", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value", "event_type")
+          .filter(col("event_type").isin("view", "click"))
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val tMax = bounds.getTimestamp(1).getTime
+        val span = tMax - t0 + 1
+        val cuts = (0 to 2).map(k => t0 + span * k / 2)
+        val mt0 = 1700000000000L
+        for (k <- 0 until 2) {
+          val chunk = ev.filter(
+            col("ts") >= timestamp_millis(lit(cuts(k))) &&
+              col("ts") < timestamp_millis(lit(cuts(k + 1))))
+          writeOneFile(s, chunk, s"$srcDir/chunk_$k.parquet",
+            mt0 + k * 60000L)
+        }
+        // sentinel chunk: one view + one click at tMax + 3 h pushes BOTH
+        // side watermarks past every real imp_ts + 1 h horizon, so every
+        // real unmatched impression's null row is forced out of state
+        import s.implicits._
+        val sentinel = Seq(
+          (-1L, -999L, new java.sql.Timestamp(tMax + 3 * 3600 * 1000L),
+            0.0, "view"),
+          (-2L, -999L, new java.sql.Timestamp(tMax + 3 * 3600 * 1000L),
+            0.0, "click"))
+          .toDF("event_id", "user_id", "ts", "value", "event_type")
+        writeOneFile(s, sentinel, s"$srcDir/chunk_2.parquet",
+          mt0 + 120000L)
+        withStreamPartitions(s, 8) {
+          def side(tpe: String): DataFrame = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            .filter(col("event_type") === tpe)
+            .select("event_id", "user_id", "ts", "value")
+          val joined = graft.streaming.StreamingOps.streamingIntervalJoin(
+            side("view"), side("click"), horizon = "1 hour",
+            joinType = "left_outer")
+          // null click_id breaks a MERGE key, so key on imp_id alone:
+          // each impression emits exactly one FINAL disposition row per
+          // (imp, click) pair — imp_id+click_id for matches, imp_id+null
+          // once for no-click — and coalesce(click_id, -1) restores key
+          // totality
+          val keyed = joined.withColumn("merge_click",
+            coalesce(col("click_id"), lit(-1L)))
+          val q = graft.streaming.StreamingOps.mergeSink(
+            keyed, sinkPath = s"$base/sink",
+            keyCols = Seq("imp_id", "merge_click"), orderCol = "imp_id",
+            checkpoint = s"$base/ckpt",
+            trigger = Some(Trigger.AvailableNow()))
+          q.awaitTermination()
+        }
+        val out = s.read.parquet(s"$base/sink")
+          .filter(col("user_id") >= 0) // drop the sentinel's own rows
+        // non-vacuity: the outer half actually emitted — unmatched
+        // impressions exist at every fixture SF, and each must appear
+        // with a null click
+        require(out.filter(col("click_id").isNull).count() > 0,
+          "st12: no null-click rows — outer emission never fired")
+        out.select("user_id", "imp_ts", "imp_value", "click_ts",
+          "imp_id", "click_id")
+      }),
   )
 }

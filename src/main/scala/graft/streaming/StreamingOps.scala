@@ -203,7 +203,8 @@ object StreamingOps {
     * Append mode: a result row is emitted exactly once, when both sides
     * have arrived. */
   def streamingIntervalJoin(impressions: DataFrame, clicks: DataFrame,
-                            horizon: String = "1 hour"): DataFrame = {
+                            horizon: String = "1 hour",
+                            joinType: String = "inner"): DataFrame = {
     // event ids ride along when the source carries them (they make each
     // result row unique — the natural MERGE key for an idempotent sink);
     // id-less sources get the bare attribution columns.
@@ -218,10 +219,17 @@ object StreamingOps {
       .select(Seq(col("user_id").as("c_user"), col("ts").as("click_ts")) ++
         (if (clkId) Seq(col("event_id").as("click_id")) else Nil): _*)
       .withWatermark("click_ts", horizon)
+    // joinType "left_outer": unmatched impressions emit ONCE with null
+    // click columns — but only when the watermark proves no qualifying
+    // click can still arrive (imp_ts + horizon behind the click-side
+    // watermark). State cost is identical to inner; the emission is
+    // the state EVICTION path, which is why the caller must advance
+    // the final watermark (sentinel row) for tail rows to ever emit.
     imp.join(clk,
       col("i_user") === col("c_user") &&
         col("click_ts") >= col("imp_ts") &&
-        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $horizon"))
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(Seq(col("i_user").as("user_id"), col("imp_ts"),
         col("imp_value"), col("click_ts")) ++
         (if (impId) Seq(col("imp_id")) else Nil) ++
