@@ -676,6 +676,25 @@ object Plans {
       val p = planOf("pl28_mv_rewrite")
       p.contains("mv_counts") && !p.contains("events.parquet")
     }
+    // o8: the custom whole-operator top-k — partial heap BELOW the one
+    // group-key exchange, final heap above, zero Window/Sort machinery
+    // (the stock plan would Sort every partition end to end)
+    check("o8: partial+final GroupTopK around one exchange, no sort") {
+      val p = planOf("o8_group_topk")
+      "GroupTopK \\[".r.findAllIn(p).length == 2 &&
+        "Exchange hashpartitioning".r.findAllIn(p).length == 1 &&
+        !p.contains("Window") && !"\\bSort \\[".r.findAllIn(p).hasNext
+    }
+    // sql3: the correlated scalar subquery must DECORRELATE — one
+    // per-part aggregate equi-joined back to the fact (two lineitem
+    // scans total), never a per-row subquery re-scan
+    check("sql3: subquery decorrelated to aggregate + equi-join") {
+      val p = planOf("sql3_decorrelated_subquery")
+      !p.contains("Subquery") &&
+        (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+          p.contains("ShuffledHashJoin")) &&
+        "Scan parquet".r.findAllIn(p).length == 2
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
