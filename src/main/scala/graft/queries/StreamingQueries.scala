@@ -240,7 +240,12 @@ object StreamingQueries {
           writeOneFile(s, chunk, s"$srcDir/chunk_$k.parquet",
             mt0 + k * 60000L)
         }
-        withStreamPartitions(s, 8) {
+        // 4 partitions, not the stream default 8: a stream-stream join
+        // keeps FOUR state stores per partition (two per side) and every
+        // micro-batch commits all of them; at fixture volume that fixed
+        // store machinery is the whole cost, so the join rows size state
+        // partitioning down further
+        withStreamPartitions(s, 4) {
           def side(tpe: String): DataFrame = s.readStream
             .schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -1133,16 +1138,13 @@ object StreamingQueries {
         val span = tMax - t0 + 1
         val cuts = (0 to 2).map(k => t0 + span * k / 2)
         val mt0 = 1700000000000L
-        for (k <- 0 until 2) {
-          val chunk = ev.filter(
-            col("ts") >= timestamp_millis(lit(cuts(k))) &&
-              col("ts") < timestamp_millis(lit(cuts(k + 1))))
-          writeOneFile(s, chunk, s"$srcDir/chunk_$k.parquet",
-            mt0 + k * 60000L)
-        }
-        // sentinel chunk: one view + one click at tMax + 3 h pushes BOTH
+        // sentinel rows: one view + one click at tMax + 3 h push BOTH
         // side watermarks past every real imp_ts + 1 h horizon, so every
-        // real unmatched impression's null row is forced out of state
+        // real unmatched impression's null row is forced out of state.
+        // They ride INSIDE the last data chunk (watermarks take effect
+        // at end-of-batch, so the eviction still lands in the following
+        // no-data micro-batch) — a separate sentinel chunk would buy a
+        // whole extra MERGE cycle for nothing.
         import s.implicits._
         val sentinel = Seq(
           (-1L, -999L, new java.sql.Timestamp(tMax + 3 * 3600 * 1000L),
@@ -1150,9 +1152,20 @@ object StreamingQueries {
           (-2L, -999L, new java.sql.Timestamp(tMax + 3 * 3600 * 1000L),
             0.0, "click"))
           .toDF("event_id", "user_id", "ts", "value", "event_type")
-        writeOneFile(s, sentinel, s"$srcDir/chunk_2.parquet",
-          mt0 + 120000L)
-        withStreamPartitions(s, 8) {
+        for (k <- 0 until 2) {
+          val chunk0 = ev.filter(
+            col("ts") >= timestamp_millis(lit(cuts(k))) &&
+              col("ts") < timestamp_millis(lit(cuts(k + 1))))
+          val chunk = if (k == 1) chunk0.unionByName(sentinel) else chunk0
+          writeOneFile(s, chunk, s"$srcDir/chunk_$k.parquet",
+            mt0 + k * 60000L)
+        }
+        // 4 partitions, not the stream default 8: a stream-stream join
+        // keeps FOUR state stores per partition (two per side) and every
+        // micro-batch commits all of them; at fixture volume that fixed
+        // store machinery is the whole cost, so the join rows size state
+        // partitioning down further
+        withStreamPartitions(s, 4) {
           def side(tpe: String): DataFrame = s.readStream
             .schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
