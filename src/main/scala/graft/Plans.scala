@@ -695,6 +695,13 @@ object Plans {
           p.contains("ShuffledHashJoin")) &&
         "Scan parquet".r.findAllIn(p).length == 2
     }
+    // a50: the native sketch aggregate runs as partial+final
+    // ObjectHashAggregate — the shuffle carries 256-byte register
+    // buffers per (group, map task), never per-row (bucket, rho) cells
+    check("a50: partial+final ObjectHashAggregate on the sketch") {
+      "ObjectHashAggregate".r
+        .findAllIn(planOf("a50_hll_native")).length >= 2
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

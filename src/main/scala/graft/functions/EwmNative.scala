@@ -89,6 +89,11 @@ class GraftExtensions
       new ExpressionInfo(classOf[EwmNr].getName, "ewm_nr"),
       { case Seq(c, a) => EwmNr(c, a) }: PartialFunction[Seq[Expression], Expression]))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
+    // native HLL register aggregate (TypedImperativeAggregate tier)
+    ext.injectFunction((
+      FunctionIdentifier("hll_sketch_agg"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch_agg"),
+      { case Seq(c) => HllSketchAgg(c) }: PartialFunction[Seq[Expression], Expression]))
     // the MV query-rewrite rule (graft.plans.MvRewrite) — inert until a
     // view is registered AND an aggregate opts in by its reserved alias
     ext.injectOptimizerRule(s => new graft.plans.MvCountRewrite(s))

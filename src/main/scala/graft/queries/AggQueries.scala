@@ -52,6 +52,50 @@ object AggQueries {
       s" THEN round(256.0 * ln(256.0 / CAST($v0 AS DOUBLE)), 9)" +
       s" ELSE round($eRaw, 9) END"
   }
+  /** The full a33 HLL-distinct oracle — shared verbatim by the
+    * declarative register pipeline (`a33_hll_distinct`) and the native
+    * TypedImperativeAggregate path (`a50_hll_native`): two Spark plans,
+    * one truth (the pl14/pl16 doctrine). */
+  private def hllDistinctOracle: String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8)
+       |         AS BIGINT) AS h
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type, h % 256 AS bucket, h >> 8 AS v FROM h),
+       |r AS (
+       |  SELECT event_type, bucket, ${oHllRho("v")} AS rho FROM b),
+       |regs AS (
+       |  SELECT event_type, bucket, max(rho) AS mj
+       |  FROM r GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT et.event_type, g.bucket
+       |  FROM (SELECT DISTINCT event_type FROM events) et,
+       |       range(0, 256) g(bucket)),
+       |fr AS (
+       |  SELECT grid.event_type, coalesce(regs.mj, 0) AS mj
+       |  FROM grid LEFT JOIN regs
+       |    ON grid.event_type = regs.event_type
+       |   AND grid.bucket = regs.bucket),
+       |sk AS (
+       |  SELECT event_type,
+       |    CAST(sum(CAST(1 AS BIGINT) << (25 - mj)) AS BIGINT) AS s,
+       |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v0
+       |  FROM fr GROUP BY 1),
+       |est AS (
+       |  SELECT event_type,
+       |    ${oHll256Estimate("s", "v0")} AS hll_estimate
+       |  FROM sk),
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |  FROM events GROUP BY 1)
+       |SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       |  est.hll_estimate,
+       |  round((est.hll_estimate - CAST(ex.n_exact AS DOUBLE)) /
+       |        CAST(ex.n_exact AS DOUBLE), 9) AS rel_err
+       |FROM ex JOIN est ON ex.event_type = est.event_type""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -1160,47 +1204,7 @@ object AggQueries {
     // sim8's recall audit) — production drops it and keeps the sketch.
     QueryDef(
       "a33_hll_distinct",
-      Some {
-        s"""WITH h AS (
-           |  SELECT event_type,
-           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8)
-           |         AS BIGINT) AS h
-           |  FROM events),
-           |b AS (
-           |  SELECT event_type, h % 256 AS bucket, h >> 8 AS v FROM h),
-           |r AS (
-           |  SELECT event_type, bucket, ${oHllRho("v")} AS rho FROM b),
-           |regs AS (
-           |  SELECT event_type, bucket, max(rho) AS mj
-           |  FROM r GROUP BY 1, 2),
-           |grid AS (
-           |  SELECT et.event_type, g.bucket
-           |  FROM (SELECT DISTINCT event_type FROM events) et,
-           |       range(0, 256) g(bucket)),
-           |fr AS (
-           |  SELECT grid.event_type, coalesce(regs.mj, 0) AS mj
-           |  FROM grid LEFT JOIN regs
-           |    ON grid.event_type = regs.event_type
-           |   AND grid.bucket = regs.bucket),
-           |sk AS (
-           |  SELECT event_type,
-           |    CAST(sum(CAST(1 AS BIGINT) << (25 - mj)) AS BIGINT) AS s,
-           |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS v0
-           |  FROM fr GROUP BY 1),
-           |est AS (
-           |  SELECT event_type,
-           |    ${oHll256Estimate("s", "v0")} AS hll_estimate
-           |  FROM sk),
-           |ex AS (
-           |  SELECT event_type, count(DISTINCT user_id) AS n_exact
-           |  FROM events GROUP BY 1)
-           |SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
-           |  est.hll_estimate,
-           |  round((est.hll_estimate - CAST(ex.n_exact AS DOUBLE)) /
-           |        CAST(ex.n_exact AS DOUBLE), 9) AS rel_err
-           |FROM ex JOIN est ON ex.event_type = est.event_type""".stripMargin
-      },
+      Some(hllDistinctOracle),
       (s, d) => {
         import graft.operators.TextOps.hash32
         val ev = Tables.events(s, d)
@@ -2548,6 +2552,42 @@ object AggQueries {
           .select(col("event_type"),
             (col("qv").cast("double") / 100.0).as("wmedian"),
             (col("totw").cast("double") / 100.0).as("total_value"))
+      }),
+
+    // A50: the a33 distinct-count sketch through the NATIVE aggregate
+    // (functions/HllSketchAgg — TypedImperativeAggregate): one
+    // `hll_sketch_agg(h)` hash-agg produces the whole 256-register
+    // array per group, so the exchange carries |groups|×256 BYTES per
+    // map task instead of a33's one (group, bucket, rho) row per input
+    // row — the partial state IS the sketch, which is what makes a
+    // sketch worth having at 100 TB. Estimate math is the shared
+    // expression tree, registers explode into the identical (bucket,
+    // mj) grid, and the oracle is a33's, verbatim: three plans (a33
+    // declarative, a50 native, DuckDB replay), one truth. Bit-identity
+    // of the registers themselves is pinned by HllAggSpec.
+    QueryDef(
+      "a50_hll_native",
+      Some(hllDistinctOracle),
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val ev = Tables.events(s, d)
+        val regs = ev.select(col("event_type"),
+            hash32(col("user_id").cast("string")).as("h"))
+          .groupBy("event_type")
+          .agg(expr("hll_sketch_agg(h)").as("regs"))
+        val sk = regs.select(col("event_type"),
+            posexplode(col("regs")).as(Seq("bucket", "mj")))
+          .groupBy("event_type")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - mj)")).as("s"),
+               sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v0"))
+        val est = sk.select(col("event_type"),
+          hll256Estimate(col("s"), col("v0")).as("hll_estimate"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_exact"))
+        exact.join(broadcast(est), "event_type")
+          .select(col("event_type"), col("n_exact"), col("hll_estimate"),
+            round((col("hll_estimate") - col("n_exact").cast("double")) /
+                  col("n_exact").cast("double"), 9).as("rel_err"))
       }),
   )
 }
