@@ -561,11 +561,19 @@ object SnapshotTable {
       s"(keepFrom=$keepFrom, versions=${all.mkString(",")})")
     val keepFiles = kept.flatMap(readManifest(spark, tablePath, _)).toSet
     val f = fs(spark, new Path(tablePath))
+    // ownership guard: a manifest entry may reference a file OUTSIDE
+    // this table (a shallow clone borrows the source's files by
+    // absolute path) — vacuum only ever reclaims files under its own
+    // root; borrowed files belong to their owner's retention
+    val root = f.makeQualified(new Path(tablePath)).toString
+    def owned(p: Path): Boolean =
+      f.makeQualified(p).toString.startsWith(root + "/")
     var deleted = 0
     expired.foreach { v =>
       readManifest(spark, tablePath, v).foreach { rel =>
-        if (!keepFiles.contains(rel) &&
-            f.delete(new Path(tablePath, rel), false)) deleted += 1
+        val p = new Path(tablePath, rel)
+        if (!keepFiles.contains(rel) && owned(p) &&
+            f.delete(p, false)) deleted += 1
       }
       f.delete(manifestPath(tablePath, v), false)
       f.delete(schemaPath(tablePath, v), false)
@@ -936,5 +944,85 @@ object SnapshotTable {
           }
       }
       .reduce(_ unionByName _)
+  }
+
+  /** The `table$history` metadata table (Iceberg/Delta introspection
+    * surface): one row per committed version — version, data-file
+    * count, whether merge-on-read deletes apply, and the min/max of
+    * `statsCol` aggregated over the version's FILE STATS. Built purely
+    * from manifests and sidecars: no data file is ever opened, which is
+    * the entire point at 100 TB (a table's operational audit — growth,
+    * delete debt, value domain — costs manifest bytes). Note the
+    * deliberately honest semantics the file stats carry: they are upper
+    * bounds over the PHYSICAL rows, so a MOR delete never tightens
+    * them — has_deletes tells the reader the live domain may be
+    * narrower. */
+  def history(spark: SparkSession, tablePath: String,
+              statsCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField,
+      StructType}
+    val dvs = deleteVectors(spark, tablePath)
+    val rows = versions(spark, tablePath).map { v =>
+      val es = entries(spark, tablePath, Some(v))
+      val rels = es.map(_.path).toSet
+      val hasDel = dvs.exists(dv =>
+        dv.version <= v && dv.appliesTo.exists(rels.contains))
+      val bounds = es.flatMap(_.stats.get(statsCol))
+      def side(f: Seq[BigDecimal] => BigDecimal, sel: ((BigDecimal,
+          BigDecimal)) => BigDecimal): Any =
+        if (bounds.isEmpty) null
+        else java.lang.Long.valueOf(f(bounds.map(sel)).toLong)
+      Row(v.toLong, es.size.toLong, hasDel,
+        side(_.min, _._1), side(_.max, _._2))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("has_deletes", BooleanType, nullable = false),
+        StructField(s"${statsCol}_min", LongType, nullable = true),
+        StructField(s"${statsCol}_max", LongType, nullable = true))))
+  }
+
+  /** SHALLOW CLONE (Delta `CLONE`, Iceberg snapshot-ref tables): a new
+    * table whose v1 manifest references the SOURCE's data files by
+    * absolute path — zero data copied, metadata-only cost — after which
+    * the clone commits, deletes, and compacts independently (its new
+    * data lands under its own path; the shared files are immutable by
+    * the format's own contract). The clone's vacuum can never delete
+    * source files (it only reclaims files under the clone's path), but
+    * the SOURCE's vacuum does not know about clones — the documented
+    * Delta shallow-clone caveat, so clone from versions the source's
+    * retention keeps.
+    *
+    * Requires a head free of outstanding delete vectors (run
+    * [[compactSnapshot]] first to fold them) — a DV sidecar is keyed to
+    * one version's file set and cannot be renumbered into the clone's
+    * history safely. */
+  def cloneSnapshot(spark: SparkSession, srcPath: String,
+                    dstPath: String): Int = {
+    val head = versions(spark, srcPath).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshots at $srcPath"))
+    val es = entries(spark, srcPath, Some(head))
+    val rels = es.map(_.path).toSet
+    require(!deleteVectors(spark, srcPath).exists(dv =>
+        dv.version <= head && dv.appliesTo.exists(rels.contains)),
+      s"cloneSnapshot: $srcPath head carries merge-on-read deletes — " +
+        "compactSnapshot first")
+    val abs = es.map(e =>
+      e.copy(path = new Path(srcPath, e.path).toString))
+    val f = fs(spark, new Path(dstPath))
+    f.mkdirs(manifestDir(dstPath))
+    tableSchema(spark, srcPath, Some(head)).foreach { sch =>
+      val so = f.create(schemaPath(dstPath, 1), true)
+      try so.write(sch.json.getBytes("UTF-8")) finally so.close()
+    }
+    val out = f.create(manifestPath(dstPath, 1), false)
+    try out.write(abs.map(renderEntry).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    1
   }
 }

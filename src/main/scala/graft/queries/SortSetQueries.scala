@@ -748,5 +748,109 @@ object SortSetQueries {
             s"got:\n$phys")
         out
       }),
+
+    // U14: the `table$history` METADATA table — operational
+    // introspection (growth, delete debt, value domain per version)
+    // answered purely from manifests: no data file opens, which is what
+    // makes "how big is each snapshot / what changed" a metadata-cost
+    // question at 100 TB. The contract the literals in the oracle pin:
+    // an append ADDS files without rewriting (4 → 5), a merge-on-read
+    // delete changes NO files (5 stays 5, has_deletes flips), and file
+    // stats are PHYSICAL upper bounds — the v3 min/max still spans the
+    // deleted users, deletes never tighten stats.
+    QueryDef(
+      "u14_table_history",
+      Some("""WITH v1 AS (
+             |  SELECT user_id FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-10'),
+             |v2 AS (
+             |  SELECT user_id FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-20')
+             |SELECT CAST(1 AS BIGINT) AS version,
+             |  CAST(4 AS BIGINT) AS n_files, false AS has_deletes,
+             |  (SELECT min(user_id) FROM v1) AS user_id_min,
+             |  (SELECT max(user_id) FROM v1) AS user_id_max
+             |UNION ALL
+             |SELECT 2, 5, false,
+             |  (SELECT min(user_id) FROM v2),
+             |  (SELECT max(user_id) FROM v2)
+             |UNION ALL
+             |SELECT 3, 5, true,
+             |  (SELECT min(user_id) FROM v2),
+             |  (SELECT max(user_id) FROM v2)""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "u14_hist", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+        val c1 = lit("2024-01-10").cast("timestamp")
+        val c2 = lit("2024-01-20").cast("timestamp")
+        // pinned write partitioning — n_files is part of the contract
+        SnapshotTable.commit(s,
+          ev.filter(col("ts") < c1).repartition(4, col("user_id")), t,
+          statsCols = Seq("user_id"))
+        SnapshotTable.commit(s,
+          ev.filter(col("ts") >= c1 && col("ts") < c2).coalesce(1), t,
+          replace = false, statsCols = Seq("user_id"))
+        SnapshotTable.deleteWhere(s, t, "user_id",
+          col("user_id") % 7 === 0)
+        SnapshotTable.history(s, t, "user_id")
+      }),
+
+    // U15: SHALLOW CLONE — a new table whose v1 manifest references the
+    // source's data files by absolute path (zero bytes copied; the
+    // files are immutable by the format's own contract), after which
+    // the clone evolves independently: the upsert here commits new
+    // files under the CLONE's path while the source head stays
+    // bit-identical (asserted in-query by version count and row count).
+    // Dev/test table forks and blue/green reprocessing at 100 TB cost
+    // manifest bytes, not a copy. The oracle replays clone-head ∪
+    // source-wins upsert declaratively.
+    QueryDef(
+      "u15_shallow_clone",
+      Some("""WITH src AS (
+             |  SELECT event_id, user_id, value FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-20'),
+             |rev AS (
+             |  SELECT event_id, user_id, value + 5000.0 AS value
+             |  FROM src WHERE user_id % 3 = 0)
+             |SELECT s.event_id, s.user_id, s.value FROM src s
+             |WHERE NOT EXISTS (SELECT 1 FROM rev r
+             |  WHERE r.event_id = s.event_id)
+             |UNION ALL
+             |SELECT event_id, user_id, value FROM rev""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        def fresh(name: String): String = {
+          val t = Sinks.dir(s, name, d)
+          val p = new org.apache.hadoop.fs.Path(t)
+          val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fsys.exists(p)) fsys.delete(p, true)
+          t
+        }
+        val src = fresh("u15_src")
+        val dst = fresh("u15_clone")
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value",
+            "ts").filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+          .drop("ts")
+        SnapshotTable.commit(s, ev, src, statsCols = Seq("user_id"))
+        SnapshotTable.cloneSnapshot(s, src, dst)
+        // clone v1 ≡ source head, for free
+        require(SnapshotTable.read(s, dst).count() == ev.count(),
+          "u15: clone v1 must equal the source head")
+        // the clone diverges; the source must not move
+        val rev = ev.filter(col("user_id") % 3 === 0)
+          .withColumn("value", col("value") + 5000.0)
+        SnapshotTable.upsertSnapshot(s, rev, dst,
+          Seq("event_id"), "event_id")
+        require(SnapshotTable.versions(s, src) == Seq(1),
+          "u15: the source gained a version from the clone's commit")
+        require(SnapshotTable.read(s, src).count() == ev.count(),
+          "u15: source row count changed after the clone diverged")
+        SnapshotTable.read(s, dst)
+          .select("event_id", "user_id", "value")
+      }),
   )
 }
