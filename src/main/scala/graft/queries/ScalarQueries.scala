@@ -257,5 +257,47 @@ object ScalarQueries {
           when(col("event_type") === "error", 1L).otherwise(0L)
             .as("is_error"))
       }),
+
+    // F19: UNPIVOT / melt — the wide→long reshape (`pd.melt`, the
+    // inverse of a15's pivot; every pandas notebook reshapes bars this
+    // way before plotting/joining per-field). Spark's native
+    // `Dataset.unpivot` plans as one Expand over the scan — a single
+    // pass emitting |fields| rows per input row, map-side only, no
+    // shuffle beyond the upstream rollup. Oracle uses the portable
+    // UNION ALL form (one branch per field — semantically identical;
+    // DuckDB's UNPIVOT reorders columns).
+    QueryDef(
+      "f19_unpivot",
+      Some("""WITH bars AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    arg_min(value, ts) AS open, max(value) AS high,
+             |    min(value) AS low, arg_max(value, ts) AS close
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, day, 'open' AS field, open AS v FROM bars
+             |UNION ALL
+             |SELECT user_id, day, 'high', high FROM bars
+             |UNION ALL
+             |SELECT user_id, day, 'low', low FROM bars
+             |UNION ALL
+             |SELECT user_id, day, 'close', close FROM bars""".stripMargin),
+      (s, d) => {
+        val bars = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min_by(col("value"), col("ts")).as("open"),
+               max(col("value")).as("high"),
+               min(col("value")).as("low"),
+               max_by(col("value"), col("ts")).as("close"))
+        val out = bars.unpivot(
+          ids = Array(col("user_id"), col("day")),
+          values = Array(col("open"), col("high"), col("low"),
+            col("close")),
+          variableColumnName = "field", valueColumnName = "v")
+        // the reshape must stay a map-side Expand — a shuffle here would
+        // mean the melt re-keyed the data
+        val phys = out.queryExecution.executedPlan.toString
+        require(phys.contains("Expand"),
+          s"f19: expected Expand for unpivot, got:\n$phys")
+        out
+      }),
   )
 }

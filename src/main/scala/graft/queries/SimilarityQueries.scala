@@ -1499,5 +1499,72 @@ object SimilarityQueries {
             (count(col("a_cand")).cast("double") /
               count(lit(1)).cast("double")).as("recall"))
       }),
+
+    // SIM17: SEMANTIC decontamination — the embedding-space complement
+    // of dd8's n-gram scrub (operators/SemanticDecon): a paraphrased
+    // eval question shares no n-grams but its embedding survives, so
+    // the leak audit is max-cosine-vs-benchmark per corpus vector.
+    // Benchmark = the 1/29 vec_id subset (dd8's convention); its
+    // buckets AND vectors ride broadcasts, candidates come only from
+    // staged sign-LSH collisions, never all-pairs. Detection semantics
+    // on a planted leak are spec-pinned (SemanticDeconSpec); this row
+    // hash-verifies the full pipeline (bucket collision set, exact
+    // cosines, null-candidate keeps) against the raw-embedding replay.
+    QueryDef(
+      "sim17_semantic_decon",
+      Some {
+        val ps = graft.operators.SignLsh.planes(LshTables, LshBits, Dim)
+        val tableSelects = (0 until LshTables).map { t =>
+          s"SELECT vec_id, $t AS t, CAST(${graft.operators.SignLsh.oracleBucket("qv", ps(t))} AS BIGINT) AS bucket FROM qv"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH qv AS (
+           |  SELECT vec_id, $oQuant AS qv FROM embeddings),
+           |bk AS (
+           |  $tableSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS cid, b.vec_id AS bid
+           |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+           |  WHERE a.vec_id % 29 <> 0 AND b.vec_id % 29 = 0),
+           |cs AS (
+           |  SELECT cd.cid,
+           |    CAST($oDot AS DOUBLE) /
+           |      (sqrt(CAST(${oNorm("q")} AS DOUBLE)) *
+           |       sqrt(CAST(${oNorm("c")} AS DOUBLE))) AS cosine
+           |  FROM cand cd
+           |  JOIN qv q ON cd.cid = q.vec_id
+           |  JOIN qv c ON cd.bid = c.vec_id),
+           |agg AS (
+           |  SELECT cid, max(cosine) AS max_cos,
+           |    CAST(count(*) AS BIGINT) AS n_cand
+           |  FROM cs GROUP BY 1)
+           |SELECT e.vec_id, a.max_cos,
+           |  coalesce(a.n_cand, CAST(0 AS BIGINT)) AS n_cand,
+           |  (a.max_cos IS NULL OR a.max_cos < $SemTau) AS keep
+           |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 29 <> 0) e
+           |LEFT JOIN agg a ON e.vec_id = a.cid""".stripMargin
+      },
+      (s, d) => {
+        val st = EmbedStage(s, d)
+        val isBench = col("vec_id") % 29 === 0
+        def side(bench: Boolean) = {
+          val f = if (bench) isBench else !isBench
+          (graft.operators.SignLsh.capBuckets(
+             st.buckets.filter(f).select(col("vec_id").as("id"),
+               col("table_id"), col("bucket_pair").as("bucket")),
+             MaxLshBucket,
+             if (bench) None else Some("sim17_dropped_bucket_rows")),
+           st.vectors.filter(f).select(col("vec_id").as("id"),
+             col("qv"), col("nsq")))
+        }
+        val (cb, cv) = side(bench = false)
+        val (bb, bv) = side(bench = true)
+        val out = graft.operators.SemanticDecon.audit(
+          cb, bb, cv, bv, SemTau)
+        // non-vacuity: bucket collisions must exist at every SF — a
+        // zero-candidate audit proves nothing about the pipeline
+        require(out.filter(col("n_cand") > 0).limit(1).count() > 0,
+          "sim17: no corpus-vs-benchmark bucket collisions — vacuous")
+        out
+      }),
   )
 }
