@@ -702,6 +702,13 @@ object Plans {
       "ObjectHashAggregate".r
         .findAllIn(planOf("a50_hll_native")).length >= 2
     }
+    // sim17: the benchmark side rides broadcasts against the bucketed
+    // corpus — no cartesian, no corpus-side shuffle join anywhere
+    check("sim17: benchmark broadcast, no cartesian") {
+      val p = planOf("sim17_semantic_decon")
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

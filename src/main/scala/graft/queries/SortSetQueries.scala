@@ -852,5 +852,47 @@ object SortSetQueries {
         SnapshotTable.read(s, dst)
           .select("event_id", "user_id", "value")
       }),
+
+    // U16: COMPACTION as a commit (OPTIMIZE / rewrite_data_files) —
+    // the maintenance op every streaming-ingested table needs: many
+    // small files (20 single-file appends here) rewritten into few,
+    // as a NEW VERSION, so there is no swap window at all — a reader
+    // pinned at the pre-compaction version keeps its manifest (asserted
+    // in-query), and the data hash is bit-identical before/after (the
+    // oracle compares against the declarative row set, which compaction
+    // must not change). File-count collapse is asserted in-query rather
+    // than oracled — the PHYSICAL claim; the LOGICAL claim is the hash.
+    QueryDef(
+      "u16_compaction",
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE ts < TIMESTAMP '2024-01-15'""".stripMargin),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val t = Sinks.dir(s, "u16_compact", d)
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "value", "ts")
+          .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+        // simulate streaming ingest: 20 tiny single-file appends
+        for (k <- 0 until 20)
+          SnapshotTable.commit(s,
+            ev.filter(col("event_id") % 20 === k).coalesce(1), t,
+            replace = false)
+        val pre = SnapshotTable.versions(s, t).last
+        val nSmall = SnapshotTable.entries(s, t, Some(pre)).size
+        SnapshotTable.compactSnapshot(s, t)
+        val post = SnapshotTable.versions(s, t).last
+        val nBig = SnapshotTable.entries(s, t, Some(post)).size
+        require(nSmall == 20 && nBig < nSmall,
+          s"u16: compaction did not collapse files ($nSmall -> $nBig)")
+        // pinned reader isolation: the pre-compaction version still
+        // reads its own file set
+        require(SnapshotTable.entries(s, t, Some(pre)).size == 20,
+          "u16: the pre-compaction manifest changed")
+        SnapshotTable.read(s, t, Some(post))
+          .select("event_id", "user_id", "value")
+      }),
   )
 }
