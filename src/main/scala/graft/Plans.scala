@@ -702,12 +702,14 @@ object Plans {
       "ObjectHashAggregate".r
         .findAllIn(planOf("a50_hll_native")).length >= 2
     }
-    // sim17: the benchmark side rides broadcasts against the bucketed
-    // corpus — no cartesian, no corpus-side shuffle join anywhere
-    check("sim17: benchmark broadcast, no cartesian") {
+    // sim17: the benchmark side rides broadcasts (bucket collision,
+    // candidate scoring) — no cartesian; the ONE shuffle join allowed
+    // is the final corpus-universe LEFT join, whose both sides are
+    // corpus-sized and co-keyed (the correct plan at any scale)
+    check("sim17: benchmark broadcast, one corpus-keyed outer join") {
       val p = planOf("sim17_semantic_decon")
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
-        !p.contains("SortMergeJoin")
+        "SortMergeJoin".r.findAllIn(p).length <= 1
     }
     spark.stop()
     if (failed > 0) sys.exit(1)
