@@ -159,6 +159,8 @@ case class GroupTopKExec(
     val g = groupExprs
     val o = order
     val kk = k
+    val isPartial = partial
+    val cap = GroupTopKExec.MaxPartialGroups
     val attrs = child.output
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, attrs)
@@ -167,25 +169,69 @@ case class GroupTopKExec(
       val worstFirst = ord.reverse
       val heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var q = heaps.get(key)
-        if (q == null) {
-          q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
-          heaps.put(key.copy(), q)
+      // Memory bound: heap rows are capped at `cap` groups × k; on the
+      // PARTIAL side, rows of groups past the cap STREAM THROUGH
+      // unpruned instead of being buffered — the map-side heap is an
+      // optimization, never a correctness requirement (the final,
+      // group-clustered instance sees every survivor and is exact).
+      // Where a hash aggregate must spill, a pruning operator can
+      // simply stop pruning: the cost is shuffle volume, not memory or
+      // correctness. The final side never overflows: `cap` bounds
+      // groups per partition, and post-shuffle partitions are sized by
+      // the group count.
+      new Iterator[InternalRow] {
+        private var heapIter: Iterator[InternalRow] = _
+        private var pending: InternalRow = _
+
+        private def fill(): Unit = {
+          while (pending == null && heapIter == null) {
+            if (iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              var q = heaps.get(key)
+              if (q == null && !(isPartial && heaps.size >= cap)) {
+                q = new java.util.PriorityQueue[InternalRow](kk + 1,
+                  worstFirst)
+                heaps.put(key.copy(), q)
+              }
+              if (q == null) {
+                // overflow group: emit now (no copy needed — the row is
+                // consumed downstream before the next input row is read)
+                pending = row
+              } else if (q.size < kk) {
+                q.add(row.copy())
+              } else if (ord.compare(row, q.peek()) < 0) {
+                q.poll()
+                q.add(row.copy())
+              }
+            } else {
+              import scala.jdk.CollectionConverters._
+              heapIter = heaps.values().iterator().asScala
+                .flatMap(_.iterator().asScala)
+            }
+          }
         }
-        if (q.size < kk) q.add(row.copy())
-        else if (ord.compare(row, q.peek()) < 0) {
-          q.poll()
-          q.add(row.copy())
+        override def hasNext: Boolean = {
+          fill()
+          pending != null || heapIter.hasNext
+        }
+        override def next(): InternalRow = {
+          fill()
+          if (pending != null) { val r = pending; pending = null; r }
+          else heapIter.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan)
       : GroupTopKExec = copy(child = newChild)
+}
+
+object GroupTopKExec {
+  /** Per-partition cap on distinct groups the PARTIAL heap map holds —
+    * bounds map-side memory at k × this many rows plus keys. Groups past
+    * the cap skip pruning (correct, just more shuffle). 1M groups × k=10
+    * ≈ low hundreds of MB worst case, in line with a hash-agg's budget. */
+  @volatile var MaxPartialGroups: Int = 1 << 20
 }

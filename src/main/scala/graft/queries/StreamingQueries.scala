@@ -97,6 +97,52 @@ object StreamingQueries {
     fs.setTimes(tgt, mtime, -1)
   }
 
+  /** The trend-segmentation oracle (state machine unrolled as a
+    * recursive CTE) — shared by st6 (flatMapGroupsWithState) and st13
+    * (transformWithState): two stateful APIs, one truth. */
+  private val trendOracle: String =
+    """WITH RECURSIVE o AS (
+      |  SELECT user_id AS key, ts, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events),
+      |s AS (
+      |  SELECT key, rn, ts, value,
+      |    value AS ref, ts AS ref_ts, value AS hi, value AS lo,
+      |    1 AS n, FALSE AS crossed,
+      |    CAST(NULL AS DOUBLE) AS ev_open,
+      |    CAST(NULL AS TIMESTAMP) AS ev_start,
+      |    CAST(NULL AS DOUBLE) AS ev_hi, CAST(NULL AS DOUBLE) AS ev_lo,
+      |    CAST(NULL AS INT) AS ev_n
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.key, o.rn, o.ts, o.value,
+      |    CASE WHEN x.cr THEN o.value ELSE s.ref END,
+      |    CASE WHEN x.cr THEN o.ts ELSE s.ref_ts END,
+      |    CASE WHEN x.cr THEN o.value ELSE x.hi2 END,
+      |    CASE WHEN x.cr THEN o.value ELSE x.lo2 END,
+      |    CASE WHEN x.cr THEN 1 ELSE s.n + 1 END,
+      |    x.cr,
+      |    s.ref, s.ref_ts, x.hi2, x.lo2, s.n + 1
+      |  FROM o
+      |  JOIN s ON o.key = s.key AND o.rn = s.rn + 1
+      |  CROSS JOIN LATERAL (
+      |    SELECT greatest(s.hi, o.value) AS hi2,
+      |      least(s.lo, o.value) AS lo2,
+      |      (s.ref = 0.0 AND o.value > 0.0) OR
+      |      abs(o.value / s.ref - 1.0) >=
+      |        (CASE WHEN s.ref < 1.0 THEN 0.12
+      |              WHEN s.ref < 10.0 THEN 0.08
+      |              WHEN s.ref < 50.0 THEN 0.05
+      |              WHEN s.ref < 200.0 THEN 0.03
+      |              ELSE 0.02 END) AS cr) x)
+      |SELECT key, ev_start AS start_ts, ts AS end_ts,
+      |  ev_open AS open, ev_hi AS high, ev_lo AS low,
+      |  value AS close,
+      |  CASE WHEN ev_open = 0.0 THEN NULL
+      |    ELSE value / ev_open - 1.0 END AS pct_change,
+      |  ev_n AS n_points, TRUE AS closed
+      |FROM s WHERE crossed""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ST1: streaming tumbling resample → checkpointed MERGE sink, the
@@ -578,47 +624,7 @@ object StreamingQueries {
     // (p/ref−1, greatest/least), no accumulation.
     QueryDef(
       "st6_stream_trend",
-      Some("""WITH RECURSIVE o AS (
-             |  SELECT user_id AS key, ts, value,
-             |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-             |  FROM events),
-             |s AS (
-             |  SELECT key, rn, ts, value,
-             |    value AS ref, ts AS ref_ts, value AS hi, value AS lo,
-             |    1 AS n, FALSE AS crossed,
-             |    CAST(NULL AS DOUBLE) AS ev_open,
-             |    CAST(NULL AS TIMESTAMP) AS ev_start,
-             |    CAST(NULL AS DOUBLE) AS ev_hi, CAST(NULL AS DOUBLE) AS ev_lo,
-             |    CAST(NULL AS INT) AS ev_n
-             |  FROM o WHERE rn = 1
-             |  UNION ALL
-             |  SELECT o.key, o.rn, o.ts, o.value,
-             |    CASE WHEN x.cr THEN o.value ELSE s.ref END,
-             |    CASE WHEN x.cr THEN o.ts ELSE s.ref_ts END,
-             |    CASE WHEN x.cr THEN o.value ELSE x.hi2 END,
-             |    CASE WHEN x.cr THEN o.value ELSE x.lo2 END,
-             |    CASE WHEN x.cr THEN 1 ELSE s.n + 1 END,
-             |    x.cr,
-             |    s.ref, s.ref_ts, x.hi2, x.lo2, s.n + 1
-             |  FROM o
-             |  JOIN s ON o.key = s.key AND o.rn = s.rn + 1
-             |  CROSS JOIN LATERAL (
-             |    SELECT greatest(s.hi, o.value) AS hi2,
-             |      least(s.lo, o.value) AS lo2,
-             |      (s.ref = 0.0 AND o.value > 0.0) OR
-             |      abs(o.value / s.ref - 1.0) >=
-             |        (CASE WHEN s.ref < 1.0 THEN 0.12
-             |              WHEN s.ref < 10.0 THEN 0.08
-             |              WHEN s.ref < 50.0 THEN 0.05
-             |              WHEN s.ref < 200.0 THEN 0.03
-             |              ELSE 0.02 END) AS cr) x)
-             |SELECT key, ev_start AS start_ts, ts AS end_ts,
-             |  ev_open AS open, ev_hi AS high, ev_lo AS low,
-             |  value AS close,
-             |  CASE WHEN ev_open = 0.0 THEN NULL
-             |    ELSE value / ev_open - 1.0 END AS pct_change,
-             |  ev_n AS n_points, TRUE AS closed
-             |FROM s WHERE crossed""".stripMargin),
+      Some(trendOracle),
       (s, d) => {
         val base = Sinks.dir(s, "stream_trend", d)
         reset(s, base)
@@ -1198,6 +1204,72 @@ object StreamingQueries {
           "st12: no null-click rows — outer emission never fired")
         out.select("user_id", "imp_ts", "imp_value", "click_ts",
           "imp_id", "click_id")
+      }),
+
+    // ST13: the trend state machine through Spark 4's
+    // `transformWithState` — the modern arbitrary-stateful API
+    // (StatefulProcessor + typed ValueState over the RocksDB state
+    // store) that succeeds st6's flatMapGroupsWithState. Same chunked
+    // micro-batch drive, same cross-batch-segment non-vacuity check,
+    // and the SAME recursive-CTE oracle as st6: two stateful APIs, one
+    // truth — if either API's state handling drifts (ordering, state
+    // restore, emission), its hash diverges from the shared oracle.
+    QueryDef(
+      "st13_trend_tws",
+      Some(trendOracle),
+      (s, d) => {
+        val base = Sinks.dir(s, "stream_tws", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val ev = Tables.events(s, d).select(
+          col("user_id").cast("long").as("key"), col("ts"),
+          col("value").cast("double").as("price"))
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val span = bounds.getTimestamp(1).getTime - t0 + 1
+        val cut = t0 + span / 2
+        val mt0 = 1700000000000L
+        writeOneFile(s, ev.filter(col("ts") < timestamp_millis(lit(cut))),
+          s"$srcDir/chunk_0.parquet", mt0)
+        writeOneFile(s, ev.filter(col("ts") >= timestamp_millis(lit(cut))),
+          s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+
+        // transformWithState keeps its state variables in RocksDB column
+        // families — the provider is a per-stream requirement, pinned
+        // into the checkpoint at first run like the partition count
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider")
+        try withStreamPartitions(s, 8) {
+          import s.implicits._
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+          val q = graft.streaming.StreamingOps.streamingTrendTws(
+              stream.as[graft.operators.TrendEvents.PricePoint])
+            .toDF()
+            .writeStream
+            .format("parquet")
+            .option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+        val out = s.read.parquet(s"$base/sink")
+        val crossing = out.filter(
+          col("start_ts") < timestamp_millis(lit(cut)) &&
+            col("end_ts") >= timestamp_millis(lit(cut))).count()
+        require(crossing > 0,
+          "st13: no segment crosses the batch boundary — proof is vacuous")
+        out.select("key", "start_ts", "end_ts", "open", "high", "low",
+          "close", "pct_change", "n_points", "closed")
       }),
   )
 }

@@ -297,6 +297,73 @@ object StreamingOps {
       }
   }
 
+  /** The SAME trend state machine through Spark 4's `transformWithState`
+    * — the modern arbitrary-stateful API (a [[StatefulProcessor]] with
+    * typed state variables over the RocksDB state store) that succeeds
+    * `flatMapGroupsWithState`. Semantics are identical to
+    * [[streamingTrend]] row for row — st13 hash-verifies this path
+    * against st6's own recursive-CTE oracle, so the two APIs are pinned
+    * to one truth. Closed segments only (Append-safe), per-batch rows
+    * sorted at full timestamp precision, one O(1) ValueState per key.
+    * Requires `spark.sql.streaming.stateStore.providerClass =
+    * RocksDBStateStoreProvider` (transformWithState keeps its state
+    * variables in RocksDB column families; the caller sets it for the
+    * stream, st13 shows the shape).
+    */
+  class TrendProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, graft.operators.TrendEvents.PricePoint,
+        graft.operators.TrendEvents.TrendEvent] {
+    import graft.operators.TrendEvents.{PricePoint, TrendEvent,
+      crossingFrom, pctFrom}
+    @transient private var seg:
+        org.apache.spark.sql.streaming.ValueState[TrendSegState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit =
+      seg = getHandle.getValueState[TrendSegState]("seg",
+        org.apache.spark.sql.Encoders.product[TrendSegState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, it: Iterator[PricePoint],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TrendEvent] = {
+      val rows = it.toIndexedSeq.sortBy(p => (p.ts.getTime, p.ts.getNanos))
+      val out = scala.collection.mutable.ArrayBuffer.empty[TrendEvent]
+      var st = if (seg.exists()) seg.get() else null
+      rows.foreach { p =>
+        if (st == null) {
+          st = TrendSegState(p.ts, p.price, p.price, p.price, 1)
+        } else {
+          val hi2 = math.max(st.hi, p.price)
+          val lo2 = math.min(st.lo, p.price)
+          if (crossingFrom(st.ref, p.price)) {
+            out += TrendEvent(key, st.refTs, p.ts, st.ref, hi2, lo2,
+              p.price, pctFrom(st.ref, p.price), st.n + 1, closed = true)
+            st = TrendSegState(p.ts, p.price, p.price, p.price, 1)
+          } else {
+            st = TrendSegState(st.refTs, st.ref, hi2, lo2, st.n + 1)
+          }
+        }
+      }
+      if (st != null) seg.update(st)
+      out.iterator
+    }
+  }
+
+  /** [[streamingTrend]] through the transformWithState API — see
+    * [[TrendProcessor]]. */
+  def streamingTrendTws(
+      points: Dataset[graft.operators.TrendEvents.PricePoint])
+      : Dataset[graft.operators.TrendEvents.TrendEvent] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .transformWithState(new TrendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionAgg(
       user_id: Long, session_start: java.sql.Timestamp,

@@ -86,6 +86,20 @@ class GroupTopKSpec extends SparkSpec {
     assert(sortedRows(byOp) == expected)
   }
 
+  test("partial group-cap overflow streams through and stays exact") {
+    // force the memory-bound fallback: with a 2-group cap and 7 groups,
+    // most partial-side rows stream through unpruned — the final exec
+    // must still produce the exact answer
+    val prev = graft.plans.GroupTopKExec.MaxPartialGroups
+    graft.plans.GroupTopKExec.MaxPartialGroups = 2
+    try {
+      val expected = sortedRows(declarative(frame, 3))
+      val byOp = GroupTopK.topK(frame.repartition(5, col("id")), 3,
+        Seq(col("grp")), Seq(col("v").desc_nulls_last, col("id")))
+      assert(sortedRows(byOp) == expected)
+    } finally graft.plans.GroupTopKExec.MaxPartialGroups = prev
+  }
+
   test("negative space: non-marker plans keep the stock window path") {
     // same shape, but the rank column is KEPT — no rewrite may fire
     val w = Window.partitionBy(col("grp"))
