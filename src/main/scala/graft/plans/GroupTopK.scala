@@ -93,7 +93,15 @@ case class GroupTopKPlan(
   */
 class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  // This rule runs inside the fixed-point operator-optimization batch of
+  // EVERY query in the session, so it must be near-free when it cannot
+  // apply: the tree-pattern gate skips whole plans without a Window via
+  // one cached bitmask test (the same pruning discipline Spark's own
+  // rules use), and transformUpWithPruning skips every subtree without
+  // one.
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.WINDOW)) {
     case Project(projectList,
         Filter(LessThanOrEqual(rn: Attribute, IntegerLiteral(k)),
           w @ Window(Seq(Alias(WindowExpression(_: RowNumber, _), name)), _,

@@ -2589,5 +2589,111 @@ object AggQueries {
             round((col("hll_estimate") - col("n_exact").cast("double")) /
                   col("n_exact").cast("double"), 9).as("rel_err"))
       }),
+
+    // A51: market-microstructure LIQUIDITY estimators per key, daily
+    // grain — the measures an equity-volatility platform runs beside
+    // the volatility family (a38 GK, a39 YZ, w25 RV):
+    //  - AMIHUD illiquidity: mean over days of |close-to-close return|
+    //    per unit of daily dollar volume (price impact per traded
+    //    dollar). Each day's term is a double from EXACT cent-grid
+    //    longs through one shared IEEE tree, then 1e-9-quantized so the
+    //    cross-day mean is an order-free LONG sum (the tx10 doctrine).
+    //  - ROLL effective spread: 2·√(−cov(Δp_t, Δp_{t−1})) from the
+    //    serial covariance of consecutive close changes — Δp is exact
+    //    on the cent grid, so every covariance moment is an exact long
+    //    sum de-scaled through the same tree on both engines; a
+    //    non-negative covariance (no bid-ask bounce detected) reports
+    //    0, under 2 pairs reports NULL.
+    // Zero prints are excluded as bad ticks (a38's rule) — they'd make
+    // a return and a dollar-volume denominator degenerate.
+    QueryDef(
+      "a51_liquidity",
+      Some(s"""WITH e AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    epoch_us(ts) AS tu, ${oLq("value")} AS vc
+             |  FROM events WHERE value > 0.0),
+             |o AS (
+             |  SELECT user_id, day, arg_max(vc, tu) AS c,
+             |    SUM(vc) AS dv
+             |  FROM e GROUP BY 1, 2),
+             |w AS (
+             |  SELECT user_id, day, c, dv,
+             |    lag(c) OVER (PARTITION BY user_id ORDER BY day) AS p
+             |  FROM o),
+             |r AS (
+             |  SELECT user_id, day,
+             |    CAST(c AS DOUBLE) / CAST(p AS DOUBLE) - 1.0 AS ret,
+             |    c - p AS dq,
+             |    lag(c - p) OVER (PARTITION BY user_id ORDER BY day)
+             |      AS dq0,
+             |    CAST(dv AS DOUBLE) / 100.0 AS dvd
+             |  FROM w WHERE p IS NOT NULL),
+             |am AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rets,
+             |    CAST(SUM(CAST(floor(abs(ret) / dvd * 1.0e9 + 0.5e0)
+             |      AS BIGINT)) AS BIGINT) AS aq
+             |  FROM r GROUP BY 1),
+             |pr AS (
+             |  SELECT user_id,
+             |    CAST(count(*) AS BIGINT) AS n2,
+             |    CAST(SUM(dq * dq0) AS DOUBLE) / 10000.0 AS sxy,
+             |    CAST(SUM(dq) AS DOUBLE) / 100.0 AS sx,
+             |    CAST(SUM(dq0) AS DOUBLE) / 100.0 AS sy
+             |  FROM r WHERE dq0 IS NOT NULL GROUP BY 1),
+             |rl AS (
+             |  SELECT user_id, n2,
+             |    sxy / CAST(n2 AS DOUBLE) -
+             |      (sx / CAST(n2 AS DOUBLE)) * (sy / CAST(n2 AS DOUBLE))
+             |      AS cv
+             |  FROM pr WHERE n2 >= 2)
+             |SELECT am.user_id, am.n_rets,
+             |  CAST(am.aq AS DOUBLE) / CAST(am.n_rets AS DOUBLE) / 1.0e9
+             |    AS amihud,
+             |  CASE WHEN rl.cv IS NULL THEN NULL
+             |    WHEN rl.cv < 0.0 THEN round(2.0 * sqrt(-rl.cv), 9)
+             |    ELSE 0.0 END AS roll_spread
+             |FROM am LEFT JOIN rl ON am.user_id = rl.user_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wD = Window.partitionBy("user_id").orderBy("day")
+        val o = Tables.events(s, d)
+          .filter(col("value") > 0.0)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            unix_micros(col("ts")).as("tu"), lq(col("value")).as("vc"))
+          .groupBy("user_id", "day")
+          .agg(max_by(col("vc"), col("tu")).as("c"), sum("vc").as("dv"))
+        val r = o
+          .withColumn("p", lag("c", 1).over(wD))
+          .filter(col("p").isNotNull)
+          .select(col("user_id"), col("day"),
+            (col("c").cast("double") / col("p").cast("double") - 1.0)
+              .as("ret"),
+            (col("c") - col("p")).as("dq"),
+            lag(col("c") - col("p"), 1).over(wD).as("dq0"),
+            (col("dv").cast("double") / 100.0).as("dvd"))
+        val am = r.groupBy("user_id")
+          .agg(count(lit(1)).as("n_rets"),
+            sum(floor(abs(col("ret")) / col("dvd") * 1.0e9 + 0.5)
+              .cast("long")).as("aq"))
+        val pr = r.filter(col("dq0").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n2"),
+            (sum(col("dq") * col("dq0")).cast("double") / 10000.0)
+              .as("sxy"),
+            (sum(col("dq")).cast("double") / 100.0).as("sx"),
+            (sum(col("dq0")).cast("double") / 100.0).as("sy"))
+        val rl = pr.filter(col("n2") >= 2)
+          .select(col("user_id"),
+            (col("sxy") / col("n2").cast("double") -
+              (col("sx") / col("n2").cast("double")) *
+              (col("sy") / col("n2").cast("double"))).as("cv"))
+        am.join(rl, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_rets"),
+            (col("aq").cast("double") / col("n_rets").cast("double") /
+              1.0e9).as("amihud"),
+            when(col("cv").isNull, lit(null).cast("double"))
+              .when(col("cv") < 0.0, round(lit(2.0) * sqrt(-col("cv")), 9))
+              .otherwise(0.0).as("roll_spread"))
+      }),
   )
 }
