@@ -209,6 +209,56 @@ class PropertySpecs extends SparkSpec {
       }
     }
   }
+
+  test("GroupTopK law: operator result == local per-group sorted take(k)") {
+    import graft.plans.GroupTopK
+    val gen = for {
+      rows <- eventsGen
+      k <- Gen.choose(1, 7)
+      parts <- Gen.choose(1, 9)
+    } yield (rows, k, parts)
+    forAll(gen) { case (rows, k, parts) =>
+      whenever(rows.nonEmpty) {
+        val df = toDf(rows).repartition(parts, col("ts"))
+        val got = GroupTopK.topK(df, k,
+            Seq(col("user_id")),
+            Seq(col("value").desc, col("ts")))
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+          .toSet
+        // the law, computed locally: per group, sort by (-value, ts),
+        // take k — row_number semantics with a total tiebreak
+        val want = rows.groupBy(_._1).flatMap { case (key, g) =>
+          g.sortBy(r => (-r._3, r._2)).take(k).map(r =>
+            (key, new java.sql.Timestamp(1704067200000L + r._2 * 1000L),
+              r._3))
+        }.toSet
+        assert(got == want, s"k=$k parts=$parts")
+      }
+    }
+  }
+
+  test("HLL register law: native aggregate == local register fold") {
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      hs <- Gen.listOfN(n, Gen.choose(0L, (1L << 32) - 1))
+      parts <- Gen.choose(1, 8)
+    } yield (hs, parts)
+    forAll(gen) { case (hs, parts) =>
+      import spark.implicits._
+      val got = hs.toDF("h").repartition(parts)
+        .agg(expr("hll_sketch_agg(h)")).head().getSeq[Long](0)
+      val want = new Array[Long](256)
+      hs.foreach { h =>
+        val b = (h % 256).toInt
+        val sub = h >> 8
+        val rho = if (sub == 0L) 25L
+          else 25L - (64 - java.lang.Long.numberOfLeadingZeros(sub))
+        if (rho > want(b)) want(b) = rho
+      }
+      assert(got == want.toSeq, s"parts=$parts n=${hs.size}")
+    }
+  }
+
 }
 
 /** Randomized cross-check of the distributed connected-components operator
@@ -327,4 +377,5 @@ class Round4PropertySpecs extends SparkSpec {
         out.getDouble(2) == pick(95))
     }
   }
+
 }
