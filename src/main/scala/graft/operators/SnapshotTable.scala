@@ -159,9 +159,35 @@ object SnapshotTable {
     finally in.close()
   }
 
+  /** Manifest lines can carry `#`-prefixed metadata headers (today:
+    * `#txn\tapp\tid` — the per-writer transaction watermark); data-file
+    * entries never start with `#` (paths are `data/...`). Parsers of
+    * FILE entries must go through this filter; verbatim manifest copies
+    * (deleteWhere, restore) keep the headers so the txn map carries
+    * forward through maintenance commits. */
+  private def dataLines(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
+
+  /** The per-application transaction watermarks recorded in version
+    * `v`'s manifest (Delta `txnAppId`/`txnVersion` semantics). */
+  private def readTxns(spark: SparkSession, tablePath: String,
+                       v: Int): Map[String, Long] =
+    readLines(spark, tablePath, v).collect {
+      case l if l.startsWith("#txn\t") =>
+        val Array(_, app, id) = l.split("\t", 3)
+        app -> id.toLong
+    }.toMap
+
+  /** The latest transaction id committed by writer `app`, if any — the
+    * streaming sink's restart question ("has this batch landed?"). */
+  def txnVersion(spark: SparkSession, tablePath: String,
+                 app: String): Option[Long] =
+    versions(spark, tablePath).lastOption
+      .flatMap(v => readTxns(spark, tablePath, v).get(app))
+
   private def readManifest(spark: SparkSession, tablePath: String,
                            v: Int): Seq[String] =
-    readLines(spark, tablePath, v).map(l => parseEntry(l).path)
+    dataLines(readLines(spark, tablePath, v)).map(l => parseEntry(l).path)
 
   /** The version's file entries with their stats (`version = None` →
     * head). */
@@ -172,7 +198,7 @@ object SnapshotTable {
       require(vs.nonEmpty, s"no committed snapshots at $tablePath")
       vs.last
     }
-    readLines(spark, tablePath, v).map(parseEntry)
+    dataLines(readLines(spark, tablePath, v)).map(parseEntry)
   }
 
   /** How long a commit lock may sit before another writer may presume
@@ -292,12 +318,26 @@ object SnapshotTable {
     * [[readPruned]] file skipping. Returns the committed version. Data
     * files are written ONCE, outside the lock; only the version
     * assignment and manifest publish — pure metadata — are serialized. */
+  /** `txn = Some((app, id))` makes the commit IDEMPOTENT per writer
+    * (Delta's `txnAppId`/`txnVersion`): if the head manifest already
+    * records a transaction ≥ `id` for `app`, the commit is a no-op that
+    * returns the head version and reclaims its staged files — the
+    * exactly-once contract a restarted streaming foreachBatch needs
+    * (the replayed batch must not append twice). The watermark rides IN
+    * the manifest line set, so "txn recorded" and "data visible" are
+    * one atomic rename — there is no crash window where one exists
+    * without the other — and verbatim manifest copies (deleteWhere,
+    * restore) carry it through maintenance commits. */
   def commit(spark: SparkSession, df: DataFrame, tablePath: String,
              replace: Boolean = true,
              statsCols: Seq[String] = Seq.empty,
-             commitTime: Option[Long] = None): Int = {
+             commitTime: Option[Long] = None,
+             txn: Option[(String, Long)] = None): Int = {
     require(statsCols.forall(c => !c.contains("\t") && !c.contains("=")),
       "stats column names must not contain tab or '='")
+    require(txn.forall { case (app, _) =>
+      !app.contains("\t") && !app.contains("\n") },
+      "txn app id must not contain tab or newline")
     val commitId = java.util.UUID.randomUUID().toString
     // pre-flight the evolution check BEFORE writing data files so an
     // incompatible append fails without leaving an orphan data dir (the
@@ -316,10 +356,22 @@ object SnapshotTable {
         stats.getOrElse(p.getName, Map.empty))))
     withCommitLock(spark, tablePath) { f =>
       val head = versions(spark, tablePath).lastOption
+      val headTxns = head.map(readTxns(spark, tablePath, _))
+        .getOrElse(Map.empty[String, Long])
+      val replayed = txn.exists { case (app, id) =>
+        headTxns.get(app).exists(_ >= id) }
+      if (replayed) {
+        // already applied (a restarted writer re-offering an old batch):
+        // reclaim the staged files, leave the table untouched
+        f.delete(dataDir, true)
+        head.get
+      } else {
       val base =
         if (replace) Seq.empty
-        else head.map(readLines(spark, tablePath, _))
+        else head.map(l => dataLines(readLines(spark, tablePath, l)))
           .getOrElse(Seq.empty)
+      val txnLines = (headTxns ++ txn).toSeq.sortBy(_._1)
+        .map { case (a, i) => s"#txn\t$a\t$i" }
       val v = head.getOrElse(0) + 1
       // version schema: replace takes the frame's schema; append
       // evolves the prior version's recorded schema (falling back to
@@ -339,7 +391,8 @@ object SnapshotTable {
       try so.write(schema.json.getBytes("UTF-8")) finally so.close()
       val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
       val out = f.create(tmp, false)
-      try out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
+      try out.write((txnLines ++ base ++ newFiles)
+        .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // commit-time sidecar BEFORE the manifest publish: a version must
       // never be visible without its place on the time axis (mirrors the
@@ -353,6 +406,7 @@ object SnapshotTable {
       require(f.rename(tmp, manifestPath(tablePath, v)),
         s"manifest publish failed for v$v at $tablePath")
       v
+      }
     }
   }
 
@@ -774,7 +828,7 @@ object SnapshotTable {
       val dp = f.create(dvPath(tablePath, v), true)
       try dp.write(
         (s"$keyCol\tdeletes/$commitId" +:
-          base.map(l => parseEntry(l).path))
+          dataLines(base).map(l => parseEntry(l).path))
           .mkString("\n").getBytes("UTF-8"))
       finally dp.close()
       val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
@@ -859,7 +913,7 @@ object SnapshotTable {
     val tLines = readLines(spark, tablePath, toVersion)
     val allDvs = deleteVectors(spark, tablePath)
     val postDvs = allDvs.filter(_.version > toVersion)
-    val affected = tLines.map(l => parseEntry(l).path)
+    val affected = dataLines(tLines).map(l => parseEntry(l).path)
       .filter(rel => postDvs.exists(_.appliesTo.contains(rel))).toSet
     val commitId = java.util.UUID.randomUUID().toString
     val f = fs(spark, new Path(tablePath))
@@ -891,7 +945,10 @@ object SnapshotTable {
           .map(p => renderEntry(FileEntry(s"data/$commitId/${p.getName}",
             Map.empty)))
       }
-    val carried = tLines.filter(l => !affected.contains(parseEntry(l).path))
+    // headers (#txn) carry verbatim: restore restores the target's txn
+    // watermark along with its rows (the table AS OF that version)
+    val carried = tLines.filter(l =>
+      l.startsWith("#") || !affected.contains(parseEntry(l).path))
     withCommitLock(spark, tablePath) { f =>
       val v = versions(spark, tablePath).last + 1
       tableSchema(spark, tablePath, Some(toVersion)).foreach { sch =>

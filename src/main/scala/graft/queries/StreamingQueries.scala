@@ -1271,5 +1271,69 @@ object StreamingQueries {
         out.select("key", "start_ts", "end_ts", "open", "high", "low",
           "close", "pct_change", "n_points", "closed")
       }),
+
+    // ST14: EXACTLY-ONCE streaming append into the snapshot table —
+    // the custom-sink half of the exactly-once contract, via
+    // transactional commits keyed on (appId, batchId)
+    // (StreamingOps.snapshotSink; Delta's txnAppId/txnVersion pattern).
+    // Three proofs in one run: (1) two chunks land as two txn-stamped
+    // commits; (2) a RESTARTED query object over the same checkpoint
+    // picks up only the third chunk (offset half); (3) a simulated
+    // at-least-once replay — the same last batch re-offered directly
+    // with its stale txn id — is a manifest-atomic no-op (sink half:
+    // the crash window between sink commit and offset write cannot
+    // duplicate rows). Oracle = the declarative whole-slice union.
+    QueryDef(
+      "st14_stream_txn_sink",
+      Some("""SELECT event_id, user_id, ts, value FROM events"""),
+      (s, d) => {
+        import graft.operators.SnapshotTable
+        val base = Sinks.dir(s, "stream_txn", d)
+        reset(s, base)
+        val srcDir = s"$base/src"
+        val tbl = s"$base/table"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value")
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val span = bounds.getTimestamp(1).getTime - t0 + 1
+        val cuts = (0 to 3).map(k => t0 + span * k / 3)
+        val mt0 = 1700000000000L
+        def chunk(k: Int) = ev.filter(
+          col("ts") >= timestamp_millis(lit(cuts(k))) &&
+            col("ts") < timestamp_millis(lit(cuts(k + 1))))
+        def runOnce(): Unit = withStreamPartitions(s, 4) {
+          val q = graft.streaming.StreamingOps.snapshotSink(
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(srcDir),
+            tablePath = tbl, appId = "st14",
+            checkpoint = s"$base/ckpt",
+            trigger = Some(Trigger.AvailableNow()))
+          q.awaitTermination()
+        }
+        // run 1: chunks 0+1 → two txn-stamped commits
+        writeOneFile(s, chunk(0), s"$srcDir/chunk_0.parquet", mt0)
+        writeOneFile(s, chunk(1), s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        runOnce()
+        require(SnapshotTable.versions(s, tbl).size == 2,
+          "st14: run 1 must land two commits (one per micro-batch)")
+        val lastTxn = SnapshotTable.txnVersion(s, tbl, "st14").get
+        // run 2: a NEW query object over the same checkpoint sees only
+        // the new chunk
+        writeOneFile(s, chunk(2), s"$srcDir/chunk_2.parquet", mt0 + 120000L)
+        runOnce()
+        require(SnapshotTable.versions(s, tbl).size == 3,
+          "st14: the restart must append exactly one commit")
+        val afterRestart = SnapshotTable.read(s, tbl).count()
+        // simulated at-least-once replay: the crash window re-offers an
+        // ALREADY-COMMITTED batch under its stale txn id — must no-op
+        SnapshotTable.commit(s, chunk(1), tbl, replace = false,
+          txn = Some(("st14", lastTxn)))
+        require(SnapshotTable.versions(s, tbl).size == 3 &&
+            SnapshotTable.read(s, tbl).count() == afterRestart,
+          "st14: a replayed batch re-applied — exactly-once broken")
+        SnapshotTable.read(s, tbl)
+          .select("event_id", "user_id", "ts", "value")
+      }),
   )
 }

@@ -297,6 +297,33 @@ object StreamingOps {
       }
   }
 
+  /** EXACTLY-ONCE streaming append into a [[graft.operators.SnapshotTable]]
+    * — the custom-sink half of the exactly-once contract (the source half
+    * is the checkpointed offset log): every micro-batch commits with
+    * `txn = (appId, batchId)`, so a restarted query that REPLAYS a batch
+    * (crash after the commit, before the offset write — the classic
+    * at-least-once window of foreachBatch) re-offers the same id and the
+    * commit is a manifest-atomic no-op. This is Delta's
+    * `txnAppId`/`txnVersion` idempotent-writes pattern; the watermark
+    * rides IN the manifest, so "recorded" and "visible" cannot diverge
+    * across a crash. */
+  def snapshotSink(stream: DataFrame, tablePath: String, appId: String,
+                   checkpoint: String,
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.SnapshotTable.commit(batch.sparkSession, batch,
+            tablePath, replace = false, txn = Some((appId, batchId)))
+          ()
+        }
+      }
+      .outputMode("append")
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** The SAME trend state machine through Spark 4's `transformWithState`
     * — the modern arbitrary-stateful API (a [[StatefulProcessor]] with
     * typed state variables over the RocksDB state store) that succeeds
