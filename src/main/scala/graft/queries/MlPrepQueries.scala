@@ -1093,6 +1093,133 @@ object MlPrepQueries {
           q9(db2 / det).as("b_dow_q"))
       }),
 
+    // RIDGE REGRESSION from the same sufficient statistics — the
+    // regularized twin of mlprep_ols_normal: (XᵀX + λI)β = Xᵀy with the
+    // intercept UNPENALIZED (the standard convention — shrinking the
+    // mean is a modeling bug), i.e. λ adds only to the slope diagonal
+    // (s11, s22). Closed-form Cramer solve at λ = 0 (OLS), 10³, 10⁵ in
+    // ONE pass over the one hash-agg of exact-long moments — the
+    // regularization path costs arithmetic on the 5-row stats table,
+    // never a second scan. λ and the moments are exact, so every
+    // coefficient is one identical IEEE tree on both engines; the
+    // monotone slope shrinkage toward 0 across the path is visible in
+    // the row itself.
+    QueryDef(
+      "mlprep_ridge",
+      Some {
+        def oDet3(a1: String, a2: String, a3: String,
+                  b1: String, b2: String, b3: String,
+                  c1: String, c2: String, c3: String): String =
+          s"($a1 * ($b2 * $c3 - $b3 * $c2) - " +
+          s"$a2 * ($b1 * $c3 - $b3 * $c1) + " +
+          s"$a3 * ($b1 * $c2 - $b2 * $c1))"
+        def coefs(lam: String, suffix: String): String = {
+          val s11 = s"(s11 + $lam)"
+          val s22 = s"(s22 + $lam)"
+          val det = oDet3("nn", "s1", "s2", "s1", s11, "s12",
+            "s2", "s12", s22)
+          val da = oDet3("sy", "s1", "s2", "s1y", s11, "s12",
+            "s2y", "s12", s22)
+          val db1 = oDet3("nn", "sy", "s2", "s1", "s1y", "s12",
+            "s2", "s2y", s22)
+          val db2 = oDet3("nn", "s1", "sy", "s1", s11, "s1y",
+            "s2", "s12", "s2y")
+          s"""CAST(floor($da / $det * 1.0e9 + 0.5e0) AS BIGINT)
+             |    AS intercept_q$suffix,
+             |  CAST(floor($db1 / $det * 1.0e9 + 0.5e0) AS BIGINT)
+             |    AS b_hour_q$suffix,
+             |  CAST(floor($db2 / $det * 1.0e9 + 0.5e0) AS BIGINT)
+             |    AS b_dow_q$suffix""".stripMargin
+        }
+        s"""WITH f AS (
+           |  SELECT event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    ${graft.Parity.oLq("value")} AS yq
+           |  FROM events),
+           |m AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS l1,
+           |    CAST(sum(x2) AS BIGINT) AS l2,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS l11,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS l12,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS l22,
+           |    CAST(sum(yq) AS BIGINT) AS lyq,
+           |    CAST(sum(x1 * yq) AS BIGINT) AS l1yq,
+           |    CAST(sum(x2 * yq) AS BIGINT) AS l2yq
+           |  FROM f GROUP BY 1),
+           |d AS (
+           |  SELECT event_type, n,
+           |    CAST(n AS DOUBLE) AS nn,
+           |    CAST(l1 AS DOUBLE) AS s1, CAST(l2 AS DOUBLE) AS s2,
+           |    CAST(l11 AS DOUBLE) AS s11, CAST(l12 AS DOUBLE) AS s12,
+           |    CAST(l22 AS DOUBLE) AS s22,
+           |    CAST(lyq AS DOUBLE) / 100.0 AS sy,
+           |    CAST(l1yq AS DOUBLE) / 100.0 AS s1y,
+           |    CAST(l2yq AS DOUBLE) / 100.0 AS s2y
+           |  FROM m)
+           |SELECT event_type, n,
+           |  ${coefs("0.0", "_ols")},
+           |  ${coefs("1000.0", "_r3")},
+           |  ${coefs("100000.0", "_r5")}
+           |FROM d""".stripMargin
+      },
+      (s, d) => {
+        def det3(a1: Column, a2: Column, a3: Column,
+                 b1: Column, b2: Column, b3: Column,
+                 c1: Column, c2: Column, c3: Column): Column =
+          a1 * (b2 * c3 - b3 * c2) -
+          a2 * (b1 * c3 - b3 * c1) +
+          a3 * (b1 * c2 - b2 * c1)
+        val yq = graft.Parity.lq(col("value"))
+        val f = Tables.events(s, d).select(col("event_type"),
+          hour(col("ts")).cast("long").as("x1"),
+          dayofweek(col("ts")).cast("long").as("x2"),
+          yq.as("yq"))
+        val m = f.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("l1"), sum("x2").as("l2"),
+          sum(col("x1") * col("x1")).as("l11"),
+          sum(col("x1") * col("x2")).as("l12"),
+          sum(col("x2") * col("x2")).as("l22"),
+          sum("yq").as("lyq"),
+          sum(col("x1") * col("yq")).as("l1yq"),
+          sum(col("x2") * col("yq")).as("l2yq"))
+        val dd = m.select(col("event_type"), col("n"),
+          col("n").cast("double").as("nn"),
+          col("l1").cast("double").as("s1"),
+          col("l2").cast("double").as("s2"),
+          col("l11").cast("double").as("s11"),
+          col("l12").cast("double").as("s12"),
+          col("l22").cast("double").as("s22"),
+          (col("lyq").cast("double") / 100.0).as("sy"),
+          (col("l1yq").cast("double") / 100.0).as("s1y"),
+          (col("l2yq").cast("double") / 100.0).as("s2y"))
+        def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+        def coefs(lam: Double, suffix: String): Seq[Column] = {
+          val s11 = col("s11") + lit(lam)
+          val s22 = col("s22") + lit(lam)
+          val det = det3(col("nn"), col("s1"), col("s2"),
+            col("s1"), s11, col("s12"),
+            col("s2"), col("s12"), s22)
+          val da = det3(col("sy"), col("s1"), col("s2"),
+            col("s1y"), s11, col("s12"),
+            col("s2y"), col("s12"), s22)
+          val db1 = det3(col("nn"), col("sy"), col("s2"),
+            col("s1"), col("s1y"), col("s12"),
+            col("s2"), col("s2y"), s22)
+          val db2 = det3(col("nn"), col("s1"), col("sy"),
+            col("s1"), s11, col("s1y"),
+            col("s2"), col("s12"), col("s2y"))
+          Seq(q9(da / det).as(s"intercept_q$suffix"),
+            q9(db1 / det).as(s"b_hour_q$suffix"),
+            q9(db2 / det).as(s"b_dow_q$suffix"))
+        }
+        dd.select(Seq(col("event_type"), col("n")) ++
+          coefs(0.0, "_ols") ++ coefs(1000.0, "_r3") ++
+          coefs(100000.0, "_r5"): _*)
+      }),
+
     // K-FOLD CROSS-VALIDATION ASSIGNMENT — the random-split counterpart
     // to the temporal/rolling/year splits above (the reference caps its
     // monthly loop with sklearn CV; distributed, the fold id must be a
