@@ -57,6 +57,15 @@ case class HllSketchAgg(
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      // the register arithmetic below is sound ONLY on the 32-bit hash
+      // domain: a negative h makes (h % 256) a negative index, and
+      // h ≥ 2^32 makes sub ≥ 2^24 so rho ≤ 0 silently leaves the
+      // register at 0 — both diverge from the declarative a33 pipeline.
+      // Fail loudly instead of producing a corrupt sketch.
+      if (h < 0L || h > 0xFFFFFFFFL)
+        throw new IllegalArgumentException(
+          s"hll_sketch_agg expects a 32-bit hash in [0, 2^32), got $h — " +
+            "feed it graft.operators.TextOps.hash32 output")
       val bucket = (h % M).toInt
       val sub = h >> 8
       // rho = 25 − #{k < 24 : sub ≥ 2^k} — for sub ≥ 1 that count is the

@@ -873,13 +873,23 @@ object SnapshotTable {
           .map(p => renderEntry(FileEntry(s"data/$commitId/${p.getName}",
             stats.getOrElse(p.getName, Map.empty))))
         Right(withCommitLock(spark, tablePath) { ff =>
-          val v = versions(spark, tablePath).lastOption.getOrElse(0) + 1
+          val head = versions(spark, tablePath).lastOption
+          val v = head.getOrElse(0) + 1
+          // carry the head's per-writer txn watermarks: a WAP publish
+          // replaces the DATA, not the writers' exactly-once history —
+          // dropping the #txn lines here would let a replayed streaming
+          // batch re-apply after any audited publish (commit() and
+          // deleteWhere already carry them; this path must too)
+          val txnLines = head.map(readTxns(spark, tablePath, _))
+            .getOrElse(Map.empty[String, Long]).toSeq.sortBy(_._1)
+            .map { case (a, i) => s"#txn\t$a\t$i" }
           val so = ff.create(schemaPath(tablePath, v), true)
           try so.write(asNullable(df.schema).json.getBytes("UTF-8"))
           finally so.close()
           val tmp = new Path(manifestDir(tablePath), s".tmp-$commitId-$v")
           val out = ff.create(tmp, false)
-          try out.write(newFiles.mkString("\n").getBytes("UTF-8"))
+          try out.write((txnLines ++ newFiles).mkString("\n")
+            .getBytes("UTF-8"))
           finally out.close()
           require(ff.rename(tmp, manifestPath(tablePath, v)),
             s"manifest publish failed for v$v at $tablePath")
@@ -945,12 +955,24 @@ object SnapshotTable {
           .map(p => renderEntry(FileEntry(s"data/$commitId/${p.getName}",
             Map.empty)))
       }
-    // headers (#txn) carry verbatim: restore restores the target's txn
-    // watermark along with its rows (the table AS OF that version)
-    val carried = tLines.filter(l =>
-      l.startsWith("#") || !affected.contains(parseEntry(l).path))
+    // DATA restores to the as-of state, but per-writer txn watermarks do
+    // NOT rewind: Delta RESTORE preserves current SetTransaction state so
+    // an in-flight idempotent streaming writer is not double-applied —
+    // carrying the as-of values verbatim would let a replayed batch whose
+    // id exceeds the rewound watermark re-append. Merge = max(head, as-of)
+    // per app, computed under the commit lock against the true head.
+    val carriedData = tLines.filter(l =>
+      (l.startsWith("#") && !l.startsWith("#txn\t")) ||
+      (!l.startsWith("#") && !affected.contains(parseEntry(l).path)))
+    val asOfTxns = readTxns(spark, tablePath, toVersion)
     withCommitLock(spark, tablePath) { f =>
-      val v = versions(spark, tablePath).last + 1
+      val head = versions(spark, tablePath).last
+      val headTxns = readTxns(spark, tablePath, head)
+      val mergedTxns = (asOfTxns.keySet ++ headTxns.keySet).toSeq.sorted
+        .map(a => s"#txn\t$a\t${math.max(asOfTxns.getOrElse(a, Long.MinValue),
+          headTxns.getOrElse(a, Long.MinValue))}")
+      val carried = mergedTxns ++ carriedData
+      val v = head + 1
       tableSchema(spark, tablePath, Some(toVersion)).foreach { sch =>
         val so = f.create(schemaPath(tablePath, v), true)
         try so.write(sch.json.getBytes("UTF-8")) finally so.close()

@@ -168,7 +168,11 @@ case class GroupTopKExec(
     val o = order
     val kk = k
     val isPartial = partial
-    val cap = GroupTopKExec.MaxPartialGroups
+    // session-conf-backed, resolved on the driver at execution time —
+    // per-query (no cross-query JVM global to race on), settable via
+    // spark.conf.set without a restart
+    val cap = conf.getConfString(GroupTopKExec.MaxPartialGroupsKey,
+      GroupTopKExec.MaxPartialGroupsDefault.toString).toInt
     val attrs = child.output
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, attrs)
@@ -237,9 +241,22 @@ case class GroupTopKExec(
 }
 
 object GroupTopKExec {
-  /** Per-partition cap on distinct groups the PARTIAL heap map holds —
-    * bounds map-side memory at k × this many rows plus keys. Groups past
-    * the cap skip pruning (correct, just more shuffle). 1M groups × k=10
-    * ≈ low hundreds of MB worst case, in line with a hash-agg's budget. */
-  @volatile var MaxPartialGroups: Int = 1 << 20
+  /** Session conf key for the per-partition cap on distinct groups the
+    * PARTIAL heap map holds — bounds map-side memory at k × this many
+    * rows plus keys. Groups past the cap skip pruning (correct, just
+    * more shuffle). 1M groups × k=10 ≈ low hundreds of MB worst case,
+    * in line with a hash-agg's budget. Read per query at execution time
+    * (a session conf, not a JVM global — concurrent queries in one JVM
+    * each see their own session's value).
+    *
+    * Memory contract, stated honestly: the FINAL (post-shuffle) side
+    * holds every group routed to its partition — O(groups-per-partition
+    * × k) rows with no spill path, the same keyed-state bound as a hash
+    * aggregate before it spills. When distinct-group cardinality per
+    * post-shuffle partition × k approaches executor memory, raise
+    * `spark.sql.shuffle.partitions` (the state divides linearly) or
+    * keep the stock Window path, which sorts and spills. The partial
+    * cap is what keeps the MAP side bounded regardless. */
+  val MaxPartialGroupsKey = "spark.graft.groupTopK.maxPartialGroups"
+  val MaxPartialGroupsDefault: Int = 1 << 20
 }

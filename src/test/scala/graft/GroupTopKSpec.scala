@@ -90,14 +90,14 @@ class GroupTopKSpec extends SparkSpec {
     // force the memory-bound fallback: with a 2-group cap and 7 groups,
     // most partial-side rows stream through unpruned — the final exec
     // must still produce the exact answer
-    val prev = graft.plans.GroupTopKExec.MaxPartialGroups
-    graft.plans.GroupTopKExec.MaxPartialGroups = 2
+    val key = graft.plans.GroupTopKExec.MaxPartialGroupsKey
+    spark.conf.set(key, 2)
     try {
       val expected = sortedRows(declarative(frame, 3))
       val byOp = GroupTopK.topK(frame.repartition(5, col("id")), 3,
         Seq(col("grp")), Seq(col("v").desc_nulls_last, col("id")))
       assert(sortedRows(byOp) == expected)
-    } finally graft.plans.GroupTopKExec.MaxPartialGroups = prev
+    } finally spark.conf.unset(key)
   }
 
   test("negative space: non-marker plans keep the stock window path") {

@@ -80,4 +80,46 @@ class TxnCommitSpec extends SparkSpec {
     assert(SnapshotTable.txnVersion(spark, t, "app").contains(7L))
     assert(SnapshotTable.read(spark, t).count() == 100)
   }
+
+  test("an audited publish (WAP) carries the head's txn watermark") {
+    val t = fresh("wap")
+    SnapshotTable.commit(spark, df(1, 10), t, replace = false,
+      txn = Some(("stream", 3L)))
+    // curated replace through the audit gate — must NOT erase the
+    // streaming writer's exactly-once history
+    val r = SnapshotTable.commitAudited(spark, df(1, 50), t,
+      audit = d => if (d.count() == 50) None else Some("bad rowcount"))
+    assert(r.isRight)
+    assert(SnapshotTable.txnVersion(spark, t, "stream").contains(3L),
+      "commitAudited dropped the txn watermark — a replayed batch " +
+        "would re-apply after a WAP publish")
+    // the replay really does no-op post-publish
+    SnapshotTable.commit(spark, df(900, 999), t, replace = false,
+      txn = Some(("stream", 3L)))
+    assert(SnapshotTable.read(spark, t).count() == 50)
+  }
+
+  test("restore never rewinds a writer watermark below the head's") {
+    val t = fresh("rewind")
+    SnapshotTable.commit(spark, df(1, 10), t, replace = false,
+      txn = Some(("stream", 1L)))
+    SnapshotTable.commit(spark, df(11, 20), t, replace = false,
+      txn = Some(("stream", 5L)))
+    // undo the second batch's DATA…
+    SnapshotTable.restoreSnapshot(spark, t, 1)
+    assert(SnapshotTable.read(spark, t).count() == 10)
+    // …but the watermark stays at max(head, as-of) = 5: an in-flight
+    // at-least-once replay of batch 5 after the restore must not
+    // double-apply (Delta RESTORE preserves SetTransaction state)
+    assert(SnapshotTable.txnVersion(spark, t, "stream").contains(5L),
+      "restore rewound the txn watermark")
+    SnapshotTable.commit(spark, df(11, 20), t, replace = false,
+      txn = Some(("stream", 5L)))
+    assert(SnapshotTable.read(spark, t).count() == 10,
+      "replayed batch re-applied after restore")
+    // a genuinely fresh batch still lands
+    SnapshotTable.commit(spark, df(21, 30), t, replace = false,
+      txn = Some(("stream", 6L)))
+    assert(SnapshotTable.read(spark, t).count() == 20)
+  }
 }
