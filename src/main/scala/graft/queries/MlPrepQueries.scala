@@ -1265,5 +1265,250 @@ object MlPrepQueries {
         t.join(tot, "label").select(col("fold"), col("label"), col("n"),
           col("id_sum"), (col("label_total") - col("n")).as("train_n"))
       }),
+
+    // DISTRIBUTED LOGISTIC REGRESSION — the reference's classifier surface
+    // (`data_apis/my_model.py:123-163`, sklearn LogisticRegression behind
+    // optuna) re-expressed as ENGINE work: IRLS/Newton with a FIXED
+    // iteration count (4), trained per event_type on the exact integer
+    // feature grid [1, hour 0-23, dow 1-7] with label y = (value ≥ 100),
+    // the mlprep_eval_report convention.
+    //
+    // Scale shape (the whole point): the data-sized work is ONE hash-agg
+    // compressing N rows to the ≤ |groups|·24·7-cell grid (n, Σy per
+    // cell) — map-side combinable, shuffle carries ≤ 168 rows per group.
+    // Every Newton step is then arithmetic on the persisted grid with the
+    // current coefficients BROADCAST back (a |groups|-row frame — the
+    // k-means-fold pattern): per step one grid-sized agg builds the
+    // gradient XᵀWz and Hessian XᵀWX moments and a 3×3 Cramer solve
+    // (mlprep_ols_normal's det3) updates β. 4 iterations = 4 tiny-frame
+    // stages; the corpus is scanned exactly once, at any data size.
+    //
+    // Parity doctrine (why this is hash-exact cross-engine with a
+    // nonlinear model): libm exp/ln are NOT correctly rounded, so the
+    // sigmoid is evaluated as 1/(1+(1 − z/65536)^65536) via 16 explicit
+    // squarings — only IEEE-exact ops (+,−,×,÷ are correctly rounded),
+    // one identical expression tree on both engines (mathematically
+    // within 0.02% of exp for |z| ≤ 5; the MODEL is defined by this
+    // link, both engines replay it bit-for-bit). z is clamped to ±30 so
+    // the base stays positive. Per-cell p and n·p(1−p) are floor-
+    // quantized to the 1e-9 grid as LONGS, so every moment sum is an
+    // order-free exact integer (bounds: |Σ wq·x1·x2| ≤ 161·0.25e9·N —
+    // inside int64 to N ≈ 2e8 rows per group; past that the sums move to
+    // decimal(38,0)/HUGEINT unchanged). Coefficients floor-quantized at
+    // 1e9; train AUC is the exact average-rank algebra over the grid's
+    // score histogram (mlprep_eval_report's num2/2·np·nn — one division
+    // of exact integers).
+    QueryDef(
+      "mlprep_logit",
+      Some {
+        def oDet3(a1: String, a2: String, a3: String,
+                  b1: String, b2: String, b3: String,
+                  c1: String, c2: String, c3: String): String =
+          s"($a1 * ($b2 * $c3 - $b3 * $c2) - " +
+          s"$a2 * ($b1 * $c3 - $b3 * $c1) + " +
+          s"$a3 * ($b1 * $c2 - $b2 * $c1))"
+        val det = oDet3("h00", "h01", "h02", "h01", "h11", "h12",
+          "h02", "h12", "h22")
+        val d0 = oDet3("g0", "h01", "h02", "g1", "h11", "h12",
+          "g2", "h12", "h22")
+        val d1 = oDet3("h00", "g0", "h02", "h01", "g1", "h12",
+          "h02", "g2", "h22")
+        val d2 = oDet3("h00", "h01", "g0", "h01", "h11", "g1",
+          "h02", "h12", "g2")
+        def iter(k: Int): String = {
+          val sq = (1 to 16).map(i =>
+            s"e${k}_$i AS (SELECT * REPLACE (e * e AS e) FROM e${k}_${i - 1})")
+            .mkString(",\n")
+          s"""z$k AS (
+             |  SELECT g.event_type, g.x1, g.x2, g.n, g.yc,
+             |    b.c0, b.c1, b.c2,
+             |    greatest(least(b.c0 + b.c1 * CAST(g.x1 AS DOUBLE)
+             |      + b.c2 * CAST(g.x2 AS DOUBLE), 30.0e0), -30.0e0) AS zc
+             |  FROM grid g JOIN b$k b ON g.event_type = b.event_type),
+             |e${k}_0 AS (SELECT *, 1.0e0 + (-zc) / 65536.0e0 AS e FROM z$k),
+             |$sq,
+             |q$k AS (SELECT *,
+             |    CAST(floor((1.0e0 / (1.0e0 + e)) * 1.0e9) AS BIGINT) AS pq,
+             |    CAST(floor(((CAST(n AS DOUBLE) * (1.0e0 / (1.0e0 + e)))
+             |      * (1.0e0 - (1.0e0 / (1.0e0 + e)))) * 1.0e9) AS BIGINT)
+             |      AS wq
+             |  FROM e${k}_16),
+             |s$k AS (
+             |  SELECT event_type,
+             |    min(c0) AS c0, min(c1) AS c1, min(c2) AS c2,
+             |    CAST(SUM(yc * 1000000000 - n * pq) AS BIGINT) AS ig0,
+             |    CAST(SUM(x1 * (yc * 1000000000 - n * pq)) AS BIGINT) AS ig1,
+             |    CAST(SUM(x2 * (yc * 1000000000 - n * pq)) AS BIGINT) AS ig2,
+             |    CAST(SUM(wq) AS BIGINT) AS ih00,
+             |    CAST(SUM(wq * x1) AS BIGINT) AS ih01,
+             |    CAST(SUM(wq * x2) AS BIGINT) AS ih02,
+             |    CAST(SUM(wq * x1 * x1) AS BIGINT) AS ih11,
+             |    CAST(SUM(wq * x1 * x2) AS BIGINT) AS ih12,
+             |    CAST(SUM(wq * x2 * x2) AS BIGINT) AS ih22
+             |  FROM q$k GROUP BY 1),
+             |d$k AS (
+             |  SELECT event_type, c0, c1, c2,
+             |    CAST(ig0 AS DOUBLE) / 1.0e9 AS g0,
+             |    CAST(ig1 AS DOUBLE) / 1.0e9 AS g1,
+             |    CAST(ig2 AS DOUBLE) / 1.0e9 AS g2,
+             |    CAST(ih00 AS DOUBLE) / 1.0e9 AS h00,
+             |    CAST(ih01 AS DOUBLE) / 1.0e9 AS h01,
+             |    CAST(ih02 AS DOUBLE) / 1.0e9 AS h02,
+             |    CAST(ih11 AS DOUBLE) / 1.0e9 AS h11,
+             |    CAST(ih12 AS DOUBLE) / 1.0e9 AS h12,
+             |    CAST(ih22 AS DOUBLE) / 1.0e9 AS h22
+             |  FROM s$k),
+             |b${k + 1} AS (
+             |  SELECT event_type,
+             |    c0 + $d0 / $det AS c0,
+             |    c1 + $d1 / $det AS c1,
+             |    c2 + $d2 / $det AS c2
+             |  FROM d$k)""".stripMargin
+        }
+        s"""WITH grid AS (
+           |  SELECT event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS yc
+           |  FROM events GROUP BY 1, 2, 3),
+           |b0 AS (
+           |  SELECT DISTINCT event_type, 0.0e0 AS c0, 0.0e0 AS c1,
+           |    0.0e0 AS c2
+           |  FROM grid),
+           |${iter(0)},
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |score AS (
+           |  SELECT g.event_type, g.x1, g.x2, g.n, g.yc,
+           |    b.c0 + b.c1 * CAST(g.x1 AS DOUBLE)
+           |      + b.c2 * CAST(g.x2 AS DOUBLE) AS z
+           |  FROM grid g JOIN b4 b ON g.event_type = b.event_type),
+           |r AS (
+           |  SELECT *, COALESCE(SUM(n - yc) OVER (PARTITION BY event_type
+           |    ORDER BY z, x1, x2 ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |    1 PRECEDING), 0) AS cumneg
+           |  FROM score),
+           |a AS (
+           |  SELECT event_type,
+           |    CAST(SUM(n) AS BIGINT) AS n,
+           |    CAST(SUM(yc) AS BIGINT) AS np,
+           |    CAST(SUM(n - yc) AS BIGINT) AS nn,
+           |    CAST(SUM(yc * (2 * cumneg + (n - yc))) AS BIGINT) AS num2
+           |  FROM r GROUP BY 1)
+           |SELECT a.event_type, a.n,
+           |  CAST(floor(b.c0 * 1.0e9 + 0.5e0) AS BIGINT) AS b0_q,
+           |  CAST(floor(b.c1 * 1.0e9 + 0.5e0) AS BIGINT) AS b1_q,
+           |  CAST(floor(b.c2 * 1.0e9 + 0.5e0) AS BIGINT) AS b2_q,
+           |  CAST(num2 AS DOUBLE) / CAST(NULLIF(2 * np * nn, 0) AS DOUBLE)
+           |    AS auc_train
+           |FROM a JOIN b4 b ON a.event_type = b.event_type""".stripMargin
+      },
+      (s, d) => {
+        def det3(a1: Column, a2: Column, a3: Column,
+                 b1: Column, b2: Column, b3: Column,
+                 c1: Column, c2: Column, c3: Column): Column =
+          a1 * (b2 * c3 - b3 * c2) -
+          a2 * (b1 * c3 - b3 * c1) +
+          a3 * (b1 * c2 - b2 * c1)
+        // the deterministic sigmoid: 1/(1+(1−z/65536)^65536) by 16
+        // squarings — IEEE-exact ops only, one tree on both engines.
+        // Each squaring is its OWN projection (withColumn), never one
+        // literal e*e…*e expression: Catalyst treats expressions as
+        // trees, not DAGs, so a single 16-deep self-referencing tree
+        // has 2^16 leaves and optimizer traversals explode; as a chain
+        // of aliased projections CollapseProject keeps them separate
+        // (the alias is non-cheap and referenced twice) and codegen
+        // reuses the attribute. The DuckDB oracle mirrors this with 16
+        // chained CTEs (its CSE handles them).
+        def withSigmoid(df: DataFrame, z: Column): DataFrame = {
+          val zc = greatest(least(z, lit(30.0)), lit(-30.0))
+          var cur = df.withColumn("e", lit(1.0) + (-zc) / lit(65536.0))
+          var i = 0
+          while (i < 16) { cur = cur.withColumn("e", col("e") * col("e")); i += 1 }
+          cur.withColumn("p", lit(1.0) / (lit(1.0) + col("e")))
+        }
+        val grid = Tables.events(s, d).select(col("event_type"),
+            hour(col("ts")).cast("long").as("x1"),
+            dayofweek(col("ts")).cast("long").as("x2"),
+            when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
+          .groupBy("event_type", "x1", "x2")
+          .agg(count(lit(1)).as("n"), sum("y").as("yc"))
+          .persist() // one data-sized pass; 4 Newton steps + scoring
+                     // re-read the ≤168-cells-per-group grid
+        val beta0 = grid.select(col("event_type")).distinct()
+          .select(col("event_type"), lit(0.0).as("c0"), lit(0.0).as("c1"),
+            lit(0.0).as("c2"))
+        val beta4 = (0 until 4).foldLeft(beta0) { (beta, _) =>
+          val j = grid.join(broadcast(beta), "event_type")
+          val withP = withSigmoid(j,
+            col("c0") + col("c1") * col("x1").cast("double")
+              + col("c2") * col("x2").cast("double"))
+          val q = withP.select(col("event_type"), col("x1"), col("x2"),
+            col("n"), col("yc"), col("c0"), col("c1"), col("c2"),
+            floor(col("p") * lit(1e9)).cast("long").as("pq"),
+            floor(((col("n").cast("double") * col("p"))
+              * (lit(1.0) - col("p"))) * lit(1e9)).cast("long").as("wq"))
+          val gterm = col("yc") * lit(1000000000L) - col("n") * col("pq")
+          val sums = q.groupBy("event_type").agg(
+            min("c0").as("c0"), min("c1").as("c1"), min("c2").as("c2"),
+            sum(gterm).as("ig0"),
+            sum(col("x1") * gterm).as("ig1"),
+            sum(col("x2") * gterm).as("ig2"),
+            sum(col("wq")).as("ih00"),
+            sum(col("wq") * col("x1")).as("ih01"),
+            sum(col("wq") * col("x2")).as("ih02"),
+            sum(col("wq") * col("x1") * col("x1")).as("ih11"),
+            sum(col("wq") * col("x1") * col("x2")).as("ih12"),
+            sum(col("wq") * col("x2") * col("x2")).as("ih22"))
+          def u(c: String) = col(c).cast("double") / lit(1e9)
+          val dd = sums.select(col("event_type"),
+            col("c0"), col("c1"), col("c2"),
+            u("ig0").as("g0"), u("ig1").as("g1"), u("ig2").as("g2"),
+            u("ih00").as("h00"), u("ih01").as("h01"), u("ih02").as("h02"),
+            u("ih11").as("h11"), u("ih12").as("h12"), u("ih22").as("h22"))
+          val det = det3(col("h00"), col("h01"), col("h02"),
+            col("h01"), col("h11"), col("h12"),
+            col("h02"), col("h12"), col("h22"))
+          val d0 = det3(col("g0"), col("h01"), col("h02"),
+            col("g1"), col("h11"), col("h12"),
+            col("g2"), col("h12"), col("h22"))
+          val d1 = det3(col("h00"), col("g0"), col("h02"),
+            col("h01"), col("g1"), col("h12"),
+            col("h02"), col("g2"), col("h22"))
+          val d2 = det3(col("h00"), col("h01"), col("g0"),
+            col("h01"), col("h11"), col("g1"),
+            col("h02"), col("h12"), col("g2"))
+          dd.select(col("event_type"),
+            (col("c0") + d0 / det).as("c0"),
+            (col("c1") + d1 / det).as("c1"),
+            (col("c2") + d2 / det).as("c2"))
+        }
+        val score = grid.join(broadcast(beta4), "event_type")
+          .select(col("event_type"), col("x1"), col("x2"), col("n"),
+            col("yc"),
+            (col("c0") + col("c1") * col("x1").cast("double")
+              + col("c2") * col("x2").cast("double")).as("z"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("z"), col("x1"), col("x2"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = score.withColumn("cumneg",
+          coalesce(sum(col("n") - col("yc")).over(w), lit(0L)))
+        val a = r.groupBy("event_type").agg(
+          sum("n").as("n"), sum("yc").as("np"),
+          sum(col("n") - col("yc")).as("nn"),
+          sum(col("yc") * (lit(2L) * col("cumneg")
+            + (col("n") - col("yc")))).as("num2"))
+        def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+        a.join(broadcast(beta4), "event_type")
+          .select(col("event_type"), col("n"),
+            q9(col("c0")).as("b0_q"), q9(col("c1")).as("b1_q"),
+            q9(col("c2")).as("b2_q"),
+            (col("num2").cast("double") /
+              nullif(lit(2L) * col("np") * col("nn"), lit(0L))
+                .cast("double")).as("auc_train"))
+      }),
   )
 }
