@@ -1510,5 +1510,188 @@ object MlPrepQueries {
               nullif(lit(2L) * col("np") * col("nn"), lit(0L))
                 .cast("double")).as("auc_train"))
       }),
+
+    // DISTRIBUTED DECISION TREE — the reference's tree family
+    // (`data_apis/my_model.py:164-260`, sklearn DecisionTree /
+    // GradientBoosting behind optuna) re-expressed as the
+    // XGBoost/LightGBM HISTOGRAM-SPLIT shape: a depth-3 gini
+    // classification tree per event_type on the integer feature grid
+    // (hour 0-23, dow 1-7), label y = (value ≥ 100).
+    //
+    // Scale shape: the data-sized work is the SAME one-pass grid build as
+    // mlprep_logit (N rows → ≤168 cells per group; for continuous
+    // features this is the LightGBM 256-bin quantization). Each tree
+    // LEVEL is then exactly one histogram-sized aggregate: per
+    // (group, node, feature, bin) marginals, a cumulative window over the
+    // ≤24-row bin axis turns prefix sums into every candidate split's
+    // left/right counts — no per-row sort, no per-candidate scan, the
+    // textbook greedy split search as ONE window over the histogram. The
+    // chosen splits (≤ |groups|·2^level rows) broadcast back to re-route
+    // cells to children. Depth d costs d histogram aggregates after one
+    // corpus scan, at any data size.
+    //
+    // Parity: every count is an exact integer; the weighted-gini score
+    // n_l − (pos_l²+neg_l²)/n_l + (same for right) is ONE identical IEEE
+    // tree over exact-int casts, so split ordering (score ASC, feat,
+    // thr — full deterministic tiebreak) matches bit-for-bit. Output is
+    // the tree STRUCTURE itself: one row per internal node (level 0-2:
+    // chosen feature + threshold + node counts) and per leaf (level 3,
+    // null split), with the node base rate pred = pos/n (one exact-int
+    // division). A node with no valid candidate (single distinct value
+    // on both features) stays unsplit and routes left — ids stay
+    // aligned.
+    QueryDef(
+      "mlprep_tree",
+      Some {
+        def level(l: Int): String =
+          s"""m$l AS (
+             |  SELECT event_type, node, 1 AS feat, x1 AS v,
+             |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS pos
+             |  FROM asg$l GROUP BY 1, 2, 4
+             |  UNION ALL
+             |  SELECT event_type, node, 2 AS feat, x2 AS v,
+             |    CAST(SUM(n) AS BIGINT), CAST(SUM(yc) AS BIGINT)
+             |  FROM asg$l GROUP BY 1, 2, 4),
+             |c$l AS (
+             |  SELECT *,
+             |    CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             |    CAST(SUM(pos) OVER w AS BIGINT) AS posl,
+             |    CAST(SUM(n) OVER t AS BIGINT) AS ntot,
+             |    CAST(SUM(pos) OVER t AS BIGINT) AS postot,
+             |    MAX(v) OVER t AS vmax
+             |  FROM m$l
+             |  WINDOW w AS (PARTITION BY event_type, node, feat ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  t AS (PARTITION BY event_type, node, feat)),
+             |s$l AS (
+             |  SELECT event_type, node, feat, v AS thr, ntot, postot,
+             |    nl, posl, ntot - nl AS nr, postot - posl AS posr
+             |  FROM c$l WHERE v < vmax),
+             |g$l AS (
+             |  SELECT *,
+             |    (CAST(nl AS DOUBLE)
+             |      - (CAST(posl * posl AS DOUBLE)
+             |        + CAST((nl - posl) * (nl - posl) AS DOUBLE))
+             |        / CAST(nl AS DOUBLE))
+             |    + (CAST(nr AS DOUBLE)
+             |      - (CAST(posr * posr AS DOUBLE)
+             |        + CAST((nr - posr) * (nr - posr) AS DOUBLE))
+             |        / CAST(nr AS DOUBLE)) AS score
+             |  FROM s$l),
+             |b$l AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY event_type, node
+             |      ORDER BY score, feat, thr) AS rn
+             |    FROM g$l) WHERE rn = 1),
+             |asg${l + 1} AS (
+             |  SELECT a.event_type, a.x1, a.x2, a.n, a.yc,
+             |    CASE
+             |      WHEN b.node IS NULL THEN a.node * 2
+             |      WHEN (CASE WHEN b.feat = 1 THEN a.x1 ELSE a.x2 END)
+             |        <= b.thr THEN a.node * 2
+             |      ELSE a.node * 2 + 1 END AS node
+             |  FROM asg$l a LEFT JOIN b$l b
+             |    ON a.event_type = b.event_type AND a.node = b.node)"""
+            .stripMargin
+        s"""WITH grid AS (
+           |  SELECT event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS yc
+           |  FROM events GROUP BY 1, 2, 3),
+           |asg0 AS (SELECT *, CAST(0 AS BIGINT) AS node FROM grid),
+           |${level(0)},
+           |${level(1)},
+           |${level(2)},
+           |leaves AS (
+           |  SELECT event_type, CAST(3 AS BIGINT) AS level, node,
+           |    CAST(NULL AS BIGINT) AS feat, CAST(NULL AS BIGINT) AS thr,
+           |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS pos
+           |  FROM asg3 GROUP BY 1, 3),
+           |tree AS (
+           |  SELECT event_type, CAST(0 AS BIGINT) AS level, node,
+           |    CAST(feat AS BIGINT) AS feat, thr, ntot AS n, postot AS pos
+           |  FROM b0
+           |  UNION ALL
+           |  SELECT event_type, CAST(1 AS BIGINT), node,
+           |    CAST(feat AS BIGINT), thr, ntot, postot FROM b1
+           |  UNION ALL
+           |  SELECT event_type, CAST(2 AS BIGINT), node,
+           |    CAST(feat AS BIGINT), thr, ntot, postot FROM b2
+           |  UNION ALL
+           |  SELECT * FROM leaves)
+           |SELECT event_type, level, node, feat, thr, n, pos,
+           |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pred
+           |FROM tree""".stripMargin
+      },
+      (s, d) => {
+        val grid = Tables.events(s, d).select(col("event_type"),
+            hour(col("ts")).cast("long").as("x1"),
+            dayofweek(col("ts")).cast("long").as("x2"),
+            when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
+          .groupBy("event_type", "x1", "x2")
+          .agg(count(lit(1)).as("n"), sum("y").as("yc"))
+          .persist() // one data-sized pass; 3 histogram levels re-read it
+        var asg = grid.withColumn("node", lit(0L))
+        val splitRows = Seq.newBuilder[DataFrame]
+        for (lvl <- 0 until 3) {
+          val m = asg.select(col("event_type"), col("node"),
+              lit(1L).as("feat"), col("x1").as("v"), col("n"), col("yc"))
+            .unionByName(asg.select(col("event_type"), col("node"),
+              lit(2L).as("feat"), col("x2").as("v"), col("n"), col("yc")))
+            .groupBy("event_type", "node", "feat", "v")
+            .agg(sum("n").as("n"), sum("yc").as("pos"))
+          val wc = Window.partitionBy("event_type", "node", "feat")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wt = Window.partitionBy("event_type", "node", "feat")
+          val c = m
+            .withColumn("nl", sum("n").over(wc))
+            .withColumn("posl", sum("pos").over(wc))
+            .withColumn("ntot", sum("n").over(wt))
+            .withColumn("postot", sum("pos").over(wt))
+            .withColumn("vmax", max("v").over(wt))
+          val sCand = c.filter(col("v") < col("vmax"))
+            .select(col("event_type"), col("node"), col("feat"),
+              col("v").as("thr"), col("ntot"), col("postot"),
+              col("nl"), col("posl"),
+              (col("ntot") - col("nl")).as("nr"),
+              (col("postot") - col("posl")).as("posr"))
+          def half(n: Column, p: Column): Column =
+            n.cast("double") -
+              ((p * p).cast("double") + ((n - p) * (n - p)).cast("double")) /
+                n.cast("double")
+          val g = sCand.withColumn("score",
+            half(col("nl"), col("posl")) + half(col("nr"), col("posr")))
+          val b = g.withColumn("rn", row_number().over(
+              Window.partitionBy("event_type", "node")
+                .orderBy(col("score"), col("feat"), col("thr"))))
+            .filter(col("rn") === 1).drop("rn")
+          splitRows += b.select(col("event_type"), lit(lvl.toLong).as("level"),
+            col("node"), col("feat"), col("thr"),
+            col("ntot").as("n"), col("postot").as("pos"))
+          val bb = broadcast(b.select(col("event_type"), col("node"),
+            col("feat"), col("thr")))
+          asg = asg.join(bb, Seq("event_type", "node"), "left")
+            .select(col("event_type"), col("x1"), col("x2"), col("n"),
+              col("yc"),
+              when(col("feat").isNull, col("node") * 2)
+                .when(when(col("feat") === 1, col("x1"))
+                  .otherwise(col("x2")) <= col("thr"), col("node") * 2)
+                .otherwise(col("node") * 2 + 1).as("node"))
+        }
+        val leaves = asg.groupBy("event_type", "node")
+          .agg(sum("n").as("n"), sum("yc").as("pos"))
+          .select(col("event_type"), lit(3L).as("level"), col("node"),
+            lit(null).cast("long").as("feat"),
+            lit(null).cast("long").as("thr"), col("n"), col("pos"))
+        (splitRows.result() :+ leaves).reduce(_ unionByName _)
+          .select(col("event_type"), col("level"), col("node"), col("feat"),
+            col("thr"), col("n"), col("pos"),
+            (col("pos").cast("double") / col("n").cast("double"))
+              .as("pred"))
+      }),
   )
 }
