@@ -1693,5 +1693,221 @@ object MlPrepQueries {
             (col("pos").cast("double") / col("n").cast("double"))
               .as("pred"))
       }),
+
+    // HYPERPARAMETER SWEEP IN ONE SCAN — the reference's optuna studies
+    // (`data_apis/my_model.py:135-247`: n_trials=50 fit/score loops, each
+    // re-reading the data) as engine work: a full λ-grid × 5-fold CV
+    // ridge sweep where the DATA is scanned exactly once.
+    //
+    // The trick making |grid|·|folds| models one pass: sufficient
+    // statistics are ADDITIVE. One hash-agg collects the ten ridge
+    // moments per (group, fold); train-side stats for fold f are then
+    // total − fold_f (arithmetic on the 25-row table, never a second
+    // scan), and the held-out SSE needs NO scoring pass either —
+    // SSE = Σy² − 2βᵀXᵀy + βᵀXᵀXβ evaluates the test fold entirely from
+    // its own moment row. Every (fold, λ) model is a Cramer solve + a
+    // quadratic form on a stats-sized frame; 20 models or 20,000 cost
+    // the same single corpus read. The winner per group (min Σ_folds
+    // test-MSE, λ tiebreak) is flagged in-row — the optuna "best trial"
+    // as a window rank.
+    //
+    // Parity: fold = hash32('cv:'‖event_id) % 5 (mlprep_cv_folds'
+    // deterministic assignment); all moments exact longs on the lq grid;
+    // β and SSE are one shared IEEE tree over exact-int casts; MSE is
+    // floor-quantized (yq² units) so the CV sum is an order-free integer.
+    QueryDef(
+      "mlprep_sweep",
+      Some {
+        def oDet3(a1: String, a2: String, a3: String,
+                  b1: String, b2: String, b3: String,
+                  c1: String, c2: String, c3: String): String =
+          s"($a1 * ($b2 * $c3 - $b3 * $c2) - " +
+          s"$a2 * ($b1 * $c3 - $b3 * $c1) + " +
+          s"$a3 * ($b1 * $c2 - $b2 * $c1))"
+        val s11l = "(s11 + lam)"
+        val s22l = "(s22 + lam)"
+        val det = oDet3("nn", "s1", "s2", "s1", s11l, "s12",
+          "s2", "s12", s22l)
+        val db0 = oDet3("sy", "s1", "s2", "s1y", s11l, "s12",
+          "s2y", "s12", s22l)
+        val db1 = oDet3("nn", "sy", "s2", "s1", "s1y", "s12",
+          "s2", "s2y", s22l)
+        val db2 = oDet3("nn", "s1", "sy", "s1", s11l, "s1y",
+          "s2", "s12", "s2y")
+        val h = graft.operators.TextOps
+          .oHash32("'cv:' || CAST(event_id AS VARCHAR)")
+        s"""WITH f AS (
+           |  SELECT event_type, $h % 5 AS fold,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    ${graft.Parity.oLq("value")} AS yq
+           |  FROM events),
+           |m AS (
+           |  SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS l1,
+           |    CAST(sum(x2) AS BIGINT) AS l2,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS l11,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS l12,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS l22,
+           |    CAST(sum(yq) AS BIGINT) AS ly,
+           |    CAST(sum(x1 * yq) AS BIGINT) AS l1y,
+           |    CAST(sum(x2 * yq) AS BIGINT) AS l2y,
+           |    CAST(sum(yq * yq) AS BIGINT) AS lyy
+           |  FROM f GROUP BY 1, 2),
+           |t AS (
+           |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn,
+           |    CAST(SUM(l1) AS BIGINT) AS t1, CAST(SUM(l2) AS BIGINT) AS t2,
+           |    CAST(SUM(l11) AS BIGINT) AS t11,
+           |    CAST(SUM(l12) AS BIGINT) AS t12,
+           |    CAST(SUM(l22) AS BIGINT) AS t22,
+           |    CAST(SUM(ly) AS BIGINT) AS ty,
+           |    CAST(SUM(l1y) AS BIGINT) AS t1y,
+           |    CAST(SUM(l2y) AS BIGINT) AS t2y
+           |  FROM m GROUP BY 1),
+           |lamgrid AS (SELECT * FROM (VALUES (0.0e0), (1.0e3), (1.0e5),
+           |  (1.0e7)) l(lam)),
+           |tr AS (
+           |  SELECT m.event_type, m.fold, l.lam,
+           |    t.tn - m.n AS n_train, m.n AS n_test,
+           |    CAST(t.tn - m.n AS DOUBLE) AS nn,
+           |    CAST(t.t1 - m.l1 AS DOUBLE) AS s1,
+           |    CAST(t.t2 - m.l2 AS DOUBLE) AS s2,
+           |    CAST(t.t11 - m.l11 AS DOUBLE) AS s11,
+           |    CAST(t.t12 - m.l12 AS DOUBLE) AS s12,
+           |    CAST(t.t22 - m.l22 AS DOUBLE) AS s22,
+           |    CAST(t.ty - m.ly AS DOUBLE) AS sy,
+           |    CAST(t.t1y - m.l1y AS DOUBLE) AS s1y,
+           |    CAST(t.t2y - m.l2y AS DOUBLE) AS s2y,
+           |    CAST(m.n AS DOUBLE) AS qn,
+           |    CAST(m.l1 AS DOUBLE) AS q1, CAST(m.l2 AS DOUBLE) AS q2,
+           |    CAST(m.l11 AS DOUBLE) AS q11,
+           |    CAST(m.l12 AS DOUBLE) AS q12,
+           |    CAST(m.l22 AS DOUBLE) AS q22,
+           |    CAST(m.ly AS DOUBLE) AS qy,
+           |    CAST(m.l1y AS DOUBLE) AS q1y,
+           |    CAST(m.l2y AS DOUBLE) AS q2y,
+           |    CAST(m.lyy AS DOUBLE) AS qyy
+           |  FROM m JOIN t ON m.event_type = t.event_type
+           |  CROSS JOIN lamgrid l),
+           |sol AS (
+           |  SELECT *, $db0 / $det AS b0, $db1 / $det AS b1,
+           |    $db2 / $det AS b2
+           |  FROM tr),
+           |ev AS (
+           |  SELECT event_type, fold, lam, n_train, n_test,
+           |    CAST(floor(b0 * 1.0e7 + 0.5e0) AS BIGINT) AS b0_q,
+           |    CAST(floor(b1 * 1.0e7 + 0.5e0) AS BIGINT) AS b1_q,
+           |    CAST(floor(b2 * 1.0e7 + 0.5e0) AS BIGINT) AS b2_q,
+           |    CAST(floor((qyy - 2.0e0 * (b0 * qy + b1 * q1y + b2 * q2y)
+           |      + (b0 * b0 * qn + b1 * b1 * q11 + b2 * b2 * q22
+           |        + 2.0e0 * (b0 * b1 * q1 + b0 * b2 * q2 + b1 * b2 * q12)))
+           |      / CAST(NULLIF(n_test, 0) AS DOUBLE) + 0.5e0) AS BIGINT)
+           |      AS mse_q
+           |  FROM sol),
+           |win AS (
+           |  SELECT event_type, lam, CAST(SUM(mse_q) AS BIGINT) AS cv_q
+           |  FROM ev GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY event_type
+           |    ORDER BY cv_q, lam) AS rn
+           |  FROM win)
+           |SELECT e.event_type, e.fold, e.lam, e.n_train, e.n_test,
+           |  e.b0_q, e.b1_q, e.b2_q, e.mse_q, r.cv_q AS cv_mse_sum_q,
+           |  CAST(CASE WHEN r.rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+           |FROM ev e JOIN rk r
+           |  ON e.event_type = r.event_type AND e.lam = r.lam""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        def det3(a1: Column, a2: Column, a3: Column,
+                 b1: Column, b2: Column, b3: Column,
+                 c1: Column, c2: Column, c3: Column): Column =
+          a1 * (b2 * c3 - b3 * c2) -
+          a2 * (b1 * c3 - b3 * c1) +
+          a3 * (b1 * c2 - b2 * c1)
+        val f = Tables.events(s, d).select(col("event_type"),
+          (hash32(concat(lit("cv:"), col("event_id").cast("string")))
+            % 5).as("fold"),
+          hour(col("ts")).cast("long").as("x1"),
+          dayofweek(col("ts")).cast("long").as("x2"),
+          graft.Parity.lq(col("value")).as("yq"))
+        val m = f.groupBy("event_type", "fold").agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("l1"), sum("x2").as("l2"),
+          sum(col("x1") * col("x1")).as("l11"),
+          sum(col("x1") * col("x2")).as("l12"),
+          sum(col("x2") * col("x2")).as("l22"),
+          sum("yq").as("ly"),
+          sum(col("x1") * col("yq")).as("l1y"),
+          sum(col("x2") * col("yq")).as("l2y"),
+          sum(col("yq") * col("yq")).as("lyy"))
+        val t = m.groupBy("event_type").agg(
+          sum("n").as("tn"), sum("l1").as("t1"), sum("l2").as("t2"),
+          sum("l11").as("t11"), sum("l12").as("t12"), sum("l22").as("t22"),
+          sum("ly").as("ty"), sum("l1y").as("t1y"), sum("l2y").as("t2y"))
+        import s.implicits._
+        val lamgrid = Seq(0.0, 1.0e3, 1.0e5, 1.0e7).toDF("lam")
+        // stats-sized cross join: |groups|·|folds| moment rows × |λ| —
+        // never the data
+        val tr = m.join(broadcast(t), "event_type")
+          .crossJoin(broadcast(lamgrid))
+          .select(col("event_type"), col("fold"), col("lam"),
+            (col("tn") - col("n")).as("n_train"), col("n").as("n_test"),
+            (col("tn") - col("n")).cast("double").as("nn"),
+            (col("t1") - col("l1")).cast("double").as("s1"),
+            (col("t2") - col("l2")).cast("double").as("s2"),
+            (col("t11") - col("l11")).cast("double").as("s11"),
+            (col("t12") - col("l12")).cast("double").as("s12"),
+            (col("t22") - col("l22")).cast("double").as("s22"),
+            (col("ty") - col("ly")).cast("double").as("sy"),
+            (col("t1y") - col("l1y")).cast("double").as("s1y"),
+            (col("t2y") - col("l2y")).cast("double").as("s2y"),
+            col("n").cast("double").as("qn"),
+            col("l1").cast("double").as("q1"),
+            col("l2").cast("double").as("q2"),
+            col("l11").cast("double").as("q11"),
+            col("l12").cast("double").as("q12"),
+            col("l22").cast("double").as("q22"),
+            col("ly").cast("double").as("qy"),
+            col("l1y").cast("double").as("q1y"),
+            col("l2y").cast("double").as("q2y"),
+            col("lyy").cast("double").as("qyy"))
+        val s11l = col("s11") + col("lam")
+        val s22l = col("s22") + col("lam")
+        val det = det3(col("nn"), col("s1"), col("s2"),
+          col("s1"), s11l, col("s12"), col("s2"), col("s12"), s22l)
+        val db0 = det3(col("sy"), col("s1"), col("s2"),
+          col("s1y"), s11l, col("s12"), col("s2y"), col("s12"), s22l)
+        val db1 = det3(col("nn"), col("sy"), col("s2"),
+          col("s1"), col("s1y"), col("s12"), col("s2"), col("s2y"), s22l)
+        val db2 = det3(col("nn"), col("s1"), col("sy"),
+          col("s1"), s11l, col("s1y"), col("s2"), col("s12"), col("s2y"))
+        val sol = tr.withColumn("b0", db0 / det)
+          .withColumn("b1", db1 / det).withColumn("b2", db2 / det)
+        def q7(c: Column) = floor(c * lit(1e7) + lit(0.5)).cast("long")
+        val sse = col("qyy") - lit(2.0) * (col("b0") * col("qy")
+            + col("b1") * col("q1y") + col("b2") * col("q2y")) +
+          (col("b0") * col("b0") * col("qn")
+            + col("b1") * col("b1") * col("q11")
+            + col("b2") * col("b2") * col("q22")
+            + lit(2.0) * (col("b0") * col("b1") * col("q1")
+              + col("b0") * col("b2") * col("q2")
+              + col("b1") * col("b2") * col("q12")))
+        val ev = sol.select(col("event_type"), col("fold"), col("lam"),
+          col("n_train"), col("n_test"),
+          q7(col("b0")).as("b0_q"), q7(col("b1")).as("b1_q"),
+          q7(col("b2")).as("b2_q"),
+          floor(sse / nullif(col("n_test"), lit(0L)).cast("double")
+            + lit(0.5)).cast("long").as("mse_q"))
+        val win = ev.groupBy("event_type", "lam")
+          .agg(sum("mse_q").as("cv_q"))
+        val rk = win.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("cv_q"), col("lam"))))
+        ev.join(broadcast(rk), Seq("event_type", "lam"))
+          .select(col("event_type"), col("fold"), col("lam"),
+            col("n_train"), col("n_test"), col("b0_q"), col("b1_q"),
+            col("b2_q"), col("mse_q"), col("cv_q").as("cv_mse_sum_q"),
+            when(col("rn") === 1, 1L).otherwise(0L).as("is_best"))
+      }),
   )
 }
