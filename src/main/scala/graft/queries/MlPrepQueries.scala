@@ -1909,5 +1909,242 @@ object MlPrepQueries {
             col("b2_q"), col("mse_q"), col("cv_q").as("cv_mse_sum_q"),
             when(col("rn") === 1, 1L).otherwise(0L).as("is_best"))
       }),
+
+    // WALK-FORWARD RETRAIN — the reference's rolling-window backtest
+    // loop (`my_model.py:446-482` get_rolling_window_splits feeding the
+    // fit/score loop at `:567-650`: retrain on each sliding window,
+    // evaluate strictly out-of-window) composed into ONE query. Windows
+    // are day-grain (train 14d → test 7d, sliding 7d — the reference's
+    // monthly scheme granularity-parametrized to the fixture span, the
+    // mlprep_eval_report precedent), bounds data-driven from a broadcast
+    // 1-row aggregate (mlprep_rolling_splits' pattern — no collect, no
+    // baked-in dates).
+    //
+    // Scale shape: ONE corpus pass builds day-grain moment rows
+    // (|groups|·|days| — tiny at any data size); every window's train
+    // AND test statistics are then range-joined sums of those rows
+    // (train = Σ its 14 days — windows OVERLAP in rows but only
+    // moment-table rows are re-read, never the corpus), each window's
+    // model is a closed-form Cramer solve, and both in-window and
+    // out-of-window MSE evaluate from the windows' own moment sums via
+    // the SSE quadratic form (mlprep_sweep's identity). The whole
+    // monthly-retrain backtest a reference user scripts as a loop is
+    // one declarative plan with one data-sized stage.
+    //
+    // Parity: moments exact longs on the lq grid; date arithmetic on
+    // DATE ints; β/SSE one shared IEEE tree; MSE floor-quantized in yq²
+    // units; coefficients at 1e9 in value units (1e7 on the yq scale).
+    QueryDef(
+      "mlprep_walk_forward",
+      Some {
+        def oDet3(a1: String, a2: String, a3: String,
+                  b1: String, b2: String, b3: String,
+                  c1: String, c2: String, c3: String): String =
+          s"($a1 * ($b2 * $c3 - $b3 * $c2) - " +
+          s"$a2 * ($b1 * $c3 - $b3 * $c1) + " +
+          s"$a3 * ($b1 * $c2 - $b2 * $c1))"
+        val det = oDet3("nn", "s1", "s2", "s1", "s11", "s12",
+          "s2", "s12", "s22")
+        val db0 = oDet3("sy", "s1", "s2", "s1y", "s11", "s12",
+          "s2y", "s12", "s22")
+        val db1 = oDet3("nn", "sy", "s2", "s1", "s1y", "s12",
+          "s2", "s2y", "s22")
+        val db2 = oDet3("nn", "s1", "sy", "s1", "s11", "s1y",
+          "s2", "s12", "s2y")
+        def mse(p: String): String =
+          s"""(${p}yy - 2.0e0 * (b0 * ${p}y + b1 * ${p}1y + b2 * ${p}2y)
+             |    + (b0 * b0 * ${p}n + b1 * b1 * ${p}11
+             |      + b2 * b2 * ${p}22
+             |      + 2.0e0 * (b0 * b1 * ${p}1 + b0 * b2 * ${p}2
+             |        + b1 * b2 * ${p}12)))
+             |    / CAST(NULLIF(${p}cnt, 0) AS DOUBLE)""".stripMargin
+        s"""WITH f AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    ${graft.Parity.oLq("value")} AS yq
+           |  FROM events),
+           |md AS (
+           |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS l1,
+           |    CAST(sum(x2) AS BIGINT) AS l2,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS l11,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS l12,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS l22,
+           |    CAST(sum(yq) AS BIGINT) AS ly,
+           |    CAST(sum(x1 * yq) AS BIGINT) AS l1y,
+           |    CAST(sum(x2 * yq) AS BIGINT) AS l2y,
+           |    CAST(sum(yq * yq) AS BIGINT) AS lyy
+           |  FROM f GROUP BY 1, 2),
+           |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM md),
+           |splits AS (
+           |  SELECT k AS split_id,
+           |    CAST(lo + INTERVAL (7 * k) DAY AS DATE) AS train_start,
+           |    CAST(lo + INTERVAL (7 * k + 14) DAY AS DATE) AS train_end,
+           |    CAST(lo + INTERVAL (7 * k + 21) DAY AS DATE) AS test_end
+           |  FROM bounds, generate_series(0, 50) t(k)
+           |  WHERE CAST(lo + INTERVAL (7 * k + 21) DAY AS DATE) <= hi),
+           |ag AS (
+           |  SELECT m.event_type, s.split_id, s.train_start, s.train_end,
+           |    s.test_end,
+           |    CASE WHEN m.day < s.train_end THEN 'train' ELSE 'test' END
+           |      AS role,
+           |    CAST(SUM(n) AS BIGINT) AS n,
+           |    CAST(SUM(l1) AS BIGINT) AS l1, CAST(SUM(l2) AS BIGINT) AS l2,
+           |    CAST(SUM(l11) AS BIGINT) AS l11,
+           |    CAST(SUM(l12) AS BIGINT) AS l12,
+           |    CAST(SUM(l22) AS BIGINT) AS l22,
+           |    CAST(SUM(ly) AS BIGINT) AS ly,
+           |    CAST(SUM(l1y) AS BIGINT) AS l1y,
+           |    CAST(SUM(l2y) AS BIGINT) AS l2y,
+           |    CAST(SUM(lyy) AS BIGINT) AS lyy
+           |  FROM md m JOIN splits s
+           |    ON m.day >= s.train_start AND m.day < s.test_end
+           |  GROUP BY 1, 2, 3, 4, 5, 6),
+           |tr AS (
+           |  SELECT event_type, split_id, train_start, train_end, test_end,
+           |    n AS n_train, CAST(n AS DOUBLE) AS nn,
+           |    CAST(n AS DOUBLE) AS sn, CAST(n AS DOUBLE) AS scnt,
+           |    CAST(l1 AS DOUBLE) AS s1, CAST(l2 AS DOUBLE) AS s2,
+           |    CAST(l11 AS DOUBLE) AS s11, CAST(l12 AS DOUBLE) AS s12,
+           |    CAST(l22 AS DOUBLE) AS s22,
+           |    CAST(ly AS DOUBLE) AS sy, CAST(l1y AS DOUBLE) AS s1y,
+           |    CAST(l2y AS DOUBLE) AS s2y, CAST(lyy AS DOUBLE) AS syy
+           |  FROM ag WHERE role = 'train'),
+           |te AS (
+           |  SELECT event_type, split_id, n AS n_test,
+           |    CAST(n AS DOUBLE) AS qn, CAST(n AS DOUBLE) AS qcnt,
+           |    CAST(l1 AS DOUBLE) AS q1, CAST(l2 AS DOUBLE) AS q2,
+           |    CAST(l11 AS DOUBLE) AS q11, CAST(l12 AS DOUBLE) AS q12,
+           |    CAST(l22 AS DOUBLE) AS q22,
+           |    CAST(ly AS DOUBLE) AS qy, CAST(l1y AS DOUBLE) AS q1y,
+           |    CAST(l2y AS DOUBLE) AS q2y, CAST(lyy AS DOUBLE) AS qyy
+           |  FROM ag WHERE role = 'test'),
+           |sol AS (
+           |  SELECT tr.*, te.n_test, te.qn, te.qcnt, te.q1, te.q2, te.q11,
+           |    te.q12, te.q22, te.qy, te.q1y, te.q2y, te.qyy,
+           |    $db0 / $det AS b0, $db1 / $det AS b1, $db2 / $det AS b2
+           |  FROM tr JOIN te ON tr.event_type = te.event_type
+           |    AND tr.split_id = te.split_id)
+           |SELECT event_type, split_id, train_start, train_end, test_end,
+           |  n_train, n_test,
+           |  CAST(floor(b0 * 1.0e7 + 0.5e0) AS BIGINT) AS b0_q,
+           |  CAST(floor(b1 * 1.0e7 + 0.5e0) AS BIGINT) AS b1_q,
+           |  CAST(floor(b2 * 1.0e7 + 0.5e0) AS BIGINT) AS b2_q,
+           |  CAST(floor(${mse("s")} + 0.5e0) AS BIGINT) AS train_mse_q,
+           |  CAST(floor(${mse("q")} + 0.5e0) AS BIGINT) AS test_mse_q
+           |FROM sol""".stripMargin
+      },
+      (s, d) => {
+        def det3(a1: Column, a2: Column, a3: Column,
+                 b1: Column, b2: Column, b3: Column,
+                 c1: Column, c2: Column, c3: Column): Column =
+          a1 * (b2 * c3 - b3 * c2) -
+          a2 * (b1 * c3 - b3 * c1) +
+          a3 * (b1 * c2 - b2 * c1)
+        val f = Tables.events(s, d).select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("x1"),
+          dayofweek(col("ts")).cast("long").as("x2"),
+          graft.Parity.lq(col("value")).as("yq"))
+        val md = f.groupBy("event_type", "day").agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("l1"), sum("x2").as("l2"),
+          sum(col("x1") * col("x1")).as("l11"),
+          sum(col("x1") * col("x2")).as("l12"),
+          sum(col("x2") * col("x2")).as("l22"),
+          sum("yq").as("ly"),
+          sum(col("x1") * col("yq")).as("l1y"),
+          sum(col("x2") * col("yq")).as("l2y"),
+          sum(col("yq") * col("yq")).as("lyy"))
+        val bounds = md.agg(min("day").as("lo"), max("day").as("hi"))
+        val splits = bounds
+          .select(explode(sequence(lit(0), lit(50))).as("k"),
+            col("lo"), col("hi"))
+          .select(col("k").cast("long").as("split_id"),
+            date_add(col("lo"), col("k") * 7).as("train_start"),
+            date_add(col("lo"), col("k") * 7 + 14).as("train_end"),
+            date_add(col("lo"), col("k") * 7 + 21).as("test_end"),
+            col("hi"))
+          .filter(col("test_end") <= col("hi"))
+          .drop("hi")
+        val ag = md.join(broadcast(splits),
+            col("day") >= col("train_start") && col("day") < col("test_end"))
+          .groupBy(col("event_type"), col("split_id"), col("train_start"),
+            col("train_end"), col("test_end"),
+            when(col("day") < col("train_end"), "train").otherwise("test")
+              .as("role"))
+          .agg(sum("n").as("n"),
+            sum("l1").as("l1"), sum("l2").as("l2"),
+            sum("l11").as("l11"), sum("l12").as("l12"),
+            sum("l22").as("l22"),
+            sum("ly").as("ly"), sum("l1y").as("l1y"),
+            sum("l2y").as("l2y"), sum("lyy").as("lyy"))
+        val tr = ag.filter(col("role") === "train").select(
+          col("event_type"), col("split_id"), col("train_start"),
+          col("train_end"), col("test_end"), col("n").as("n_train"),
+          col("n").cast("double").as("nn"),
+          col("n").cast("double").as("scnt"),
+          col("l1").cast("double").as("s1"),
+          col("l2").cast("double").as("s2"),
+          col("l11").cast("double").as("s11"),
+          col("l12").cast("double").as("s12"),
+          col("l22").cast("double").as("s22"),
+          col("ly").cast("double").as("sy"),
+          col("l1y").cast("double").as("s1y"),
+          col("l2y").cast("double").as("s2y"),
+          col("lyy").cast("double").as("syy"))
+        val te = ag.filter(col("role") === "test").select(
+          col("event_type"), col("split_id"), col("n").as("n_test"),
+          col("n").cast("double").as("qn"),
+          col("n").cast("double").as("qcnt"),
+          col("l1").cast("double").as("q1"),
+          col("l2").cast("double").as("q2"),
+          col("l11").cast("double").as("q11"),
+          col("l12").cast("double").as("q12"),
+          col("l22").cast("double").as("q22"),
+          col("ly").cast("double").as("qy"),
+          col("l1y").cast("double").as("q1y"),
+          col("l2y").cast("double").as("q2y"),
+          col("lyy").cast("double").as("qyy"))
+        val det = det3(col("nn"), col("s1"), col("s2"),
+          col("s1"), col("s11"), col("s12"),
+          col("s2"), col("s12"), col("s22"))
+        val db0 = det3(col("sy"), col("s1"), col("s2"),
+          col("s1y"), col("s11"), col("s12"),
+          col("s2y"), col("s12"), col("s22"))
+        val db1 = det3(col("nn"), col("sy"), col("s2"),
+          col("s1"), col("s1y"), col("s12"),
+          col("s2"), col("s2y"), col("s22"))
+        val db2 = det3(col("nn"), col("s1"), col("sy"),
+          col("s1"), col("s11"), col("s1y"),
+          col("s2"), col("s12"), col("s2y"))
+        val sol = tr.join(te, Seq("event_type", "split_id"))
+          .withColumn("b0", db0 / det)
+          .withColumn("b1", db1 / det)
+          .withColumn("b2", db2 / det)
+        def mseOf(yy: String, y: String, x1y: String, x2y: String,
+                  n0: String, x11: String, x22: String, x1: String,
+                  x2: String, x12: String, cnt: String): Column =
+          (col(yy) - lit(2.0) * (col("b0") * col(y)
+              + col("b1") * col(x1y) + col("b2") * col(x2y)) +
+            (col("b0") * col("b0") * col(n0)
+              + col("b1") * col("b1") * col(x11)
+              + col("b2") * col("b2") * col(x22)
+              + lit(2.0) * (col("b0") * col("b1") * col(x1)
+                + col("b0") * col("b2") * col(x2)
+                + col("b1") * col("b2") * col(x12)))) /
+            nullif(col(cnt), lit(0.0))
+        def q0(c: Column) = floor(c + lit(0.5)).cast("long")
+        def q7(c: Column) = floor(c * lit(1e7) + lit(0.5)).cast("long")
+        sol.select(col("event_type"), col("split_id"), col("train_start"),
+          col("train_end"), col("test_end"), col("n_train"), col("n_test"),
+          q7(col("b0")).as("b0_q"), q7(col("b1")).as("b1_q"),
+          q7(col("b2")).as("b2_q"),
+          q0(mseOf("syy", "sy", "s1y", "s2y", "nn", "s11", "s22",
+            "s1", "s2", "s12", "scnt")).as("train_mse_q"),
+          q0(mseOf("qyy", "qy", "q1y", "q2y", "qn", "q11", "q22",
+            "q1", "q2", "q12", "qcnt")).as("test_mse_q"))
+      }),
   )
 }
