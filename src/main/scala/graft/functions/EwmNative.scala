@@ -103,5 +103,9 @@ class GraftExtensions
     // carries the reserved rank-column marker
     ext.injectOptimizerRule(s => new graft.plans.GroupTopKRewrite(s))
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    // parser tier: ASOF LEFT JOIN sugar lowering onto the AsOfJoin
+    // operator — delegates every non-ASOF statement untouched
+    ext.injectParser((session, delegate) =>
+      new graft.parser.AsOfSqlParser(session, delegate))
   }
 }

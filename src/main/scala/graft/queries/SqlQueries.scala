@@ -196,5 +196,40 @@ object SqlQueries {
             |  WHERE l2.l_partkey = l.l_partkey)
             |GROUP BY 1""".stripMargin)
       }),
+
+    // SQL4: the PARSER-TIER extension end-to-end — ASOF LEFT JOIN as SQL
+    // TEXT (graft.parser.AsOfSqlParser via injectParser), the one engine
+    // extension surface the other tiers don't reach. The statement below
+    // is the syntax DuckDB ships natively (the oracle runs it verbatim
+    // modulo the view name); in Spark the injected parser lowers it onto
+    // the AsOfJoin operator — union + one ordered window forward-fill,
+    // one shuffle by key — NOT a range join, so the SQL user gets j7's
+    // 100 TB-safe plan from text. Negative space (stock SQL untouched,
+    // ASOF-in-literal, inner-ASOF falls through to the stock syntax
+    // error) is pinned by AsOfSqlParserSpec.
+    QueryDef(
+      "sql4_asof_sugar",
+      Some("""SELECT e.event_id, e.user_id, e.ts, e.value,
+             |  sg.sv AS last_signup_value
+             |FROM events e
+             |ASOF LEFT JOIN
+             |  (SELECT user_id, ts AS sts, value AS sv FROM events
+             |   WHERE event_type = 'signup') sg
+             |  ON e.user_id = sg.user_id AND sg.sts <= e.ts""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.select("event_id", "user_id", "ts", "value")
+          .createOrReplaceTempView("sql4_events")
+        ev.filter(org.apache.spark.sql.functions.col("event_type")
+            === "signup")
+          .selectExpr("user_id", "ts AS sts", "value AS sv")
+          .createOrReplaceTempView("sql4_signups")
+        s.sql(
+          """SELECT e.event_id, e.user_id, e.ts, e.value,
+            |  sg.sv AS last_signup_value
+            |FROM sql4_events e
+            |ASOF LEFT JOIN sql4_signups sg
+            |ON e.user_id = sg.user_id AND sg.sts <= e.ts""".stripMargin)
+      }),
   )
 }
