@@ -99,14 +99,23 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   // one cached bitmask test (the same pruning discipline Spark's own
   // rules use), and transformUpWithPruning skips every subtree without
   // one.
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // opt-in widening: with the session flag set, the rewrite fires on
+    // ANY dropped row_number rank column, not just the topK() helper's
+    // marker. Safe because row_number admits exactly k rows per group
+    // under any total order — when the ordering carries ties, the stock
+    // Window plan's survivor set is equally tie-dependent, so the
+    // rewrite never changes a deterministic query's result (negative
+    // and positive space pinned in GroupTopKSpec).
+    val generic = spark.conf.get(GroupTopKRewrite.GenericKey, "false")
+      .toBoolean
     plan.transformUpWithPruning(
       _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.WINDOW)) {
     case Project(projectList,
         Filter(LessThanOrEqual(rn: Attribute, IntegerLiteral(k)),
           w @ Window(Seq(Alias(WindowExpression(_: RowNumber, _), name)), _,
             _, _, _)))
-        if name == GroupTopK.Marker && k >= 1 &&
+        if (name == GroupTopK.Marker || generic) && k >= 1 &&
           w.windowOutputSet.contains(rn) &&
           projectList.forall(ne => !ne.references.contains(rn)) =>
       val input = w.child match {
@@ -117,7 +126,18 @@ class GroupTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       Project(projectList,
         GroupTopKPlan(w.partitionSpec, w.orderSpec, k, input))
+    }
   }
+}
+
+object GroupTopKRewrite {
+  /** Session conf flag: when `true`, the rewrite fires on the GENERIC
+    * drop-a-row_number-rank shape (`filter rn <= k` over a single
+    * row_number window, rank column absent from the output), not just
+    * the reserved [[GroupTopK.Marker]] — turning the showcase operator
+    * into engine behavior for any user query of that shape. Default
+    * off: the marker opt-in remains the conservative doctrine. */
+  val GenericKey = "spark.graft.groupTopK.rewriteGeneric"
 }
 
 /** Injected strategy: plans [[GroupTopKPlan]] as partial (map-side,
