@@ -2146,5 +2146,225 @@ object MlPrepQueries {
           q0(mseOf("qyy", "qy", "q1y", "q2y", "qn", "q11", "q22",
             "q1", "q2", "q12", "qcnt")).as("test_mse_q"))
       }),
+
+    // DISTRIBUTED GRADIENT BOOSTING — the reference's boosting family
+    // (`data_apis/my_model.py:208-260` GradientBoostingClassifier, and
+    // the XGBoost path at `:261-370`) as engine work: 4 Newton boosting
+    // rounds of depth-1 stumps on the feature grid, logistic loss,
+    // XGBoost's exact split algebra (gain = G_L²/(H_L+λ) + G_R²/(H_R+λ)
+    // − G²/(H+λ); leaf value −G/(H+λ); λ=1, learning rate 0.5, F₀=0).
+    //
+    // Scale shape: the model state is F PER GRID CELL (all rows of a
+    // cell share x, hence share F and p — the LightGBM histogram
+    // insight), so after the one data-sized grid build each round is:
+    // sigmoid + per-cell gradient/hessian (arithmetic), one
+    // histogram-sized aggregate to (feature, bin) G/H marginals, one
+    // cumulative window over the ≤24-bin axis for every candidate
+    // split, a per-group argmax, and a broadcast-back F update. K
+    // rounds cost K histogram aggregates after ONE corpus scan.
+    //
+    // Parity: sigmoid is the deterministic 16-squaring rational link
+    // (mlprep_logit), per-cell G = n·p_q − y·1e9 and H = ⌊n·p(1−p)·1e9⌋
+    // are exact longs so marginal sums are order-free; gain/leaf values
+    // are one shared IEEE tree over exact-int casts with a full
+    // (gain DESC, feat, thr) tiebreak; per-round train AUC is the exact
+    // average-rank algebra over the updated F ordering. A group with no
+    // valid candidate emits no row for that round and F carries
+    // unchanged (LEFT join on the pick).
+    QueryDef(
+      "mlprep_gbt",
+      Some {
+        def round(k: Int): String = {
+          val sq = (1 to 16).map(i =>
+            s"p${k}_$i AS (SELECT * REPLACE (e * e AS e) FROM p${k}_${i - 1})")
+            .mkString(",\n")
+          s"""p${k}_0 AS (SELECT *, 1.0e0 +
+             |    (-greatest(least(f, 30.0e0), -30.0e0)) / 65536.0e0 AS e
+             |  FROM fc$k),
+             |$sq,
+             |q$k AS (SELECT event_type, x1, x2, n, yc, f,
+             |    n * CAST(floor((1.0e0 / (1.0e0 + e)) * 1.0e9) AS BIGINT)
+             |      - yc * 1000000000 AS gq,
+             |    CAST(floor(((CAST(n AS DOUBLE) * (1.0e0 / (1.0e0 + e)))
+             |      * (1.0e0 - (1.0e0 / (1.0e0 + e)))) * 1.0e9) AS BIGINT)
+             |      AS hq
+             |  FROM p${k}_16),
+             |m$k AS (
+             |  SELECT event_type, 1 AS feat, x1 AS v,
+             |    CAST(SUM(gq) AS BIGINT) AS sg, CAST(SUM(hq) AS BIGINT) AS sh
+             |  FROM q$k GROUP BY 1, 3
+             |  UNION ALL
+             |  SELECT event_type, 2, x2, CAST(SUM(gq) AS BIGINT),
+             |    CAST(SUM(hq) AS BIGINT)
+             |  FROM q$k GROUP BY 1, 3),
+             |c$k AS (
+             |  SELECT *, CAST(SUM(sg) OVER w AS BIGINT) AS sgl,
+             |    CAST(SUM(sh) OVER w AS BIGINT) AS shl,
+             |    CAST(SUM(sg) OVER t AS BIGINT) AS sgt,
+             |    CAST(SUM(sh) OVER t AS BIGINT) AS sht,
+             |    MAX(v) OVER t AS vmax
+             |  FROM m$k
+             |  WINDOW w AS (PARTITION BY event_type, feat ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  t AS (PARTITION BY event_type, feat)),
+             |s$k AS (
+             |  SELECT event_type, feat, v AS thr,
+             |    CAST(sgl AS DOUBLE) / 1.0e9 AS gl,
+             |    CAST(shl AS DOUBLE) / 1.0e9 AS hl,
+             |    CAST(sgt - sgl AS DOUBLE) / 1.0e9 AS gr,
+             |    CAST(sht - shl AS DOUBLE) / 1.0e9 AS hr,
+             |    CAST(sgt AS DOUBLE) / 1.0e9 AS gt,
+             |    CAST(sht AS DOUBLE) / 1.0e9 AS ht
+             |  FROM c$k WHERE v < vmax),
+             |g$k AS (
+             |  SELECT *, gl * gl / (hl + 1.0e0) + gr * gr / (hr + 1.0e0)
+             |      - gt * gt / (ht + 1.0e0) AS gain,
+             |    -(gl) / (hl + 1.0e0) AS dl, -(gr) / (hr + 1.0e0) AS dr
+             |  FROM s$k),
+             |b$k AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY gain DESC, feat, thr) AS rn
+             |    FROM g$k) WHERE rn = 1),
+             |fc${k + 1} AS (
+             |  SELECT a.event_type, a.x1, a.x2, a.n, a.yc,
+             |    a.f + CASE WHEN b.event_type IS NULL THEN 0.0e0
+             |      WHEN (CASE WHEN b.feat = 1 THEN a.x1 ELSE a.x2 END)
+             |        <= b.thr THEN 0.5e0 * b.dl
+             |      ELSE 0.5e0 * b.dr END AS f
+             |  FROM fc$k a LEFT JOIN b$k b ON a.event_type = b.event_type),
+             |r$k AS (
+             |  SELECT *, COALESCE(SUM(n - yc) OVER (PARTITION BY event_type
+             |    ORDER BY f, x1, x2 ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |    1 PRECEDING), 0) AS cumneg
+             |  FROM fc${k + 1}),
+             |a$k AS (
+             |  SELECT event_type, CAST(SUM(yc) AS BIGINT) AS np,
+             |    CAST(SUM(n - yc) AS BIGINT) AS nn,
+             |    CAST(SUM(yc * (2 * cumneg + (n - yc))) AS BIGINT) AS num2
+             |  FROM r$k GROUP BY 1),
+             |o$k AS (
+             |  SELECT b.event_type, CAST($k AS BIGINT) AS round,
+             |    CAST(b.feat AS BIGINT) AS feat, b.thr,
+             |    CAST(floor(b.dl * 1.0e9 + 0.5e0) AS BIGINT) AS delta_l_q,
+             |    CAST(floor(b.dr * 1.0e9 + 0.5e0) AS BIGINT) AS delta_r_q,
+             |    CAST(floor(b.gain * 1.0e6 + 0.5e0) AS BIGINT) AS gain_q,
+             |    CAST(a.num2 AS DOUBLE)
+             |      / CAST(NULLIF(2 * a.np * a.nn, 0) AS DOUBLE) AS auc_train
+             |  FROM b$k b JOIN a$k a ON b.event_type = a.event_type)"""
+            .stripMargin
+        }
+        s"""WITH grid AS (
+           |  SELECT event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS yc
+           |  FROM events GROUP BY 1, 2, 3),
+           |fc0 AS (SELECT *, 0.0e0 AS f FROM grid),
+           |${round(0)},
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT * FROM o0 UNION ALL SELECT * FROM o1
+           |UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3"""
+          .stripMargin
+      },
+      (s, d) => {
+        def withSigmoid(df: DataFrame, z: Column): DataFrame = {
+          val zc = greatest(least(z, lit(30.0)), lit(-30.0))
+          var cur = df.withColumn("e", lit(1.0) + (-zc) / lit(65536.0))
+          var i = 0
+          while (i < 16) { cur = cur.withColumn("e", col("e") * col("e")); i += 1 }
+          cur.withColumn("p", lit(1.0) / (lit(1.0) + col("e")))
+        }
+        val grid = Tables.events(s, d).select(col("event_type"),
+            hour(col("ts")).cast("long").as("x1"),
+            dayofweek(col("ts")).cast("long").as("x2"),
+            when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
+          .groupBy("event_type", "x1", "x2")
+          .agg(count(lit(1)).as("n"), sum("y").as("yc"))
+          .persist() // one corpus pass; K boosting rounds re-read cells
+        var fcur = grid.withColumn("f", lit(0.0))
+        val outRows = Seq.newBuilder[DataFrame]
+        for (k <- 0 until 4) {
+          val withP = withSigmoid(fcur, col("f"))
+          val q = withP.select(col("event_type"), col("x1"), col("x2"),
+            col("n"), col("yc"), col("f"),
+            (col("n") * floor(col("p") * lit(1e9)).cast("long")
+              - col("yc") * lit(1000000000L)).as("gq"),
+            floor(((col("n").cast("double") * col("p"))
+              * (lit(1.0) - col("p"))) * lit(1e9)).cast("long").as("hq"))
+          val m = q.select(col("event_type"), lit(1L).as("feat"),
+              col("x1").as("v"), col("gq"), col("hq"))
+            .unionByName(q.select(col("event_type"), lit(2L).as("feat"),
+              col("x2").as("v"), col("gq"), col("hq")))
+            .groupBy("event_type", "feat", "v")
+            .agg(sum("gq").as("sg"), sum("hq").as("sh"))
+          val wc = Window.partitionBy("event_type", "feat").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wt = Window.partitionBy("event_type", "feat")
+          val c = m.withColumn("sgl", sum("sg").over(wc))
+            .withColumn("shl", sum("sh").over(wc))
+            .withColumn("sgt", sum("sg").over(wt))
+            .withColumn("sht", sum("sh").over(wt))
+            .withColumn("vmax", max("v").over(wt))
+          val sCand = c.filter(col("v") < col("vmax")).select(
+            col("event_type"), col("feat"), col("v").as("thr"),
+            (col("sgl").cast("double") / lit(1e9)).as("gl"),
+            (col("shl").cast("double") / lit(1e9)).as("hl"),
+            ((col("sgt") - col("sgl")).cast("double") / lit(1e9)).as("gr"),
+            ((col("sht") - col("shl")).cast("double") / lit(1e9)).as("hr"),
+            (col("sgt").cast("double") / lit(1e9)).as("gt"),
+            (col("sht").cast("double") / lit(1e9)).as("ht"))
+          val g = sCand.withColumn("gain",
+              col("gl") * col("gl") / (col("hl") + lit(1.0))
+                + col("gr") * col("gr") / (col("hr") + lit(1.0))
+                - col("gt") * col("gt") / (col("ht") + lit(1.0)))
+            .withColumn("dl", -col("gl") / (col("hl") + lit(1.0)))
+            .withColumn("dr", -col("gr") / (col("hr") + lit(1.0)))
+          val b = g.withColumn("rn", row_number().over(
+              Window.partitionBy("event_type")
+                .orderBy(col("gain").desc, col("feat"), col("thr"))))
+            .filter(col("rn") === 1).drop("rn")
+          val bb = broadcast(b.select(col("event_type"),
+            col("feat").as("bfeat"), col("thr"), col("dl"), col("dr")))
+          val fnext = fcur.join(bb, Seq("event_type"), "left")
+            .select(col("event_type"), col("x1"), col("x2"), col("n"),
+              col("yc"),
+              (col("f") + when(col("bfeat").isNull, lit(0.0))
+                .when(when(col("bfeat") === 1, col("x1"))
+                  .otherwise(col("x2")) <= col("thr"),
+                  lit(0.5) * col("dl"))
+                .otherwise(lit(0.5) * col("dr"))).as("f"))
+            // cells-sized cache per round: truncates the effective
+            // lineage so round k's split search, AUC branch, and output
+            // branch all bottom out at one InMemoryRelation instead of
+            // re-deriving rounds 0..k-1 (whose nested broadcast subtrees
+            // otherwise re-execute per referencing branch)
+            .persist()
+          val wr = Window.partitionBy("event_type")
+            .orderBy(col("f"), col("x1"), col("x2"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val r = fnext.withColumn("cumneg",
+            coalesce(sum(col("n") - col("yc")).over(wr), lit(0L)))
+          val a = r.groupBy("event_type").agg(
+            sum("yc").as("np"), sum(col("n") - col("yc")).as("nn"),
+            sum(col("yc") * (lit(2L) * col("cumneg")
+              + (col("n") - col("yc")))).as("num2"))
+          def q9(cc: Column) = floor(cc * lit(1e9) + lit(0.5)).cast("long")
+          outRows += b.join(a, "event_type").select(col("event_type"),
+            lit(k.toLong).as("round"), col("feat"), col("thr"),
+            q9(col("dl")).as("delta_l_q"), q9(col("dr")).as("delta_r_q"),
+            floor(col("gain") * lit(1e6) + lit(0.5)).cast("long")
+              .as("gain_q"),
+            (col("num2").cast("double") /
+              nullif(lit(2L) * col("np") * col("nn"), lit(0L))
+                .cast("double")).as("auc_train"))
+          fcur = fnext
+        }
+        outRows.result().reduce(_ unionByName _)
+      }),
   )
 }
