@@ -2366,5 +2366,259 @@ object MlPrepQueries {
         }
         outRows.result().reduce(_ unionByName _)
       }),
+
+    // DISTRIBUTED RANDOM FOREST — the reference's ensemble family
+    // (`data_apis/my_model.py:261-370`: RandomForest / the bagged
+    // XGBoost path) as engine work: 8 bagged stumps per group with the
+    // two classic randomness sources made DETERMINISTIC row-level
+    // functions, the property that makes a forest reproducible at any
+    // parallelism:
+    //  - bootstrap: per (tree, row) weight w ∈ {0,1,2,3} from a hash
+    //    threshold table approximating Poisson(1) (.368/.368/.184/.080)
+    //    — the standard distributed-RF bootstrap (sampling WITH
+    //    replacement via Poisson counts), hash-derived so re-runs and
+    //    re-partitions agree bit-for-bit;
+    //  - feature subsampling (mtry=1): tree t may split only on
+    //    hash("rf:f:"‖t) % 2 + 1.
+    //
+    // Scale shape: ONE corpus scan fans each row into 8 (tree, cell)
+    // aggregate keys (map-side combined — the shuffle carries the
+    // 8×-grid histogram, never 8× the data) collecting in-bag weighted
+    // counts AND out-of-bag counts per cell. Each tree's split search is
+    // the cumulative-window-over-bins pattern (mlprep_tree) on its
+    // weighted histogram; leaf predictions are in-bag rates; each
+    // tree's OOB AUC evaluates on the rows that tree never saw (w=0) —
+    // the forest's built-in validation — and the ensemble score per
+    // cell is the EXACT integer sum of the 8 quantized leaf predictions
+    // (order-free), giving an exact ensemble train AUC. Zero-in-bag
+    // split sides are excluded; a tree with no valid candidate emits no
+    // row.
+    QueryDef(
+      "mlprep_forest",
+      Some {
+        val hw = graft.operators.TextOps.oHash32(
+          "'rf:w:' || CAST(t.tree AS VARCHAR) || ':' || " +
+            "CAST(event_id AS VARCHAR)")
+        val hf = graft.operators.TextOps.oHash32(
+          "'rf:f:' || CAST(tree AS VARCHAR)")
+        s"""WITH f AS (
+           |  SELECT e.event_type, t.tree,
+           |    CAST(hour(e.ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM e.ts) + 1 AS BIGINT) AS x2,
+           |    CASE WHEN e.value >= 100.0e0 THEN 1 ELSE 0 END AS y,
+           |    CASE WHEN $hw % 1000 < 368 THEN 0
+           |         WHEN $hw % 1000 < 736 THEN 1
+           |         WHEN $hw % 1000 < 920 THEN 2 ELSE 3 END AS w
+           |  FROM events e, generate_series(0, 7) t(tree)),
+           |grid AS (
+           |  SELECT event_type, tree, x1, x2,
+           |    CAST(SUM(w) AS BIGINT) AS wn,
+           |    CAST(SUM(w * y) AS BIGINT) AS wy,
+           |    CAST(SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           |    CAST(SUM(CASE WHEN w = 0 THEN y ELSE 0 END) AS BIGINT) AS p0,
+           |    CAST(count(*) AS BIGINT) AS cnt,
+           |    CAST(SUM(y) AS BIGINT) AS cy
+           |  FROM f GROUP BY 1, 2, 3, 4),
+           |gv AS (
+           |  SELECT *, CASE WHEN $hf % 2 + 1 = 1 THEN x1 ELSE x2 END AS v,
+           |    CAST($hf % 2 + 1 AS BIGINT) AS feat
+           |  FROM grid),
+           |m AS (
+           |  SELECT event_type, tree, feat, v,
+           |    CAST(SUM(wn) AS BIGINT) AS n, CAST(SUM(wy) AS BIGINT) AS pos
+           |  FROM gv GROUP BY 1, 2, 3, 4),
+           |c AS (
+           |  SELECT *, CAST(SUM(n) OVER w2 AS BIGINT) AS nl,
+           |    CAST(SUM(pos) OVER w2 AS BIGINT) AS posl,
+           |    CAST(SUM(n) OVER t2 AS BIGINT) AS ntot,
+           |    CAST(SUM(pos) OVER t2 AS BIGINT) AS postot,
+           |    MAX(v) OVER t2 AS vmax
+           |  FROM m
+           |  WINDOW w2 AS (PARTITION BY event_type, tree ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  t2 AS (PARTITION BY event_type, tree)),
+           |s AS (
+           |  SELECT event_type, tree, feat, v AS thr, ntot, postot,
+           |    nl, posl, ntot - nl AS nr, postot - posl AS posr
+           |  FROM c WHERE v < vmax AND nl > 0 AND ntot - nl > 0),
+           |g AS (
+           |  SELECT *,
+           |    (CAST(nl AS DOUBLE)
+           |      - (CAST(posl * posl AS DOUBLE)
+           |        + CAST((nl - posl) * (nl - posl) AS DOUBLE))
+           |        / CAST(nl AS DOUBLE))
+           |    + (CAST(nr AS DOUBLE)
+           |      - (CAST(posr * posr AS DOUBLE)
+           |        + CAST((nr - posr) * (nr - posr) AS DOUBLE))
+           |        / CAST(nr AS DOUBLE)) AS score
+           |  FROM s),
+           |b AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY event_type, tree
+           |      ORDER BY score, thr) AS rn
+           |    FROM g) WHERE rn = 1),
+           |pk AS (
+           |  SELECT event_type, tree, feat, thr, ntot AS wn_inbag,
+           |    postot AS wpos_inbag,
+           |    CAST(floor(CAST(posl AS DOUBLE) / CAST(nl AS DOUBLE)
+           |      * 1.0e9) AS BIGINT) AS pred_l_q,
+           |    CAST(floor(CAST(posr AS DOUBLE) / CAST(nr AS DOUBLE)
+           |      * 1.0e9) AS BIGINT) AS pred_r_q
+           |  FROM b),
+           |sc AS (
+           |  SELECT gr.event_type, gr.tree, gr.x1, gr.x2, gr.c0, gr.p0,
+           |    gr.cnt, gr.cy,
+           |    CASE WHEN (CASE WHEN p.feat = 1 THEN gr.x1 ELSE gr.x2 END)
+           |      <= p.thr THEN p.pred_l_q ELSE p.pred_r_q END AS score_q
+           |  FROM grid gr JOIN pk p
+           |    ON gr.event_type = p.event_type AND gr.tree = p.tree),
+           |ro AS (
+           |  SELECT *, COALESCE(SUM(c0 - p0) OVER (
+           |    PARTITION BY event_type, tree ORDER BY score_q, x1, x2
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS cumneg
+           |  FROM sc),
+           |oob AS (
+           |  SELECT event_type, tree,
+           |    CAST(SUM(p0) AS BIGINT) AS np,
+           |    CAST(SUM(c0 - p0) AS BIGINT) AS nn,
+           |    CAST(SUM(p0 * (2 * cumneg + (c0 - p0))) AS BIGINT) AS num2
+           |  FROM ro GROUP BY 1, 2),
+           |ens0 AS (
+           |  SELECT event_type, x1, x2,
+           |    CAST(SUM(score_q) AS BIGINT) AS ens_q
+           |  FROM sc GROUP BY 1, 2, 3),
+           |base AS (
+           |  SELECT event_type, x1, x2, cnt, cy FROM grid WHERE tree = 0),
+           |er AS (
+           |  SELECT e0.event_type, e0.x1, e0.x2, e0.ens_q, ba.cnt, ba.cy,
+           |    COALESCE(SUM(ba.cnt - ba.cy) OVER (PARTITION BY e0.event_type
+           |      ORDER BY e0.ens_q, e0.x1, e0.x2
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cumneg
+           |  FROM ens0 e0 JOIN base ba
+           |    ON e0.event_type = ba.event_type AND e0.x1 = ba.x1
+           |   AND e0.x2 = ba.x2),
+           |ens AS (
+           |  SELECT event_type,
+           |    CAST(SUM(cy) AS BIGINT) AS np,
+           |    CAST(SUM(cnt - cy) AS BIGINT) AS nn,
+           |    CAST(SUM(cy * (2 * cumneg + (cnt - cy))) AS BIGINT) AS num2
+           |  FROM er GROUP BY 1)
+           |SELECT p.event_type, p.tree, p.feat, p.thr, p.wn_inbag,
+           |  p.wpos_inbag, p.pred_l_q, p.pred_r_q,
+           |  CAST(o.num2 AS DOUBLE)
+           |    / CAST(NULLIF(2 * o.np * o.nn, 0) AS DOUBLE) AS oob_auc,
+           |  CAST(en.num2 AS DOUBLE)
+           |    / CAST(NULLIF(2 * en.np * en.nn, 0) AS DOUBLE) AS ens_auc
+           |FROM pk p
+           |JOIN oob o ON p.event_type = o.event_type AND p.tree = o.tree
+           |JOIN ens en ON p.event_type = en.event_type""".stripMargin
+      },
+      (s, d) => {
+        import graft.operators.TextOps.hash32
+        val f = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("ts"),
+            col("value"))
+          .withColumn("tree", explode(sequence(lit(0L), lit(7L))))
+          .select(col("event_type"), col("tree"),
+            hour(col("ts")).cast("long").as("x1"),
+            dayofweek(col("ts")).cast("long").as("x2"),
+            when(col("value") >= 100.0, 1L).otherwise(0L).as("y"),
+            {
+              val h = hash32(concat(lit("rf:w:"),
+                col("tree").cast("string"), lit(":"),
+                col("event_id").cast("string"))) % 1000
+              when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
+                .otherwise(3L).as("w")
+            })
+        val grid = f.groupBy("event_type", "tree", "x1", "x2").agg(
+            sum("w").as("wn"),
+            sum(col("w") * col("y")).as("wy"),
+            sum(when(col("w") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("w") === 0, col("y")).otherwise(0L)).as("p0"),
+            count(lit(1)).as("cnt"), sum("y").as("cy"))
+          .persist() // one fan-out scan; split search, OOB, and the
+                     // ensemble all re-read the 8×-grid histogram
+        val featOf = (hash32(concat(lit("rf:f:"),
+          col("tree").cast("string"))) % 2 + 1)
+        val gv = grid.withColumn("feat", featOf.cast("long"))
+          .withColumn("v", when(col("feat") === 1, col("x1"))
+            .otherwise(col("x2")))
+        val m = gv.groupBy("event_type", "tree", "feat", "v")
+          .agg(sum("wn").as("n"), sum("wy").as("pos"))
+        val wc = Window.partitionBy("event_type", "tree").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("event_type", "tree")
+        val c = m.withColumn("nl", sum("n").over(wc))
+          .withColumn("posl", sum("pos").over(wc))
+          .withColumn("ntot", sum("n").over(wt))
+          .withColumn("postot", sum("pos").over(wt))
+          .withColumn("vmax", max("v").over(wt))
+        val sCand = c.filter(col("v") < col("vmax") && col("nl") > 0 &&
+            col("ntot") - col("nl") > 0)
+          .select(col("event_type"), col("tree"), col("feat"),
+            col("v").as("thr"), col("ntot"), col("postot"),
+            col("nl"), col("posl"),
+            (col("ntot") - col("nl")).as("nr"),
+            (col("postot") - col("posl")).as("posr"))
+        def half(n: Column, p: Column): Column =
+          n.cast("double") -
+            ((p * p).cast("double") + ((n - p) * (n - p)).cast("double")) /
+              n.cast("double")
+        val g = sCand.withColumn("score",
+          half(col("nl"), col("posl")) + half(col("nr"), col("posr")))
+        val b = g.withColumn("rn", row_number().over(
+            Window.partitionBy("event_type", "tree")
+              .orderBy(col("score"), col("thr"))))
+          .filter(col("rn") === 1).drop("rn")
+        def rate9(p: Column, n: Column) =
+          floor(p.cast("double") / n.cast("double") * lit(1e9)).cast("long")
+        val pk = b.select(col("event_type"), col("tree"), col("feat"),
+          col("thr"), col("ntot").as("wn_inbag"),
+          col("postot").as("wpos_inbag"),
+          rate9(col("posl"), col("nl")).as("pred_l_q"),
+          rate9(col("posr"), col("nr")).as("pred_r_q"))
+        val sc = grid.join(broadcast(pk), Seq("event_type", "tree"))
+          .select(col("event_type"), col("tree"), col("x1"), col("x2"),
+            col("c0"), col("p0"), col("cnt"), col("cy"),
+            when(when(col("feat") === 1, col("x1")).otherwise(col("x2"))
+              <= col("thr"), col("pred_l_q")).otherwise(col("pred_r_q"))
+              .as("score_q"))
+        val wo = Window.partitionBy("event_type", "tree")
+          .orderBy(col("score_q"), col("x1"), col("x2"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ro = sc.withColumn("cumneg",
+          coalesce(sum(col("c0") - col("p0")).over(wo), lit(0L)))
+        val oob = ro.groupBy("event_type", "tree").agg(
+          sum("p0").as("np"), sum(col("c0") - col("p0")).as("nn"),
+          sum(col("p0") * (lit(2L) * col("cumneg")
+            + (col("c0") - col("p0")))).as("num2"))
+        val ens0 = sc.groupBy("event_type", "x1", "x2")
+          .agg(sum("score_q").as("ens_q"))
+        val base = grid.filter(col("tree") === 0)
+          .select(col("event_type"), col("x1"), col("x2"), col("cnt"),
+            col("cy"))
+        val we = Window.partitionBy("event_type")
+          .orderBy(col("ens_q"), col("x1"), col("x2"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val er = ens0.join(base, Seq("event_type", "x1", "x2"))
+          .withColumn("cumneg",
+            coalesce(sum(col("cnt") - col("cy")).over(we), lit(0L)))
+        val ens = er.groupBy("event_type").agg(
+          sum("cy").as("enp"), sum(col("cnt") - col("cy")).as("enn"),
+          sum(col("cy") * (lit(2L) * col("cumneg")
+            + (col("cnt") - col("cy")))).as("enum2"))
+        def auc(num2: Column, np: Column, nn: Column) =
+          num2.cast("double") /
+            nullif(lit(2L) * np * nn, lit(0L)).cast("double")
+        pk.join(oob, Seq("event_type", "tree"))
+          .join(broadcast(ens), Seq("event_type"))
+          .select(col("event_type"), col("tree"), col("feat"), col("thr"),
+            col("wn_inbag"), col("wpos_inbag"), col("pred_l_q"),
+            col("pred_r_q"),
+            auc(col("num2"), col("np"), col("nn")).as("oob_auc"),
+            auc(col("enum2"), col("enp"), col("enn")).as("ens_auc"))
+      }),
   )
 }
