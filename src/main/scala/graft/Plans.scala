@@ -711,6 +711,51 @@ object Plans {
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
         "SortMergeJoin".r.findAllIn(p).length <= 1
     }
+    // mlprep_logit: every per-iteration coefficient join is a BROADCAST
+    // of the |groups|-row β frame — a shuffle join would mean the grid
+    // is being exchanged per Newton step
+    check("mlprep_logit: broadcast-only iteration joins, no cartesian") {
+      val p = planOf("mlprep_logit")
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct")
+    }
+    // mlprep_tree: the corpus is aggregated ONCE into the cached grid —
+    // every level's references read InMemoryTableScan, never the data
+    // ("Scan parquet" strings in the plan text appear only INSIDE the
+    // IMTS descriptions, so the pin is scans == cache reads)
+    check("mlprep_tree: levels read the cached grid, joins broadcast") {
+      val p = planOf("mlprep_tree")
+      val imts = "InMemoryTableScan".r.findAllIn(p).length
+      imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+    }
+    // mlprep_sweep: the λ-grid cross join is STATS-sized (broadcast
+    // nested loop over the cached moment table); every branch reads the
+    // cache, so no raw scan appears outside an IMTS description
+    check("mlprep_sweep: branches read cached moments; stats-sized BNLJ") {
+      val p = planOf("mlprep_sweep")
+      val imts = "InMemoryTableScan".r.findAllIn(p).length
+      imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+    }
+    // mlprep_forest: the 8-tree fan-out happens INSIDE the one cached
+    // scan's map-side (Generate over the scan), histogram joins broadcast
+    check("mlprep_forest: one cached fan-out scan, broadcast-only joins") {
+      val p = planOf("mlprep_forest")
+      val imts = "InMemoryTableScan".r.findAllIn(p).length
+      imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+    }
+    // sql4: the parser-tier ASOF sugar must lower to the union+ffill
+    // window plan — a Window over one hash exchange — and NEVER a range
+    // join (BroadcastNestedLoopJoin/CartesianProduct would mean the
+    // O(left×right) lowering a naive ASOF implementation produces)
+    check("sql4: ASOF sugar lowers to window ffill, not a range join") {
+      val p = planOf("sql4_asof_sugar")
+      (p.contains("RunningWindowFunction") || p.contains("Window")) &&
+        !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

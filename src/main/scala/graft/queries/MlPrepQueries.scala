@@ -1841,6 +1841,10 @@ object MlPrepQueries {
           sum(col("x1") * col("yq")).as("l1y"),
           sum(col("x2") * col("yq")).as("l2y"),
           sum(col("yq") * col("yq")).as("lyy"))
+          .persist() // the |groups|·|folds|-row moment table is the ONLY
+                     // thing derived from the corpus — total, train-side,
+                     // and winner branches all re-read it, so without the
+                     // cache each branch would re-scan the data
         val t = m.groupBy("event_type").agg(
           sum("n").as("tn"), sum("l1").as("t1"), sum("l2").as("t2"),
           sum("l11").as("t11"), sum("l12").as("t12"), sum("l22").as("t22"),
