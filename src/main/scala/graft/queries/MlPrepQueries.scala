@@ -2624,5 +2624,256 @@ object MlPrepQueries {
             auc(col("num2"), col("np"), col("nn")).as("oob_auc"),
             auc(col("enum2"), col("enp"), col("enn")).as("ens_auc"))
       }),
+
+    // FORWARD FEATURE SELECTION IN ONE SCAN — the reference's stepwise
+    // wrapper selection (`my_model.py:90-111`: SequentialFeatureSelector
+    // pipelines, each candidate subset refit from scratch) as engine
+    // work over three candidate features (hour, dow, day-of-month):
+    // greedy forward selection where EVERY candidate model's exact
+    // train SSE is closed-form arithmetic on one shared 15-moment
+    // table — step 1 evaluates all three single-feature fits (2×2
+    // solves), step 2 all remaining pairs (3×3 Cramer), so the whole
+    // wrapper search costs one corpus scan regardless of how many
+    // subsets it scores (sklearn refits per subset per fold).
+    //
+    // Output: one row per (group, step) — the feature added, the
+    // model's SSE, and the improvement over the previous step (step 0
+    // is the intercept-only baseline). Parity: moments are exact longs
+    // on the lq grid; every solve and SSE is one shared IEEE tree;
+    // SSE floor-quantized in yq² units; argmin tiebreak by feature id.
+    QueryDef(
+      "mlprep_forward_select",
+      Some {
+        def oDet3(a1: String, a2: String, a3: String,
+                  b1: String, b2: String, b3: String,
+                  c1: String, c2: String, c3: String): String =
+          s"($a1 * ($b2 * $c3 - $b3 * $c2) - " +
+          s"$a2 * ($b1 * $c3 - $b3 * $c1) + " +
+          s"$a3 * ($b1 * $c2 - $b2 * $c1))"
+        // single-feature fit on (sj, sjj, sjy): SSE via the 2×2 solve
+        def sse1(j: Int): String = {
+          val (sj, sjj, sjy) = (s"s$j", s"s$j$j", s"s${j}y")
+          s"""SELECT event_type, CAST($j AS BIGINT) AS feat,
+             |  syy - 2.0e0 * (((sy - (nn * ${sjy} - $sj * sy)
+             |        / (nn * $sjj - $sj * $sj) * $sj) / nn) * sy
+             |      + (nn * $sjy - $sj * sy) / (nn * $sjj - $sj * $sj)
+             |        * $sjy)
+             |    + (((sy - (nn * $sjy - $sj * sy)
+             |        / (nn * $sjj - $sj * $sj) * $sj) / nn)
+             |      * ((sy - (nn * $sjy - $sj * sy)
+             |        / (nn * $sjj - $sj * $sj) * $sj) / nn) * nn
+             |      + (nn * $sjy - $sj * sy) / (nn * $sjj - $sj * $sj)
+             |        * ((nn * $sjy - $sj * sy) / (nn * $sjj - $sj * $sj))
+             |        * $sjj
+             |      + 2.0e0 * ((sy - (nn * $sjy - $sj * sy)
+             |        / (nn * $sjj - $sj * $sj) * $sj) / nn)
+             |        * ((nn * $sjy - $sj * sy) / (nn * $sjj - $sj * $sj))
+             |        * $sj) AS sse
+             |FROM d""".stripMargin
+        }
+        // pair fit (a,b) via 3×3 Cramer on the shared det3
+        def sse2(a: Int, b: Int): String = {
+          val (sa, sb) = (s"s$a", s"s$b")
+          val (saa, sbb) = (s"s$a$a", s"s$b$b")
+          val sab = s"s$a$b"
+          val (say, sby) = (s"s${a}y", s"s${b}y")
+          val det = oDet3("nn", sa, sb, sa, saa, sab, sb, sab, sbb)
+          val d0 = oDet3("sy", sa, sb, say, saa, sab, sby, sab, sbb)
+          val da = oDet3("nn", "sy", sb, sa, say, sab, sb, sby, sbb)
+          val db = oDet3("nn", sa, "sy", sa, saa, say, sb, sab, sby)
+          s"""SELECT event_type, CAST($a AS BIGINT) AS fa,
+             |  CAST($b AS BIGINT) AS fb,
+             |  syy - 2.0e0 * (($d0 / $det) * sy + ($da / $det) * $say
+             |      + ($db / $det) * $sby)
+             |    + (($d0 / $det) * ($d0 / $det) * nn
+             |      + ($da / $det) * ($da / $det) * $saa
+             |      + ($db / $det) * ($db / $det) * $sbb
+             |      + 2.0e0 * (($d0 / $det) * ($da / $det) * $sa
+             |        + ($d0 / $det) * ($db / $det) * $sb
+             |        + ($da / $det) * ($db / $det) * $sab)) AS sse
+             |FROM d""".stripMargin
+        }
+        s"""WITH f AS (
+           |  SELECT event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    CAST(day(ts) AS BIGINT) AS x3,
+           |    ${graft.Parity.oLq("value")} AS yq
+           |  FROM events),
+           |m AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS l1, CAST(sum(x2) AS BIGINT) AS l2,
+           |    CAST(sum(x3) AS BIGINT) AS l3,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS l11,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS l12,
+           |    CAST(sum(x1 * x3) AS BIGINT) AS l13,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS l22,
+           |    CAST(sum(x2 * x3) AS BIGINT) AS l23,
+           |    CAST(sum(x3 * x3) AS BIGINT) AS l33,
+           |    CAST(sum(yq) AS BIGINT) AS ly,
+           |    CAST(sum(x1 * yq) AS BIGINT) AS l1y,
+           |    CAST(sum(x2 * yq) AS BIGINT) AS l2y,
+           |    CAST(sum(x3 * yq) AS BIGINT) AS l3y,
+           |    CAST(sum(yq * yq) AS BIGINT) AS lyy
+           |  FROM f GROUP BY 1),
+           |d AS (
+           |  SELECT event_type, n, CAST(n AS DOUBLE) AS nn,
+           |    CAST(l1 AS DOUBLE) AS s1, CAST(l2 AS DOUBLE) AS s2,
+           |    CAST(l3 AS DOUBLE) AS s3,
+           |    CAST(l11 AS DOUBLE) AS s11, CAST(l12 AS DOUBLE) AS s12,
+           |    CAST(l13 AS DOUBLE) AS s13, CAST(l22 AS DOUBLE) AS s22,
+           |    CAST(l23 AS DOUBLE) AS s23, CAST(l33 AS DOUBLE) AS s33,
+           |    CAST(ly AS DOUBLE) AS sy, CAST(l1y AS DOUBLE) AS s1y,
+           |    CAST(l2y AS DOUBLE) AS s2y, CAST(l3y AS DOUBLE) AS s3y,
+           |    CAST(lyy AS DOUBLE) AS syy
+           |  FROM m),
+           |base AS (
+           |  SELECT event_type, syy - sy * sy / nn AS sse FROM d),
+           |c1 AS (${sse1(1)} UNION ALL ${sse1(2)} UNION ALL ${sse1(3)}),
+           |b1 AS (
+           |  SELECT * FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY sse, feat) AS rn FROM c1)
+           |  WHERE rn = 1),
+           |c2 AS (${sse2(1, 2)} UNION ALL ${sse2(1, 3)}
+           |  UNION ALL ${sse2(2, 3)}),
+           |c2f AS (
+           |  SELECT c.event_type,
+           |    CASE WHEN c.fa = b.feat THEN c.fb ELSE c.fa END AS feat,
+           |    c.sse
+           |  FROM c2 c JOIN b1 b ON c.event_type = b.event_type
+           |  WHERE c.fa = b.feat OR c.fb = b.feat),
+           |b2 AS (
+           |  SELECT * FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY sse, feat) AS rn FROM c2f)
+           |  WHERE rn = 1),
+           |steps AS (
+           |  SELECT event_type, CAST(0 AS BIGINT) AS step,
+           |    CAST(NULL AS BIGINT) AS feature, sse, sse AS prev
+           |  FROM base
+           |  UNION ALL
+           |  SELECT b1.event_type, CAST(1 AS BIGINT), b1.feat, b1.sse,
+           |    base.sse
+           |  FROM b1 JOIN base ON b1.event_type = base.event_type
+           |  UNION ALL
+           |  SELECT b2.event_type, CAST(2 AS BIGINT), b2.feat, b2.sse,
+           |    b1.sse
+           |  FROM b2 JOIN b1 ON b2.event_type = b1.event_type)
+           |SELECT event_type, step, feature,
+           |  CAST(floor(sse + 0.5e0) AS BIGINT) AS sse_q,
+           |  CAST(floor((prev - sse) + 0.5e0) AS BIGINT) AS gain_q
+           |FROM steps""".stripMargin
+      },
+      (s, d) => {
+        def det3(a1: Column, a2: Column, a3: Column,
+                 b1: Column, b2: Column, b3: Column,
+                 c1: Column, c2: Column, c3: Column): Column =
+          a1 * (b2 * c3 - b3 * c2) -
+          a2 * (b1 * c3 - b3 * c1) +
+          a3 * (b1 * c2 - b2 * c1)
+        val f = Tables.events(s, d).select(col("event_type"),
+          hour(col("ts")).cast("long").as("x1"),
+          dayofweek(col("ts")).cast("long").as("x2"),
+          dayofmonth(col("ts")).cast("long").as("x3"),
+          graft.Parity.lq(col("value")).as("yq"))
+        val m = f.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("l1"), sum("x2").as("l2"), sum("x3").as("l3"),
+          sum(col("x1") * col("x1")).as("l11"),
+          sum(col("x1") * col("x2")).as("l12"),
+          sum(col("x1") * col("x3")).as("l13"),
+          sum(col("x2") * col("x2")).as("l22"),
+          sum(col("x2") * col("x3")).as("l23"),
+          sum(col("x3") * col("x3")).as("l33"),
+          sum("yq").as("ly"),
+          sum(col("x1") * col("yq")).as("l1y"),
+          sum(col("x2") * col("yq")).as("l2y"),
+          sum(col("x3") * col("yq")).as("l3y"),
+          sum(col("yq") * col("yq")).as("lyy"))
+          .persist() // the 15-moment table is the only corpus artifact;
+                     // base, all candidate fits, and the step rows
+                     // re-read it
+        val dd = m.select(col("event_type"), col("n"),
+          col("n").cast("double").as("nn"),
+          col("l1").cast("double").as("s1"),
+          col("l2").cast("double").as("s2"),
+          col("l3").cast("double").as("s3"),
+          col("l11").cast("double").as("s11"),
+          col("l12").cast("double").as("s12"),
+          col("l13").cast("double").as("s13"),
+          col("l22").cast("double").as("s22"),
+          col("l23").cast("double").as("s23"),
+          col("l33").cast("double").as("s33"),
+          col("ly").cast("double").as("sy"),
+          col("l1y").cast("double").as("s1y"),
+          col("l2y").cast("double").as("s2y"),
+          col("l3y").cast("double").as("s3y"),
+          col("lyy").cast("double").as("syy"))
+        val base = dd.select(col("event_type"),
+          (col("syy") - col("sy") * col("sy") / col("nn")).as("sse"))
+        def sse1(j: Int): DataFrame = {
+          val (sj, sjj, sjy) = (col(s"s$j"), col(s"s$j$j"), col(s"s${j}y"))
+          val b = (col("nn") * sjy - sj * col("sy")) /
+            (col("nn") * sjj - sj * sj)
+          val a = (col("sy") - b * sj) / col("nn")
+          dd.select(col("event_type"), lit(j.toLong).as("feat"),
+            (col("syy") - lit(2.0) * (a * col("sy") + b * sjy)
+              + (a * a * col("nn") + b * b * sjj
+                + lit(2.0) * a * b * sj)).as("sse"))
+        }
+        def sse2(a: Int, b: Int): DataFrame = {
+          val (sa, sb) = (col(s"s$a"), col(s"s$b"))
+          val (saa, sbb) = (col(s"s$a$a"), col(s"s$b$b"))
+          val sab = col(s"s$a$b")
+          val (say, sby) = (col(s"s${a}y"), col(s"s${b}y"))
+          val det = det3(col("nn"), sa, sb, sa, saa, sab, sb, sab, sbb)
+          val d0 = det3(col("sy"), sa, sb, say, saa, sab, sby, sab, sbb)
+          val da = det3(col("nn"), col("sy"), sb, sa, say, sab,
+            sb, sby, sbb)
+          val db = det3(col("nn"), sa, col("sy"), sa, saa, say,
+            sb, sab, sby)
+          dd.select(col("event_type"), lit(a.toLong).as("fa"),
+            lit(b.toLong).as("fb"),
+            (col("syy") - lit(2.0) * ((d0 / det) * col("sy")
+                + (da / det) * say + (db / det) * sby)
+              + ((d0 / det) * (d0 / det) * col("nn")
+                + (da / det) * (da / det) * saa
+                + (db / det) * (db / det) * sbb
+                + lit(2.0) * ((d0 / det) * (da / det) * sa
+                  + (d0 / det) * (db / det) * sb
+                  + (da / det) * (db / det) * sab))).as("sse"))
+        }
+        val c1 = sse1(1).unionByName(sse1(2)).unionByName(sse1(3))
+        val b1 = c1.withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("sse"),
+              col("feat"))))
+          .filter(col("rn") === 1).drop("rn")
+        val c2 = sse2(1, 2).unionByName(sse2(1, 3)).unionByName(sse2(2, 3))
+        val c2f = c2.join(b1.select(col("event_type"),
+            col("feat").as("picked")), "event_type")
+          .filter(col("fa") === col("picked") || col("fb") === col("picked"))
+          .select(col("event_type"),
+            when(col("fa") === col("picked"), col("fb")).otherwise(col("fa"))
+              .as("feat"),
+            col("sse"))
+        val b2 = c2f.withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("sse"),
+              col("feat"))))
+          .filter(col("rn") === 1).drop("rn")
+        val steps = base.select(col("event_type"), lit(0L).as("step"),
+            lit(null).cast("long").as("feature"), col("sse"),
+            col("sse").as("prev"))
+          .unionByName(b1.join(base.select(col("event_type"),
+              col("sse").as("prev")), "event_type")
+            .select(col("event_type"), lit(1L).as("step"),
+              col("feat").as("feature"), col("sse"), col("prev")))
+          .unionByName(b2.join(b1.select(col("event_type"),
+              col("sse").as("prev")), "event_type")
+            .select(col("event_type"), lit(2L).as("step"),
+              col("feat").as("feature"), col("sse"), col("prev")))
+        steps.select(col("event_type"), col("step"), col("feature"),
+          floor(col("sse") + lit(0.5)).cast("long").as("sse_q"),
+          floor((col("prev") - col("sse")) + lit(0.5)).cast("long")
+            .as("gain_q"))
+      }),
   )
 }
