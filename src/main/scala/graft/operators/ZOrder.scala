@@ -46,9 +46,37 @@ object ZOrder {
     least(floor(unit * (1L << Bits)).cast("long"), lit((1L << Bits) - 1))
   }
 
+  /** Exact partition-by-bucket: every row lands in partition `pid`
+    * (must be in [0, n)), with NO sampling. `repartitionByRange` would
+    * be the idiomatic call, but Spark's RangePartitioner draws its
+    * reservoir sample with an RDD-id-derived seed, so the resulting
+    * file BOUNDARIES depend on how many RDDs the session created
+    * before — poison for a layout operator whose whole product is the
+    * boundaries (the same table written twice in different sessions
+    * gets different files, and layout comparisons go flaky). A
+    * deterministic layout must be a pure function of the data, so the
+    * partition id is computed as a column and honored exactly by an
+    * explicit partitioner. Balance under skew is the bucket
+    * expression's responsibility (production: rank-scale via sketch
+    * quantiles; here: affine — same doctrine as [[interleave]]
+    * scaling). */
+  def byBucket(df: DataFrame, pid: Column, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val withPid = df.withColumn("__pid",
+      greatest(least(pid.cast("int"), lit(n - 1)), lit(0)))
+    val shuffled = withPid.rdd
+      .map(r => (r.getAs[Int]("__pid"), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    spark.createDataFrame(shuffled, withPid.schema).drop("__pid")
+  }
+
   /** `df` ordered along the z-curve of two numeric columns, distributed
-    * into `nFiles` range partitions (→ files on write), each internally
-    * sorted. */
+    * into `nFiles` deterministic z-range partitions (→ files on write),
+    * each internally sorted. */
   def cluster(df: DataFrame, colA: String, colB: String,
               nFiles: Int): DataFrame = {
     val bounds = df.agg(
@@ -57,10 +85,13 @@ object ZOrder {
     val z = interleave(
       scaled(col(colA), col("lo_a"), col("hi_a")),
       scaled(col(colB), col("lo_b"), col("hi_b"))).as("__z")
-    df.crossJoin(broadcast(bounds))
+    val zed = df.crossJoin(broadcast(bounds))
       .withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
+      .drop("lo_a", "hi_a", "lo_b", "hi_b")
+    // affine z bucket (z domain is [0, 2^(2·Bits))) — exact, no sampling
+    val width = (1L << (2 * Bits)) / nFiles
+    byBucket(zed, (col("__z") / lit(width)).cast("int"), nFiles)
       .sortWithinPartitions("__z")
-      .drop("__z", "lo_a", "hi_a", "lo_b", "hi_b")
+      .drop("__z")
   }
 }

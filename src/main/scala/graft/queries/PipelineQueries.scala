@@ -1054,9 +1054,21 @@ object PipelineQueries {
         SnapshotTable.commit(s,
           ZOrder.cluster(ev, "user_id", "event_id", NFiles), tz,
           statsCols = Seq("user_id", "event_id"))
-        SnapshotTable.commit(s,
-          ev.repartitionByRange(NFiles, col("user_id"))
-            .sortWithinPartitions("user_id"), tl,
+        // linear layout via the same EXACT bucketing as the z side
+        // (ZOrder.byBucket): repartitionByRange samples with a session-
+        // history-dependent seed, so its file boundaries wiggle between
+        // runs and the z-vs-linear margin below would be comparing two
+        // dice rolls instead of two layouts
+        val ub = ev.agg(min("user_id").as("ulo2"), max("user_id").as("uhi2"))
+        val linear = {
+          val j = ev.crossJoin(broadcast(ub))
+          val pid = ((col("user_id") - col("ulo2")).cast("double") /
+            (col("uhi2") - col("ulo2") + 1).cast("double") * NFiles)
+            .cast("int")
+          ZOrder.byBucket(j, pid, NFiles)
+            .sortWithinPartitions("user_id").drop("ulo2", "uhi2")
+        }
+        SnapshotTable.commit(s, linear, tl,
           statsCols = Seq("user_id", "event_id"))
         // range bounds from the manifest stats (exact min/max — metadata,
         // not a scan): middle quarter in both dimensions
