@@ -2875,5 +2875,179 @@ object MlPrepQueries {
           floor((col("prev") - col("sse")) + lit(0.5)).cast("long")
             .as("gain_q"))
       }),
+
+    // FEATURE IMPORTANCE — sklearn's `feature_importances_`
+    // (`my_model.py:102-121`, printed for every selection pipeline) for
+    // the depth-3 histogram tree: mean-decrease-in-impurity, i.e. each
+    // split's n-weighted gini decrease (parent − left − right, the
+    // n-weighted form has sklearn's n_node/n_total weighting built in)
+    // summed per feature and normalized to 1 per group. Same histogram
+    // split search as mlprep_tree (one corpus scan, one histogram agg
+    // per level); the importance itself is arithmetic over the ≤7 split
+    // rows. Per-split decreases are floor-quantized to a 1e-6 grid so
+    // the per-feature sum is an order-free integer (a raw double sum
+    // over splits would be accumulation-order-dependent cross-engine);
+    // decrease is provably ≥ 0 (gini concavity), so quantization keeps
+    // exactness.
+    QueryDef(
+      "mlprep_importance",
+      Some {
+        def level(l: Int): String =
+          s"""m$l AS (
+             |  SELECT event_type, node, 1 AS feat, x1 AS v,
+             |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS pos
+             |  FROM asg$l GROUP BY 1, 2, 4
+             |  UNION ALL
+             |  SELECT event_type, node, 2 AS feat, x2 AS v,
+             |    CAST(SUM(n) AS BIGINT), CAST(SUM(yc) AS BIGINT)
+             |  FROM asg$l GROUP BY 1, 2, 4),
+             |c$l AS (
+             |  SELECT *,
+             |    CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             |    CAST(SUM(pos) OVER w AS BIGINT) AS posl,
+             |    CAST(SUM(n) OVER t AS BIGINT) AS ntot,
+             |    CAST(SUM(pos) OVER t AS BIGINT) AS postot,
+             |    MAX(v) OVER t AS vmax
+             |  FROM m$l
+             |  WINDOW w AS (PARTITION BY event_type, node, feat ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  t AS (PARTITION BY event_type, node, feat)),
+             |s$l AS (
+             |  SELECT event_type, node, feat, v AS thr, ntot, postot,
+             |    nl, posl, ntot - nl AS nr, postot - posl AS posr
+             |  FROM c$l WHERE v < vmax),
+             |g$l AS (
+             |  SELECT *,
+             |    (CAST(nl AS DOUBLE)
+             |      - (CAST(posl * posl AS DOUBLE)
+             |        + CAST((nl - posl) * (nl - posl) AS DOUBLE))
+             |        / CAST(nl AS DOUBLE))
+             |    + (CAST(nr AS DOUBLE)
+             |      - (CAST(posr * posr AS DOUBLE)
+             |        + CAST((nr - posr) * (nr - posr) AS DOUBLE))
+             |        / CAST(nr AS DOUBLE)) AS score
+             |  FROM s$l),
+             |b$l AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY event_type, node
+             |      ORDER BY score, feat, thr) AS rn
+             |    FROM g$l) WHERE rn = 1),
+             |asg${l + 1} AS (
+             |  SELECT a.event_type, a.x1, a.x2, a.n, a.yc,
+             |    CASE
+             |      WHEN b.node IS NULL THEN a.node * 2
+             |      WHEN (CASE WHEN b.feat = 1 THEN a.x1 ELSE a.x2 END)
+             |        <= b.thr THEN a.node * 2
+             |      ELSE a.node * 2 + 1 END AS node
+             |  FROM asg$l a LEFT JOIN b$l b
+             |    ON a.event_type = b.event_type AND a.node = b.node)"""
+            .stripMargin
+        val parentGini =
+          """(CAST(ntot AS DOUBLE)
+            |      - (CAST(postot * postot AS DOUBLE)
+            |        + CAST((ntot - postot) * (ntot - postot) AS DOUBLE))
+            |        / CAST(ntot AS DOUBLE))""".stripMargin
+        s"""WITH grid AS (
+           |  SELECT event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS yc
+           |  FROM events GROUP BY 1, 2, 3),
+           |asg0 AS (SELECT *, CAST(0 AS BIGINT) AS node FROM grid),
+           |${level(0)},
+           |${level(1)},
+           |${level(2)},
+           |splits AS (
+           |  SELECT event_type, CAST(feat AS BIGINT) AS feat,
+           |    CAST(floor(($parentGini - score) * 1.0e6 + 0.5e0) AS BIGINT)
+           |      AS decq
+           |  FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+           |        UNION ALL SELECT * FROM b2)),
+           |imps AS (
+           |  SELECT event_type, feat, CAST(count(*) AS BIGINT) AS n_splits,
+           |    CAST(SUM(decq) AS BIGINT) AS dec
+           |  FROM splits GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT event_type, CAST(SUM(dec) AS BIGINT) AS t
+           |  FROM imps GROUP BY 1)
+           |SELECT i.event_type, i.feat, i.n_splits,
+           |  CAST(floor(CAST(i.dec AS DOUBLE) / CAST(NULLIF(t.t, 0)
+           |    AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT) AS importance_q
+           |FROM imps i JOIN tot t ON i.event_type = t.event_type"""
+          .stripMargin
+      },
+      (s, d) => {
+        val grid = Tables.events(s, d).select(col("event_type"),
+            hour(col("ts")).cast("long").as("x1"),
+            dayofweek(col("ts")).cast("long").as("x2"),
+            when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
+          .groupBy("event_type", "x1", "x2")
+          .agg(count(lit(1)).as("n"), sum("y").as("yc"))
+          .persist()
+        var asg = grid.withColumn("node", lit(0L))
+        val picks = Seq.newBuilder[DataFrame]
+        for (_ <- 0 until 3) {
+          val m = asg.select(col("event_type"), col("node"),
+              lit(1L).as("feat"), col("x1").as("v"), col("n"), col("yc"))
+            .unionByName(asg.select(col("event_type"), col("node"),
+              lit(2L).as("feat"), col("x2").as("v"), col("n"), col("yc")))
+            .groupBy("event_type", "node", "feat", "v")
+            .agg(sum("n").as("n"), sum("yc").as("pos"))
+          val wc = Window.partitionBy("event_type", "node", "feat")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wt = Window.partitionBy("event_type", "node", "feat")
+          val c = m
+            .withColumn("nl", sum("n").over(wc))
+            .withColumn("posl", sum("pos").over(wc))
+            .withColumn("ntot", sum("n").over(wt))
+            .withColumn("postot", sum("pos").over(wt))
+            .withColumn("vmax", max("v").over(wt))
+          val sCand = c.filter(col("v") < col("vmax"))
+            .select(col("event_type"), col("node"), col("feat"),
+              col("v").as("thr"), col("ntot"), col("postot"),
+              col("nl"), col("posl"),
+              (col("ntot") - col("nl")).as("nr"),
+              (col("postot") - col("posl")).as("posr"))
+          def half(n: Column, p: Column): Column =
+            n.cast("double") -
+              ((p * p).cast("double") + ((n - p) * (n - p)).cast("double")) /
+                n.cast("double")
+          val g = sCand.withColumn("score",
+            half(col("nl"), col("posl")) + half(col("nr"), col("posr")))
+          val b = g.withColumn("rn", row_number().over(
+              Window.partitionBy("event_type", "node")
+                .orderBy(col("score"), col("feat"), col("thr"))))
+            .filter(col("rn") === 1).drop("rn")
+          picks += b
+          val bb = broadcast(b.select(col("event_type"), col("node"),
+            col("feat").as("bfeat"), col("thr").as("bthr")))
+          asg = asg.join(bb, Seq("event_type", "node"), "left")
+            .select(col("event_type"), col("x1"), col("x2"), col("n"),
+              col("yc"),
+              when(col("bfeat").isNull, col("node") * 2)
+                .when(when(col("bfeat") === 1, col("x1"))
+                  .otherwise(col("x2")) <= col("bthr"), col("node") * 2)
+                .otherwise(col("node") * 2 + 1).as("node"))
+        }
+        def halfP(n: Column, p: Column): Column =
+          n.cast("double") -
+            ((p * p).cast("double") + ((n - p) * (n - p)).cast("double")) /
+              n.cast("double")
+        val splits = picks.result().reduce(_ unionByName _)
+          .select(col("event_type"), col("feat"),
+            floor((halfP(col("ntot"), col("postot")) - col("score"))
+              * lit(1e6) + lit(0.5)).cast("long").as("decq"))
+        val imps = splits.groupBy("event_type", "feat")
+          .agg(count(lit(1)).as("n_splits"), sum("decq").as("dec"))
+        val tot = imps.groupBy("event_type").agg(sum("dec").as("t"))
+        imps.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("feat"), col("n_splits"),
+            floor(col("dec").cast("double") /
+              nullif(col("t"), lit(0L)).cast("double") * lit(1e9)
+              + lit(0.5)).cast("long").as("importance_q"))
+      }),
   )
 }
