@@ -3049,5 +3049,480 @@ object MlPrepQueries {
               nullif(col("t"), lit(0L)).cast("double") * lit(1e9)
               + lit(0.5)).cast("long").as("importance_q"))
       }),
+
+    // NAIVE BAYES — the one classical classifier family the zoo
+    // (`my_model.py:123-370`) brackets but the board had not trained:
+    // categorical NB with Laplace smoothing (α=1) over the (hour, dow)
+    // feature pair, y = value ≥ 100. The model IS three count tables —
+    // class priors, per-(class, hour) counts, per-(class, dow) counts —
+    // so training is ONE scan to the feature grid and two
+    // histogram-sized rollups of it; prediction runs on GRID CELLS (all
+    // rows of a cell share x hence share the posterior), each cell
+    // joined to the broadcast model. At 100 TB the exchanges carry the
+    // ≤24×7-per-group grid and the model stays |groups|×31 rows —
+    // nothing data-sized ever shuffles twice.
+    //
+    // Parity: posteriors compare via one shared IEEE tree of exact-int
+    // casts and divisions (multiplication/division are correctly
+    // rounded on both engines; log-space scoring would NOT be — ln is
+    // not IEEE-exact cross-engine, so the product form is the
+    // deterministic choice; at 2 features it cannot underflow). Ties
+    // (p1 == p0 bitwise) fall to class 0 on both sides.
+    QueryDef(
+      "mlprep_naive_bayes",
+      Some {
+        s"""WITH f AS (
+           |  SELECT event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END AS y
+           |  FROM events),
+           |grid AS (
+           |  SELECT event_type, x1, x2, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(y) AS BIGINT) AS yc
+           |  FROM f GROUP BY 1, 2, 3),
+           |hx1 AS (
+           |  SELECT event_type, x1, CAST(sum(yc) AS BIGINT) AS cp1,
+           |    CAST(sum(n) AS BIGINT) AS ct1
+           |  FROM grid GROUP BY 1, 2),
+           |hx2 AS (
+           |  SELECT event_type, x2, CAST(sum(yc) AS BIGINT) AS cp2,
+           |    CAST(sum(n) AS BIGINT) AS ct2
+           |  FROM grid GROUP BY 1, 2),
+           |pri AS (
+           |  SELECT event_type, CAST(sum(n) AS BIGINT) AS nt,
+           |    CAST(sum(yc) AS BIGINT) AS npos
+           |  FROM grid GROUP BY 1),
+           |cells AS (
+           |  SELECT g.*, h1.cp1, h1.ct1, h2.cp2, h2.ct2, p.nt, p.npos,
+           |    p.nt - p.npos AS nneg
+           |  FROM grid g
+           |  JOIN hx1 h1 ON g.event_type = h1.event_type AND g.x1 = h1.x1
+           |  JOIN hx2 h2 ON g.event_type = h2.event_type AND g.x2 = h2.x2
+           |  JOIN pri p ON g.event_type = p.event_type),
+           |scored AS (
+           |  SELECT *,
+           |    CASE WHEN
+           |      CAST(npos AS DOUBLE) / CAST(nt AS DOUBLE)
+           |        * (CAST(cp1 + 1 AS DOUBLE) / CAST(npos + 24 AS DOUBLE))
+           |        * (CAST(cp2 + 1 AS DOUBLE) / CAST(npos + 7 AS DOUBLE))
+           |      >
+           |      CAST(nneg AS DOUBLE) / CAST(nt AS DOUBLE)
+           |        * (CAST(ct1 - cp1 + 1 AS DOUBLE)
+           |          / CAST(nneg + 24 AS DOUBLE))
+           |        * (CAST(ct2 - cp2 + 1 AS DOUBLE)
+           |          / CAST(nneg + 7 AS DOUBLE))
+           |    THEN 1 ELSE 0 END AS pred
+           |  FROM cells)
+           |SELECT event_type, CAST(max(nt) AS BIGINT) AS n,
+           |  CAST(max(npos) AS BIGINT) AS n_pos,
+           |  CAST(sum(CASE WHEN pred = 1 THEN yc ELSE 0 END) AS BIGINT)
+           |    AS tp,
+           |  CAST(sum(CASE WHEN pred = 1 THEN n - yc ELSE 0 END) AS BIGINT)
+           |    AS fp,
+           |  CAST(sum(CASE WHEN pred = 0 THEN yc ELSE 0 END) AS BIGINT)
+           |    AS fn,
+           |  CAST(sum(CASE WHEN pred = 0 THEN n - yc ELSE 0 END) AS BIGINT)
+           |    AS tn,
+           |  CAST(floor(
+           |    CAST(sum(CASE WHEN pred = 1 THEN yc ELSE 0 END)
+           |       + sum(CASE WHEN pred = 0 THEN n - yc ELSE 0 END)
+           |      AS DOUBLE) / CAST(max(nt) AS DOUBLE) * 1.0e9 + 0.5e0)
+           |    AS BIGINT) AS acc_q
+           |FROM scored GROUP BY 1""".stripMargin
+      },
+      (s, d) => {
+        val f = Tables.events(s, d).select(col("event_type"),
+          hour(col("ts")).cast("long").as("x1"),
+          dayofweek(col("ts")).cast("long").as("x2"),
+          when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
+        val grid = f.groupBy("event_type", "x1", "x2")
+          .agg(count(lit(1)).as("n"), sum("y").as("yc"))
+          .persist() // ≤24×7 cells per group: the three model rollups
+                     // and the scoring pass all re-read it
+        val hx1 = grid.groupBy("event_type", "x1")
+          .agg(sum("yc").as("cp1"), sum("n").as("ct1"))
+        val hx2 = grid.groupBy("event_type", "x2")
+          .agg(sum("yc").as("cp2"), sum("n").as("ct2"))
+        val pri = grid.groupBy("event_type")
+          .agg(sum("n").as("nt"), sum("yc").as("npos"))
+        val cells = grid
+          .join(broadcast(hx1), Seq("event_type", "x1"))
+          .join(broadcast(hx2), Seq("event_type", "x2"))
+          .join(broadcast(pri), Seq("event_type"))
+          .withColumn("nneg", col("nt") - col("npos"))
+        val p1 = col("npos").cast("double") / col("nt").cast("double") *
+          ((col("cp1") + 1L).cast("double") /
+            (col("npos") + 24L).cast("double")) *
+          ((col("cp2") + 1L).cast("double") /
+            (col("npos") + 7L).cast("double"))
+        val p0 = col("nneg").cast("double") / col("nt").cast("double") *
+          ((col("ct1") - col("cp1") + 1L).cast("double") /
+            (col("nneg") + 24L).cast("double")) *
+          ((col("ct2") - col("cp2") + 1L).cast("double") /
+            (col("nneg") + 7L).cast("double"))
+        val scored = cells.withColumn("pred",
+          when(p1 > p0, 1L).otherwise(0L))
+        scored.groupBy("event_type").agg(
+          max("nt").as("n"), max("npos").as("n_pos"),
+          sum(when(col("pred") === 1, col("yc")).otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1, col("n") - col("yc"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("pred") === 0, col("yc")).otherwise(0L)).as("fn"),
+          sum(when(col("pred") === 0, col("n") - col("yc"))
+            .otherwise(0L)).as("tn"))
+          .withColumn("acc_q", floor(
+            (col("tp") + col("tn")).cast("double") /
+              col("n").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+      }),
+
+    // PCA — principal component extraction (the dimensionality-reduction
+    // step every sklearn prep pipeline bolts on before the classifier
+    // zoo) as engine work: the 3×3 feature covariance comes from ONE
+    // exact-long moment pass (the ols_normal table), and the dominant
+    // eigenvector from 48 fixed POWER-ITERATION steps (gap^48 < 1e-10
+    // even at a 0.61 eigen-gap ratio — convergence is a constant, not
+    // a data-dependent loop) — each step is
+    // scalar arithmetic on the |groups|-row stats frame, so the whole
+    // factorization costs one corpus scan plus arithmetic, at any data
+    // size. L∞ normalization inside the loop (no sqrt until the end —
+    // fewer correctly-rounded ops to chain), Rayleigh quotient for the
+    // eigenvalue, explained-variance ratio against the trace.
+    //
+    // Parity: covariance numerators n·Σxy − Σx·Σy are exact longs
+    // (headroom: n·|Σxy| < 2⁶³ holds to n ≈ 3e7 rows/group on these
+    // calendar features; beyond that, grid-quantize features first);
+    // the iteration uses only +,−,×,÷,abs,max and the final sqrt — all
+    // correctly rounded per IEEE-754 on both engines, so 48 unrolled
+    // steps yield bit-identical vectors. Sign canonicalized by v1 ≥ 0.
+    // A zero covariance matrix nulls out via NULLIF rather than
+    // emitting a fabricated direction.
+    QueryDef(
+      "mlprep_pca",
+      Some {
+        val covCols = "c11, c12, c13, c22, c23, c33"
+        def step(k: Int): String =
+          s"""it$k AS (
+             |  SELECT event_type, n, $covCols,
+             |    w1 / m AS v1, w2 / m AS v2, w3 / m AS v3
+             |  FROM (
+             |    SELECT *, NULLIF(greatest(abs(w1), abs(w2), abs(w3)),
+             |      0.0e0) AS m
+             |    FROM (
+             |      SELECT event_type, n, $covCols,
+             |        c11 * v1 + c12 * v2 + c13 * v3 AS w1,
+             |        c12 * v1 + c22 * v2 + c23 * v3 AS w2,
+             |        c13 * v1 + c23 * v2 + c33 * v3 AS w3
+             |      FROM it${k - 1})))""".stripMargin
+        val steps = (1 to 48).map(step).mkString(",\n")
+        s"""WITH f AS (
+           |  SELECT event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    CAST(day(ts) AS BIGINT) AS x3
+           |  FROM events),
+           |m AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS l1,
+           |    CAST(sum(x2) AS BIGINT) AS l2,
+           |    CAST(sum(x3) AS BIGINT) AS l3,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS l11,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS l12,
+           |    CAST(sum(x1 * x3) AS BIGINT) AS l13,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS l22,
+           |    CAST(sum(x2 * x3) AS BIGINT) AS l23,
+           |    CAST(sum(x3 * x3) AS BIGINT) AS l33
+           |  FROM f GROUP BY 1),
+           |cov AS (
+           |  SELECT event_type, n,
+           |    CAST(n * l11 - l1 * l1 AS DOUBLE)
+           |      / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+           |    CAST(n * l12 - l1 * l2 AS DOUBLE)
+           |      / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+           |    CAST(n * l13 - l1 * l3 AS DOUBLE)
+           |      / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS c13,
+           |    CAST(n * l22 - l2 * l2 AS DOUBLE)
+           |      / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+           |    CAST(n * l23 - l2 * l3 AS DOUBLE)
+           |      / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS c23,
+           |    CAST(n * l33 - l3 * l3 AS DOUBLE)
+           |      / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS c33
+           |  FROM m),
+           |it0 AS (
+           |  SELECT event_type, n, $covCols,
+           |    1.0e0 AS v1, 1.0e0 AS v2, 1.0e0 AS v3
+           |  FROM cov),
+           |$steps,
+           |fin AS (
+           |  SELECT *,
+           |    c11 * v1 + c12 * v2 + c13 * v3 AS w1,
+           |    c12 * v1 + c22 * v2 + c23 * v3 AS w2,
+           |    c13 * v1 + c23 * v2 + c33 * v3 AS w3,
+           |    CASE WHEN v1 < 0.0e0 THEN -1.0e0 ELSE 1.0e0 END AS sg,
+           |    sqrt(v1 * v1 + v2 * v2 + v3 * v3) AS nrm
+           |  FROM it48),
+           |ray AS (
+           |  SELECT *,
+           |    (v1 * w1 + v2 * w2 + v3 * w3)
+           |      / (v1 * v1 + v2 * v2 + v3 * v3) AS eig
+           |  FROM fin)
+           |SELECT event_type, n,
+           |  CAST(floor(eig * 1.0e9 + 0.5e0) AS BIGINT) AS eig_q,
+           |  CAST(floor(eig / (c11 + c22 + c33) * 1.0e9 + 0.5e0)
+           |    AS BIGINT) AS evr_q,
+           |  CAST(floor(v1 / nrm * sg * 1.0e9 + 0.5e0) AS BIGINT) AS v1_q,
+           |  CAST(floor(v2 / nrm * sg * 1.0e9 + 0.5e0) AS BIGINT) AS v2_q,
+           |  CAST(floor(v3 / nrm * sg * 1.0e9 + 0.5e0) AS BIGINT) AS v3_q
+           |FROM ray""".stripMargin
+      },
+      (s, d) => {
+        val f = Tables.events(s, d).select(col("event_type"),
+          hour(col("ts")).cast("long").as("x1"),
+          dayofweek(col("ts")).cast("long").as("x2"),
+          dayofmonth(col("ts")).cast("long").as("x3"))
+        val m = f.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("l1"), sum("x2").as("l2"), sum("x3").as("l3"),
+          sum(col("x1") * col("x1")).as("l11"),
+          sum(col("x1") * col("x2")).as("l12"),
+          sum(col("x1") * col("x3")).as("l13"),
+          sum(col("x2") * col("x2")).as("l22"),
+          sum(col("x2") * col("x3")).as("l23"),
+          sum(col("x3") * col("x3")).as("l33"))
+        def cv(ij: String, i: String, j: String): Column =
+          (col("n") * col(ij) - col(i) * col(j)).cast("double") /
+            col("n").cast("double") / col("n").cast("double")
+        val cov = m.select(col("event_type"), col("n"),
+          cv("l11", "l1", "l1").as("c11"),
+          cv("l12", "l1", "l2").as("c12"),
+          cv("l13", "l1", "l3").as("c13"),
+          cv("l22", "l2", "l2").as("c22"),
+          cv("l23", "l2", "l3").as("c23"),
+          cv("l33", "l3", "l3").as("c33"))
+        val keep = Seq("event_type", "n", "c11", "c12", "c13", "c22",
+          "c23", "c33").map(col)
+        def mulW(cur: DataFrame): DataFrame = cur
+          .withColumn("w1", col("c11") * col("v1") + col("c12") * col("v2")
+            + col("c13") * col("v3"))
+          .withColumn("w2", col("c12") * col("v1") + col("c22") * col("v2")
+            + col("c23") * col("v3"))
+          .withColumn("w3", col("c13") * col("v1") + col("c23") * col("v2")
+            + col("c33") * col("v3"))
+        var it = cov.withColumn("v1", lit(1.0))
+          .withColumn("v2", lit(1.0)).withColumn("v3", lit(1.0))
+        for (_ <- 1 to 48) {
+          val w = mulW(it).withColumn("m",
+            nullif(greatest(abs(col("w1")), abs(col("w2")),
+              abs(col("w3"))), lit(0.0)))
+          it = w.select(keep :+ (col("w1") / col("m")).as("v1")
+            :+ (col("w2") / col("m")).as("v2")
+            :+ (col("w3") / col("m")).as("v3"): _*)
+        }
+        val fin = mulW(it)
+          .withColumn("sg", when(col("v1") < 0.0, -1.0).otherwise(1.0))
+          .withColumn("nrm", sqrt(col("v1") * col("v1")
+            + col("v2") * col("v2") + col("v3") * col("v3")))
+          .withColumn("eig",
+            (col("v1") * col("w1") + col("v2") * col("w2")
+              + col("v3") * col("w3")) /
+            (col("v1") * col("v1") + col("v2") * col("v2")
+              + col("v3") * col("v3")))
+        def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+        fin.select(col("event_type"), col("n"),
+          q9(col("eig")).as("eig_q"),
+          q9(col("eig") / (col("c11") + col("c22") + col("c33")))
+            .as("evr_q"),
+          q9(col("v1") / col("nrm") * col("sg")).as("v1_q"),
+          q9(col("v2") / col("nrm") * col("sg")).as("v2_q"),
+          q9(col("v3") / col("nrm") * col("sg")).as("v3_q"))
+      }),
+
+    // LEARNING CURVE — sklearn's `learning_curve` (the train-size
+    // diagnostic every reference notebook plots) in ONE scan: day-grain
+    // moment rows once, a cumulative window over the |days|-row frame
+    // turns EVERY train-prefix into ready-made sufficient statistics,
+    // so the four prefix models (25/50/75/100% of the train pool) and
+    // their shared-holdout MSEs are closed-form arithmetic — where the
+    // sklearn loop refits the data once per size. Holdout = the last
+    // ⌈D/5⌉ days; prefix boundaries are data-driven integer arithmetic
+    // on the broadcast day-count row (no collect, no baked dates).
+    //
+    // Parity: day-grain sums on the lq grid are exact longs and the
+    // cumulative sums stay exact; β and the MSE quadratic form are the
+    // walk_forward IEEE trees; prefix-boundary days are integer DIV.
+    QueryDef(
+      "mlprep_learning_curve",
+      Some {
+        s"""WITH f AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(hour(ts) AS BIGINT) AS x,
+           |    ${graft.Parity.oLq("value")} AS yq
+           |  FROM events),
+           |md AS (
+           |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS lx,
+           |    CAST(sum(x * x) AS BIGINT) AS lxx,
+           |    CAST(sum(yq) AS BIGINT) AS ly,
+           |    CAST(sum(x * yq) AS BIGINT) AS lxy,
+           |    CAST(sum(yq * yq) AS BIGINT) AS lyy
+           |  FROM f GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT event_type, day,
+           |    CAST(row_number() OVER w AS BIGINT) AS rn,
+           |    CAST(sum(n) OVER c AS BIGINT) AS cn,
+           |    CAST(sum(lx) OVER c AS BIGINT) AS cx,
+           |    CAST(sum(lxx) OVER c AS BIGINT) AS cxx,
+           |    CAST(sum(ly) OVER c AS BIGINT) AS cy,
+           |    CAST(sum(lxy) OVER c AS BIGINT) AS cxy,
+           |    CAST(sum(lyy) OVER c AS BIGINT) AS cyy
+           |  FROM md
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+           |    c AS (PARTITION BY event_type ORDER BY day
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |dd AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS days
+           |  FROM md GROUP BY 1),
+           |tt AS (
+           |  SELECT event_type, days, days - (days + 4) // 5 AS t
+           |  FROM dd),
+           |tot AS (
+           |  SELECT event_type, CAST(max(rn) AS BIGINT) AS drn,
+           |    CAST(max_by(cn, rn) AS BIGINT) AS tn,
+           |    CAST(max_by(cx, rn) AS BIGINT) AS tx,
+           |    CAST(max_by(cxx, rn) AS BIGINT) AS txx,
+           |    CAST(max_by(cy, rn) AS BIGINT) AS ty,
+           |    CAST(max_by(cxy, rn) AS BIGINT) AS txy,
+           |    CAST(max_by(cyy, rn) AS BIGINT) AS tyy
+           |  FROM cum GROUP BY 1),
+           |hold AS (
+           |  SELECT c.event_type,
+           |    o.tn - c.cn AS qn0, o.tx - c.cx AS qx0,
+           |    o.txx - c.cxx AS qxx0, o.ty - c.cy AS qy0,
+           |    o.txy - c.cxy AS qxy0, o.tyy - c.cyy AS qyy0
+           |  FROM cum c
+           |  JOIN tt t ON c.event_type = t.event_type AND c.rn = t.t
+           |  JOIN tot o ON c.event_type = o.event_type),
+           |marks AS (
+           |  SELECT t.event_type, t.days, t.t, fr.frac,
+           |    (t.t * fr.frac + 99) // 100 AS kf
+           |  FROM tt t, (SELECT unnest([25, 50, 75, 100]) AS frac) fr),
+           |pick AS (
+           |  SELECT m.event_type, m.frac, m.kf AS train_days,
+           |    m.days - m.t AS test_days,
+           |    c.cn AS n_train, CAST(c.cn AS DOUBLE) AS sn,
+           |    CAST(c.cx AS DOUBLE) AS sx, CAST(c.cxx AS DOUBLE) AS sxx,
+           |    CAST(c.cy AS DOUBLE) / 100.0e0 AS sy,
+           |    CAST(c.cxy AS DOUBLE) / 100.0e0 AS sxy,
+           |    h.qn0 AS n_test, CAST(h.qn0 AS DOUBLE) AS qn,
+           |    CAST(h.qx0 AS DOUBLE) AS qx, CAST(h.qxx0 AS DOUBLE) AS qxx,
+           |    CAST(h.qy0 AS DOUBLE) / 100.0e0 AS qy,
+           |    CAST(h.qxy0 AS DOUBLE) / 100.0e0 AS qxy,
+           |    CAST(h.qyy0 AS DOUBLE) / 10000.0e0 AS qyy
+           |  FROM marks m
+           |  JOIN cum c ON m.event_type = c.event_type AND c.rn = m.kf
+           |  JOIN hold h ON m.event_type = h.event_type),
+           |fit AS (
+           |  SELECT *,
+           |    (sn * sxy - sx * sy) / (sn * sxx - sx * sx) AS b
+           |  FROM pick),
+           |ab AS (
+           |  SELECT *, (sy - b * sx) / sn AS a FROM fit)
+           |SELECT event_type, CAST(frac AS BIGINT) AS frac,
+           |  CAST(train_days AS BIGINT) AS train_days,
+           |  CAST(test_days AS BIGINT) AS test_days,
+           |  CAST(n_train AS BIGINT) AS n_train,
+           |  CAST(n_test AS BIGINT) AS n_test,
+           |  CAST(floor(b * 1.0e9 + 0.5e0) AS BIGINT) AS slope_q,
+           |  CAST(floor(a * 1.0e9 + 0.5e0) AS BIGINT) AS intercept_q,
+           |  CAST(floor(
+           |    (qyy - 2.0e0 * (a * qy + b * qxy)
+           |      + (a * a * qn + b * b * qxx + 2.0e0 * (a * b * qx)))
+           |      / qn * 1.0e6 + 0.5e0) AS BIGINT) AS test_mse_q
+           |FROM ab""".stripMargin
+      },
+      (s, d) => {
+        val f = Tables.events(s, d).select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("x"),
+          graft.Parity.lq(col("value")).as("yq"))
+        val md = f.groupBy("event_type", "day").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("lx"), sum(col("x") * col("x")).as("lxx"),
+          sum("yq").as("ly"), sum(col("x") * col("yq")).as("lxy"),
+          sum(col("yq") * col("yq")).as("lyy"))
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val cum = md.select(col("event_type"), col("day"),
+            row_number().over(wOrd).cast("long").as("rn"),
+            sum("n").over(wCum).as("cn"),
+            sum("lx").over(wCum).as("cx"),
+            sum("lxx").over(wCum).as("cxx"),
+            sum("ly").over(wCum).as("cy"),
+            sum("lxy").over(wCum).as("cxy"),
+            sum("lyy").over(wCum).as("cyy"))
+          .persist() // |days|-row frame; holdout, marks and picks re-read
+        val tt = md.groupBy("event_type").agg(count(lit(1)).as("days"))
+          .select(col("event_type"), col("days"),
+            expr("days - (days + 4) DIV 5").as("t"))
+        val tot = cum.groupBy("event_type").agg(
+          max_by(col("cn"), col("rn")).as("tn"),
+          max_by(col("cx"), col("rn")).as("tx"),
+          max_by(col("cxx"), col("rn")).as("txx"),
+          max_by(col("cy"), col("rn")).as("ty"),
+          max_by(col("cxy"), col("rn")).as("txy"),
+          max_by(col("cyy"), col("rn")).as("tyy"))
+        val hold = cum
+          .join(broadcast(tt), cum("event_type") === tt("event_type")
+            && col("rn") === col("t"))
+          .drop(tt("event_type")).drop("days", "t")
+          .join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"),
+            (col("tn") - col("cn")).as("qn0"),
+            (col("tx") - col("cx")).as("qx0"),
+            (col("txx") - col("cxx")).as("qxx0"),
+            (col("ty") - col("cy")).as("qy0"),
+            (col("txy") - col("cxy")).as("qxy0"),
+            (col("tyy") - col("cyy")).as("qyy0"))
+        val marks = tt.select(col("event_type"), col("days"), col("t"),
+            explode(array(lit(25L), lit(50L), lit(75L), lit(100L)))
+              .as("frac"))
+          .select(col("event_type"), col("days"), col("t"), col("frac"),
+            expr("(t * frac + 99) DIV 100").as("kf"))
+        val pick = cum.join(broadcast(marks),
+            cum("event_type") === marks("event_type")
+              && col("rn") === col("kf"))
+          .drop(marks("event_type"))
+          .join(broadcast(hold), Seq("event_type"))
+          .select(col("event_type"), col("frac"),
+            col("kf").as("train_days"),
+            (col("days") - col("t")).as("test_days"),
+            col("cn").as("n_train"), col("cn").cast("double").as("sn"),
+            col("cx").cast("double").as("sx"),
+            col("cxx").cast("double").as("sxx"),
+            (col("cy").cast("double") / 100.0).as("sy"),
+            (col("cxy").cast("double") / 100.0).as("sxy"),
+            col("qn0").as("n_test"), col("qn0").cast("double").as("qn"),
+            col("qx0").cast("double").as("qx"),
+            col("qxx0").cast("double").as("qxx"),
+            (col("qy0").cast("double") / 100.0).as("qy"),
+            (col("qxy0").cast("double") / 100.0).as("qxy"),
+            (col("qyy0").cast("double") / 10000.0).as("qyy"))
+        val b = (col("sn") * col("sxy") - col("sx") * col("sy")) /
+          (col("sn") * col("sxx") - col("sx") * col("sx"))
+        val fit = pick.withColumn("b", b)
+          .withColumn("a", (col("sy") - col("b") * col("sx")) / col("sn"))
+        def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+        fit.select(col("event_type"), col("frac"), col("train_days"),
+          col("test_days"), col("n_train"), col("n_test"),
+          q9(col("b")).as("slope_q"), q9(col("a")).as("intercept_q"),
+          floor((col("qyy") - lit(2.0) * (col("a") * col("qy")
+              + col("b") * col("qxy"))
+            + (col("a") * col("a") * col("qn")
+              + col("b") * col("b") * col("qxx")
+              + lit(2.0) * (col("a") * col("b") * col("qx"))))
+            / col("qn") * lit(1e6) + lit(0.5)).cast("long")
+            .as("test_mse_q"))
+      }),
   )
 }
