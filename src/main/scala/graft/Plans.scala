@@ -756,6 +756,34 @@ object Plans {
         !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin")
     }
+    // mlprep_naive_bayes: the model rollups derive from the cached grid
+    // and join back BROADCAST — a shuffle join would re-exchange the
+    // grid per model table; nothing data-sized appears twice
+    check("mlprep_naive_bayes: cached grid, broadcast model joins") {
+      val p = planOf("mlprep_naive_bayes")
+      val imts = "InMemoryTableScan".r.findAllIn(p).length
+      imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct")
+    }
+    // mlprep_pca: the whole 48-step factorization is ONE corpus scan
+    // into one hash aggregate — no join, no second scan, no window; 48
+    // iterations must stay pure projection work on the stats frame
+    check("mlprep_pca: one scan, one aggregate, join-free iteration") {
+      val p = planOf("mlprep_pca")
+      "Scan parquet".r.findAllIn(p).length == 1 &&
+        !p.contains("Join") && !p.contains("CartesianProduct") &&
+        "Exchange hashpartitioning".r.findAllIn(p).length == 1
+    }
+    // mlprep_learning_curve: prefixes come from the CACHED cumulative
+    // frame (one corpus scan feeds it); every boundary/holdout join is
+    // broadcast of day-count-sized frames
+    check("mlprep_learning_curve: cached cum frame, broadcast joins") {
+      val p = planOf("mlprep_learning_curve")
+      val imts = "InMemoryTableScan".r.findAllIn(p).length
+      imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

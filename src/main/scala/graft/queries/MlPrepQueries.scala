@@ -3462,7 +3462,9 @@ object MlPrepQueries {
             sum("lxy").over(wCum).as("cxy"),
             sum("lyy").over(wCum).as("cyy"))
           .persist() // |days|-row frame; holdout, marks and picks re-read
-        val tt = md.groupBy("event_type").agg(count(lit(1)).as("days"))
+        // day count from the CACHED cum frame (max rn == |days|) — via md
+        // it would cost a second corpus scan
+        val tt = cum.groupBy("event_type").agg(max("rn").as("days"))
           .select(col("event_type"), col("days"),
             expr("days - (days + 4) DIV 5").as("t"))
         val tot = cum.groupBy("event_type").agg(
