@@ -443,6 +443,160 @@ object MlPrepQueries {
             col("e25"), col("e50"), col("e75"))
       }),
 
+    // ROBUST SCALER — the sklearn import the reference's model file
+    // actually pulls (`my_model.py:5` RobustScaler) that mlprep_scaler's
+    // standard/minmax pair did not cover: (x − median) / IQR, fit on the
+    // TRAIN split only (leakage-safe like the scaler/binning family).
+    // Quantiles are exact order statistics off the cent-grid histogram
+    // (median = mean of the two middle order stats, the pandas/DuckDB
+    // interpolation; q25/q75 = the binning convention's upper order
+    // statistic) — the full data never sorts, only the bounded histogram
+    // does, and the three edges ride one broadcast row to the transform
+    // scan. Robust-vs-standard behavior is visible in-row: outliers move
+    // z but cannot move zr's center or spread.
+    //
+    // Parity: the histogram is exact longs; med/IQR de-scale once; the
+    // transform is one identical subtract→divide IEEE tree both sides.
+    QueryDef(
+      "mlprep_robust_scaler",
+      Some("""WITH ev AS (
+             |  SELECT event_id, CAST(ts AS DATE) AS day, value FROM events),
+             |c AS (
+             |  SELECT CAST(max(day) - INTERVAL 7 DAY AS DATE) AS cutoff
+             |  FROM ev),
+             |h AS (
+             |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+             |    count(*) AS cnt
+             |  FROM ev, c WHERE ev.day < c.cutoff GROUP BY 1),
+             |cm AS (
+             |  SELECT vc,
+             |    sum(cnt) OVER (ORDER BY vc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER () AS total
+             |  FROM h),
+             |e AS (
+             |  SELECT
+             |    (CAST(min(CASE WHEN cum >= (total + 1) // 2 THEN vc END)
+             |        AS DOUBLE) +
+             |     CAST(min(CASE WHEN cum >= (total + 2) // 2 THEN vc END)
+             |        AS DOUBLE)) / 2.0 / 100.0 AS med,
+             |    CAST(min(CASE WHEN cum >= (total * 75 + 99) // 100
+             |      THEN vc END) AS DOUBLE) / 100.0
+             |    - CAST(min(CASE WHEN cum >= (total * 25 + 99) // 100
+             |      THEN vc END) AS DOUBLE) / 100.0 AS iqr
+             |  FROM cm)
+             |SELECT event_id, day, value,
+             |  CASE WHEN day < cutoff THEN 'train' ELSE 'test' END AS role,
+             |  med, iqr,
+             |  (value - med) / nullif(iqr, 0.0) AS zr
+             |FROM ev, c, e""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), to_date(col("ts")).as("day"),
+            col("value"))
+          .persist() // cutoff/fit aggregates + the transform scan
+        val cutoff = ev.agg(date_sub(max("day"), 7).as("cutoff"))
+        val cumW = Window.orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val allW = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        def ord(posExpr: String) =
+          min(when(col("cum") >= expr(posExpr), col("vc"))).cast("double")
+        val edges = ev.crossJoin(broadcast(cutoff))
+          .filter(col("day") < col("cutoff"))
+          .select(floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+          .groupBy("vc").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(cumW))
+          .withColumn("total", sum("cnt").over(allW))
+          .agg(
+            ((ord("(total + 1) DIV 2") + ord("(total + 2) DIV 2")) /
+              lit(2.0) / lit(100.0)).as("med"),
+            (ord("(total * 75 + 99) DIV 100") / lit(100.0)
+              - ord("(total * 25 + 99) DIV 100") / lit(100.0)).as("iqr"))
+        ev.crossJoin(broadcast(cutoff)).crossJoin(broadcast(edges))
+          .select(col("event_id"), col("day"), col("value"),
+            when(col("day") < col("cutoff"), "train").otherwise("test")
+              .as("role"),
+            col("med"), col("iqr"),
+            ((col("value") - col("med")) / nullif(col("iqr"), lit(0.0)))
+              .as("zr"))
+      }),
+
+    // ROC CURVE — sklearn's `roc_curve` beside the single-threshold
+    // eval_report: one point per DISTINCT score (threshold = that score,
+    // predict positive at score ≥ threshold), per ISO week, computed
+    // entirely from the SCORE HISTOGRAM — the corpus aggregates once to
+    // (period, score) cells, cumulative windows over the ≤40-row-per-
+    // period histogram yield every point's TP/FP, and no per-row rank or
+    // sort ever runs. The curve the sklearn call materializes over the
+    // raw scores costs histogram arithmetic here at any data size.
+    //
+    // Parity: TP/FP/FN/TN are exact longs; TPR/FPR/precision are single
+    // IEEE divisions of exact ints; the deterministic synthetic score is
+    // the eval_report construction (exact 20ths plus an exact 0.35
+    // bump — every score a terminating binary-adjacent double both
+    // engines parse identically).
+    QueryDef(
+      "mlprep_roc_curve",
+      Some("""WITH base AS (
+             |  SELECT CAST(date_trunc('week', ts) AS DATE) AS period,
+             |    CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END AS y,
+             |    CAST(event_id % 20 AS DOUBLE) / 20.0e0 +
+             |      CASE WHEN value >= 100.0e0 AND event_id % 3 = 0
+             |        THEN 0.35e0 ELSE 0.0e0 END AS s
+             |  FROM events),
+             |hist AS (
+             |  SELECT period, s, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(y) AS BIGINT) AS pos
+             |  FROM base GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT *,
+             |    CAST(sum(pos) OVER w AS BIGINT) AS tp,
+             |    CAST(sum(cnt - pos) OVER w AS BIGINT) AS fp,
+             |    CAST(sum(pos) OVER t AS BIGINT) AS np,
+             |    CAST(sum(cnt - pos) OVER t AS BIGINT) AS nn
+             |  FROM hist
+             |  WINDOW w AS (PARTITION BY period ORDER BY s DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  t AS (PARTITION BY period))
+             |SELECT period, s AS threshold, tp, fp,
+             |  np - tp AS fn, nn - fp AS tn,
+             |  CAST(floor(CAST(tp AS DOUBLE) / CAST(NULLIF(np, 0)
+             |    AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT) AS tpr_q,
+             |  CAST(floor(CAST(fp AS DOUBLE) / CAST(NULLIF(nn, 0)
+             |    AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT) AS fpr_q,
+             |  CAST(floor(CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fp, 0)
+             |    AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT) AS precision_q
+             |FROM cum""".stripMargin),
+      (s, d) => {
+        val base = Tables.events(s, d).select(
+          date_trunc("week", col("ts")).cast("date").as("period"),
+          when(col("value") >= 100.0, 1L).otherwise(0L).as("y"),
+          ((col("event_id") % 20).cast("double") / 20.0 +
+            when(col("value") >= 100.0 && col("event_id") % 3 === 0, 0.35)
+              .otherwise(0.0)).as("s"))
+        val hist = base.groupBy("period", "s")
+          .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+        val w = Window.partitionBy("period").orderBy(col("s").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val t = Window.partitionBy("period")
+        val cum = hist
+          .withColumn("tp", sum("pos").over(w))
+          .withColumn("fp", sum(col("cnt") - col("pos")).over(w))
+          .withColumn("np", sum("pos").over(t))
+          .withColumn("nn", sum(col("cnt") - col("pos")).over(t))
+        def rq(num: Column, den: Column) =
+          floor(num.cast("double") / nullif(den, lit(0L)).cast("double")
+            * lit(1e9) + lit(0.5)).cast("long")
+        cum.select(col("period"), col("s").as("threshold"),
+          col("tp"), col("fp"),
+          (col("np") - col("tp")).as("fn"),
+          (col("nn") - col("fp")).as("tn"),
+          rq(col("tp"), col("np")).as("tpr_q"),
+          rq(col("fp"), col("nn")).as("fpr_q"),
+          rq(col("tp"), col("tp") + col("fp")).as("precision_q"))
+      }),
+
     // Leakage-safe K-fold TARGET ENCODING: each row's category is encoded
     // by the target mean computed over the OTHER folds only (out-of-fold —
     // the standard defense against the target leaking into its own
