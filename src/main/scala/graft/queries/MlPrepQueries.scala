@@ -597,6 +597,199 @@ object MlPrepQueries {
           rq(col("tp"), col("tp") + col("fp")).as("precision_q"))
       }),
 
+    // PERMUTATION IMPORTANCE — sklearn's model-agnostic
+    // `permutation_importance` (the diagnostic the reference prints
+    // beside feature_importances_): score drop when ONE feature's
+    // column is permuted against the others with the fitted model held
+    // fixed. The permutation is a deterministic CYCLIC SHIFT within
+    // each group (lag over event_id order, first row wraps to the
+    // group's last) — a true permutation, reproducible cross-engine,
+    // where numpy's shuffle seed would not be. The key algebra: a
+    // permutation preserves each column's own moments (Σx, Σx²), so
+    // only the CROSS moments (Σxᵖ·y, Σxᵖ·x_other) change — one
+    // windowed pass computes both permuted cross-moment pairs, and
+    // baseline + both permuted MSEs evaluate from the same quadratic
+    // form with terms substituted. One data-sized sort-window, one
+    // aggregate, arithmetic after.
+    //
+    // Parity: the shift is exact (event_id unique); all moments exact
+    // longs on the lq grid; β and every MSE share the walk_forward
+    // IEEE trees; output quantized in value units at 1e6.
+    QueryDef(
+      "mlprep_permutation_importance",
+      Some {
+        def oDet3(a1: String, a2: String, a3: String,
+                  b1: String, b2: String, b3: String,
+                  c1: String, c2: String, c3: String): String =
+          s"($a1 * ($b2 * $c3 - $b3 * $c2) - " +
+          s"$a2 * ($b1 * $c3 - $b3 * $c1) + " +
+          s"$a3 * ($b1 * $c2 - $b2 * $c1))"
+        val det = oDet3("nn", "s1", "s2", "s1", "s11", "s12",
+          "s2", "s12", "s22")
+        val db0 = oDet3("sy", "s1", "s2", "s1y", "s11", "s12",
+          "s2y", "s12", "s22")
+        val db1 = oDet3("nn", "sy", "s2", "s1", "s1y", "s12",
+          "s2", "s2y", "s22")
+        val db2 = oDet3("nn", "s1", "sy", "s1", "s11", "s1y",
+          "s2", "s12", "s2y")
+        // SSE/n with the cross terms (x1·y, x1·x2) parametrized so the
+        // same tree serves baseline and both permutations
+        def mse(t1y: String, t2y: String, t12: String): String =
+          s"""((syy - 2.0e0 * (b0 * sy + b1 * $t1y + b2 * $t2y)
+             |    + (b0 * b0 * nn + b1 * b1 * s11 + b2 * b2 * s22
+             |      + 2.0e0 * (b0 * b1 * s1 + b0 * b2 * s2
+             |        + b1 * b2 * $t12))) / nn)""".stripMargin
+        s"""WITH f AS (
+           |  SELECT event_type, event_id,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    ${graft.Parity.oLq("value")} AS yq
+           |  FROM events),
+           |p AS (
+           |  SELECT *,
+           |    COALESCE(lag(x1) OVER w, last_value(x1) OVER wf) AS x1p,
+           |    COALESCE(lag(x2) OVER w, last_value(x2) OVER wf) AS x2p
+           |  FROM f
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id),
+           |    wf AS (PARTITION BY event_type ORDER BY event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND UNBOUNDED FOLLOWING)),
+           |m AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS l1,
+           |    CAST(sum(x2) AS BIGINT) AS l2,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS l11,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS l12,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS l22,
+           |    CAST(sum(yq) AS BIGINT) AS ly,
+           |    CAST(sum(x1 * yq) AS BIGINT) AS l1y,
+           |    CAST(sum(x2 * yq) AS BIGINT) AS l2y,
+           |    CAST(sum(yq * yq) AS BIGINT) AS lyy,
+           |    CAST(sum(x1p * yq) AS BIGINT) AS l1py,
+           |    CAST(sum(x1p * x2) AS BIGINT) AS l1p2,
+           |    CAST(sum(x2p * yq) AS BIGINT) AS l2py,
+           |    CAST(sum(x1 * x2p) AS BIGINT) AS l12p
+           |  FROM p GROUP BY 1),
+           |d AS (
+           |  SELECT event_type, n, CAST(n AS DOUBLE) AS nn,
+           |    CAST(l1 AS DOUBLE) AS s1, CAST(l2 AS DOUBLE) AS s2,
+           |    CAST(l11 AS DOUBLE) AS s11, CAST(l12 AS DOUBLE) AS s12,
+           |    CAST(l22 AS DOUBLE) AS s22,
+           |    CAST(ly AS DOUBLE) / 100.0 AS sy,
+           |    CAST(l1y AS DOUBLE) / 100.0 AS s1y,
+           |    CAST(l2y AS DOUBLE) / 100.0 AS s2y,
+           |    CAST(lyy AS DOUBLE) / 10000.0 AS syy,
+           |    CAST(l1py AS DOUBLE) / 100.0 AS s1py,
+           |    CAST(l1p2 AS DOUBLE) AS s1p2,
+           |    CAST(l2py AS DOUBLE) / 100.0 AS s2py,
+           |    CAST(l12p AS DOUBLE) AS s12p
+           |  FROM m),
+           |b AS (
+           |  SELECT *, $db0 / $det AS b0, $db1 / $det AS b1,
+           |    $db2 / $det AS b2
+           |  FROM d),
+           |sc AS (
+           |  SELECT event_type, n,
+           |    ${mse("s1y", "s2y", "s12")} AS mse0,
+           |    ${mse("s1py", "s2y", "s1p2")} AS mse1,
+           |    ${mse("s1y", "s2py", "s12p")} AS mse2
+           |  FROM b)
+           |SELECT event_type, n, CAST(feat AS BIGINT) AS feature,
+           |  CAST(floor(mse0 * 1.0e6 + 0.5e0) AS BIGINT) AS mse_base_q,
+           |  CAST(floor(CASE WHEN feat = 1 THEN mse1 ELSE mse2 END
+           |    * 1.0e6 + 0.5e0) AS BIGINT) AS mse_perm_q,
+           |  CAST(floor((CASE WHEN feat = 1 THEN mse1 ELSE mse2 END
+           |    - mse0) * 1.0e6 + 0.5e0) AS BIGINT) AS delta_q
+           |FROM sc, (SELECT unnest([1, 2]) AS feat)""".stripMargin
+      },
+      (s, d) => {
+        def det3(a1: Column, a2: Column, a3: Column,
+                 b1: Column, b2: Column, b3: Column,
+                 c1: Column, c2: Column, c3: Column): Column =
+          a1 * (b2 * c3 - b3 * c2) -
+          a2 * (b1 * c3 - b3 * c1) +
+          a3 * (b1 * c2 - b2 * c1)
+        val f = Tables.events(s, d).select(col("event_type"),
+          col("event_id"),
+          hour(col("ts")).cast("long").as("x1"),
+          dayofweek(col("ts")).cast("long").as("x2"),
+          graft.Parity.lq(col("value")).as("yq"))
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val p = f
+          .withColumn("x1p", coalesce(lag("x1", 1).over(w),
+            last("x1").over(wf)))
+          .withColumn("x2p", coalesce(lag("x2", 1).over(w),
+            last("x2").over(wf)))
+        val m = p.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("l1"), sum("x2").as("l2"),
+          sum(col("x1") * col("x1")).as("l11"),
+          sum(col("x1") * col("x2")).as("l12"),
+          sum(col("x2") * col("x2")).as("l22"),
+          sum("yq").as("ly"),
+          sum(col("x1") * col("yq")).as("l1y"),
+          sum(col("x2") * col("yq")).as("l2y"),
+          sum(col("yq") * col("yq")).as("lyy"),
+          sum(col("x1p") * col("yq")).as("l1py"),
+          sum(col("x1p") * col("x2")).as("l1p2"),
+          sum(col("x2p") * col("yq")).as("l2py"),
+          sum(col("x1") * col("x2p")).as("l12p"))
+        val dd = m.select(col("event_type"), col("n"),
+          col("n").cast("double").as("nn"),
+          col("l1").cast("double").as("s1"),
+          col("l2").cast("double").as("s2"),
+          col("l11").cast("double").as("s11"),
+          col("l12").cast("double").as("s12"),
+          col("l22").cast("double").as("s22"),
+          (col("ly").cast("double") / 100.0).as("sy"),
+          (col("l1y").cast("double") / 100.0).as("s1y"),
+          (col("l2y").cast("double") / 100.0).as("s2y"),
+          (col("lyy").cast("double") / 10000.0).as("syy"),
+          (col("l1py").cast("double") / 100.0).as("s1py"),
+          col("l1p2").cast("double").as("s1p2"),
+          (col("l2py").cast("double") / 100.0).as("s2py"),
+          col("l12p").cast("double").as("s12p"))
+        val det = det3(col("nn"), col("s1"), col("s2"),
+          col("s1"), col("s11"), col("s12"),
+          col("s2"), col("s12"), col("s22"))
+        val db0 = det3(col("sy"), col("s1"), col("s2"),
+          col("s1y"), col("s11"), col("s12"),
+          col("s2y"), col("s12"), col("s22"))
+        val db1 = det3(col("nn"), col("sy"), col("s2"),
+          col("s1"), col("s1y"), col("s12"),
+          col("s2"), col("s2y"), col("s22"))
+        val db2 = det3(col("nn"), col("s1"), col("sy"),
+          col("s1"), col("s11"), col("s1y"),
+          col("s2"), col("s12"), col("s2y"))
+        val b = dd.withColumn("b0", db0 / det)
+          .withColumn("b1", db1 / det).withColumn("b2", db2 / det)
+        def mseOf(t1y: String, t2y: String, t12: String): Column =
+          (col("syy") - lit(2.0) * (col("b0") * col("sy")
+              + col("b1") * col(t1y) + col("b2") * col(t2y))
+            + (col("b0") * col("b0") * col("nn")
+              + col("b1") * col("b1") * col("s11")
+              + col("b2") * col("b2") * col("s22")
+              + lit(2.0) * (col("b0") * col("b1") * col("s1")
+                + col("b0") * col("b2") * col("s2")
+                + col("b1") * col("b2") * col(t12)))) / col("nn")
+        val sc = b.select(col("event_type"), col("n"),
+          mseOf("s1y", "s2y", "s12").as("mse0"),
+          mseOf("s1py", "s2y", "s1p2").as("mse1"),
+          mseOf("s1y", "s2py", "s12p").as("mse2"))
+        def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+        sc.select(col("event_type"), col("n"),
+            explode(array(lit(1L), lit(2L))).as("feature"),
+            col("mse0"), col("mse1"), col("mse2"))
+          .select(col("event_type"), col("n"), col("feature"),
+            q6(col("mse0")).as("mse_base_q"),
+            q6(when(col("feature") === 1L, col("mse1"))
+              .otherwise(col("mse2"))).as("mse_perm_q"),
+            q6(when(col("feature") === 1L, col("mse1"))
+              .otherwise(col("mse2")) - col("mse0")).as("delta_q"))
+      }),
+
     // Leakage-safe K-fold TARGET ENCODING: each row's category is encoded
     // by the target mean computed over the OTHER folds only (out-of-fold —
     // the standard defense against the target leaking into its own
