@@ -597,6 +597,176 @@ object MlPrepQueries {
           rq(col("tp"), col("tp") + col("fp")).as("precision_q"))
       }),
 
+    // ELASTIC NET — the L1 half of sklearn's linear zoo (Lasso /
+    // ElasticNet; ridge closed the L2 half): cyclic COORDINATE DESCENT,
+    // sklearn's own algorithm, run entirely on the CENTERED moment
+    // table — 20 fixed sweeps where each coordinate update is a
+    // soft-threshold S(ρ_j, λα)/(c_jj/n + λ(1−α)) over scalars derived
+    // from the one-pass exact-long moments. The λ grid {0, 0.5, 1e6}
+    // (α = 0.5) rides a 3-row explode, so the whole regularization
+    // path — including the λ=0 OLS limit and the λ=1e6 all-zero
+    // (full-sparsity) limit — costs arithmetic on |groups|×3 rows
+    // after ONE corpus scan. sklearn refits per λ; here λ is a column.
+    //
+    // Parity: the soft threshold is an exact 3-branch CASE (no sign/
+    // abs composition), every ρ/denominator a shared IEEE tree off
+    // exact moments; each sweep's ρ lands in its OWN projection (the
+    // CASE reads it 4×, which pins the projection boundary — the
+    // logit/PCA chain precedent); 20 sweeps is a constant, so
+    // determinism never depends on a convergence test. Zero slopes are
+    // EXACT zeros (the CASE else-branch), so nnz is integer-exact.
+    QueryDef(
+      "mlprep_elastic_net",
+      Some {
+        def upd(k: Int, j: Int): String = {
+          val (cjy, cjk, cjj, bk) =
+            if (j == 1) ("c1y", "c12", "c11", "b2")
+            else ("c2y", "c12", "c22", "b1")
+          s"""en${k}_$j AS (
+             |  SELECT * EXCLUDE (z) REPLACE (
+             |    CASE WHEN z > t THEN (z - t) / d$j
+             |         WHEN z < -t THEN (z + t) / d$j
+             |         ELSE 0.0e0 END AS b$j)
+             |  FROM (SELECT *, ($cjy - $cjk * $bk) / nn AS z
+             |        FROM ${if (j == 1) s"en${k - 1}_2" else s"en${k}_1"}))"""
+            .stripMargin
+        }
+        val sweeps = (1 to 20).map(k => upd(k, 1) + ",\n" + upd(k, 2))
+          .mkString(",\n")
+        s"""WITH f AS (
+           |  SELECT event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    ${graft.Parity.oLq("value")} AS yq
+           |  FROM events),
+           |m AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS l1,
+           |    CAST(sum(x2) AS BIGINT) AS l2,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS l11,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS l12,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS l22,
+           |    CAST(sum(yq) AS BIGINT) AS ly,
+           |    CAST(sum(x1 * yq) AS BIGINT) AS l1y,
+           |    CAST(sum(x2 * yq) AS BIGINT) AS l2y,
+           |    CAST(sum(yq * yq) AS BIGINT) AS lyy
+           |  FROM f GROUP BY 1),
+           |d AS (
+           |  SELECT event_type, n, CAST(n AS DOUBLE) AS nn,
+           |    CAST(l1 AS DOUBLE) AS s1, CAST(l2 AS DOUBLE) AS s2,
+           |    CAST(l11 AS DOUBLE) AS s11, CAST(l12 AS DOUBLE) AS s12,
+           |    CAST(l22 AS DOUBLE) AS s22,
+           |    CAST(ly AS DOUBLE) / 100.0 AS sy,
+           |    CAST(l1y AS DOUBLE) / 100.0 AS s1y,
+           |    CAST(l2y AS DOUBLE) / 100.0 AS s2y,
+           |    CAST(lyy AS DOUBLE) / 10000.0 AS syy
+           |  FROM m),
+           |cen AS (
+           |  SELECT *,
+           |    s11 - s1 * s1 / nn AS c11,
+           |    s22 - s2 * s2 / nn AS c22,
+           |    s12 - s1 * s2 / nn AS c12,
+           |    s1y - s1 * sy / nn AS c1y,
+           |    s2y - s2 * sy / nn AS c2y
+           |  FROM d),
+           |en0_2 AS (
+           |  SELECT c.*, g.lam,
+           |    g.lam * 0.5e0 AS t,
+           |    c11 / nn + g.lam * 0.5e0 AS d1,
+           |    c22 / nn + g.lam * 0.5e0 AS d2,
+           |    0.0e0 AS b1, 0.0e0 AS b2
+           |  FROM cen c, (SELECT unnest([0.0e0, 0.5e0, 1000000.0e0])
+           |    AS lam) g),
+           |$sweeps,
+           |fin AS (
+           |  SELECT *, sy / nn - b1 * s1 / nn - b2 * s2 / nn AS b0
+           |  FROM en20_2)
+           |SELECT event_type, lam, n,
+           |  CAST(floor(b0 * 1.0e9 + 0.5e0) AS BIGINT) AS b0_q,
+           |  CAST(floor(b1 * 1.0e9 + 0.5e0) AS BIGINT) AS b1_q,
+           |  CAST(floor(b2 * 1.0e9 + 0.5e0) AS BIGINT) AS b2_q,
+           |  CAST(CASE WHEN b1 <> 0.0e0 THEN 1 ELSE 0 END
+           |    + CASE WHEN b2 <> 0.0e0 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS nnz,
+           |  CAST(floor(
+           |    ((syy - 2.0e0 * (b0 * sy + b1 * s1y + b2 * s2y)
+           |      + (b0 * b0 * nn + b1 * b1 * s11 + b2 * b2 * s22
+           |        + 2.0e0 * (b0 * b1 * s1 + b0 * b2 * s2
+           |          + b1 * b2 * s12))) / nn) * 1.0e6 + 0.5e0)
+           |    AS BIGINT) AS mse_q
+           |FROM fin""".stripMargin
+      },
+      (s, d) => {
+        val f = Tables.events(s, d).select(col("event_type"),
+          hour(col("ts")).cast("long").as("x1"),
+          dayofweek(col("ts")).cast("long").as("x2"),
+          graft.Parity.lq(col("value")).as("yq"))
+        val m = f.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("l1"), sum("x2").as("l2"),
+          sum(col("x1") * col("x1")).as("l11"),
+          sum(col("x1") * col("x2")).as("l12"),
+          sum(col("x2") * col("x2")).as("l22"),
+          sum("yq").as("ly"),
+          sum(col("x1") * col("yq")).as("l1y"),
+          sum(col("x2") * col("yq")).as("l2y"),
+          sum(col("yq") * col("yq")).as("lyy"))
+        val dd = m.select(col("event_type"), col("n"),
+          col("n").cast("double").as("nn"),
+          col("l1").cast("double").as("s1"),
+          col("l2").cast("double").as("s2"),
+          col("l11").cast("double").as("s11"),
+          col("l12").cast("double").as("s12"),
+          col("l22").cast("double").as("s22"),
+          (col("ly").cast("double") / 100.0).as("sy"),
+          (col("l1y").cast("double") / 100.0).as("s1y"),
+          (col("l2y").cast("double") / 100.0).as("s2y"),
+          (col("lyy").cast("double") / 10000.0).as("syy"))
+        val cen = dd
+          .withColumn("c11", col("s11") - col("s1") * col("s1") / col("nn"))
+          .withColumn("c22", col("s22") - col("s2") * col("s2") / col("nn"))
+          .withColumn("c12", col("s12") - col("s1") * col("s2") / col("nn"))
+          .withColumn("c1y", col("s1y") - col("s1") * col("sy") / col("nn"))
+          .withColumn("c2y", col("s2y") - col("s2") * col("sy") / col("nn"))
+        var en = cen
+          .withColumn("lam",
+            explode(array(lit(0.0), lit(0.5), lit(1000000.0))))
+          .withColumn("t", col("lam") * 0.5)
+          .withColumn("d1", col("c11") / col("nn") + col("lam") * 0.5)
+          .withColumn("d2", col("c22") / col("nn") + col("lam") * 0.5)
+          .withColumn("b1", lit(0.0)).withColumn("b2", lit(0.0))
+        def soft(dj: String): Column =
+          when(col("z") > col("t"), (col("z") - col("t")) / col(dj))
+            .when(col("z") < -col("t"), (col("z") + col("t")) / col(dj))
+            .otherwise(0.0)
+        for (_ <- 1 to 20) {
+          en = en.withColumn("z",
+              (col("c1y") - col("c12") * col("b2")) / col("nn"))
+            .withColumn("b1", soft("d1")).drop("z")
+          en = en.withColumn("z",
+              (col("c2y") - col("c12") * col("b1")) / col("nn"))
+            .withColumn("b2", soft("d2")).drop("z")
+        }
+        val fin = en.withColumn("b0",
+          col("sy") / col("nn") - col("b1") * col("s1") / col("nn")
+            - col("b2") * col("s2") / col("nn"))
+        def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+        fin.select(col("event_type"), col("lam"), col("n"),
+          q9(col("b0")).as("b0_q"), q9(col("b1")).as("b1_q"),
+          q9(col("b2")).as("b2_q"),
+          (when(col("b1") =!= 0.0, 1L).otherwise(0L)
+            + when(col("b2") =!= 0.0, 1L).otherwise(0L)).as("nnz"),
+          floor(((col("syy") - lit(2.0) * (col("b0") * col("sy")
+              + col("b1") * col("s1y") + col("b2") * col("s2y"))
+            + (col("b0") * col("b0") * col("nn")
+              + col("b1") * col("b1") * col("s11")
+              + col("b2") * col("b2") * col("s22")
+              + lit(2.0) * (col("b0") * col("b1") * col("s1")
+                + col("b0") * col("b2") * col("s2")
+                + col("b1") * col("b2") * col("s12")))) / col("nn"))
+            * lit(1e6) + lit(0.5)).cast("long").as("mse_q"))
+      }),
+
     // PERMUTATION IMPORTANCE — sklearn's model-agnostic
     // `permutation_importance` (the diagnostic the reference prints
     // beside feature_importances_): score drop when ONE feature's
