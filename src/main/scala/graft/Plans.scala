@@ -784,6 +784,37 @@ object Plans {
       imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
     }
+    // mlprep_robust_scaler: the fit side works on the cent-grid
+    // HISTOGRAM (a data-sized sort would show as a second Sort under
+    // a non-histogram aggregate); the edges reach the transform scan
+    // by broadcast, never a shuffle join
+    check("mlprep_robust_scaler: histogram fit, broadcast edges") {
+      val p = planOf("mlprep_robust_scaler")
+      p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("SortMergeJoin") &&
+        "InMemoryTableScan".r.findAllIn(p).length > 0
+    }
+    // mlprep_roc_curve: the curve is windows over the SCORE HISTOGRAM —
+    // exactly one data-sized exchange (the histogram aggregate); the
+    // window sorts histogram rows, never data rows
+    check("mlprep_roc_curve: one data-sized exchange, histogram windows") {
+      val p = planOf("mlprep_roc_curve")
+      "Scan parquet".r.findAllIn(p).length == 1 && !p.contains("Join")
+    }
+    // mlprep_permutation_importance: ONE windowed pass (a second
+    // window or scan would mean per-feature re-permutation); join-free
+    check("mlprep_perm_importance: one scan, one window, join-free") {
+      val p = planOf("mlprep_permutation_importance")
+      "Scan parquet".r.findAllIn(p).length == 1 &&
+        "Window".r.findAllIn(p).length <= 2 && !p.contains("Join")
+    }
+    // mlprep_elastic_net: the whole λ-path is ONE scan into one
+    // aggregate; 40 coordinate updates stay pure projection work
+    check("mlprep_elastic_net: one scan, one aggregate, join-free") {
+      val p = planOf("mlprep_elastic_net")
+      "Scan parquet".r.findAllIn(p).length == 1 && !p.contains("Join") &&
+        "Exchange hashpartitioning".r.findAllIn(p).length == 1
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
