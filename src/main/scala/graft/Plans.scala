@@ -815,6 +815,15 @@ object Plans {
       "Scan parquet".r.findAllIn(p).length == 1 && !p.contains("Join") &&
         "Exchange hashpartitioning".r.findAllIn(p).length == 1
     }
+    // mlprep_shap_linear: moments, both histograms, and the sample all
+    // read the CACHED projection; model/summary attach by broadcast
+    check("mlprep_shap_linear: cached corpus pass, broadcast model") {
+      val p = planOf("mlprep_shap_linear")
+      val imts = "InMemoryTableScan".r.findAllIn(p).length
+      imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -597,6 +597,187 @@ object MlPrepQueries {
           rq(col("tp"), col("tp") + col("fp")).as("precision_q"))
       }),
 
+    // LINEAR SHAP — exact Shapley attributions for the OLS model (the
+    // shap library's LinearExplainer, closed form: φ_j = b_j·(x_j−μ_j),
+    // base value = E[ŷ]): per-row explanations on a deterministic
+    // event_id-hash sample plus each group's global mean-|φ| summary
+    // (the shap summary-plot number) — computed from the FEATURE
+    // HISTOGRAMS, so the global summary costs ≤24+7 rows per group
+    // after the one corpus pass, and the sample rows join the model by
+    // broadcast. No kernel sampling, no per-row model calls — the
+    // linear case is exact and the engine shape shows it.
+    //
+    // Parity: β/μ from the exact-long moment Cramer trees; each
+    // histogram term |b_j|·|x−μ_j| floor-quantizes to 1e-6 BEFORE the
+    // count-weighted sum (a raw double Σ over histogram rows would be
+    // accumulation-order-dependent), so the summary is one exact long
+    // sum and one shared IEEE division; per-row φ quantized at 1e-6.
+    QueryDef(
+      "mlprep_shap_linear",
+      Some {
+        def oDet3(a1: String, a2: String, a3: String,
+                  b1: String, b2: String, b3: String,
+                  c1: String, c2: String, c3: String): String =
+          s"($a1 * ($b2 * $c3 - $b3 * $c2) - " +
+          s"$a2 * ($b1 * $c3 - $b3 * $c1) + " +
+          s"$a3 * ($b1 * $c2 - $b2 * $c1))"
+        val det = oDet3("nn", "s1", "s2", "s1", "s11", "s12",
+          "s2", "s12", "s22")
+        val db0 = oDet3("sy", "s1", "s2", "s1y", "s11", "s12",
+          "s2y", "s12", "s22")
+        val db1 = oDet3("nn", "sy", "s2", "s1", "s1y", "s12",
+          "s2", "s2y", "s22")
+        val db2 = oDet3("nn", "s1", "sy", "s1", "s11", "s1y",
+          "s2", "s12", "s2y")
+        s"""WITH f AS (
+           |  SELECT event_id, event_type,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    ${graft.Parity.oLq("value")} AS yq
+           |  FROM events),
+           |m AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS l1,
+           |    CAST(sum(x2) AS BIGINT) AS l2,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS l11,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS l12,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS l22,
+           |    CAST(sum(yq) AS BIGINT) AS ly,
+           |    CAST(sum(x1 * yq) AS BIGINT) AS l1y,
+           |    CAST(sum(x2 * yq) AS BIGINT) AS l2y
+           |  FROM f GROUP BY 1),
+           |d AS (
+           |  SELECT event_type, n, CAST(n AS DOUBLE) AS nn,
+           |    CAST(l1 AS DOUBLE) AS s1, CAST(l2 AS DOUBLE) AS s2,
+           |    CAST(l11 AS DOUBLE) AS s11, CAST(l12 AS DOUBLE) AS s12,
+           |    CAST(l22 AS DOUBLE) AS s22,
+           |    CAST(ly AS DOUBLE) / 100.0 AS sy,
+           |    CAST(l1y AS DOUBLE) / 100.0 AS s1y,
+           |    CAST(l2y AS DOUBLE) / 100.0 AS s2y
+           |  FROM m),
+           |bm AS (
+           |  SELECT event_type, nn,
+           |    $db0 / $det AS b0, $db1 / $det AS b1, $db2 / $det AS b2,
+           |    s1 / nn AS mu1, s2 / nn AS mu2
+           |  FROM d),
+           |h1 AS (
+           |  SELECT f.event_type,
+           |    CAST(sum(CAST(floor(abs(b.b1 * (CAST(f.x1 AS DOUBLE)
+           |      - b.mu1)) * 1.0e6 + 0.5e0) AS BIGINT)
+           |      * cnt1) AS BIGINT) AS t1
+           |  FROM (SELECT event_type, x1, CAST(count(*) AS BIGINT)
+           |        AS cnt1 FROM f GROUP BY 1, 2) f
+           |  JOIN bm b ON f.event_type = b.event_type GROUP BY 1),
+           |h2 AS (
+           |  SELECT f.event_type,
+           |    CAST(sum(CAST(floor(abs(b.b2 * (CAST(f.x2 AS DOUBLE)
+           |      - b.mu2)) * 1.0e6 + 0.5e0) AS BIGINT)
+           |      * cnt2) AS BIGINT) AS t2
+           |  FROM (SELECT event_type, x2, CAST(count(*) AS BIGINT)
+           |        AS cnt2 FROM f GROUP BY 1, 2) f
+           |  JOIN bm b ON f.event_type = b.event_type GROUP BY 1)
+           |SELECT f.event_id, f.event_type, f.x1, f.x2,
+           |  CAST(floor((b.b0 + b.b1 * b.mu1 + b.b2 * b.mu2) * 1.0e6
+           |    + 0.5e0) AS BIGINT) AS base_q,
+           |  CAST(floor(b.b1 * (CAST(f.x1 AS DOUBLE) - b.mu1) * 1.0e6
+           |    + 0.5e0) AS BIGINT) AS phi1_q,
+           |  CAST(floor(b.b2 * (CAST(f.x2 AS DOUBLE) - b.mu2) * 1.0e6
+           |    + 0.5e0) AS BIGINT) AS phi2_q,
+           |  CAST(floor((b.b0 + b.b1 * CAST(f.x1 AS DOUBLE)
+           |    + b.b2 * CAST(f.x2 AS DOUBLE)) * 1.0e6 + 0.5e0)
+           |    AS BIGINT) AS pred_q,
+           |  CAST(floor(CAST(h1.t1 AS DOUBLE) / b.nn + 0.5e0) AS BIGINT)
+           |    AS mphi1_q,
+           |  CAST(floor(CAST(h2.t2 AS DOUBLE) / b.nn + 0.5e0) AS BIGINT)
+           |    AS mphi2_q
+           |FROM f JOIN bm b ON f.event_type = b.event_type
+           |JOIN h1 ON f.event_type = h1.event_type
+           |JOIN h2 ON f.event_type = h2.event_type
+           |WHERE f.event_id % 97 = 0""".stripMargin
+      },
+      (s, d) => {
+        def det3(a1: Column, a2: Column, a3: Column,
+                 b1: Column, b2: Column, b3: Column,
+                 c1: Column, c2: Column, c3: Column): Column =
+          a1 * (b2 * c3 - b3 * c2) -
+          a2 * (b1 * c3 - b3 * c1) +
+          a3 * (b1 * c2 - b2 * c1)
+        val f = Tables.events(s, d).select(col("event_id"),
+            col("event_type"),
+            hour(col("ts")).cast("long").as("x1"),
+            dayofweek(col("ts")).cast("long").as("x2"),
+            graft.Parity.lq(col("value")).as("yq"))
+          .persist() // moments + two feature histograms + the sample
+        val m = f.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("l1"), sum("x2").as("l2"),
+          sum(col("x1") * col("x1")).as("l11"),
+          sum(col("x1") * col("x2")).as("l12"),
+          sum(col("x2") * col("x2")).as("l22"),
+          sum("yq").as("ly"),
+          sum(col("x1") * col("yq")).as("l1y"),
+          sum(col("x2") * col("yq")).as("l2y"))
+        val dd = m.select(col("event_type"), col("n"),
+          col("n").cast("double").as("nn"),
+          col("l1").cast("double").as("s1"),
+          col("l2").cast("double").as("s2"),
+          col("l11").cast("double").as("s11"),
+          col("l12").cast("double").as("s12"),
+          col("l22").cast("double").as("s22"),
+          (col("ly").cast("double") / 100.0).as("sy"),
+          (col("l1y").cast("double") / 100.0).as("s1y"),
+          (col("l2y").cast("double") / 100.0).as("s2y"))
+        val det = det3(col("nn"), col("s1"), col("s2"),
+          col("s1"), col("s11"), col("s12"),
+          col("s2"), col("s12"), col("s22"))
+        val db0 = det3(col("sy"), col("s1"), col("s2"),
+          col("s1y"), col("s11"), col("s12"),
+          col("s2y"), col("s12"), col("s22"))
+        val db1 = det3(col("nn"), col("sy"), col("s2"),
+          col("s1"), col("s1y"), col("s12"),
+          col("s2"), col("s2y"), col("s22"))
+        val db2 = det3(col("nn"), col("s1"), col("sy"),
+          col("s1"), col("s11"), col("s1y"),
+          col("s2"), col("s12"), col("s2y"))
+        val bm = dd.select(col("event_type"), col("nn"),
+          (db0 / det).as("b0"), (db1 / det).as("b1"),
+          (db2 / det).as("b2"),
+          (col("s1") / col("nn")).as("mu1"),
+          (col("s2") / col("nn")).as("mu2"))
+        def hist(x: String, b: String, mu: String): DataFrame = f
+          .groupBy("event_type", x)
+          .agg(count(lit(1)).as("cnt"))
+          .join(broadcast(bm), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(sum(
+            floor(abs(col(b) * (col(x).cast("double") - col(mu)))
+              * lit(1e6) + lit(0.5)).cast("long") * col("cnt"))
+            .as(s"t$b"))
+        val h1 = hist("x1", "b1", "mu1")
+          .withColumnRenamed("tb1", "t1")
+        val h2 = hist("x2", "b2", "mu2")
+          .withColumnRenamed("tb2", "t2")
+        def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+        f.filter(col("event_id") % 97 === 0)
+          .join(broadcast(bm), Seq("event_type"))
+          .join(broadcast(h1), Seq("event_type"))
+          .join(broadcast(h2), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("x1"),
+            col("x2"),
+            q6(col("b0") + col("b1") * col("mu1")
+              + col("b2") * col("mu2")).as("base_q"),
+            q6(col("b1") * (col("x1").cast("double") - col("mu1")))
+              .as("phi1_q"),
+            q6(col("b2") * (col("x2").cast("double") - col("mu2")))
+              .as("phi2_q"),
+            q6(col("b0") + col("b1") * col("x1").cast("double")
+              + col("b2") * col("x2").cast("double")).as("pred_q"),
+            floor(col("t1").cast("double") / col("nn") + lit(0.5))
+              .cast("long").as("mphi1_q"),
+            floor(col("t2").cast("double") / col("nn") + lit(0.5))
+              .cast("long").as("mphi2_q"))
+      }),
+
     // ELASTIC NET — the L1 half of sklearn's linear zoo (Lasso /
     // ElasticNet; ridge closed the L2 half): cyclic COORDINATE DESCENT,
     // sklearn's own algorithm, run entirely on the CENTERED moment
