@@ -948,6 +948,93 @@ object MlPrepQueries {
             * lit(1e6) + lit(0.5)).cast("long").as("mse_q"))
       }),
 
+    // LIFT / CUMULATIVE-GAIN CURVE — the campaign-targeting twin of the
+    // ROC row (scikitplot's plot_cumulative_gain / plot_lift_curve):
+    // rank by score descending, bucket into deciles, and report each
+    // decile's cumulative capture of positives (gain) and its lift over
+    // random targeting. Built on the SAME bounded score histogram as
+    // mlprep_roc_curve — decile assignment is pure integer arithmetic
+    // on the cumulative row count (⌈10·cum/total⌉ by integer DIV, a
+    // distinct-score row belongs to the decile of its last element), so
+    // no per-row rank ever materializes and ties are handled
+    // deterministically by construction.
+    //
+    // Parity: cum counts exact longs; gain = cum_pos/np and
+    // lift = (cum_pos·total)/(np·cum_n) are single IEEE expressions of
+    // exact-int casts, floor-quantized at 1e9.
+    QueryDef(
+      "mlprep_lift_curve",
+      Some("""WITH base AS (
+             |  SELECT CAST(date_trunc('week', ts) AS DATE) AS period,
+             |    CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END AS y,
+             |    CAST(event_id % 20 AS DOUBLE) / 20.0e0 +
+             |      CASE WHEN value >= 100.0e0 AND event_id % 3 = 0
+             |        THEN 0.35e0 ELSE 0.0e0 END AS s
+             |  FROM events),
+             |hist AS (
+             |  SELECT period, s, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(y) AS BIGINT) AS pos
+             |  FROM base GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT *,
+             |    CAST(sum(cnt) OVER w AS BIGINT) AS cn,
+             |    CAST(sum(pos) OVER w AS BIGINT) AS cp,
+             |    CAST(sum(cnt) OVER t AS BIGINT) AS total,
+             |    CAST(sum(pos) OVER t AS BIGINT) AS np
+             |  FROM hist
+             |  WINDOW w AS (PARTITION BY period ORDER BY s DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  t AS (PARTITION BY period)),
+             |dec AS (
+             |  SELECT *, (cn * 10 + total - 1) // total AS decile
+             |  FROM cum)
+             |SELECT period, CAST(decile AS BIGINT) AS decile,
+             |  CAST(sum(cnt) AS BIGINT) AS n,
+             |  CAST(sum(pos) AS BIGINT) AS pos,
+             |  CAST(max(cn) AS BIGINT) AS cum_n,
+             |  CAST(max(cp) AS BIGINT) AS cum_pos,
+             |  CAST(floor(CAST(max(cp) AS DOUBLE) / CAST(NULLIF(max(np), 0)
+             |    AS DOUBLE) * 1.0e9 + 0.5e0) AS BIGINT) AS gain_q,
+             |  CAST(floor(CAST(max(cp) AS DOUBLE) * CAST(max(total)
+             |      AS DOUBLE)
+             |    / (CAST(NULLIF(max(np), 0) AS DOUBLE)
+             |      * CAST(max(cn) AS DOUBLE)) * 1.0e9 + 0.5e0)
+             |    AS BIGINT) AS lift_q
+             |FROM dec GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val base = Tables.events(s, d).select(
+          date_trunc("week", col("ts")).cast("date").as("period"),
+          when(col("value") >= 100.0, 1L).otherwise(0L).as("y"),
+          ((col("event_id") % 20).cast("double") / 20.0 +
+            when(col("value") >= 100.0 && col("event_id") % 3 === 0, 0.35)
+              .otherwise(0.0)).as("s"))
+        val hist = base.groupBy("period", "s")
+          .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+        val w = Window.partitionBy("period").orderBy(col("s").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val t = Window.partitionBy("period")
+        val dec = hist
+          .withColumn("cn", sum("cnt").over(w))
+          .withColumn("cp", sum("pos").over(w))
+          .withColumn("total", sum("cnt").over(t))
+          .withColumn("np", sum("pos").over(t))
+          .withColumn("decile", expr("(cn * 10 + total - 1) DIV total"))
+        dec.groupBy("period", "decile").agg(
+            sum("cnt").as("n"), sum("pos").as("pos"),
+            max("cn").as("cum_n"), max("cp").as("cum_pos"),
+            max("np").as("np0"), max("total").as("total0"))
+          .select(col("period"), col("decile"), col("n"), col("pos"),
+            col("cum_n"), col("cum_pos"),
+            floor(col("cum_pos").cast("double") /
+              nullif(col("np0"), lit(0L)).cast("double") * lit(1e9)
+              + lit(0.5)).cast("long").as("gain_q"),
+            floor(col("cum_pos").cast("double") *
+              col("total0").cast("double") /
+              (nullif(col("np0"), lit(0L)).cast("double") *
+                col("cum_n").cast("double")) * lit(1e9) + lit(0.5))
+              .cast("long").as("lift_q"))
+      }),
+
     // PERMUTATION IMPORTANCE — sklearn's model-agnostic
     // `permutation_importance` (the diagnostic the reference prints
     // beside feature_importances_): score drop when ONE feature's
