@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Versioned model registry AS A TABLE — the reference's model-export
+  * surface (`data_apis/my_model.py:515-565` `export_best_models_to_mlflow`:
+  * best-model artifacts persisted with versions and reloaded to score)
+  * re-expressed on the repo's transactional table format. A registry IS a
+  * [[SnapshotTable]] whose rows are `(model_name, version, <payload>)`:
+  * registration inherits the format's atomic-rename commit (a crashed
+  * registration leaves no torn row), and version assignment reads
+  * COMMITTED state — monotonic across process restarts by construction,
+  * never an in-memory counter. Writer contract: one registrar per
+  * model_name at a time (MLflow's registry sequencing); concurrent
+  * registrations of DIFFERENT names are safe (table commits serialize
+  * at the manifest). st15
+  * (StreamingQueries) proves the dir-shaped half of this contract
+  * (mid-stream reload); this operator adds the queryable half: list
+  * versions, latest-per-model, reload-latest-and-score.
+  *
+  * Scale shape: a model row is coefficients + metrics (KBs per version);
+  * every registry read is metadata-sized and every scoring join of a
+  * registry against a corpus is a broadcast join — the registry never
+  * shuffles the corpus.
+  */
+object ModelRegistry {
+
+  /** Append `model` (any payload schema, constant per registry) under
+    * `modelName` with the next version for that name; returns the version
+    * assigned. The max-version read scans only the registry table (model
+    * metadata, KBs — the same driver-side contract as
+    * [[SnapshotTable.versions]]), never corpus data. */
+  def register(spark: SparkSession, path: String, modelName: String,
+               model: DataFrame): Long = {
+    require(!model.columns.contains("model_name") &&
+      !model.columns.contains("version"),
+      "model payload must not shadow registry columns")
+    val next: Long =
+      if (SnapshotTable.versions(spark, path).isEmpty) 1L
+      else SnapshotTable.read(spark, path)
+        .filter(col("model_name") === modelName)
+        .agg(coalesce(max("version"), lit(0L)).as("v"))
+        .head().getLong(0) + 1L
+    SnapshotTable.commit(spark,
+      model.withColumn("model_name", lit(modelName))
+        .withColumn("version", lit(next)),
+      path, replace = false)
+    next
+  }
+
+  /** Full registry listing with an `is_latest` flag per model_name. */
+  def list(spark: SparkSession, path: String): DataFrame = {
+    val w = Window.partitionBy("model_name")
+    SnapshotTable.read(spark, path).withColumn("is_latest",
+      (col("version") === max("version").over(w)).cast("long"))
+  }
+
+  /** The latest version's rows for `modelName` — the reload-to-score
+    * path; callers broadcast-join this against the corpus. */
+  def latest(spark: SparkSession, path: String,
+             modelName: String): DataFrame =
+    list(spark, path)
+      .filter(col("model_name") === modelName && col("is_latest") === 1L)
+      .drop("is_latest")
+}

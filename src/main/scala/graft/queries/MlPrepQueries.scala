@@ -2171,17 +2171,23 @@ object MlPrepQueries {
            |    b.c0 + b.c1 * CAST(g.x1 AS DOUBLE)
            |      + b.c2 * CAST(g.x2 AS DOUBLE) AS z
            |  FROM grid g JOIN b4 b ON g.event_type = b.event_type),
+           |hh AS (
+           |  SELECT event_type, z + 0.0e0 AS zk,
+           |    CAST(SUM(n) AS BIGINT) AS n,
+           |    CAST(SUM(yc) AS BIGINT) AS pos,
+           |    CAST(SUM(n - yc) AS BIGINT) AS neg
+           |  FROM score GROUP BY 1, 2),
            |r AS (
-           |  SELECT *, COALESCE(SUM(n - yc) OVER (PARTITION BY event_type
-           |    ORDER BY z, x1, x2 ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |  SELECT *, COALESCE(SUM(neg) OVER (PARTITION BY event_type
+           |    ORDER BY zk ROWS BETWEEN UNBOUNDED PRECEDING AND
            |    1 PRECEDING), 0) AS cumneg
-           |  FROM score),
+           |  FROM hh),
            |a AS (
            |  SELECT event_type,
            |    CAST(SUM(n) AS BIGINT) AS n,
-           |    CAST(SUM(yc) AS BIGINT) AS np,
-           |    CAST(SUM(n - yc) AS BIGINT) AS nn,
-           |    CAST(SUM(yc * (2 * cumneg + (n - yc))) AS BIGINT) AS num2
+           |    CAST(SUM(pos) AS BIGINT) AS np,
+           |    CAST(SUM(neg) AS BIGINT) AS nn,
+           |    CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS num2
            |  FROM r GROUP BY 1)
            |SELECT a.event_type, a.n,
            |  CAST(floor(b.c0 * 1.0e9 + 0.5e0) AS BIGINT) AS b0_q,
@@ -2276,16 +2282,23 @@ object MlPrepQueries {
             col("yc"),
             (col("c0") + col("c1") * col("x1").cast("double")
               + col("c2") * col("x2").cast("double")).as("z"))
-        val w = Window.partitionBy("event_type")
-          .orderBy(col("z"), col("x1"), col("x2"))
+        // tie-correct AUC: histogram by the score value before the
+        // rank-sum (integer grid points can share z under collinear
+        // coefficients); pos·(2·cumneg + neg) over the score histogram
+        // is exact Mann-Whitney with 0.5-credit ties. `+ 0.0` folds a
+        // possible -0.0 into +0.0 on both engines before grouping.
+        val hh = score.groupBy(col("event_type"),
+            (col("z") + lit(0.0)).as("zk"))
+          .agg(sum("n").as("n"), sum("yc").as("pos"),
+            sum(col("n") - col("yc")).as("neg"))
+        val w = Window.partitionBy("event_type").orderBy(col("zk"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val r = score.withColumn("cumneg",
-          coalesce(sum(col("n") - col("yc")).over(w), lit(0L)))
+        val r = hh.withColumn("cumneg",
+          coalesce(sum(col("neg")).over(w), lit(0L)))
         val a = r.groupBy("event_type").agg(
-          sum("n").as("n"), sum("yc").as("np"),
-          sum(col("n") - col("yc")).as("nn"),
-          sum(col("yc") * (lit(2L) * col("cumneg")
-            + (col("n") - col("yc")))).as("num2"))
+          sum("n").as("n"), sum("pos").as("np"), sum("neg").as("nn"),
+          sum(col("pos") * (lit(2L) * col("cumneg") + col("neg")))
+            .as("num2"))
         def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
         a.join(broadcast(beta4), "event_type")
           .select(col("event_type"), col("n"),
@@ -3022,15 +3035,20 @@ object MlPrepQueries {
              |        <= b.thr THEN 0.5e0 * b.dl
              |      ELSE 0.5e0 * b.dr END AS f
              |  FROM fc$k a LEFT JOIN b$k b ON a.event_type = b.event_type),
+             |h$k AS (
+             |  SELECT event_type, f + 0.0e0 AS fk,
+             |    CAST(SUM(yc) AS BIGINT) AS pos,
+             |    CAST(SUM(n - yc) AS BIGINT) AS neg
+             |  FROM fc${k + 1} GROUP BY 1, 2),
              |r$k AS (
-             |  SELECT *, COALESCE(SUM(n - yc) OVER (PARTITION BY event_type
-             |    ORDER BY f, x1, x2 ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |  SELECT *, COALESCE(SUM(neg) OVER (PARTITION BY event_type
+             |    ORDER BY fk ROWS BETWEEN UNBOUNDED PRECEDING AND
              |    1 PRECEDING), 0) AS cumneg
-             |  FROM fc${k + 1}),
+             |  FROM h$k),
              |a$k AS (
-             |  SELECT event_type, CAST(SUM(yc) AS BIGINT) AS np,
-             |    CAST(SUM(n - yc) AS BIGINT) AS nn,
-             |    CAST(SUM(yc * (2 * cumneg + (n - yc))) AS BIGINT) AS num2
+             |  SELECT event_type, CAST(SUM(pos) AS BIGINT) AS np,
+             |    CAST(SUM(neg) AS BIGINT) AS nn,
+             |    CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS num2
              |  FROM r$k GROUP BY 1),
              |o$k AS (
              |  SELECT b.event_type, CAST($k AS BIGINT) AS round,
@@ -3133,15 +3151,24 @@ object MlPrepQueries {
             // re-deriving rounds 0..k-1 (whose nested broadcast subtrees
             // otherwise re-execute per referencing branch)
             .persist()
-          val wr = Window.partitionBy("event_type")
-            .orderBy(col("f"), col("x1"), col("x2"))
+          // tie-correct AUC: re-aggregate the cell grid by the SCORE
+          // value first (stump scores take ≤2^(k+1) distinct values, so
+          // cross-cell ties dominate), then the tied-block rank-sum
+          // algebra pos·(2·cumneg + neg) is exact Mann-Whitney with
+          // 0.5-credit ties — same shape as mlprep_eval_report. The
+          // `+ 0.0` normalizes any -0.0 score to +0.0 on BOTH engines
+          // before it becomes a group key.
+          val h = fnext.groupBy(col("event_type"),
+              (col("f") + lit(0.0)).as("fk"))
+            .agg(sum("yc").as("pos"), sum(col("n") - col("yc")).as("neg"))
+          val wr = Window.partitionBy("event_type").orderBy(col("fk"))
             .rowsBetween(Window.unboundedPreceding, -1)
-          val r = fnext.withColumn("cumneg",
-            coalesce(sum(col("n") - col("yc")).over(wr), lit(0L)))
+          val r = h.withColumn("cumneg",
+            coalesce(sum(col("neg")).over(wr), lit(0L)))
           val a = r.groupBy("event_type").agg(
-            sum("yc").as("np"), sum(col("n") - col("yc")).as("nn"),
-            sum(col("yc") * (lit(2L) * col("cumneg")
-              + (col("n") - col("yc")))).as("num2"))
+            sum("pos").as("np"), sum("neg").as("nn"),
+            sum(col("pos") * (lit(2L) * col("cumneg") + col("neg")))
+              .as("num2"))
           def q9(cc: Column) = floor(cc * lit(1e9) + lit(0.5)).cast("long")
           outRows += b.join(a, "event_type").select(col("event_type"),
             lit(k.toLong).as("round"), col("feat"), col("thr"),
@@ -3261,17 +3288,22 @@ object MlPrepQueries {
            |      <= p.thr THEN p.pred_l_q ELSE p.pred_r_q END AS score_q
            |  FROM grid gr JOIN pk p
            |    ON gr.event_type = p.event_type AND gr.tree = p.tree),
+           |sh AS (
+           |  SELECT event_type, tree, score_q,
+           |    CAST(SUM(p0) AS BIGINT) AS pos,
+           |    CAST(SUM(c0 - p0) AS BIGINT) AS neg
+           |  FROM sc GROUP BY 1, 2, 3),
            |ro AS (
-           |  SELECT *, COALESCE(SUM(c0 - p0) OVER (
-           |    PARTITION BY event_type, tree ORDER BY score_q, x1, x2
+           |  SELECT *, COALESCE(SUM(neg) OVER (
+           |    PARTITION BY event_type, tree ORDER BY score_q
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            |    AS cumneg
-           |  FROM sc),
+           |  FROM sh),
            |oob AS (
            |  SELECT event_type, tree,
-           |    CAST(SUM(p0) AS BIGINT) AS np,
-           |    CAST(SUM(c0 - p0) AS BIGINT) AS nn,
-           |    CAST(SUM(p0 * (2 * cumneg + (c0 - p0))) AS BIGINT) AS num2
+           |    CAST(SUM(pos) AS BIGINT) AS np,
+           |    CAST(SUM(neg) AS BIGINT) AS nn,
+           |    CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS num2
            |  FROM ro GROUP BY 1, 2),
            |ens0 AS (
            |  SELECT event_type, x1, x2,
@@ -3279,20 +3311,25 @@ object MlPrepQueries {
            |  FROM sc GROUP BY 1, 2, 3),
            |base AS (
            |  SELECT event_type, x1, x2, cnt, cy FROM grid WHERE tree = 0),
-           |er AS (
-           |  SELECT e0.event_type, e0.x1, e0.x2, e0.ens_q, ba.cnt, ba.cy,
-           |    COALESCE(SUM(ba.cnt - ba.cy) OVER (PARTITION BY e0.event_type
-           |      ORDER BY e0.ens_q, e0.x1, e0.x2
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |      AS cumneg
+           |eh AS (
+           |  SELECT e0.event_type, e0.ens_q,
+           |    CAST(SUM(ba.cy) AS BIGINT) AS pos,
+           |    CAST(SUM(ba.cnt - ba.cy) AS BIGINT) AS neg
            |  FROM ens0 e0 JOIN base ba
            |    ON e0.event_type = ba.event_type AND e0.x1 = ba.x1
-           |   AND e0.x2 = ba.x2),
+           |   AND e0.x2 = ba.x2
+           |  GROUP BY 1, 2),
+           |er AS (
+           |  SELECT *, COALESCE(SUM(neg) OVER (PARTITION BY event_type
+           |      ORDER BY ens_q
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cumneg
+           |  FROM eh),
            |ens AS (
            |  SELECT event_type,
-           |    CAST(SUM(cy) AS BIGINT) AS np,
-           |    CAST(SUM(cnt - cy) AS BIGINT) AS nn,
-           |    CAST(SUM(cy * (2 * cumneg + (cnt - cy))) AS BIGINT) AS num2
+           |    CAST(SUM(pos) AS BIGINT) AS np,
+           |    CAST(SUM(neg) AS BIGINT) AS nn,
+           |    CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS num2
            |  FROM er GROUP BY 1)
            |SELECT p.event_type, p.tree, p.feat, p.thr, p.wn_inbag,
            |  p.wpos_inbag, p.pred_l_q, p.pred_r_q,
@@ -3374,30 +3411,37 @@ object MlPrepQueries {
             when(when(col("feat") === 1, col("x1")).otherwise(col("x2"))
               <= col("thr"), col("pred_l_q")).otherwise(col("pred_r_q"))
               .as("score_q"))
+        // tie-correct OOB AUC: a stump emits only two score values, so
+        // cross-cell ties dominate — histogram by score_q FIRST, then
+        // the tied-block rank-sum pos·(2·cumneg + neg) is exact
+        // Mann-Whitney with 0.5-credit ties (mlprep_eval_report's algebra)
+        val sh = sc.groupBy("event_type", "tree", "score_q")
+          .agg(sum("p0").as("pos"), sum(col("c0") - col("p0")).as("neg"))
         val wo = Window.partitionBy("event_type", "tree")
-          .orderBy(col("score_q"), col("x1"), col("x2"))
+          .orderBy(col("score_q"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val ro = sc.withColumn("cumneg",
-          coalesce(sum(col("c0") - col("p0")).over(wo), lit(0L)))
+        val ro = sh.withColumn("cumneg",
+          coalesce(sum(col("neg")).over(wo), lit(0L)))
         val oob = ro.groupBy("event_type", "tree").agg(
-          sum("p0").as("np"), sum(col("c0") - col("p0")).as("nn"),
-          sum(col("p0") * (lit(2L) * col("cumneg")
-            + (col("c0") - col("p0")))).as("num2"))
+          sum("pos").as("np"), sum("neg").as("nn"),
+          sum(col("pos") * (lit(2L) * col("cumneg") + col("neg")))
+            .as("num2"))
         val ens0 = sc.groupBy("event_type", "x1", "x2")
           .agg(sum("score_q").as("ens_q"))
         val base = grid.filter(col("tree") === 0)
           .select(col("event_type"), col("x1"), col("x2"), col("cnt"),
             col("cy"))
-        val we = Window.partitionBy("event_type")
-          .orderBy(col("ens_q"), col("x1"), col("x2"))
+        val eh = ens0.join(base, Seq("event_type", "x1", "x2"))
+          .groupBy("event_type", "ens_q")
+          .agg(sum("cy").as("pos"), sum(col("cnt") - col("cy")).as("neg"))
+        val we = Window.partitionBy("event_type").orderBy(col("ens_q"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val er = ens0.join(base, Seq("event_type", "x1", "x2"))
-          .withColumn("cumneg",
-            coalesce(sum(col("cnt") - col("cy")).over(we), lit(0L)))
+        val er = eh.withColumn("cumneg",
+          coalesce(sum(col("neg")).over(we), lit(0L)))
         val ens = er.groupBy("event_type").agg(
-          sum("cy").as("enp"), sum(col("cnt") - col("cy")).as("enn"),
-          sum(col("cy") * (lit(2L) * col("cumneg")
-            + (col("cnt") - col("cy")))).as("enum2"))
+          sum("pos").as("enp"), sum("neg").as("enn"),
+          sum(col("pos") * (lit(2L) * col("cumneg") + col("neg")))
+            .as("enum2"))
         def auc(num2: Column, np: Column, nn: Column) =
           num2.cast("double") /
             nullif(lit(2L) * np * nn, lit(0L)).cast("double")
@@ -4310,6 +4354,315 @@ object MlPrepQueries {
               + lit(2.0) * (col("a") * col("b") * col("qx"))))
             / col("qn") * lit(1e6) + lit(0.5)).cast("long")
             .as("test_mse_q"))
+      }),
+
+    // DUMMY CLASSIFIER CONTROL — the reference's sanity baseline
+    // (`data_apis/my_model.py:371-414` `get_dummy_params` /
+    // `train_dummy_model`: sklearn DummyClassifier over the temporal
+    // split, strategies most_frequent / stratified / uniform), the row
+    // every real model's metrics are anchored against. Engine shape:
+    // ONE count pass over the corpus (per-group train/test class counts
+    // under the chronological cutoff) → a groups-sized frame; the three
+    // strategies are an explode over that frame and every metric is
+    // closed-form arithmetic on the four counts:
+    //  - most_frequent predicts the train-majority class everywhere
+    //    (tie → class 0, sklearn's sorted-classes argmax), so accuracy
+    //    IS the test share of the train-majority class;
+    //  - stratified/uniform are randomized in sklearn; the engine emits
+    //    their EXPECTED confusion (q = train prior / 0.5), the
+    //    deterministic analog both engines replay exactly.
+    // Precision/recall/F1 use sklearn's zero_division=0 convention.
+    // Parity: rational arithmetic on exact long counts through one
+    // shared IEEE tree, floor-quantized at 1e-9.
+    QueryDef(
+      "mlprep_dummy",
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CASE WHEN value >= 100.0e0 THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |c AS (
+             |  SELECT CAST(max(day) - INTERVAL 7 DAY AS DATE) AS cutoff
+             |  FROM ev),
+             |k AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN day < cutoff THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_train,
+             |    CAST(SUM(CASE WHEN day < cutoff THEN y ELSE 0 END)
+             |      AS BIGINT) AS pos_train,
+             |    CAST(SUM(CASE WHEN day < cutoff THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS n_test,
+             |    CAST(SUM(CASE WHEN day < cutoff THEN 0 ELSE y END)
+             |      AS BIGINT) AS pos_test
+             |  FROM ev, c GROUP BY 1),
+             |s AS (
+             |  SELECT k.*, t.strategy FROM k CROSS JOIN (
+             |    VALUES ('most_frequent'), ('stratified'), ('uniform'))
+             |    AS t(strategy)),
+             |p AS (
+             |  SELECT *, CASE
+             |    WHEN strategy = 'most_frequent' THEN
+             |      CASE WHEN 2 * pos_train > n_train
+             |        THEN 1.0e0 ELSE 0.0e0 END
+             |    WHEN strategy = 'stratified' THEN
+             |      CAST(pos_train AS DOUBLE) / CAST(n_train AS DOUBLE)
+             |    ELSE 0.5e0 END AS q
+             |  FROM s),
+             |m AS (
+             |  SELECT event_type, strategy, n_train, pos_train, n_test,
+             |    pos_test,
+             |    q * CAST(pos_test AS DOUBLE) AS tp,
+             |    q * CAST(n_test - pos_test AS DOUBLE) AS fp,
+             |    (1.0e0 - q) * CAST(pos_test AS DOUBLE) AS fnn,
+             |    (1.0e0 - q) * CAST(n_test - pos_test AS DOUBLE) AS tn
+             |  FROM p),
+             |f AS (
+             |  SELECT *,
+             |    (tp + tn) / CAST(n_test AS DOUBLE) AS acc,
+             |    CASE WHEN tp + fp = 0.0e0 THEN 0.0e0
+             |      ELSE tp / (tp + fp) END AS p1,
+             |    CASE WHEN tp + fnn = 0.0e0 THEN 0.0e0
+             |      ELSE tp / (tp + fnn) END AS r1
+             |  FROM m)
+             |SELECT event_type, strategy, n_train, pos_train, n_test,
+             |  pos_test,
+             |  CAST(floor(acc * 1e9 + 0.5e0) AS BIGINT) AS acc_q,
+             |  CAST(floor(p1 * 1e9 + 0.5e0) AS BIGINT) AS p1_q,
+             |  CAST(floor(r1 * 1e9 + 0.5e0) AS BIGINT) AS r1_q,
+             |  CAST(floor((CASE WHEN p1 + r1 = 0.0e0 THEN 0.0e0
+             |    ELSE 2.0e0 * p1 * r1 / (p1 + r1) END) * 1e9 + 0.5e0)
+             |    AS BIGINT) AS f1_q
+             |FROM f""".stripMargin),
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
+        val cutoff = ev.agg(date_sub(max(col("day")), 7).as("cutoff"))
+        val k = ev.crossJoin(broadcast(cutoff))
+          .withColumn("tr", (col("day") < col("cutoff")).cast("long"))
+          .groupBy("event_type").agg(
+            sum("tr").as("n_train"),
+            sum(col("tr") * col("y")).as("pos_train"),
+            sum(lit(1L) - col("tr")).as("n_test"),
+            sum((lit(1L) - col("tr")) * col("y")).as("pos_test"))
+        val st = k.withColumn("strategy", explode(array(
+          lit("most_frequent"), lit("stratified"), lit("uniform"))))
+        val q = when(col("strategy") === "most_frequent",
+            when(lit(2L) * col("pos_train") > col("n_train"), lit(1.0))
+              .otherwise(lit(0.0)))
+          .when(col("strategy") === "stratified",
+            col("pos_train").cast("double") / col("n_train").cast("double"))
+          .otherwise(lit(0.5))
+        val m = st.withColumn("q", q)
+          .select(col("event_type"), col("strategy"), col("n_train"),
+            col("pos_train"), col("n_test"), col("pos_test"),
+            (col("q") * col("pos_test").cast("double")).as("tp"),
+            (col("q") * (col("n_test") - col("pos_test")).cast("double"))
+              .as("fp"),
+            ((lit(1.0) - col("q")) * col("pos_test").cast("double"))
+              .as("fnn"),
+            ((lit(1.0) - col("q"))
+              * (col("n_test") - col("pos_test")).cast("double")).as("tn"))
+        val f = m
+          .withColumn("acc",
+            (col("tp") + col("tn")) / col("n_test").cast("double"))
+          .withColumn("p1", when(col("tp") + col("fp") === 0.0, lit(0.0))
+            .otherwise(col("tp") / (col("tp") + col("fp"))))
+          .withColumn("r1", when(col("tp") + col("fnn") === 0.0, lit(0.0))
+            .otherwise(col("tp") / (col("tp") + col("fnn"))))
+        def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+        f.select(col("event_type"), col("strategy"), col("n_train"),
+          col("pos_train"), col("n_test"), col("pos_test"),
+          q9(col("acc")).as("acc_q"), q9(col("p1")).as("p1_q"),
+          q9(col("r1")).as("r1_q"),
+          q9(when(col("p1") + col("r1") === 0.0, lit(0.0))
+            .otherwise(lit(2.0) * col("p1") * col("r1")
+              / (col("p1") + col("r1")))).as("f1_q"))
+      }),
+
+    // MODEL REGISTRY AS A QUERYABLE TABLE — the reference's model-export
+    // surface (`data_apis/my_model.py:515-565`
+    // `export_best_models_to_mlflow`: persist best models with versions,
+    // reload to score) formalized on the repo's transactional table
+    // format via operators/ModelRegistry: register v1 (trained on the
+    // pre-noon-cut slice, st15's era boundary) then v2 (trained on
+    // everything) under one model name, then emit the LISTING (every
+    // version's coefficients + n_train + is_latest) joined with a
+    // scoring pass that reloads "latest" THROUGH the registry read path
+    // and scores the whole corpus with it. A stale latest pointer, a
+    // non-monotonic version, or a listing that drops a version all
+    // break the hash.
+    //
+    // Scale shape: the registry is a KB-sized SnapshotTable (atomic
+    // commits, versions from committed state — restart-safe); scoring
+    // broadcast-joins the model rows; the only data-sized work is the
+    // two fit scans and the scoring scan. Parity: the fits replay
+    // st15's exact-long-moment Cramer trees; per-row predictions are
+    // floor-quantized at 1e-6 then summed as exact longs.
+    QueryDef(
+      "mlprep_registry",
+      Some {
+        def oDet3(a1: String, a2: String, a3: String,
+                  b1: String, b2: String, b3: String,
+                  c1: String, c2: String, c3: String): String =
+          s"($a1 * ($b2 * $c3 - $b3 * $c2) - " +
+          s"$a2 * ($b1 * $c3 - $b3 * $c1) + " +
+          s"$a3 * ($b1 * $c2 - $b2 * $c1))"
+        val det = oDet3("nn", "s1", "s2", "s1", "s11", "s12",
+          "s2", "s12", "s22")
+        val db0 = oDet3("sy", "s1", "s2", "s1y", "s11", "s12",
+          "s2y", "s12", "s22")
+        val db1 = oDet3("nn", "sy", "s2", "s1", "s1y", "s12",
+          "s2", "s2y", "s22")
+        val db2 = oDet3("nn", "s1", "sy", "s1", "s11", "s1y",
+          "s2", "s12", "s2y")
+        def fit(src: String, ver: Int): String =
+          s"""m$ver AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x1) AS BIGINT) AS l1,
+             |    CAST(sum(x2) AS BIGINT) AS l2,
+             |    CAST(sum(x1 * x1) AS BIGINT) AS l11,
+             |    CAST(sum(x1 * x2) AS BIGINT) AS l12,
+             |    CAST(sum(x2 * x2) AS BIGINT) AS l22,
+             |    CAST(sum(yq) AS BIGINT) AS lyq,
+             |    CAST(sum(x1 * yq) AS BIGINT) AS l1yq,
+             |    CAST(sum(x2 * yq) AS BIGINT) AS l2yq
+             |  FROM $src GROUP BY 1),
+             |d$ver AS (
+             |  SELECT event_type, n AS n_train, CAST(n AS DOUBLE) AS nn,
+             |    CAST(l1 AS DOUBLE) AS s1, CAST(l2 AS DOUBLE) AS s2,
+             |    CAST(l11 AS DOUBLE) AS s11, CAST(l12 AS DOUBLE) AS s12,
+             |    CAST(l22 AS DOUBLE) AS s22,
+             |    CAST(lyq AS DOUBLE) / 100.0 AS sy,
+             |    CAST(l1yq AS DOUBLE) / 100.0 AS s1y,
+             |    CAST(l2yq AS DOUBLE) / 100.0 AS s2y
+             |  FROM m$ver),
+             |bb$ver AS (
+             |  SELECT event_type, CAST($ver AS BIGINT) AS version,
+             |    n_train,
+             |    $db0 / $det AS b0, $db1 / $det AS b1, $db2 / $det AS b2
+             |  FROM d$ver)""".stripMargin
+        s"""WITH b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+           |k AS (SELECT (epoch_ms(t0) +
+           |  (epoch_ms(t1) - epoch_ms(t0) + 1) // 2) AS mid FROM b),
+           |c AS (SELECT mid - mid % 86400000 + 43200000 AS cut FROM k),
+           |f AS (
+           |  SELECT event_id, event_type, epoch_ms(ts) AS tms,
+           |    CAST(hour(ts) AS BIGINT) AS x1,
+           |    CAST(extract(dow FROM ts) + 1 AS BIGINT) AS x2,
+           |    value, ${graft.Parity.oLq("value")} AS yq
+           |  FROM events),
+           |f1 AS (SELECT f.* FROM f, c WHERE tms < cut),
+           |${fit("f1", 1)},
+           |${fit("f", 2)},
+           |reg AS (SELECT * FROM bb1 UNION ALL SELECT * FROM bb2),
+           |sc AS (
+           |  SELECT f.event_type,
+           |    CAST(count(*) AS BIGINT) AS n_scored,
+           |    CAST(SUM(CAST(floor((bb.b0 + bb.b1 * CAST(f.x1 AS DOUBLE)
+           |      + bb.b2 * CAST(f.x2 AS DOUBLE)) * 1.0e6 + 0.5e0)
+           |      AS BIGINT)) AS BIGINT) AS pred_sum_q
+           |  FROM f JOIN bb2 bb ON f.event_type = bb.event_type
+           |  GROUP BY 1)
+           |SELECT 'ols' AS model_name, r.version, r.event_type, r.n_train,
+           |  CAST(floor(r.b0 * 1.0e9 + 0.5e0) AS BIGINT) AS b0_q,
+           |  CAST(floor(r.b1 * 1.0e9 + 0.5e0) AS BIGINT) AS b1_q,
+           |  CAST(floor(r.b2 * 1.0e9 + 0.5e0) AS BIGINT) AS b2_q,
+           |  CAST(CASE WHEN r.version = 2 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_latest,
+           |  CASE WHEN r.version = 2 THEN sc.n_scored END AS n_scored,
+           |  CASE WHEN r.version = 2 THEN sc.pred_sum_q END AS pred_sum_q
+           |FROM reg r LEFT JOIN sc ON r.event_type = sc.event_type"""
+          .stripMargin
+      },
+      (s, d) => {
+        def det3(a1: Column, a2: Column, a3: Column,
+                 b1: Column, b2: Column, b3: Column,
+                 c1: Column, c2: Column, c3: Column): Column =
+          a1 * (b2 * c3 - b3 * c2) -
+          a2 * (b1 * c3 - b3 * c1) +
+          a3 * (b1 * c2 - b2 * c1)
+        val base = graft.Sinks.dir(s, "mlprep_registry", d)
+        // fresh registry per invocation — re-runs must re-derive v1/v2,
+        // not stack v3/v4 onto a previous run's table
+        val bp = new org.apache.hadoop.fs.Path(base)
+        val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(bp)) fs.delete(bp, true)
+        val regPath = s"$base/registry"
+        val ev = Tables.events(s, d)
+          .select("event_id", "event_type", "ts", "value")
+        val bounds = ev.agg(min("ts"), max("ts")).head()
+        val t0 = bounds.getTimestamp(0).getTime
+        val t1 = bounds.getTimestamp(1).getTime
+        val mid = t0 + (t1 - t0 + 1) / 2
+        val cut = mid - math.floorMod(mid, 86400000L) + 43200000L
+        def fit(df: DataFrame): DataFrame = {
+          val f = df.select(col("event_type"),
+            hour(col("ts")).cast("long").as("x1"),
+            dayofweek(col("ts")).cast("long").as("x2"),
+            graft.Parity.lq(col("value")).as("yq"))
+          val m = f.groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum("x1").as("l1"), sum("x2").as("l2"),
+            sum(col("x1") * col("x1")).as("l11"),
+            sum(col("x1") * col("x2")).as("l12"),
+            sum(col("x2") * col("x2")).as("l22"),
+            sum("yq").as("lyq"),
+            sum(col("x1") * col("yq")).as("l1yq"),
+            sum(col("x2") * col("yq")).as("l2yq"))
+          val dd = m.select(col("event_type"), col("n").as("n_train"),
+            col("n").cast("double").as("nn"),
+            col("l1").cast("double").as("s1"),
+            col("l2").cast("double").as("s2"),
+            col("l11").cast("double").as("s11"),
+            col("l12").cast("double").as("s12"),
+            col("l22").cast("double").as("s22"),
+            (col("lyq").cast("double") / 100.0).as("sy"),
+            (col("l1yq").cast("double") / 100.0).as("s1y"),
+            (col("l2yq").cast("double") / 100.0).as("s2y"))
+          val det = det3(col("nn"), col("s1"), col("s2"),
+            col("s1"), col("s11"), col("s12"),
+            col("s2"), col("s12"), col("s22"))
+          val db0 = det3(col("sy"), col("s1"), col("s2"),
+            col("s1y"), col("s11"), col("s12"),
+            col("s2y"), col("s12"), col("s22"))
+          val db1 = det3(col("nn"), col("sy"), col("s2"),
+            col("s1"), col("s1y"), col("s12"),
+            col("s2"), col("s2y"), col("s22"))
+          val db2 = det3(col("nn"), col("s1"), col("sy"),
+            col("s1"), col("s11"), col("s1y"),
+            col("s2"), col("s12"), col("s2y"))
+          dd.select(col("event_type"), col("n_train"),
+            (db0 / det).as("b0"), (db1 / det).as("b1"),
+            (db2 / det).as("b2"))
+        }
+        import graft.operators.ModelRegistry
+        val era1 = ev.filter(col("ts") < timestamp_millis(lit(cut)))
+        val v1 = ModelRegistry.register(s, regPath, "ols", fit(era1))
+        val v2 = ModelRegistry.register(s, regPath, "ols", fit(ev))
+        require(v1 == 1L && v2 == 2L,
+          s"mlprep_registry: version assignment broke ($v1, $v2)")
+        val listing = ModelRegistry.list(s, regPath)
+        val latest = broadcast(ModelRegistry.latest(s, regPath, "ols")
+          .select("event_type", "b0", "b1", "b2"))
+        val pred = col("b0") + col("b1") * col("x1").cast("double") +
+          col("b2") * col("x2").cast("double")
+        val scored = ev
+          .withColumn("x1", hour(col("ts")).cast("long"))
+          .withColumn("x2", dayofweek(col("ts")).cast("long"))
+          .join(latest, Seq("event_type"))
+          .select(col("event_type"),
+            floor(pred * lit(1e6) + lit(0.5)).cast("long").as("pq"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_scored"), sum("pq").as("pred_sum_q"))
+        def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+        listing.join(broadcast(scored), Seq("event_type"), "left")
+          .select(col("model_name"), col("version"), col("event_type"),
+            col("n_train"),
+            q9(col("b0")).as("b0_q"), q9(col("b1")).as("b1_q"),
+            q9(col("b2")).as("b2_q"), col("is_latest"),
+            when(col("is_latest") === 1L, col("n_scored")).as("n_scored"),
+            when(col("is_latest") === 1L, col("pred_sum_q"))
+              .as("pred_sum_q"))
       }),
   )
 }
