@@ -89,6 +89,12 @@ class GraftExtensions
       new ExpressionInfo(classOf[EwmNr].getName, "ewm_nr"),
       { case Seq(c, a) => EwmNr(c, a) }: PartialFunction[Seq[Expression], Expression]))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
+    // trainer inner loops as single expressions (planning-cost fusion;
+    // arithmetic bit-identical to the unrolled projection chains)
+    ext.injectFunction((TrainerNative.sigmoidIdent,
+      TrainerNative.sigmoidInfo, TrainerNative.sigmoidBuilder))
+    ext.injectFunction((TrainerNative.powerIdent,
+      TrainerNative.powerInfo, TrainerNative.powerBuilder))
     // native HLL register aggregate (TypedImperativeAggregate tier)
     ext.injectFunction((
       FunctionIdentifier("hll_sketch_agg"),

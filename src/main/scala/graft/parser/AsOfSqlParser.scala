@@ -34,9 +34,12 @@ import graft.operators.AsOfJoin
   * [[graft.operators.AsOfJoin]] operator — union + one ordered window
   * forward-fill, one shuffle by key, no O(left×right) candidate blowup —
   * so a SQL user gets the same 100 TB-safe plan the DataFrame API user
-  * gets (j7/j13). Keyword detection is a cheap word-boundary scan outside
-  * string literals, so every non-ASOF statement pays one linear scan and
-  * delegates untouched (negative space pinned by `AsOfSqlParserSpec`).
+  * gets (j7/j13). Keyword detection is a cheap word-boundary scan over a
+  * comment-stripped copy of the text, outside string literals,
+  * double-quoted strings, and backquoted identifiers — so every non-ASOF
+  * statement pays one linear scan and delegates untouched (negative space
+  * pinned by `AsOfSqlParserSpec`), and comments or quoted names inside an
+  * in-scope statement cannot desync the scan.
   *
   * Sub-relations are parsed and analyzed by re-entering `session.sql`
   * (they contain no ASOF by scope, so they hit the stock parser);
@@ -76,16 +79,27 @@ class AsOfSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
 
-  /** Some(plan) when the text is an in-scope ASOF statement; None → stock. */
+  /** Some(plan) when the text is an in-scope ASOF statement; None → stock.
+    *
+    * The scoped scan runs on a comment-stripped copy of the text (so line
+    * and block comments — and parens or keywords inside them — cannot
+    * desync keyword detection), while an out-of-scope statement delegates
+    * with its ORIGINAL text untouched. Contract violations surface as
+    * [[org.apache.spark.sql.AnalysisException]] (Spark's convention for
+    * semantic errors found after parsing), not IllegalArgumentException. */
   private def rewriteAsOf(text: String): Option[LogicalPlan] = {
-    if (topLevelKeyword(text, "ASOF", 0) < 0) return None
-    parseScoped(text).map { q =>
+    val clean = stripComments(text)
+    if (topLevelKeyword(clean, "ASOF", 0) < 0) return None
+    def checked(ok: Boolean, msg: => String): Unit =
+      if (!ok) throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    parseScoped(clean).map { q =>
       val leftDf = session.sql(s"SELECT * FROM ${q.leftRel}")
       val rightDf0 = session.sql(s"SELECT * FROM ${q.rightRel}")
-      require(rightDf0.columns.contains(q.rightKey) &&
+      checked(rightDf0.columns.contains(q.rightKey) &&
         rightDf0.columns.contains(q.rightTs),
         s"asof right side has no column ${q.rightKey}/${q.rightTs}")
-      require(leftDf.columns.contains(q.leftKey) &&
+      checked(leftDf.columns.contains(q.leftKey) &&
         leftDf.columns.contains(q.leftTs),
         s"asof left side has no column ${q.leftKey}/${q.leftTs}")
       // operator contract: one shared key name; right ts must not shadow
@@ -102,7 +116,7 @@ class AsOfSqlParser(session: SparkSession, delegate: ParserInterface)
       val payload = rightDf.columns.toSeq
         .filterNot(c => c == q.leftKey || c == rts)
       val clash = payload.toSet.intersect(leftDf.columns.toSet)
-      require(clash.isEmpty,
+      checked(clash.isEmpty,
         s"asof payload column(s) ${clash.mkString(", ")} collide with the " +
           "left side — alias them apart in the right subquery")
       val joined = AsOfJoin.backward(leftDf, rightDf,
@@ -134,18 +148,59 @@ object AsOfSqlParser {
   private val SelItem =
     s"(?i)^((?:$Ident\\.)?$Ident)(?:\\s+AS\\s+($Ident))?$$".r
 
+  /** Remove SQL comments (`-- …` to end of line, `/* … */`) outside
+    * string literals and quoted identifiers, replacing each with a space
+    * so token boundaries survive. Quote spans (single, double, backtick)
+    * pass through verbatim — a `--` inside a literal is content, not a
+    * comment. Run BEFORE the keyword scan so parens or keywords inside
+    * comments cannot desync it. */
+  private[parser] def stripComments(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var inS = false; var inD = false; var inB = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { sb.append(c); if (c == '\'') inS = false; i += 1 }
+      else if (inD) { sb.append(c); if (c == '"') inD = false; i += 1 }
+      else if (inB) { sb.append(c); if (c == '`') inB = false; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        sb.append(' ') // the newline (or end) terminates the comment
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < s.length &&
+          !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, s.length)
+        sb.append(' ')
+      } else {
+        if (c == '\'') inS = true
+        else if (c == '"') inD = true
+        else if (c == '`') inB = true
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Index of a whole-word keyword at paren depth 0, outside single-quoted
-    * literals; −1 when absent. Case-insensitive. */
+    * literals, double-quoted strings, and backquoted identifiers; −1 when
+    * absent. Case-insensitive. (Comments are the caller's job —
+    * [[stripComments]] runs first on every rewrite path.) */
   private[parser] def topLevelKeyword(s: String, word: String,
                                       from: Int): Int = {
     val u = s.toUpperCase(java.util.Locale.ROOT)
     val w = word.toUpperCase(java.util.Locale.ROOT)
-    var i = from; var depth = 0; var inStr = false
+    var i = from; var depth = 0
+    var inStr = false; var inD = false; var inB = false
     while (i < u.length) {
       val c = u.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (inB) { if (c == '`') inB = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inD = true
+        case '`' => inB = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -300,8 +355,9 @@ object AsOfSqlParser {
     case QualRef(a, c)
         if la.contains(a) || ra.contains(a) => c
     case QualRef(a, _) =>
-      throw new IllegalArgumentException(
-        s"asof projection references unknown alias '$a' in '$ref'")
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+          s"asof projection references unknown alias '$a' in '$ref'"))
     case other => other
   }
 }

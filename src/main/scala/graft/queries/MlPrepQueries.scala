@@ -2206,21 +2206,15 @@ object MlPrepQueries {
           a3 * (b1 * c2 - b2 * c1)
         // the deterministic sigmoid: 1/(1+(1−z/65536)^65536) by 16
         // squarings — IEEE-exact ops only, one tree on both engines.
-        // Each squaring is its OWN projection (withColumn), never one
-        // literal e*e…*e expression: Catalyst treats expressions as
-        // trees, not DAGs, so a single 16-deep self-referencing tree
-        // has 2^16 leaves and optimizer traversals explode; as a chain
-        // of aliased projections CollapseProject keeps them separate
-        // (the alias is non-cheap and referenced twice) and codegen
-        // reuses the attribute. The DuckDB oracle mirrors this with 16
-        // chained CTEs (its CSE handles them).
-        def withSigmoid(df: DataFrame, z: Column): DataFrame = {
-          val zc = greatest(least(z, lit(30.0)), lit(-30.0))
-          var cur = df.withColumn("e", lit(1.0) + (-zc) / lit(65536.0))
-          var i = 0
-          while (i < 16) { cur = cur.withColumn("e", col("e") * col("e")); i += 1 }
-          cur.withColumn("p", lit(1.0) / (lit(1.0) + col("e")))
-        }
+        // Evaluated as ONE native expression (functions/TrainerNative:
+        // same operation sequence, bit-identical result) instead of the
+        // original 16-projection chain: Catalyst re-analyzed that chain
+        // on every invocation, which dominated the trainer rows' wall
+        // time (planning, not data — the 10× probe ran flat). The
+        // DuckDB oracle keeps its 16 chained CTEs; unchanged hashes
+        // prove the arithmetic identity.
+        def withSigmoid(df: DataFrame, z: Column): DataFrame =
+          df.withColumn("p", call_function("sigmoid_r16", z))
         val grid = Tables.events(s, d).select(col("event_type"),
             hour(col("ts")).cast("long").as("x1"),
             dayofweek(col("ts")).cast("long").as("x2"),
@@ -3079,13 +3073,10 @@ object MlPrepQueries {
           .stripMargin
       },
       (s, d) => {
-        def withSigmoid(df: DataFrame, z: Column): DataFrame = {
-          val zc = greatest(least(z, lit(30.0)), lit(-30.0))
-          var cur = df.withColumn("e", lit(1.0) + (-zc) / lit(65536.0))
-          var i = 0
-          while (i < 16) { cur = cur.withColumn("e", col("e") * col("e")); i += 1 }
-          cur.withColumn("p", lit(1.0) / (lit(1.0) + col("e")))
-        }
+        // the mlprep_logit native sigmoid (one expression, bit-identical
+        // to the unrolled 16-squaring chain the oracle still uses)
+        def withSigmoid(df: DataFrame, z: Column): DataFrame =
+          df.withColumn("p", call_function("sigmoid_r16", z))
         val grid = Tables.events(s, d).select(col("event_type"),
             hour(col("ts")).cast("long").as("x1"),
             dayofweek(col("ts")).cast("long").as("x2"),
@@ -4128,26 +4119,23 @@ object MlPrepQueries {
           cv("l22", "l2", "l2").as("c22"),
           cv("l23", "l2", "l3").as("c23"),
           cv("l33", "l3", "l3").as("c33"))
-        val keep = Seq("event_type", "n", "c11", "c12", "c13", "c22",
-          "c23", "c33").map(col)
-        def mulW(cur: DataFrame): DataFrame = cur
-          .withColumn("w1", col("c11") * col("v1") + col("c12") * col("v2")
-            + col("c13") * col("v3"))
-          .withColumn("w2", col("c12") * col("v1") + col("c22") * col("v2")
-            + col("c23") * col("v3"))
-          .withColumn("w3", col("c13") * col("v1") + col("c23") * col("v2")
-            + col("c33") * col("v3"))
-        var it = cov.withColumn("v1", lit(1.0))
-          .withColumn("v2", lit(1.0)).withColumn("v3", lit(1.0))
-        for (_ <- 1 to 48) {
-          val w = mulW(it).withColumn("m",
-            nullif(greatest(abs(col("w1")), abs(col("w2")),
-              abs(col("w3"))), lit(0.0)))
-          it = w.select(keep :+ (col("w1") / col("m")).as("v1")
-            :+ (col("w2") / col("m")).as("v2")
-            :+ (col("w3") / col("m")).as("v3"): _*)
-        }
-        val fin = mulW(it)
+        // the 48 power-iteration steps as ONE native struct expression
+        // (functions/TrainerNative.PowerIter3): same matvec/normalize
+        // operation sequence as the original unrolled projection chain,
+        // bit-identical vectors, but Catalyst plans one projection
+        // instead of 48 — the chain's cost was planning, not data (the
+        // oracle keeps its 48 chained CTEs; unchanged hashes prove the
+        // arithmetic identity)
+        val fin = cov
+          .withColumn("pi", call_function("power_iter3",
+            col("c11"), col("c12"), col("c13"),
+            col("c22"), col("c23"), col("c33")))
+          .withColumn("v1", col("pi.v1"))
+          .withColumn("v2", col("pi.v2"))
+          .withColumn("v3", col("pi.v3"))
+          .withColumn("w1", col("pi.w1"))
+          .withColumn("w2", col("pi.w2"))
+          .withColumn("w3", col("pi.w3"))
           .withColumn("sg", when(col("v1") < 0.0, -1.0).otherwise(1.0))
           .withColumn("nrm", sqrt(col("v1") * col("v1")
             + col("v2") * col("v2") + col("v3") * col("v3")))

@@ -93,4 +93,70 @@ class AsOfSqlParserSpec extends SparkSpec {
     assert(err.getMessage.toUpperCase.contains("ASOF") ||
       err.getMessage.toLowerCase.contains("syntax"))
   }
+
+  test("comments inside an in-scope statement do not desync the scan") {
+    views()
+    // line + block comments, both containing unbalanced parens and the
+    // phrase ASOF JOIN — stripped before the keyword scan, so the sugar
+    // still fires and matches the comment-free text
+    val withComments = spark.sql(
+      """SELECT e.event_id, p.pv AS last_pv -- trailing (unbalanced paren
+        |FROM ev_all e /* block (comment) saying ASOF JOIN */
+        |ASOF LEFT JOIN ev_purch p
+        |ON e.user_id = p.user_id AND p.pts <= e.ts""".stripMargin)
+    val plain = spark.sql(
+      """SELECT e.event_id, p.pv AS last_pv
+        |FROM ev_all e
+        |ASOF LEFT JOIN ev_purch p
+        |ON e.user_id = p.user_id AND p.pts <= e.ts""".stripMargin)
+    assert(sortedRows(withComments) == sortedRows(plain))
+  }
+
+  test("negative space: quoted spans, subquery literals, mixed case") {
+    views()
+    // ASOF + an unbalanced paren inside a double-quoted string literal:
+    // the span is opaque to the scanner, the stock parser runs it
+    assert(spark.sql("SELECT \"ASOF (not a join\" AS s")
+      .collect().head.getString(0).startsWith("ASOF"))
+    // a backquoted identifier NAMED asof is content, not a keyword
+    assert(spark.sql("SELECT value AS `asof` FROM ev_all LIMIT 1")
+      .columns.toSeq == Seq("asof"))
+    // ASOF inside a string literal inside a subquery delegates whole
+    val c = spark.sql(
+      "SELECT count(*) AS c FROM (SELECT * FROM ev_all " +
+        "WHERE event_type <> 'ASOF LEFT JOIN x ON (') t")
+      .collect().head.getLong(0)
+    assert(c == Tables.events(spark, dir).count())
+    // mixed-case keywords stay in scope
+    val mc = spark.sql(
+      """select e.event_id, p.pv as last_pv
+        |from ev_all e
+        |Asof Left Join ev_purch p
+        |on e.user_id = p.user_id and p.pts <= e.ts""".stripMargin)
+    assert(mc.count() == Tables.events(spark, dir).count())
+  }
+
+  test("aliases shadowing column names still resolve by alias") {
+    views()
+    // the join aliases ARE column names of the relations (value, user_id)
+    val df = spark.sql(
+      """SELECT value.event_id, user_id.pv AS last_pv
+        |FROM ev_all value
+        |ASOF LEFT JOIN ev_purch user_id
+        |ON value.user_id = user_id.user_id
+        |  AND user_id.pts <= value.ts""".stripMargin)
+    assert(df.count() == Tables.events(spark, dir).count())
+    assert(df.columns.toSeq == Seq("event_id", "last_pv"))
+  }
+
+  test("contract violations raise AnalysisException, not IAE") {
+    views()
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT e.event_id FROM ev_all e
+          |ASOF LEFT JOIN ev_purch p
+          |ON e.user_id = p.user_id AND p.no_such_ts <= e.ts""".stripMargin)
+    }
+    assert(err.getMessage.contains("no_such_ts"))
+  }
 }
