@@ -3,24 +3,34 @@ package graft
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool: super-linearity probe. Synthesizes a 10× replica of a fixture
-  * directory (sf0.1 → "sf1") and times a chosen set of the most expensive
-  * DATA-BOUND queries on both, printing the observed scale factor. A
-  * healthy query lands near 10× (linear) or below (broadcast/stats-bound);
-  * well above 10× flags a pair-space or shuffle term growing faster than
-  * the data — exactly the class of bug sf0.01→sf0.1 verification can't
-  * see.
+/** Dev tool: super-linearity probe. Synthesizes an N× replica of a fixture
+  * directory (default N=10; `--factor 20` for the confirmation tier) and
+  * times a chosen set of queries on both, printing the observed scale
+  * factor. A healthy query lands near N× (linear) or below
+  * (broadcast/stats-bound); well above N× flags a pair-space or shuffle
+  * term growing faster than the data — exactly the class of bug
+  * sf0.01→sf0.1 verification can't see.
   *
-  * Replication is ID-DISJOINT and CONTENT-DISJOINT so the 10× corpus has
+  * Replication is ID-DISJOINT and CONTENT-DISJOINT so the N× corpus has
   * organic geometry, not adversarial duplication: ids get per-replica
-  * offsets; user series are replicated as NEW users (10× groups, same
+  * offsets; user series are replicated as NEW users (N× groups, same
   * per-group depth); document words are suffixed `_k` per replica (no
   * cross-replica shingle collisions — near-dup structure scales linearly
-  * instead of ×100 pair blowup); embeddings get a tiny deterministic
-  * per-replica jitter (no 10-way exact-duplicate vectors collapsing every
-  * ANN cell).
+  * instead of ×N² pair blowup); embeddings get a tiny deterministic
+  * per-replica jitter (no N-way exact-duplicate vectors collapsing every
+  * ANN cell). The TPC-H star is replicated with CONSISTENT key offsets
+  * (customer/orders/lineitem/part/supplier share the per-replica shift, so
+  * every join fans linearly); region/nation are fixed dimensions and copy
+  * verbatim — each nation simply serves N× the facts, which is what a
+  * bigger warehouse looks like.
   *
-  * Usage: runMain graft.ScaleProbe <srcDir> <replicaDir> [query ...]
+  * Usage: runMain graft.ScaleProbe <srcDir> <replicaDir>
+  *          [--factor N] [--all] [query ...]
+  * `--all` sweeps EVERY SparkEntry query (the board-wide
+  * interaction-effect check); otherwise the listed queries or the default
+  * most-expensive-data-bound set run. Rows are flagged only when ratio >
+  * 2N AND the replica run is slower than 2s — a 0.05s→1.5s row is
+  * constant-dominated, not a scale term.
   */
 object ScaleProbe {
 
@@ -31,13 +41,45 @@ object ScaleProbe {
     "sim17_semantic_decon")
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleProbe <srcDir> <replicaDir> [q..]")
+    require(args.length >= 2, "usage: ScaleProbe <srcDir> <replicaDir> " +
+      "[--factor N] [--all] [q..]")
     val (src, out) = (args(0), args(1))
-    val queries = if (args.length > 2) args.drop(2).toSeq else DefaultQueries
+    var factor = 10L
+    var all = false
+    val rest = Seq.newBuilder[String]
+    var i = 2
+    while (i < args.length) {
+      args(i) match {
+        case "--factor" => factor = args(i + 1).toLong; i += 2
+        case "--all" => all = true; i += 1
+        case q => rest += q; i += 1
+      }
+    }
     val spark = GraftSession.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    synthesize(spark, src, out)
-    val results = queries.map { q =>
+    val explicit = rest.result()
+    val queries =
+      if (all) SparkEntry.queries.keys.toSeq.sorted
+      else if (explicit.nonEmpty) explicit
+      else DefaultQueries
+    synthesize(spark, src, out, factor)
+    // Pre-build the disk-cached shared substrates (dedup signatures,
+    // vector index, passage graph) for BOTH dirs before any timing:
+    // otherwise the first dd/sim/g query on the fresh replica pays the
+    // one-off stage build inside its timed run and the "scale factor"
+    // conflates build cost with the operator's data term (Bench warms
+    // the same way). Build seconds are printed, not hidden.
+    for (dir <- Seq(src, out)) {
+      val t0 = System.nanoTime()
+      try graft.operators.DedupStage(spark, dir)
+      catch { case _: Exception => }
+      try graft.operators.EmbedStage(spark, dir)
+      catch { case _: Exception => }
+      try graft.operators.PassageGraph(spark, dir)
+      catch { case _: Exception => }
+      println(f"[probe] stage build $dir: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    val results = queries.flatMap { q =>
       val fn = SparkEntry.queries(q)
       def time(dir: String): Double = {
         // one warm-up-free measured run per dir: the probe wants the
@@ -47,51 +89,105 @@ object ScaleProbe {
         spark.sharedState.cacheManager.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      val base = time(src)
-      val big = time(out)
-      val ratio = big / base
-      println(f"[probe] $q%-28s base=$base%7.2fs x10=$big%7.2fs ratio=$ratio%5.1f")
-      (q, base, big, ratio)
+      try {
+        val base = time(src)
+        val tel0 = CapTelemetry.snapshot()
+        val big = time(out)
+        // caps engaging ONLY on the replica explain a sub-linear curve:
+        // the skew valves clip pair work by design — report, don't hide
+        val telDelta = CapTelemetry.snapshot().collect {
+          case (kk, v) if v > tel0.getOrElse(kk, 0L) =>
+            s"$kk+${v - tel0.getOrElse(kk, 0L)}"
+        }
+        if (telDelta.nonEmpty)
+          println(s"[probe] $q replica cap telemetry: " +
+            telDelta.mkString(", "))
+        val ratio = big / base
+        println(f"[probe] $q%-28s base=$base%7.2fs x$factor%d=$big%7.2fs " +
+          f"ratio=$ratio%5.1f")
+        Some((q, base, big, ratio))
+      } catch {
+        case e: Exception =>
+          println(s"[probe] $q FAILED: ${e.getMessage.linesIterator.next()}")
+          None
+      }
     }
-    val bad = results.filter(_._4 > 20.0)
-    println(s"[probe] ${results.size} probed, " +
-      s"${bad.size} above the 20x super-linearity bar" +
+    val bar = 2.0 * factor
+    val bad = results.filter(r => r._4 > bar && r._3 > 2.0)
+    println(s"[probe] ${results.size} probed at ${factor}x, " +
+      s"${bad.size} above the ${bar.toInt}x super-linearity bar" +
       (if (bad.nonEmpty) ": " + bad.map(_._1).mkString(", ") else ""))
+    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
+      val json = results.map { case (q, b, g, r) =>
+        f"""  "$q": {"base": $b%.3f, "big": $g%.3f, "ratio": $r%.2f}"""
+      }.mkString("{\n \"factor\": " + factor + ",\n \"queries\": {\n",
+        ",\n", "\n }\n}")
+      val p = new java.io.PrintWriter(path); p.write(json); p.close()
+    }
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)
   }
 
-  /** Writes 10× replicas of events/documents/embeddings into `out`. */
+  /** Writes N× replicas of every fixture table into `out`. */
   private def synthesize(spark: SparkSession, src: String,
-                         out: String): Unit = {
+                         out: String, factor: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(out, "_PROBE_READY"))) return
+    val ready = new org.apache.hadoop.fs.Path(out, s"_PROBE_READY_$factor")
+    if (fs.exists(ready)) return
+    val k = factor - 1
     def reps(df: DataFrame): DataFrame =
-      df.withColumn("__k", explode(sequence(lit(0L), lit(9L))))
+      df.withColumn("__k", explode(sequence(lit(0L), lit(k))))
+    def off(c: String, step: Long) = (col(c) + col("__k") * lit(step)).as(c)
+    val B = 1000000000000L
     reps(Tables.events(spark, src))
-      .select(
-        (col("event_id") + col("__k") * lit(1000000000000L)).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("__k") * lit(1000000000L)).as("user_id"),
+      .select(off("event_id", B), col("ts"),
+        off("user_id", 1000000000L),
         col("event_type"), col("value"), col("props"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     reps(spark.read.parquet(s"$src/documents.parquet"))
-      .select(
-        (col("doc_id") + col("__k") * lit(1000000000000L)).as("doc_id"),
+      .select(off("doc_id", B),
         when(col("__k") === 0, col("text")).otherwise(
           concat_ws(" ", transform(split(col("text"), " "),
             w => concat(w, lit("_"), col("__k"))))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     reps(spark.read.parquet(s"$src/embeddings.parquet"))
-      .select(
-        (col("vec_id") + col("__k") * lit(1000000000000L)).as("vec_id"),
+      .select(off("vec_id", B),
         transform(col("embedding"),
           (x, i) => x + ((col("__k") * 37 + i) % 97).cast("float")
             * lit(1e-4f)).as("embedding"),
         col("label"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
-    fs.create(new org.apache.hadoop.fs.Path(out, "_PROBE_READY")).close()
+    // fixed dimensions: copy verbatim (each nation serves N× the facts)
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    // star tables: one shared per-replica key shift keeps every FK join
+    // linear (replica i's lineitem joins replica i's orders/part/supplier)
+    reps(spark.read.parquet(s"$src/customer.parquet"))
+      .select(off("c_custkey", B), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
+    reps(spark.read.parquet(s"$src/supplier.parquet"))
+      .select(off("s_suppkey", B), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/supplier.parquet")
+    reps(spark.read.parquet(s"$src/part.parquet"))
+      .select(off("p_partkey", B), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
+    reps(spark.read.parquet(s"$src/orders.parquet"))
+      .select(off("o_orderkey", B), off("o_custkey", B),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    reps(spark.read.parquet(s"$src/lineitem.parquet"))
+      .select(off("l_orderkey", B), off("l_partkey", B),
+        off("l_suppkey", B), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    fs.create(ready).close()
   }
 }
