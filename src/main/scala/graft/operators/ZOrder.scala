@@ -59,7 +59,18 @@ object ZOrder {
     * explicit partitioner. Balance under skew is the bucket
     * expression's responsibility (production: rank-scale via sketch
     * quantiles; here: affine — same doctrine as [[interleave]]
-    * scaling). */
+    * scaling).
+    *
+    * COST, measured not assumed: the RDD round-trip deserializes every
+    * row out of Tungsten for the exchange (the write-side encoder then
+    * re-encodes), so this path is slower than `repartitionByRange` on
+    * wide tables — the price of exact boundaries, paid once per layout
+    * write (a maintenance operation, not a query). The columnar
+    * alternative — a Catalyst `Partitioning` that hashes a precomputed
+    * pid column with an identity hash so `RepartitionByExpression`
+    * lands rows exactly — needs a custom physical rule for a
+    * maintenance-only win, so the simple exact path stays until a
+    * profile shows the layout write on the critical path. */
   def byBucket(df: DataFrame, pid: Column, n: Int): DataFrame = {
     val spark = df.sparkSession
     val withPid = df.withColumn("__pid",
