@@ -139,12 +139,24 @@ object ScaleProbe {
     def reps(df: DataFrame): DataFrame =
       df.withColumn("__k", explode(sequence(lit(0L), lit(k))))
     def off(c: String, step: Long) = (col(c) + col("__k") * lit(step)).as(c)
-    val B = 1000000000000L
-    reps(Tables.events(spark, src))
-      .select(off("event_id", B), col("ts"),
-        off("user_id", 1000000000L),
+    // id offsets are CONTIGUOUS (step = max+1 per key domain, shared by
+    // both sides of every FK), not sparse 1e12 islands: affine layout
+    // operators (z-order bucketing) assume ids roughly fill their range,
+    // and a replica that scatters 10 islands across an empty 1e13 span
+    // tests id-space pathology, not data scale. One step per key domain
+    // keeps FK joins consistent (customer/orders share the custkey step).
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+    val evSrc = Tables.events(spark, src)
+    val (evStep, userStep) =
+      (maxOf(evSrc, "event_id"), maxOf(evSrc, "user_id"))
+    reps(evSrc)
+      .select(off("event_id", evStep), col("ts"),
+        off("user_id", userStep),
         col("event_type"), col("value"), col("props"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    val B = maxOf(spark.read.parquet(s"$src/documents.parquet"), "doc_id")
+      .max(maxOf(spark.read.parquet(s"$src/embeddings.parquet"), "vec_id"))
     reps(spark.read.parquet(s"$src/documents.parquet"))
       .select(off("doc_id", B),
         when(col("__k") === 0, col("text")).otherwise(
@@ -165,26 +177,34 @@ object ScaleProbe {
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
     // star tables: one shared per-replica key shift keeps every FK join
     // linear (replica i's lineitem joins replica i's orders/part/supplier)
+    val custStep = maxOf(spark.read.parquet(s"$src/customer.parquet"),
+      "c_custkey")
+    val suppStep = maxOf(spark.read.parquet(s"$src/supplier.parquet"),
+      "s_suppkey")
+    val partStep = maxOf(spark.read.parquet(s"$src/part.parquet"),
+      "p_partkey")
+    val orderStep = maxOf(spark.read.parquet(s"$src/orders.parquet"),
+      "o_orderkey")
     reps(spark.read.parquet(s"$src/customer.parquet"))
-      .select(off("c_custkey", B), col("c_name"), col("c_nationkey"),
+      .select(off("c_custkey", custStep), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
     reps(spark.read.parquet(s"$src/supplier.parquet"))
-      .select(off("s_suppkey", B), col("s_name"), col("s_nationkey"),
+      .select(off("s_suppkey", suppStep), col("s_name"), col("s_nationkey"),
         col("s_acctbal"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/supplier.parquet")
     reps(spark.read.parquet(s"$src/part.parquet"))
-      .select(off("p_partkey", B), col("p_name"), col("p_brand"),
+      .select(off("p_partkey", partStep), col("p_name"), col("p_brand"),
         col("p_type"), col("p_size"), col("p_retailprice"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
     reps(spark.read.parquet(s"$src/orders.parquet"))
-      .select(off("o_orderkey", B), off("o_custkey", B),
+      .select(off("o_orderkey", orderStep), off("o_custkey", custStep),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
     reps(spark.read.parquet(s"$src/lineitem.parquet"))
-      .select(off("l_orderkey", B), off("l_partkey", B),
-        off("l_suppkey", B), col("l_linenumber"), col("l_quantity"),
+      .select(off("l_orderkey", orderStep), off("l_partkey", partStep),
+        off("l_suppkey", suppStep), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
