@@ -135,8 +135,17 @@ object GroupTopKRewrite {
     * drop-a-row_number-rank shape (`filter rn <= k` over a single
     * row_number window, rank column absent from the output), not just
     * the reserved [[GroupTopK.Marker]] — turning the showcase operator
-    * into engine behavior for any user query of that shape. Default
-    * off: the marker opt-in remains the conservative doctrine. */
+    * into engine behavior for any user query of that shape.
+    *
+    * Default OFF after a full soak (round 9,
+    * `BENCH_r09_grouptopk_soak.json`): with the flag on the whole board
+    * verifies clean (280/280) and every plan pin holds, but the 13
+    * affected rows ran a systematic ~1.23× SLOWER at fixture scale —
+    * the partial/final heap exec pair breaks whole-stage codegen, and a
+    * codegen'd sort-based window wins whenever the per-group data fits
+    * memory. The heap's O(groups×k) memory bound pays off exactly when
+    * that stops being true (huge groups × small k, where the sort
+    * spills), which is when a user opts in via the `topK()` marker. */
   val GenericKey = "spark.graft.groupTopK.rewriteGeneric"
 }
 
