@@ -719,15 +719,28 @@ object Plans {
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         !p.contains("CartesianProduct")
     }
-    // mlprep_tree: the corpus is aggregated ONCE into the cached grid —
-    // every level's references read InMemoryTableScan, never the data
-    // ("Scan parquet" strings in the plan text appear only INSIDE the
-    // IMTS descriptions, so the pin is scans == cache reads)
-    check("mlprep_tree: levels read the cached grid, joins broadcast") {
+    // mlprep_tree: the whole depth-3 search is the tree_fit3 typed
+    // aggregate over ONE scan — no window stages, no level joins, no
+    // cache (round 9's fusion; the old shape was ~a dozen tiny stages)
+    check("mlprep_tree: one scan into the tree_fit3 aggregate, no joins") {
       val p = planOf("mlprep_tree")
-      val imts = "InMemoryTableScan".r.findAllIn(p).length
-      imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
-        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      p.contains("tree_fit3") &&
+        "Scan parquet".r.findAllIn(p).length == 1 &&
+        !p.contains("Window") && !p.contains("Join")
+    }
+    // mlprep_importance: same aggregate; the normalizer join reads the
+    // cached groups-sized imps frame, so the corpus aggregation chain
+    // (partial_tree_fit3) appears exactly once — raw scan-string counts
+    // are unreliable here because the IMTS description re-prints the
+    // shared cached subtree
+    // (plan.toString re-prints the shared cached subtree under every
+    // IMTS reference, so exact chain counts are not assertable here —
+    // the cache's existence + the absence of window/SMJ stages is the
+    // robust textual form of "one corpus aggregation")
+    check("mlprep_importance: tree_fit3 into a cached normalizer") {
+      val p = planOf("mlprep_importance")
+      p.contains("tree_fit3") && p.contains("InMemoryTableScan") &&
+        !p.contains("Window") && !p.contains("SortMergeJoin")
     }
     // mlprep_sweep: the λ-grid cross join is STATS-sized (broadcast
     // nested loop over the cached moment table); every branch reads the

@@ -95,6 +95,8 @@ class GraftExtensions
       TrainerNative.sigmoidInfo, TrainerNative.sigmoidBuilder))
     ext.injectFunction((TrainerNative.powerIdent,
       TrainerNative.powerInfo, TrainerNative.powerBuilder))
+    ext.injectFunction((TreeFitNative.ident, TreeFitNative.info,
+      TreeFitNative.builder))
     // native HLL register aggregate (TypedImperativeAggregate tier)
     ext.injectFunction((
       FunctionIdentifier("hll_sketch_agg"),

@@ -2419,70 +2419,26 @@ object MlPrepQueries {
            |FROM tree""".stripMargin
       },
       (s, d) => {
+        // the whole depth-3 search is ONE typed aggregate over the cell
+        // grid (functions/TreeFitNative.TreeFit3) — identical IEEE
+        // split arithmetic to the original three-level window/broadcast
+        // formulation (which the oracle still runs as unrolled CTEs;
+        // unchanged hashes prove the identity), but two exec stages
+        // instead of ~a dozen tiny window/join stages per invocation
         val grid = Tables.events(s, d).select(col("event_type"),
             hour(col("ts")).cast("long").as("x1"),
             dayofweek(col("ts")).cast("long").as("x2"),
             when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
           .groupBy("event_type", "x1", "x2")
           .agg(count(lit(1)).as("n"), sum("y").as("yc"))
-          .persist() // one data-sized pass; 3 histogram levels re-read it
-        var asg = grid.withColumn("node", lit(0L))
-        val splitRows = Seq.newBuilder[DataFrame]
-        for (lvl <- 0 until 3) {
-          val m = asg.select(col("event_type"), col("node"),
-              lit(1L).as("feat"), col("x1").as("v"), col("n"), col("yc"))
-            .unionByName(asg.select(col("event_type"), col("node"),
-              lit(2L).as("feat"), col("x2").as("v"), col("n"), col("yc")))
-            .groupBy("event_type", "node", "feat", "v")
-            .agg(sum("n").as("n"), sum("yc").as("pos"))
-          val wc = Window.partitionBy("event_type", "node", "feat")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val wt = Window.partitionBy("event_type", "node", "feat")
-          val c = m
-            .withColumn("nl", sum("n").over(wc))
-            .withColumn("posl", sum("pos").over(wc))
-            .withColumn("ntot", sum("n").over(wt))
-            .withColumn("postot", sum("pos").over(wt))
-            .withColumn("vmax", max("v").over(wt))
-          val sCand = c.filter(col("v") < col("vmax"))
-            .select(col("event_type"), col("node"), col("feat"),
-              col("v").as("thr"), col("ntot"), col("postot"),
-              col("nl"), col("posl"),
-              (col("ntot") - col("nl")).as("nr"),
-              (col("postot") - col("posl")).as("posr"))
-          def half(n: Column, p: Column): Column =
-            n.cast("double") -
-              ((p * p).cast("double") + ((n - p) * (n - p)).cast("double")) /
-                n.cast("double")
-          val g = sCand.withColumn("score",
-            half(col("nl"), col("posl")) + half(col("nr"), col("posr")))
-          val b = g.withColumn("rn", row_number().over(
-              Window.partitionBy("event_type", "node")
-                .orderBy(col("score"), col("feat"), col("thr"))))
-            .filter(col("rn") === 1).drop("rn")
-          splitRows += b.select(col("event_type"), lit(lvl.toLong).as("level"),
-            col("node"), col("feat"), col("thr"),
-            col("ntot").as("n"), col("postot").as("pos"))
-          val bb = broadcast(b.select(col("event_type"), col("node"),
-            col("feat"), col("thr")))
-          asg = asg.join(bb, Seq("event_type", "node"), "left")
-            .select(col("event_type"), col("x1"), col("x2"), col("n"),
-              col("yc"),
-              when(col("feat").isNull, col("node") * 2)
-                .when(when(col("feat") === 1, col("x1"))
-                  .otherwise(col("x2")) <= col("thr"), col("node") * 2)
-                .otherwise(col("node") * 2 + 1).as("node"))
-        }
-        val leaves = asg.groupBy("event_type", "node")
-          .agg(sum("n").as("n"), sum("yc").as("pos"))
-          .select(col("event_type"), lit(3L).as("level"), col("node"),
-            lit(null).cast("long").as("feat"),
-            lit(null).cast("long").as("thr"), col("n"), col("pos"))
-        (splitRows.result() :+ leaves).reduce(_ unionByName _)
-          .select(col("event_type"), col("level"), col("node"), col("feat"),
-            col("thr"), col("n"), col("pos"),
-            (col("pos").cast("double") / col("n").cast("double"))
+        grid.groupBy("event_type")
+          .agg(expr("tree_fit3(x1, x2, n, yc)").as("t"))
+          .select(col("event_type"), explode(col("t")).as("r"))
+          .select(col("event_type"), col("r.level").as("level"),
+            col("r.node").as("node"), col("r.feat").as("feat"),
+            col("r.thr").as("thr"), col("r.n").as("n"),
+            col("r.pos").as("pos"),
+            (col("r.pos").cast("double") / col("r.n").cast("double"))
               .as("pred"))
       }),
 
@@ -3799,69 +3755,32 @@ object MlPrepQueries {
           .stripMargin
       },
       (s, d) => {
+        // same tree_fit3 aggregate as mlprep_tree: split rows carry the
+        // node totals and the winning candidate's score, so the MDI
+        // numerator parent_gini − score derives from the struct fields
+        // through the identical IEEE tree the windowed formulation used
         val grid = Tables.events(s, d).select(col("event_type"),
             hour(col("ts")).cast("long").as("x1"),
             dayofweek(col("ts")).cast("long").as("x2"),
             when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
           .groupBy("event_type", "x1", "x2")
           .agg(count(lit(1)).as("n"), sum("y").as("yc"))
-          .persist()
-        var asg = grid.withColumn("node", lit(0L))
-        val picks = Seq.newBuilder[DataFrame]
-        for (_ <- 0 until 3) {
-          val m = asg.select(col("event_type"), col("node"),
-              lit(1L).as("feat"), col("x1").as("v"), col("n"), col("yc"))
-            .unionByName(asg.select(col("event_type"), col("node"),
-              lit(2L).as("feat"), col("x2").as("v"), col("n"), col("yc")))
-            .groupBy("event_type", "node", "feat", "v")
-            .agg(sum("n").as("n"), sum("yc").as("pos"))
-          val wc = Window.partitionBy("event_type", "node", "feat")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val wt = Window.partitionBy("event_type", "node", "feat")
-          val c = m
-            .withColumn("nl", sum("n").over(wc))
-            .withColumn("posl", sum("pos").over(wc))
-            .withColumn("ntot", sum("n").over(wt))
-            .withColumn("postot", sum("pos").over(wt))
-            .withColumn("vmax", max("v").over(wt))
-          val sCand = c.filter(col("v") < col("vmax"))
-            .select(col("event_type"), col("node"), col("feat"),
-              col("v").as("thr"), col("ntot"), col("postot"),
-              col("nl"), col("posl"),
-              (col("ntot") - col("nl")).as("nr"),
-              (col("postot") - col("posl")).as("posr"))
-          def half(n: Column, p: Column): Column =
-            n.cast("double") -
-              ((p * p).cast("double") + ((n - p) * (n - p)).cast("double")) /
-                n.cast("double")
-          val g = sCand.withColumn("score",
-            half(col("nl"), col("posl")) + half(col("nr"), col("posr")))
-          val b = g.withColumn("rn", row_number().over(
-              Window.partitionBy("event_type", "node")
-                .orderBy(col("score"), col("feat"), col("thr"))))
-            .filter(col("rn") === 1).drop("rn")
-          picks += b
-          val bb = broadcast(b.select(col("event_type"), col("node"),
-            col("feat").as("bfeat"), col("thr").as("bthr")))
-          asg = asg.join(bb, Seq("event_type", "node"), "left")
-            .select(col("event_type"), col("x1"), col("x2"), col("n"),
-              col("yc"),
-              when(col("bfeat").isNull, col("node") * 2)
-                .when(when(col("bfeat") === 1, col("x1"))
-                  .otherwise(col("x2")) <= col("bthr"), col("node") * 2)
-                .otherwise(col("node") * 2 + 1).as("node"))
-        }
         def halfP(n: Column, p: Column): Column =
           n.cast("double") -
             ((p * p).cast("double") + ((n - p) * (n - p)).cast("double")) /
               n.cast("double")
-        val splits = picks.result().reduce(_ unionByName _)
-          .select(col("event_type"), col("feat"),
-            floor((halfP(col("ntot"), col("postot")) - col("score"))
+        val splits = grid.groupBy("event_type")
+          .agg(expr("tree_fit3(x1, x2, n, yc)").as("t"))
+          .select(col("event_type"), explode(col("t")).as("r"))
+          .filter(col("r.level") < 3)
+          .select(col("event_type"), col("r.feat").as("feat"),
+            floor((halfP(col("r.n"), col("r.pos")) - col("r.score"))
               * lit(1e6) + lit(0.5)).cast("long").as("decq"))
         val imps = splits.groupBy("event_type", "feat")
           .agg(count(lit(1)).as("n_splits"), sum("decq").as("dec"))
+          .persist() // groups×2 rows; the normalizer and the output
+                     // join both read it — without the cache each
+                     // branch re-runs the corpus scan + tree aggregate
         val tot = imps.groupBy("event_type").agg(sum("dec").as("t"))
         imps.join(broadcast(tot), "event_type")
           .select(col("event_type"), col("feat"), col("n_splits"),
