@@ -711,13 +711,21 @@ object Plans {
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
         "SortMergeJoin".r.findAllIn(p).length <= 1
     }
-    // mlprep_logit: every per-iteration coefficient join is a BROADCAST
-    // of the |groups|-row β frame — a shuffle join would mean the grid
-    // is being exchanged per Newton step
-    check("mlprep_logit: broadcast-only iteration joins, no cartesian") {
+    // mlprep_logit: the whole IRLS fit is the logit_fit4 typed
+    // aggregate over ONE scan — no per-step joins or windows at all
+    // (round 9's fusion; before that, β-frame broadcasts per step)
+    check("mlprep_logit: one scan into the logit_fit4 aggregate") {
       val p = planOf("mlprep_logit")
-      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
-        !p.contains("CartesianProduct")
+      p.contains("logit_fit4") &&
+        "Scan parquet".r.findAllIn(p).length == 1 &&
+        !p.contains("Window") && !p.contains("Join")
+    }
+    // mlprep_gbt: all four boosting rounds inside gbt_fit4 — same shape
+    check("mlprep_gbt: one scan into the gbt_fit4 aggregate") {
+      val p = planOf("mlprep_gbt")
+      p.contains("gbt_fit4") &&
+        "Scan parquet".r.findAllIn(p).length == 1 &&
+        !p.contains("Window") && !p.contains("Join")
     }
     // mlprep_tree: the whole depth-3 search is the tree_fit3 typed
     // aggregate over ONE scan — no window stages, no level joins, no

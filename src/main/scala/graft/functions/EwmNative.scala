@@ -97,6 +97,10 @@ class GraftExtensions
       TrainerNative.powerInfo, TrainerNative.powerBuilder))
     ext.injectFunction((TreeFitNative.ident, TreeFitNative.info,
       TreeFitNative.builder))
+    ext.injectFunction((GbtFitNative.ident, GbtFitNative.info,
+      GbtFitNative.builder))
+    ext.injectFunction((LogitFitNative.ident, LogitFitNative.info,
+      LogitFitNative.builder))
     // native HLL register aggregate (TypedImperativeAggregate tier)
     ext.injectFunction((
       FunctionIdentifier("hll_sketch_agg"),

@@ -2198,109 +2198,24 @@ object MlPrepQueries {
            |FROM a JOIN b4 b ON a.event_type = b.event_type""".stripMargin
       },
       (s, d) => {
-        def det3(a1: Column, a2: Column, a3: Column,
-                 b1: Column, b2: Column, b3: Column,
-                 c1: Column, c2: Column, c3: Column): Column =
-          a1 * (b2 * c3 - b3 * c2) -
-          a2 * (b1 * c3 - b3 * c1) +
-          a3 * (b1 * c2 - b2 * c1)
-        // the deterministic sigmoid: 1/(1+(1−z/65536)^65536) by 16
-        // squarings — IEEE-exact ops only, one tree on both engines.
-        // Evaluated as ONE native expression (functions/TrainerNative:
-        // same operation sequence, bit-identical result) instead of the
-        // original 16-projection chain: Catalyst re-analyzed that chain
-        // on every invocation, which dominated the trainer rows' wall
-        // time (planning, not data — the 10× probe ran flat). The
-        // DuckDB oracle keeps its 16 chained CTEs; unchanged hashes
-        // prove the arithmetic identity.
-        def withSigmoid(df: DataFrame, z: Column): DataFrame =
-          df.withColumn("p", call_function("sigmoid_r16", z))
+        // all four IRLS steps + the tie-correct train AUC run inside
+        // ONE typed aggregate (functions/LogitFitNative.LogitFit4) over
+        // the cell grid — identical IEEE step arithmetic to the
+        // original per-step moment/Cramer projection formulation (the
+        // oracle still runs it as unrolled CTEs; unchanged hashes prove
+        // the identity), two exec stages total
         val grid = Tables.events(s, d).select(col("event_type"),
             hour(col("ts")).cast("long").as("x1"),
             dayofweek(col("ts")).cast("long").as("x2"),
             when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
           .groupBy("event_type", "x1", "x2")
           .agg(count(lit(1)).as("n"), sum("y").as("yc"))
-          .persist() // one data-sized pass; 4 Newton steps + scoring
-                     // re-read the ≤168-cells-per-group grid
-        val beta0 = grid.select(col("event_type")).distinct()
-          .select(col("event_type"), lit(0.0).as("c0"), lit(0.0).as("c1"),
-            lit(0.0).as("c2"))
-        val beta4 = (0 until 4).foldLeft(beta0) { (beta, _) =>
-          val j = grid.join(broadcast(beta), "event_type")
-          val withP = withSigmoid(j,
-            col("c0") + col("c1") * col("x1").cast("double")
-              + col("c2") * col("x2").cast("double"))
-          val q = withP.select(col("event_type"), col("x1"), col("x2"),
-            col("n"), col("yc"), col("c0"), col("c1"), col("c2"),
-            floor(col("p") * lit(1e9)).cast("long").as("pq"),
-            floor(((col("n").cast("double") * col("p"))
-              * (lit(1.0) - col("p"))) * lit(1e9)).cast("long").as("wq"))
-          val gterm = col("yc") * lit(1000000000L) - col("n") * col("pq")
-          val sums = q.groupBy("event_type").agg(
-            min("c0").as("c0"), min("c1").as("c1"), min("c2").as("c2"),
-            sum(gterm).as("ig0"),
-            sum(col("x1") * gterm).as("ig1"),
-            sum(col("x2") * gterm).as("ig2"),
-            sum(col("wq")).as("ih00"),
-            sum(col("wq") * col("x1")).as("ih01"),
-            sum(col("wq") * col("x2")).as("ih02"),
-            sum(col("wq") * col("x1") * col("x1")).as("ih11"),
-            sum(col("wq") * col("x1") * col("x2")).as("ih12"),
-            sum(col("wq") * col("x2") * col("x2")).as("ih22"))
-          def u(c: String) = col(c).cast("double") / lit(1e9)
-          val dd = sums.select(col("event_type"),
-            col("c0"), col("c1"), col("c2"),
-            u("ig0").as("g0"), u("ig1").as("g1"), u("ig2").as("g2"),
-            u("ih00").as("h00"), u("ih01").as("h01"), u("ih02").as("h02"),
-            u("ih11").as("h11"), u("ih12").as("h12"), u("ih22").as("h22"))
-          val det = det3(col("h00"), col("h01"), col("h02"),
-            col("h01"), col("h11"), col("h12"),
-            col("h02"), col("h12"), col("h22"))
-          val d0 = det3(col("g0"), col("h01"), col("h02"),
-            col("g1"), col("h11"), col("h12"),
-            col("g2"), col("h12"), col("h22"))
-          val d1 = det3(col("h00"), col("g0"), col("h02"),
-            col("h01"), col("g1"), col("h12"),
-            col("h02"), col("g2"), col("h22"))
-          val d2 = det3(col("h00"), col("h01"), col("g0"),
-            col("h01"), col("h11"), col("g1"),
-            col("h02"), col("h12"), col("g2"))
-          dd.select(col("event_type"),
-            (col("c0") + d0 / det).as("c0"),
-            (col("c1") + d1 / det).as("c1"),
-            (col("c2") + d2 / det).as("c2"))
-        }
-        val score = grid.join(broadcast(beta4), "event_type")
-          .select(col("event_type"), col("x1"), col("x2"), col("n"),
-            col("yc"),
-            (col("c0") + col("c1") * col("x1").cast("double")
-              + col("c2") * col("x2").cast("double")).as("z"))
-        // tie-correct AUC: histogram by the score value before the
-        // rank-sum (integer grid points can share z under collinear
-        // coefficients); pos·(2·cumneg + neg) over the score histogram
-        // is exact Mann-Whitney with 0.5-credit ties. `+ 0.0` folds a
-        // possible -0.0 into +0.0 on both engines before grouping.
-        val hh = score.groupBy(col("event_type"),
-            (col("z") + lit(0.0)).as("zk"))
-          .agg(sum("n").as("n"), sum("yc").as("pos"),
-            sum(col("n") - col("yc")).as("neg"))
-        val w = Window.partitionBy("event_type").orderBy(col("zk"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val r = hh.withColumn("cumneg",
-          coalesce(sum(col("neg")).over(w), lit(0L)))
-        val a = r.groupBy("event_type").agg(
-          sum("n").as("n"), sum("pos").as("np"), sum("neg").as("nn"),
-          sum(col("pos") * (lit(2L) * col("cumneg") + col("neg")))
-            .as("num2"))
-        def q9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
-        a.join(broadcast(beta4), "event_type")
-          .select(col("event_type"), col("n"),
-            q9(col("c0")).as("b0_q"), q9(col("c1")).as("b1_q"),
-            q9(col("c2")).as("b2_q"),
-            (col("num2").cast("double") /
-              nullif(lit(2L) * col("np") * col("nn"), lit(0L))
-                .cast("double")).as("auc_train"))
+        grid.groupBy("event_type")
+          .agg(expr("logit_fit4(x1, x2, n, yc)").as("r"))
+          .select(col("event_type"), col("r.n").as("n"),
+            col("r.b0_q").as("b0_q"), col("r.b1_q").as("b1_q"),
+            col("r.b2_q").as("b2_q"),
+            col("r.auc_train").as("auc_train"))
       }),
 
     // DISTRIBUTED DECISION TREE — the reference's tree family
@@ -3029,105 +2944,27 @@ object MlPrepQueries {
           .stripMargin
       },
       (s, d) => {
-        // the mlprep_logit native sigmoid (one expression, bit-identical
-        // to the unrolled 16-squaring chain the oracle still uses)
-        def withSigmoid(df: DataFrame, z: Column): DataFrame =
-          df.withColumn("p", call_function("sigmoid_r16", z))
+        // all four boosting rounds run inside ONE typed aggregate
+        // (functions/GbtFitNative.GbtFit4) over the cell grid —
+        // identical IEEE round arithmetic to the original per-round
+        // projection/window/persist formulation (which the oracle still
+        // runs as unrolled CTEs; unchanged hashes prove the identity),
+        // but two exec stages instead of 4x a multi-stage chain
         val grid = Tables.events(s, d).select(col("event_type"),
             hour(col("ts")).cast("long").as("x1"),
             dayofweek(col("ts")).cast("long").as("x2"),
             when(col("value") >= 100.0, 1L).otherwise(0L).as("y"))
           .groupBy("event_type", "x1", "x2")
           .agg(count(lit(1)).as("n"), sum("y").as("yc"))
-          .persist() // one corpus pass; K boosting rounds re-read cells
-        var fcur = grid.withColumn("f", lit(0.0))
-        val outRows = Seq.newBuilder[DataFrame]
-        for (k <- 0 until 4) {
-          val withP = withSigmoid(fcur, col("f"))
-          val q = withP.select(col("event_type"), col("x1"), col("x2"),
-            col("n"), col("yc"), col("f"),
-            (col("n") * floor(col("p") * lit(1e9)).cast("long")
-              - col("yc") * lit(1000000000L)).as("gq"),
-            floor(((col("n").cast("double") * col("p"))
-              * (lit(1.0) - col("p"))) * lit(1e9)).cast("long").as("hq"))
-          val m = q.select(col("event_type"), lit(1L).as("feat"),
-              col("x1").as("v"), col("gq"), col("hq"))
-            .unionByName(q.select(col("event_type"), lit(2L).as("feat"),
-              col("x2").as("v"), col("gq"), col("hq")))
-            .groupBy("event_type", "feat", "v")
-            .agg(sum("gq").as("sg"), sum("hq").as("sh"))
-          val wc = Window.partitionBy("event_type", "feat").orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val wt = Window.partitionBy("event_type", "feat")
-          val c = m.withColumn("sgl", sum("sg").over(wc))
-            .withColumn("shl", sum("sh").over(wc))
-            .withColumn("sgt", sum("sg").over(wt))
-            .withColumn("sht", sum("sh").over(wt))
-            .withColumn("vmax", max("v").over(wt))
-          val sCand = c.filter(col("v") < col("vmax")).select(
-            col("event_type"), col("feat"), col("v").as("thr"),
-            (col("sgl").cast("double") / lit(1e9)).as("gl"),
-            (col("shl").cast("double") / lit(1e9)).as("hl"),
-            ((col("sgt") - col("sgl")).cast("double") / lit(1e9)).as("gr"),
-            ((col("sht") - col("shl")).cast("double") / lit(1e9)).as("hr"),
-            (col("sgt").cast("double") / lit(1e9)).as("gt"),
-            (col("sht").cast("double") / lit(1e9)).as("ht"))
-          val g = sCand.withColumn("gain",
-              col("gl") * col("gl") / (col("hl") + lit(1.0))
-                + col("gr") * col("gr") / (col("hr") + lit(1.0))
-                - col("gt") * col("gt") / (col("ht") + lit(1.0)))
-            .withColumn("dl", -col("gl") / (col("hl") + lit(1.0)))
-            .withColumn("dr", -col("gr") / (col("hr") + lit(1.0)))
-          val b = g.withColumn("rn", row_number().over(
-              Window.partitionBy("event_type")
-                .orderBy(col("gain").desc, col("feat"), col("thr"))))
-            .filter(col("rn") === 1).drop("rn")
-          val bb = broadcast(b.select(col("event_type"),
-            col("feat").as("bfeat"), col("thr"), col("dl"), col("dr")))
-          val fnext = fcur.join(bb, Seq("event_type"), "left")
-            .select(col("event_type"), col("x1"), col("x2"), col("n"),
-              col("yc"),
-              (col("f") + when(col("bfeat").isNull, lit(0.0))
-                .when(when(col("bfeat") === 1, col("x1"))
-                  .otherwise(col("x2")) <= col("thr"),
-                  lit(0.5) * col("dl"))
-                .otherwise(lit(0.5) * col("dr"))).as("f"))
-            // cells-sized cache per round: truncates the effective
-            // lineage so round k's split search, AUC branch, and output
-            // branch all bottom out at one InMemoryRelation instead of
-            // re-deriving rounds 0..k-1 (whose nested broadcast subtrees
-            // otherwise re-execute per referencing branch)
-            .persist()
-          // tie-correct AUC: re-aggregate the cell grid by the SCORE
-          // value first (stump scores take ≤2^(k+1) distinct values, so
-          // cross-cell ties dominate), then the tied-block rank-sum
-          // algebra pos·(2·cumneg + neg) is exact Mann-Whitney with
-          // 0.5-credit ties — same shape as mlprep_eval_report. The
-          // `+ 0.0` normalizes any -0.0 score to +0.0 on BOTH engines
-          // before it becomes a group key.
-          val h = fnext.groupBy(col("event_type"),
-              (col("f") + lit(0.0)).as("fk"))
-            .agg(sum("yc").as("pos"), sum(col("n") - col("yc")).as("neg"))
-          val wr = Window.partitionBy("event_type").orderBy(col("fk"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-          val r = h.withColumn("cumneg",
-            coalesce(sum(col("neg")).over(wr), lit(0L)))
-          val a = r.groupBy("event_type").agg(
-            sum("pos").as("np"), sum("neg").as("nn"),
-            sum(col("pos") * (lit(2L) * col("cumneg") + col("neg")))
-              .as("num2"))
-          def q9(cc: Column) = floor(cc * lit(1e9) + lit(0.5)).cast("long")
-          outRows += b.join(a, "event_type").select(col("event_type"),
-            lit(k.toLong).as("round"), col("feat"), col("thr"),
-            q9(col("dl")).as("delta_l_q"), q9(col("dr")).as("delta_r_q"),
-            floor(col("gain") * lit(1e6) + lit(0.5)).cast("long")
-              .as("gain_q"),
-            (col("num2").cast("double") /
-              nullif(lit(2L) * col("np") * col("nn"), lit(0L))
-                .cast("double")).as("auc_train"))
-          fcur = fnext
-        }
-        outRows.result().reduce(_ unionByName _)
+        grid.groupBy("event_type")
+          .agg(expr("gbt_fit4(x1, x2, n, yc)").as("t"))
+          .select(col("event_type"), explode(col("t")).as("r"))
+          .select(col("event_type"), col("r.round").as("round"),
+            col("r.feat").as("feat"), col("r.thr").as("thr"),
+            col("r.delta_l_q").as("delta_l_q"),
+            col("r.delta_r_q").as("delta_r_q"),
+            col("r.gain_q").as("gain_q"),
+            col("r.auc_train").as("auc_train"))
       }),
 
     // DISTRIBUTED RANDOM FOREST — the reference's ensemble family
