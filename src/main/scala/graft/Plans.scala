@@ -759,13 +759,14 @@ object Plans {
       imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
         !p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
     }
-    // mlprep_forest: the 8-tree fan-out happens INSIDE the one cached
-    // scan's map-side (Generate over the scan), histogram joins broadcast
-    check("mlprep_forest: one cached fan-out scan, broadcast-only joins") {
+    // mlprep_forest: the 8-tree fan-out stays map-side (Generate over
+    // the one scan into the grid), and everything after the grid is the
+    // forest_fit8 aggregate — no joins, no windows, no cache
+    check("mlprep_forest: one fan-out scan into forest_fit8, no joins") {
       val p = planOf("mlprep_forest")
-      val imts = "InMemoryTableScan".r.findAllIn(p).length
-      imts > 0 && "Scan parquet".r.findAllIn(p).length == imts &&
-        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      p.contains("forest_fit8") && p.contains("Generate") &&
+        "Scan parquet".r.findAllIn(p).length == 1 &&
+        !p.contains("Window") && !p.contains("Join")
     }
     // sql4: the parser-tier ASOF sugar must lower to the union+ffill
     // window plan — a Window over one hash exchange — and NEVER a range

@@ -101,6 +101,8 @@ class GraftExtensions
       GbtFitNative.builder))
     ext.injectFunction((LogitFitNative.ident, LogitFitNative.info,
       LogitFitNative.builder))
+    ext.injectFunction((ForestFitNative.ident, ForestFitNative.info,
+      ForestFitNative.builder))
     // native HLL register aggregate (TypedImperativeAggregate tier)
     ext.injectFunction((
       FunctionIdentifier("hll_sketch_agg"),

@@ -3127,6 +3127,14 @@ object MlPrepQueries {
       },
       (s, d) => {
         import graft.operators.TextOps.hash32
+        // the 8-way bagged fan-out and the deterministic hash bootstrap
+        // stay data-sized work in the grid build (one map-side-combined
+        // scan); everything after the grid — per-tree stump search, OOB
+        // AUC, ensemble AUC — runs inside ONE typed aggregate
+        // (functions/ForestFitNative.ForestFit8) replaying the identical
+        // IEEE arithmetic of the original window/join formulation (the
+        // oracle still runs it as unrolled CTEs; unchanged hashes prove
+        // the identity)
         val f = Tables.events(s, d)
           .select(col("event_type"), col("event_id"), col("ts"),
             col("value"))
@@ -3148,94 +3156,21 @@ object MlPrepQueries {
             sum(when(col("w") === 0, 1L).otherwise(0L)).as("c0"),
             sum(when(col("w") === 0, col("y")).otherwise(0L)).as("p0"),
             count(lit(1)).as("cnt"), sum("y").as("cy"))
-          .persist() // one fan-out scan; split search, OOB, and the
-                     // ensemble all re-read the 8×-grid histogram
         val featOf = (hash32(concat(lit("rf:f:"),
           col("tree").cast("string"))) % 2 + 1)
-        val gv = grid.withColumn("feat", featOf.cast("long"))
-          .withColumn("v", when(col("feat") === 1, col("x1"))
-            .otherwise(col("x2")))
-        val m = gv.groupBy("event_type", "tree", "feat", "v")
-          .agg(sum("wn").as("n"), sum("wy").as("pos"))
-        val wc = Window.partitionBy("event_type", "tree").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wt = Window.partitionBy("event_type", "tree")
-        val c = m.withColumn("nl", sum("n").over(wc))
-          .withColumn("posl", sum("pos").over(wc))
-          .withColumn("ntot", sum("n").over(wt))
-          .withColumn("postot", sum("pos").over(wt))
-          .withColumn("vmax", max("v").over(wt))
-        val sCand = c.filter(col("v") < col("vmax") && col("nl") > 0 &&
-            col("ntot") - col("nl") > 0)
-          .select(col("event_type"), col("tree"), col("feat"),
-            col("v").as("thr"), col("ntot"), col("postot"),
-            col("nl"), col("posl"),
-            (col("ntot") - col("nl")).as("nr"),
-            (col("postot") - col("posl")).as("posr"))
-        def half(n: Column, p: Column): Column =
-          n.cast("double") -
-            ((p * p).cast("double") + ((n - p) * (n - p)).cast("double")) /
-              n.cast("double")
-        val g = sCand.withColumn("score",
-          half(col("nl"), col("posl")) + half(col("nr"), col("posr")))
-        val b = g.withColumn("rn", row_number().over(
-            Window.partitionBy("event_type", "tree")
-              .orderBy(col("score"), col("thr"))))
-          .filter(col("rn") === 1).drop("rn")
-        def rate9(p: Column, n: Column) =
-          floor(p.cast("double") / n.cast("double") * lit(1e9)).cast("long")
-        val pk = b.select(col("event_type"), col("tree"), col("feat"),
-          col("thr"), col("ntot").as("wn_inbag"),
-          col("postot").as("wpos_inbag"),
-          rate9(col("posl"), col("nl")).as("pred_l_q"),
-          rate9(col("posr"), col("nr")).as("pred_r_q"))
-        val sc = grid.join(broadcast(pk), Seq("event_type", "tree"))
-          .select(col("event_type"), col("tree"), col("x1"), col("x2"),
-            col("c0"), col("p0"), col("cnt"), col("cy"),
-            when(when(col("feat") === 1, col("x1")).otherwise(col("x2"))
-              <= col("thr"), col("pred_l_q")).otherwise(col("pred_r_q"))
-              .as("score_q"))
-        // tie-correct OOB AUC: a stump emits only two score values, so
-        // cross-cell ties dominate — histogram by score_q FIRST, then
-        // the tied-block rank-sum pos·(2·cumneg + neg) is exact
-        // Mann-Whitney with 0.5-credit ties (mlprep_eval_report's algebra)
-        val sh = sc.groupBy("event_type", "tree", "score_q")
-          .agg(sum("p0").as("pos"), sum(col("c0") - col("p0")).as("neg"))
-        val wo = Window.partitionBy("event_type", "tree")
-          .orderBy(col("score_q"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val ro = sh.withColumn("cumneg",
-          coalesce(sum(col("neg")).over(wo), lit(0L)))
-        val oob = ro.groupBy("event_type", "tree").agg(
-          sum("pos").as("np"), sum("neg").as("nn"),
-          sum(col("pos") * (lit(2L) * col("cumneg") + col("neg")))
-            .as("num2"))
-        val ens0 = sc.groupBy("event_type", "x1", "x2")
-          .agg(sum("score_q").as("ens_q"))
-        val base = grid.filter(col("tree") === 0)
-          .select(col("event_type"), col("x1"), col("x2"), col("cnt"),
-            col("cy"))
-        val eh = ens0.join(base, Seq("event_type", "x1", "x2"))
-          .groupBy("event_type", "ens_q")
-          .agg(sum("cy").as("pos"), sum(col("cnt") - col("cy")).as("neg"))
-        val we = Window.partitionBy("event_type").orderBy(col("ens_q"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val er = eh.withColumn("cumneg",
-          coalesce(sum(col("neg")).over(we), lit(0L)))
-        val ens = er.groupBy("event_type").agg(
-          sum("pos").as("enp"), sum("neg").as("enn"),
-          sum(col("pos") * (lit(2L) * col("cumneg") + col("neg")))
-            .as("enum2"))
-        def auc(num2: Column, np: Column, nn: Column) =
-          num2.cast("double") /
-            nullif(lit(2L) * np * nn, lit(0L)).cast("double")
-        pk.join(oob, Seq("event_type", "tree"))
-          .join(broadcast(ens), Seq("event_type"))
-          .select(col("event_type"), col("tree"), col("feat"), col("thr"),
-            col("wn_inbag"), col("wpos_inbag"), col("pred_l_q"),
-            col("pred_r_q"),
-            auc(col("num2"), col("np"), col("nn")).as("oob_auc"),
-            auc(col("enum2"), col("enp"), col("enn")).as("ens_auc"))
+        grid.withColumn("feat", featOf.cast("long"))
+          .groupBy("event_type")
+          .agg(expr("forest_fit8(tree, feat, x1, x2, wn, wy, c0, p0, " +
+            "cnt, cy)").as("t"))
+          .select(col("event_type"), explode(col("t")).as("r"))
+          .select(col("event_type"), col("r.tree").as("tree"),
+            col("r.feat").as("feat"), col("r.thr").as("thr"),
+            col("r.wn_inbag").as("wn_inbag"),
+            col("r.wpos_inbag").as("wpos_inbag"),
+            col("r.pred_l_q").as("pred_l_q"),
+            col("r.pred_r_q").as("pred_r_q"),
+            col("r.oob_auc").as("oob_auc"),
+            col("r.ens_auc").as("ens_auc"))
       }),
 
     // FORWARD FEATURE SELECTION IN ONE SCAN — the reference's stepwise
