@@ -241,5 +241,119 @@ object ScanFilterQueries {
             max_by(col("ticker"), col("mvc") * 100 + col("row_idx"))
               .as("top_ticker"))
       }),
+
+    // S8 (end-to-end): REST JSON ingestion through a REAL HTTP exchange —
+    // the reference's EODHD index boundary (my_eodhd.py:8-18 list fetch,
+    // :88-102 per-index fetch, :35-46 selected-index loop, :103-121
+    // constituent normalization) driven against the loopback vendor
+    // stand-in (graft.sources.RestFixtureServer; the sandbox has no
+    // egress — production swaps the base URL and nothing else). The row
+    // exercises, inside the hash-verified path: token auth, a first-call
+    // 429 with Retry-After honored, a one-shot 500 with backoff retry,
+    // declared-schema distributed JSON parse (from_json, no inference),
+    // the vendor→engine column renames, and the reference's null/empty
+    // date sentinel fill. The vendor's payloads derive deterministically
+    // from nation+supplier, so the oracle reproduces the ingested frame
+    // straight from the same parquet.
+    //
+    // Driver-side data here is all VENDOR control plane: the fixture
+    // server's seed rows (constituents of 5 indices — the KB-sized payload
+    // a real index API returns) and the 5 selected index ids looped over
+    // exactly like the reference's `for index_symbol in selected` — never
+    // fact-table rows. At 100 TB this boundary stays this size; bulk data
+    // ingestion is S9's BatchedIngest through the idempotent MERGE sink.
+    QueryDef(
+      "s8_rest_ingest",
+      Some("""SELECT 'IDX_' || n.n_name AS index_symbol,
+             |  s.s_name AS symbol,
+             |  s.s_name || ' Corp' AS name,
+             |  CASE CAST(s.s_suppkey % 4 AS INT)
+             |    WHEN 0 THEN 'Technology' WHEN 1 THEN 'Financials'
+             |    WHEN 2 THEN 'Energy' ELSE 'Health Care' END AS sector,
+             |  CASE WHEN s.s_suppkey % 7 = 0 THEN '1950-01-01'
+             |    ELSE CAST(DATE '1992-01-01'
+             |      + CAST((s.s_suppkey * 37) % 3000 AS INT) AS VARCHAR)
+             |    END AS start_date,
+             |  CASE WHEN s.s_suppkey % 5 = 0 THEN '2199-12-31'
+             |    ELSE CAST(DATE '1998-01-01'
+             |      + CAST((s.s_suppkey * 13) % 2000 AS INT) AS VARCHAR)
+             |    END AS end_date,
+             |  s.s_acctbal AS weight,
+             |  (s.s_suppkey % 3) <> 0 AS is_active_in_index
+             |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |WHERE n.n_name IN ('NATION_0','NATION_5','NATION_10',
+             |                   'NATION_15','NATION_20')""".stripMargin),
+      (s, d) => {
+        import graft.sources.{RestFixtureServer => Fx, RestSource}
+        import java.time.LocalDate
+        val selected = Seq("NATION_0", "NATION_5", "NATION_10",
+          "NATION_15", "NATION_20")
+        val sectors = Array("Technology", "Financials", "Energy",
+          "Health Care")
+        // ---- vendor side: seed the loopback API from the fixture tables
+        val nation = Tables.nation(s, d)
+        val nrows = nation.select("n_name").orderBy("n_nationkey")
+          .collect().map(_.getString(0))
+        val supOfSel = Tables.supplier(s, d)
+          .join(broadcast(nation.filter(col("n_name").isin(selected: _*))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+          .orderBy("s_suppkey").collect()
+          .groupBy(_.getString(0))
+        val listJson = Fx.jarr(nrows.toSeq.map { nm =>
+          Fx.jobj(Seq(
+            "ID" -> Fx.jstr(s"IDX_$nm"),
+            "Code" -> Fx.jstr(nm),
+            "Name" -> Fx.jstr(s"$nm Composite"),
+            "Constituents" ->
+              supOfSel.get(nm).map(_.length).getOrElse(0).toString,
+            "CurrencyCode" -> Fx.jstr("USD"),
+            "LastUpdate" -> Fx.jstr("2024-06-30")))
+        })
+        // every selected index gets a payload — an index with no current
+        // constituents serves an EMPTY components object, not a 404
+        // (sf0.001 has nations without suppliers)
+        val comps = selected.map { nm =>
+          val rows = supOfSel.getOrElse(nm, Array.empty)
+          val entries = rows.zipWithIndex.map { case (r, i) =>
+            val k = r.getLong(1)
+            val base = Seq(
+              "Code" -> Fx.jstr(r.getString(2)),
+              "Name" -> Fx.jstr(r.getString(2) + " Corp"),
+              "Sector" -> Fx.jstr(sectors((k % 4).toInt)),
+              "Weight" -> Fx.jstr(
+                java.math.BigDecimal.valueOf(r.getDouble(3)).toPlainString),
+              "IsActiveNow" -> (k % 3 != 0).toString,
+              // empty-string start / ABSENT end hit both sentinel branches
+              "StartDate" -> (if (k % 7 == 0) Fx.jstr("")
+                else Fx.jstr(
+                  LocalDate.of(1992, 1, 1).plusDays((k * 37) % 3000).toString)))
+            val withEnd = if (k % 5 == 0) base
+              else base :+ ("EndDate" -> Fx.jstr(
+                LocalDate.of(1998, 1, 1).plusDays((k * 13) % 2000).toString))
+            s"${Fx.jstr(i.toString)}:${Fx.jobj(withEnd)}"
+          }
+          s"IDX_$nm" ->
+            s"""{"HistoricalTickerComponents":{${entries.mkString(",")}}}"""
+        }.toMap
+        val token = "graft-fixture-token"
+        val h = Fx.start(token, listJson, comps,
+          injectFirst429 = true, failOnce500Id = Some(s"IDX_${selected.head}"))
+        try {
+          // ---- engine side: the reference's exact call sequence
+          val idx = RestSource.indexList(s, RestSource.getOk(
+            s"${h.baseUrl}/api/list?api_token=$token", baseBackoffMs = 1L))
+          val ids = idx.filter(col("symbol").isin(selected: _*))
+            .select("full_symbol").orderBy("full_symbol")
+            .collect().map(_.getString(0))
+          val payloads = ids.toSeq.map { id =>
+            id -> RestSource.getOk(
+              s"${h.baseUrl}/api/comp/$id?fmt=json&api_token=$token",
+              baseBackoffMs = 1L)
+          }
+          RestSource.historicalConstituents(s, payloads)
+            .orderBy("symbol", "end_date") // my_eodhd.py:54
+        } finally h.stop()
+      }),
   )
 }

@@ -1,0 +1,157 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.sources.{RestFixtureServer => Fx, RestSource}
+import org.apache.spark.sql.functions._
+
+/** S8 REST adapter: status branching, retry schedule (injected sleeper —
+  * no wall-clock waits), 403 snapshot-fallback contract, declared-schema
+  * JSON parse, and the reference's date-sentinel fill semantics
+  * (my_eodhd.py:103-121).
+  */
+class RestSourceSpec extends SparkSpec {
+
+  private val token = "t0k"
+  private val listJson = Fx.jarr(Seq(
+    Fx.jobj(Seq(
+      "ID" -> Fx.jstr("IDX_A"), "Code" -> Fx.jstr("A"),
+      "Name" -> Fx.jstr("A \"quoted\" Composite"),
+      "Constituents" -> "2", "CurrencyCode" -> Fx.jstr("USD"),
+      "LastUpdate" -> Fx.jstr("2024-06-30")))))
+  private val compA =
+    """{"HistoricalTickerComponents":{
+      |"0":{"Code":"AAA","Name":"AAA Corp","Sector":"Energy",
+      |     "StartDate":"","Weight":"12.5","IsActiveNow":true},
+      |"1":{"Code":"BBB","Name":"BBB Corp","Sector":"Tech",
+      |     "StartDate":"2001-02-03","EndDate":"2010-11-12",
+      |     "Weight":"7.25","IsActiveNow":false}
+      |}}""".stripMargin
+
+  private def withServer[T](inject429: Boolean = false,
+                            fail500: Option[String] = None)
+                           (body: Fx.Handle => T): T = {
+    val h = Fx.start(token, listJson, Map("IDX_A" -> compA),
+      injectFirst429 = inject429, failOnce500Id = fail500)
+    try body(h) finally h.stop()
+  }
+
+  test("200 returns the payload with no retries") {
+    withServer() { h =>
+      val slept = new AtomicInteger(0)
+      val r = RestSource.get(s"${h.baseUrl}/api/list?api_token=$token",
+        sleep = _ => slept.incrementAndGet())
+      assert(r == RestSource.Ok(listJson))
+      assert(slept.get == 0)
+    }
+  }
+
+  test("429 honors Retry-After then succeeds; 500 backs off then succeeds") {
+    withServer(inject429 = true, fail500 = Some("IDX_A")) { h =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val r = RestSource.get(s"${h.baseUrl}/api/list?api_token=$token",
+        sleep = sleeps += _)
+      assert(r == RestSource.Ok(listJson))
+      assert(sleeps.toSeq == Seq(0L)) // Retry-After: 0, taken verbatim
+
+      sleeps.clear()
+      val c = RestSource.get(
+        s"${h.baseUrl}/api/comp/IDX_A?api_token=$token",
+        baseBackoffMs = 8L, sleep = sleeps += _)
+      assert(c == RestSource.Ok(compA))
+      assert(sleeps.toSeq == Seq(8L)) // one 500, exponential base
+    }
+  }
+
+  test("persistent 500 exhausts retries with the exponential schedule") {
+    // a context that always 500s: unknown-id path would 404 (fail-fast),
+    // so drive the always-500 case through a dedicated server
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/boom", ex => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    srv.start()
+    try {
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val e = intercept[RestSource.HttpFetchException] {
+        RestSource.get(
+          s"http://127.0.0.1:${srv.getAddress.getPort}/boom",
+          maxRetries = 3, baseBackoffMs = 2L, sleep = sleeps += _)
+      }
+      assert(e.code == 500)
+      assert(sleeps.toSeq == Seq(2L, 4L, 8L, 16L)) // 2 << attempt
+    } finally srv.stop(0)
+  }
+
+  test("403 is terminal (no retry) — the snapshot-fallback signal") {
+    withServer() { h =>
+      val slept = new AtomicInteger(0)
+      val r = RestSource.get(s"${h.baseUrl}/api/list?api_token=WRONG",
+        sleep = _ => slept.incrementAndGet())
+      assert(r == RestSource.Forbidden)
+      assert(slept.get == 0)
+      // the reference's branch (my_eodhd.py:14-16): Forbidden → local
+      // snapshot; getOk (no snapshot available) must throw instead
+      val e = intercept[RestSource.HttpFetchException] {
+        RestSource.getOk(s"${h.baseUrl}/api/list?api_token=WRONG")
+      }
+      assert(e.code == 403)
+    }
+  }
+
+  test("404 fails fast without retries") {
+    withServer() { h =>
+      val slept = new AtomicInteger(0)
+      val e = intercept[RestSource.HttpFetchException] {
+        RestSource.get(s"${h.baseUrl}/api/comp/NOPE?api_token=$token",
+          sleep = _ => slept.incrementAndGet())
+      }
+      assert(e.code == 404)
+      assert(slept.get == 0)
+    }
+  }
+
+  test("indexList parses the array with renames and JSON escapes intact") {
+    withServer() { h =>
+      val df = RestSource.indexList(spark,
+        RestSource.getOk(s"${h.baseUrl}/api/list?api_token=$token"))
+      val r = df.collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[String]("full_symbol") == "IDX_A")
+      assert(r(0).getAs[String]("name") == "A \"quoted\" Composite")
+      assert(r(0).getAs[Long]("constituents_count") == 2L)
+    }
+  }
+
+  test("historicalConstituents fills empty AND absent dates with sentinels") {
+    val df = RestSource.historicalConstituents(
+      spark, Seq("IDX_A" -> compA)).orderBy("symbol")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("symbol")).toSeq == Seq("AAA", "BBB"))
+    val a = rows(0)
+    assert(a.getAs[String]("start_date") == "1950-01-01") // "" → sentinel
+    assert(a.getAs[String]("end_date") == "2199-12-31")   // absent → sentinel
+    assert(a.getAs[Double]("weight") == 12.5)
+    assert(a.getAs[Boolean]("is_active_in_index"))
+    val b = rows(1)
+    assert(b.getAs[String]("start_date") == "2001-02-03")
+    assert(b.getAs[String]("end_date") == "2010-11-12")
+    assert(!b.getAs[Boolean]("is_active_in_index"))
+  }
+
+  test("empty constituents map yields zero rows, not a parse error") {
+    val df = RestSource.historicalConstituents(
+      spark, Seq("IDX_E" -> """{"HistoricalTickerComponents":{}}"""))
+    assert(df.count() == 0)
+  }
+
+  test("jstr escapes quotes, backslashes, and control chars") {
+    assert(Fx.jstr("a\"b\\c\nd") == "\"a\\\"b\\\\c\\u000ad\"")
+    val round = spark.range(1)
+      .select(get_json_object(
+        lit(s"""{"k":${Fx.jstr("a\"b\\c")}}"""), "$.k"))
+      .head().getString(0)
+    assert(round == "a\"b\\c")
+  }
+}
