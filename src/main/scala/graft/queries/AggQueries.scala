@@ -2119,17 +2119,28 @@ object AggQueries {
     // A43: ANALYZE-TABLE statistics collection — the per-column stats
     // pass every CBO and table format runs (row/null counts, min/max,
     // and ndv via the a33 HLL-256 sketch, since an exact count-distinct
-    // per column shuffles every distinct key). ONE data-sized pass: the
-    // table melts to (column, hash-input, numeric) long-format rows and
-    // every statistic is a hash-agg GROUPED BY column name — the shuffle
-    // carries |cols|·256 fixed-width register rows plus |cols| min/max
-    // cells regardless of input size.
+    // per column shuffles every distinct key). ONE scan, ONE aggregate:
+    // every column's count/min/max and its native register sketch
+    // ([[graft.functions.HllSketchAgg]]) are independent aggregate
+    // expressions over the same pass, so the shuffle carries one
+    // fixed-width partial row (5×256 register bytes + a few longs) per
+    // map task REGARDLESS of input size, and nothing is exploded,
+    // persisted, or joined. (The first cut melted the table to
+    // 5×|rows| long-format rows, persisted them, and ran three
+    // column-grouped aggregations — correct, but a 5× row expansion
+    // plus a materialization that ANALYZE over 100 TB cannot afford.)
+    // The register→estimate fold runs as `aggregate()` over each
+    // 256-slot array on the single aggregated row — integer adds,
+    // order-free, driver-sized.
     //
     // Parity: numerics hash their EXACT integer form (ids raw, value on
     // the lq hundredths grid — never a float→string cast, whose
     // formatting is engine-specific); min/max live on the same integer
     // grid (null for string columns on both sides); the sketch replays
-    // a33's engine-identical register/estimate trees.
+    // a33's engine-identical register/estimate trees (HllAggSpec pins
+    // the native registers bit-identical to the declarative pipeline).
+    // The oracle is unchanged from the melt formulation — two plan
+    // generations, one truth.
     QueryDef(
       "a43_analyze_stats",
       Some {
@@ -2181,45 +2192,45 @@ object AggQueries {
       (s, d) => {
         import graft.operators.TextOps.hash32
         val nullQ = lit(null).cast("long")
-        val m = Tables.events(s, d).select(explode(array(
-            struct(lit("event_id").as("c"),
-              col("event_id").cast("string").as("hv"),
-              col("event_id").as("q")),
-            struct(lit("user_id").as("c"),
-              col("user_id").cast("string").as("hv"),
-              col("user_id").as("q")),
-            struct(lit("event_type").as("c"), col("event_type").as("hv"),
-              nullQ.as("q")),
-            struct(lit("value").as("c"),
-              lq(col("value")).cast("string").as("hv"),
-              lq(col("value")).as("q")),
-            struct(lit("props").as("c"), col("props").as("hv"),
-              nullQ.as("q")))).as("m"))
-          .select(col("m.c").as("c"), col("m.hv").as("hv"),
-            col("m.q").as("q"))
-          .persist() // base stats + the register pipeline both read it
-        val base = m.groupBy("c").agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count("hv")).as("n_nulls"),
-          min("q").as("min_q"), max("q").as("max_q"))
-        val b = m.filter(col("hv").isNotNull)
-          .select(col("c"), hash32(col("hv")).as("h"))
-          .select(col("c"), (col("h") % 256).as("bucket"),
-            shiftright(col("h"), 8).as("v"))
-        val regs = b.withColumn("rho", hllRho(col("v")))
-          .groupBy("c", "bucket").agg(max("rho").as("mj"))
-        val grid = m.select("c").distinct()
-          .withColumn("bucket", explode(sequence(lit(0), lit(255))))
-        val sk = grid.join(regs, Seq("c", "bucket"), "left")
-          .withColumn("mj", coalesce(col("mj"), lit(0)))
-          .groupBy("c").agg(
-            sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - mj)")).as("s"),
-            sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v0"))
-        val est = sk.select(col("c"),
-          hll256Estimate(col("s"), col("v0")).as("ndv_hll"))
-        base.join(est, "c")
-          .select(col("c").as("col_name"), col("n_rows"), col("n_nulls"),
-            col("ndv_hll"), col("min_q"), col("max_q"))
+        // (name, hash-input string, numeric-grid value) per column
+        val specs = Seq(
+          ("event_id", col("event_id").cast("string"), col("event_id")),
+          ("user_id", col("user_id").cast("string"), col("user_id")),
+          ("event_type", col("event_type"), nullQ),
+          ("value", lq(col("value")).cast("string"), lq(col("value"))),
+          ("props", col("props"), nullQ))
+        val prepared = Tables.events(s, d).select(specs.flatMap {
+          case (n, hv, q) => Seq(hv.as(s"hv_$n"), q.as(s"q_$n"),
+            hash32(hv).as(s"h_$n"))
+        }: _*)
+        val aggs = count(lit(1)).as("n_rows") +: specs.flatMap {
+          case (n, _, _) => Seq(
+            count(col(s"hv_$n")).as(s"nn_$n"),
+            min(col(s"q_$n")).as(s"min_$n"),
+            max(col(s"q_$n")).as(s"max_$n"),
+            expr(s"hll_sketch_agg(h_$n)").as(s"regs_$n"))
+        }
+        // one aggregated row (events is never empty at any fixture SF —
+        // a global agg over an empty scan would emit a zero-count row
+        // where the melt-shaped oracle emits none)
+        val one = prepared.agg(aggs.head, aggs.tail: _*)
+        def regFold(n: String, f: String): Column =
+          expr(s"aggregate(regs_$n, CAST(0 AS BIGINT), (acc, mj) -> $f)")
+        one.select(explode(array(specs.map { case (n, _, _) =>
+            struct(lit(n).as("col_name"), col("n_rows").as("n_rows"),
+              (col("n_rows") - col(s"nn_$n")).as("n_nulls"),
+              regFold(n,
+                "acc + shiftleft(CAST(1 AS BIGINT), 25 - CAST(mj AS INT))")
+                .as("sreg"),
+              regFold(n,
+                "acc + IF(mj = 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))")
+                .as("v0"),
+              col(s"min_$n").as("min_q"), col(s"max_$n").as("max_q"))
+          }: _*)).as("r"))
+          .select(col("r.col_name").as("col_name"),
+            col("r.n_rows").as("n_rows"), col("r.n_nulls").as("n_nulls"),
+            hll256Estimate(col("r.sreg"), col("r.v0")).as("ndv_hll"),
+            col("r.min_q").as("min_q"), col("r.max_q").as("max_q"))
       }),
 
     // A44: THEIL–SEN robust trend — the median of pairwise slopes over
