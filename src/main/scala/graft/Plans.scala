@@ -846,6 +846,16 @@ object Plans {
         p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         !p.contains("CartesianProduct")
     }
+    // a43: ANALYZE is ONE scan into ONE partial+final aggregate — no
+    // melt explode before the agg, no persisted intermediate, no join;
+    // the sole exchange carries the fixed-width sketch partials
+    check("a43: one scan, one aggregate, no persist/join") {
+      val p = planOf("a43_analyze_stats")
+      "Scan parquet".r.findAllIn(p).length == 1 &&
+        "ObjectHashAggregate".r.findAllIn(p).length >= 2 &&
+        !p.contains("InMemoryTableScan") && !p.contains("Join") &&
+        "Exchange".r.findAllIn(p).length == 1
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
