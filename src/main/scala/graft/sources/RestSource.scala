@@ -70,15 +70,18 @@ object RestSource {
           case 200 => return Ok(body)
           case 403 => return Forbidden
           case 429 =>
-            val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
-              .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-              .map(_ * 1000L)
-              .getOrElse(backoffMs(baseBackoffMs, attempt))
             lastCode = code; lastBody = body
-            sleep(retryAfterMs)
+            // no sleep after the final attempt — the caller gets the
+            // exception immediately, not a backoff it can't use
+            if (attempt < maxRetries) sleep(
+              Option(conn.getHeaderField("Retry-After"))
+                .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+                .map(_ * 1000L)
+                .getOrElse(backoffMs(baseBackoffMs, attempt)))
           case c if c >= 500 =>
             lastCode = code; lastBody = body
-            sleep(backoffMs(baseBackoffMs, attempt))
+            if (attempt < maxRetries)
+              sleep(backoffMs(baseBackoffMs, attempt))
           case c =>
             throw new HttpFetchException(c, url, body)
         }

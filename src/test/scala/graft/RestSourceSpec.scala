@@ -80,7 +80,8 @@ class RestSourceSpec extends SparkSpec {
           maxRetries = 3, baseBackoffMs = 2L, sleep = sleeps += _)
       }
       assert(e.code == 500)
-      assert(sleeps.toSeq == Seq(2L, 4L, 8L, 16L)) // 2 << attempt
+      // 2 << attempt for the retried attempts; no sleep after the last
+      assert(sleeps.toSeq == Seq(2L, 4L, 8L))
     } finally srv.stop(0)
   }
 
