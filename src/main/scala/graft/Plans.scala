@@ -846,6 +846,21 @@ object Plans {
         p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         !p.contains("CartesianProduct")
     }
+    // a25: the k-th order statistic rides the native KMV aggregate's
+    // bounded partial states — a Window here would put each source's
+    // whole distinct-gram set through one serial sort task (the 20×
+    // probe's only >40× row before kmv_sketch_agg landed)
+    check("a25: KMV minima via partial+final aggregate, no window") {
+      val p = planOf("a25_kmv_distinct")
+      p.contains("kmv_sketch_agg") && !p.contains("Window") &&
+        "ObjectHashAggregate".r.findAllIn(p).length >= 2
+    }
+    // a34: same contract for the overlap sketch BUILD (the windows that
+    // remain rank the 128-row pair unions — sketch-sized by construction)
+    check("a34: KMV sketch build via aggregate") {
+      val p = planOf("a34_kmv_overlap")
+      p.contains("kmv_sketch_agg")
+    }
     // a43: ANALYZE is ONE scan into ONE partial+final aggregate — no
     // melt explode before the agg, no persisted intermediate, no join;
     // the sole exchange carries the fixed-width sketch partials

@@ -108,6 +108,12 @@ class GraftExtensions
       FunctionIdentifier("hll_sketch_agg"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch_agg"),
       { case Seq(c) => HllSketchAgg(c) }: PartialFunction[Seq[Expression], Expression]))
+    // native KMV minima aggregate (same tier; a25's k-th order statistic
+    // without a per-group whole-set sort)
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch_agg"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch_agg"),
+      KmvSketchAgg.builder))
     // the MV query-rewrite rule (graft.plans.MvRewrite) — inert until a
     // view is registered AND an aggregate opts in by its reserved alias
     ext.injectOptimizerRule(s => new graft.plans.MvCountRewrite(s))

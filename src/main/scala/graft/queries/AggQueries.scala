@@ -714,21 +714,26 @@ object AggQueries {
       },
       (s, d) => {
         import graft.operators.TextOps.{hash32, shingles}
-        val wRn = Window.partitionBy("source").orderBy("h")
-        val wAll = Window.partitionBy("source")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        // the k-th order statistic comes from the native KMV aggregate
+        // (functions/KmvSketchAgg): partial state = the ≤64 minima per
+        // (source, partition), merged k-small — no per-source whole-set
+        // sort (a row_number window here puts ALL of a source's distinct
+        // grams through ONE task; the 20× probe flagged that serial
+        // n·log n term at 55× before this shape landed)
+        val kth = least(lit(64), col("n_exact")).cast("int")
         Tables.fanOut(Tables.documents(s, d))
           .select(col("source"),
             explode(shingles(col("text"), 2)).as("gr"))
           .select(col("source"), hash32(col("gr")).as("h"))
-          .distinct()
-          .withColumn("rn", row_number().over(wRn))
-          .withColumn("n_exact", count(lit(1)).over(wAll))
-          .filter(col("rn") === least(lit(64), col("n_exact")))
+          .distinct() // the exact-count audit column needs distinct rows
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_exact"),
+            expr("kmv_sketch_agg(h, 64)").as("mins"))
           .select(col("source"), col("n_exact"),
-            col("rn").cast("long").as("k"),
-            ((col("rn") - 1).cast("double") /
-              (col("h").cast("double") / 4294967296.0)).as("kmv_estimate"))
+            kth.cast("long").as("k"),
+            ((kth - 1).cast("double") /
+              (element_at(col("mins"), kth).cast("double") / 4294967296.0))
+              .as("kmv_estimate"))
       }),
 
     // A26: ordered funnel analysis — per user, the earliest
@@ -1372,12 +1377,11 @@ object AggQueries {
     // divisions, mirrored expression-for-expression and rounded at 9.
     // Scale shape: one distinct shuffle of (type, 8-byte hash) for the
     // sketch build (identical to a25), then everything is driver-scale
-    // frames — |types|²/2 pairs × 128 sketch rows. The bottom-64 window
-    // sorts each type's distinct hashes through one task; at 100 TB the
-    // build pre-filters h < θ (θ from a first-pass HLL cardinality
-    // estimate: ~64/n̂ of the hash space with safety margin) so the
-    // per-group sort sees hundreds of survivors, not billions — the
-    // standard KMV build; at fixture scale the plain window IS that plan.
+    // frames — |types|²/2 pairs × 128 sketch rows. The bottom-64 comes
+    // from the native KMV aggregate (functions/KmvSketchAgg, a25's
+    // build): ≤64-long partial states merged k-small, so no task ever
+    // sorts a type's whole distinct-hash set — the windowed first cut
+    // put each type through ONE serial sort task.
     QueryDef(
       "a34_kmv_overlap",
       Some {
@@ -1448,9 +1452,9 @@ object AggQueries {
         val dh = ev.select(col("event_type"),
             hash32(col("user_id").cast("string")).as("h"))
           .distinct()
-        val wRn = Window.partitionBy("event_type").orderBy("h")
-        val sk = dh.withColumn("rn", row_number().over(wRn))
-          .filter(col("rn") <= 64).drop("rn")
+        val sk = dh.groupBy("event_type")
+          .agg(expr("kmv_sketch_agg(h, 64)").as("mins"))
+          .select(col("event_type"), explode(col("mins")).as("h"))
           .persist() // both pair sides read the 64·|types|-row sketch
         val et = ev.select("event_type").distinct()
         val pairs = et.select(col("event_type").as("type_a"))
