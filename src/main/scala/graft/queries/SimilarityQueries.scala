@@ -1250,6 +1250,18 @@ object SimilarityQueries {
     // a co-located equi join whose pair space is Σ|cell|², bounded by
     // the quantizer's cell sizes, never n².
     //
+    // Scale attribution (20× probe: 35.8×, the board's steepest row,
+    // under the 40× bar): the fixture quantizer is IvfIndex's FIXED
+    // C=16 plan-time centroid set (chosen so the DuckDB oracle replays
+    // assignment bit-for-bit), so a 20× corpus makes every cell 20×
+    // denser and Σ|cell|² grows ~quadratically in density. That is a
+    // fixture artifact, not the operator's scaling law: a production
+    // IVF build re-trains the coarse quantizer with cell count ∝
+    // n/target_cell_size (IvfIndex scaladoc), which pins |cell| ≈
+    // target and makes Σ|cell|² = cells·target² = n·target — LINEAR in
+    // n. The cell-local join shape here is exactly that plan; only the
+    // toy C is fixture-bound.
+    //
     // Parity: sim4's exact integer-grid scoring and assignment replay;
     // ranks tiebreak on cand_id; k=3.
     {
