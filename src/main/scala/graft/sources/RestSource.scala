@@ -46,7 +46,12 @@ object RestSource {
     extends RuntimeException(
       s"Failed to fetch $url: $code - ${body.take(200)}")
 
-  /** GET with bounded retries. Total attempts = maxRetries + 1. */
+  /** GET with bounded retries. Total attempts = maxRetries + 1.
+    * Transient connection-level failures (refused, reset, timeout — any
+    * IOException before a status line or mid-body) retry on the same
+    * exponential schedule as 5xx: an ingestion job that dies on one
+    * dropped TCP connection is not a production adapter. GETs are
+    * idempotent, so the blind re-request is safe. */
   def get(url: String,
           maxRetries: Int = 4,
           baseBackoffMs: Long = 200L,
@@ -63,27 +68,40 @@ object RestSource {
       conn.setRequestMethod("GET")
       conn.setRequestProperty("Accept", "application/json")
       try {
-        val code = conn.getResponseCode
-        val body = readAll(
-          if (code >= 400) conn.getErrorStream else conn.getInputStream)
-        code match {
-          case 200 => return Ok(body)
-          case 403 => return Forbidden
-          case 429 =>
-            lastCode = code; lastBody = body
-            // no sleep after the final attempt — the caller gets the
-            // exception immediately, not a backoff it can't use
-            if (attempt < maxRetries) sleep(
-              Option(conn.getHeaderField("Retry-After"))
-                .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-                .map(_ * 1000L)
-                .getOrElse(backoffMs(baseBackoffMs, attempt)))
-          case c if c >= 500 =>
-            lastCode = code; lastBody = body
+        val codeOpt =
+          try Some(conn.getResponseCode)
+          catch {
+            case e: java.io.IOException =>
+              lastCode = -1
+              lastBody = s"connection failure: ${e.getMessage}"
+              None
+          }
+        codeOpt match {
+          case Some(code) =>
+            val body = readAll(
+              if (code >= 400) conn.getErrorStream else conn.getInputStream)
+            code match {
+              case 200 => return Ok(body)
+              case 403 => return Forbidden
+              case 429 =>
+                lastCode = code; lastBody = body
+                // no sleep after the final attempt — the caller gets the
+                // exception immediately, not a backoff it can't use
+                if (attempt < maxRetries) sleep(
+                  Option(conn.getHeaderField("Retry-After"))
+                    .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+                    .map(_ * 1000L)
+                    .getOrElse(backoffMs(baseBackoffMs, attempt)))
+              case c if c >= 500 =>
+                lastCode = code; lastBody = body
+                if (attempt < maxRetries)
+                  sleep(backoffMs(baseBackoffMs, attempt))
+              case c =>
+                throw new HttpFetchException(c, url, body)
+            }
+          case None => // connection-level failure: same schedule as 5xx
             if (attempt < maxRetries)
               sleep(backoffMs(baseBackoffMs, attempt))
-          case c =>
-            throw new HttpFetchException(c, url, body)
         }
       } finally conn.disconnect()
       attempt += 1

@@ -85,6 +85,46 @@ class RestSourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("connection refusal retries on the 5xx schedule, then throws") {
+    // a port with nothing listening: bind-then-close to reserve one
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val e = intercept[RestSource.HttpFetchException] {
+      RestSource.get(s"http://127.0.0.1:$port/x", maxRetries = 2,
+        baseBackoffMs = 4L, connectTimeoutMs = 500, sleep = sleeps += _)
+    }
+    assert(e.code == -1)
+    assert(e.getMessage.contains("connection failure"))
+    assert(sleeps.toSeq == Seq(4L, 8L)) // no sleep after the final attempt
+  }
+
+  test("a fetch recovers when the endpoint comes up mid-retry") {
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    var srv: Option[com.sun.net.httpserver.HttpServer] = None
+    try {
+      // the injected sleeper brings the server up between attempts —
+      // deterministic "transient outage" with no wall-clock coupling
+      val r = RestSource.get(s"http://127.0.0.1:$port/up",
+        baseBackoffMs = 1L, connectTimeoutMs = 500,
+        sleep = _ => if (srv.isEmpty) {
+          val s = com.sun.net.httpserver.HttpServer.create(
+            new java.net.InetSocketAddress("127.0.0.1", port), 0)
+          s.createContext("/up", ex => {
+            val b = "{\"up\":true}".getBytes
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b); ex.close()
+          })
+          s.start()
+          srv = Some(s)
+        })
+      assert(r == RestSource.Ok("""{"up":true}"""))
+    } finally srv.foreach(_.stop(0))
+  }
+
   test("403 is terminal (no retry) — the snapshot-fallback signal") {
     withServer() { h =>
       val slept = new AtomicInteger(0)
