@@ -52,6 +52,33 @@ object AggQueries {
       s" THEN round(256.0 * ln(256.0 / CAST($v0 AS DOUBLE)), 9)" +
       s" ELSE round($eRaw, 9) END"
   }
+  /** The full a25 KMV-distinct oracle — shared verbatim by the direct
+    * sketch build (`a25_kmv_distinct`) and the shard-merge path
+    * (`a25b_kmv_merge`): two Spark plans, one truth (the a33/a50
+    * doctrine applied to the OTHER distinct sketch). DuckDB computes the
+    * k-th order statistic directly; KMV is deterministic given the hash,
+    * so both engine plans must land on the same row bit-for-bit. */
+  private def kmvDistinctOracle: String = {
+    import graft.operators.TextOps.{oHash32, oShinglesFromList}
+    s"""WITH t AS (
+       |  SELECT source, string_split(text, ' ') AS lst FROM documents),
+       |g AS (
+       |  SELECT source, unnest(${oShinglesFromList("lst", 2)}) AS gr
+       |  FROM t),
+       |dh AS (
+       |  SELECT DISTINCT source, ${oHash32("gr")} AS h
+       |  FROM g),
+       |r AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n_exact
+       |  FROM dh)
+       |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(rn AS BIGINT) AS k,
+       |  CAST(rn - 1 AS DOUBLE) /
+       |    (CAST(h AS DOUBLE) / 4294967296.0) AS kmv_estimate
+       |FROM r WHERE rn = least(64, n_exact)""".stripMargin
+  }
   /** The full a33 HLL-distinct oracle — shared verbatim by the
     * declarative register pipeline (`a33_hll_distinct`) and the native
     * TypedImperativeAggregate path (`a50_hll_native`): two Spark plans,
@@ -691,27 +718,7 @@ object AggQueries {
     // statistic is a row_number window over that bounded set.
     QueryDef(
       "a25_kmv_distinct",
-      Some {
-        import graft.operators.TextOps.{oHash32, oShinglesFromList}
-        s"""WITH t AS (
-           |  SELECT source, string_split(text, ' ') AS lst FROM documents),
-           |g AS (
-           |  SELECT source, unnest(${oShinglesFromList("lst", 2)}) AS gr
-           |  FROM t),
-           |dh AS (
-           |  SELECT DISTINCT source, ${oHash32("gr")} AS h
-           |  FROM g),
-           |r AS (
-           |  SELECT source, h,
-           |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
-           |    count(*) OVER (PARTITION BY source) AS n_exact
-           |  FROM dh)
-           |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
-           |  CAST(rn AS BIGINT) AS k,
-           |  CAST(rn - 1 AS DOUBLE) /
-           |    (CAST(h AS DOUBLE) / 4294967296.0) AS kmv_estimate
-           |FROM r WHERE rn = least(64, n_exact)""".stripMargin
-      },
+      Some(kmvDistinctOracle),
       (s, d) => {
         import graft.operators.TextOps.{hash32, shingles}
         // the k-th order statistic comes from the native KMV aggregate
@@ -729,6 +736,58 @@ object AggQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("n_exact"),
             expr("kmv_sketch_agg(h, 64)").as("mins"))
+          .select(col("source"), col("n_exact"),
+            kth.cast("long").as("k"),
+            ((kth - 1).cast("double") /
+              (element_at(col("mins"), kth).cast("double") / 4294967296.0))
+              .as("kmv_estimate"))
+      }),
+
+    // A25B: KMV sketch MERGE — the property that makes the sketch a
+    // persistable artifact (a33b's HLL range-merge, for the order-
+    // statistic sketch): build an INDEPENDENT sketch per (source, shard)
+    // — shards stand in for day partitions / ingestion batches — then
+    // re-aggregate the exploded minima through the SAME kmv_sketch_agg,
+    // and the merged sketch must equal the direct whole-corpus build
+    // (global k smallest ⊆ every containing shard's k smallest, so
+    // k-min of the per-shard k-mins IS the global k-min; duplicates
+    // across shards die in the buffer's distinct check). The oracle is
+    // a25's verbatim — DuckDB computes the direct order statistic, so
+    // the hash compare proves merge ≡ direct. At 100 TB this is the
+    // plan that never recomputes: per-partition sketches persist at
+    // write time; any cross-partition ndv is a 64-longs-per-shard
+    // re-aggregation.
+    QueryDef(
+      "a25b_kmv_merge",
+      Some(kmvDistinctOracle),
+      (s, d) => {
+        import graft.operators.TextOps.{hash32, shingles}
+        val kth = least(lit(64), col("n_exact")).cast("int")
+        // ONE corpus-sized pass: per (source, hash), the ≤7-element set
+        // of shards holding it. Both consumers — the per-shard sketch
+        // builds and the exact-count audit — read this VOCABULARY-sized
+        // frame (persisted; a naive formulation ran two independent
+        // corpus-sized distincts instead)
+        val perHash = Tables.fanOut(Tables.documents(s, d))
+          .select(col("source"), (col("doc_id") % 7).as("shard"),
+            explode(shingles(col("text"), 2)).as("gr"))
+          .select(col("source"), col("shard"), hash32(col("gr")).as("h"))
+          .groupBy("source", "h")
+          .agg(collect_set(col("shard")).as("shards"))
+          .persist()
+        val perShard = perHash
+          .select(col("source"), col("h"), explode(col("shards")).as("shard"))
+          .groupBy("source", "shard")
+          .agg(expr("kmv_sketch_agg(h, 64)").as("mins"))
+        val merged = perShard
+          .select(col("source"), explode(col("mins")).as("h"))
+          .groupBy("source")
+          .agg(expr("kmv_sketch_agg(h, 64)").as("mins"))
+        // audit column: exact per-source distinct count (a hash present
+        // in several shards is one perHash row, counted once)
+        val nExact = perHash.groupBy("source")
+          .agg(count(lit(1)).as("n_exact"))
+        merged.join(broadcast(nExact), "source")
           .select(col("source"), col("n_exact"),
             kth.cast("long").as("k"),
             ((kth - 1).cast("double") /
