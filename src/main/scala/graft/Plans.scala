@@ -861,6 +861,15 @@ object Plans {
       val p = planOf("a34_kmv_overlap")
       p.contains("kmv_sketch_agg")
     }
+    // a25b: ONE corpus-sized pass — both consumers read the persisted
+    // vocabulary frame (as many cached reads as parquet scans), the
+    // shard and merge tiers are both sketch aggregates, no window
+    check("a25b: merge rides cached vocab frame, sketch aggs, no window") {
+      val p = planOf("a25b_kmv_merge")
+      val imts = "InMemoryTableScan".r.findAllIn(p).length
+      imts >= 2 && "Scan parquet".r.findAllIn(p).length == imts &&
+        "kmv_sketch_agg".r.findAllIn(p).length >= 2 && !p.contains("Window")
+    }
     // a43: ANALYZE is ONE scan into ONE partial+final aggregate — no
     // melt explode before the agg, no persisted intermediate, no join;
     // the sole exchange carries the fixed-width sketch partials
