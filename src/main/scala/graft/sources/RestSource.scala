@@ -169,6 +169,28 @@ object RestSource {
         col("i.LastUpdate").as("last_update"))
   }
 
+  /** Parse per-index detail payloads into the CURRENT constituents
+    * (`get_index_current_constituents`, `my_eodhd.py:123-130`): the
+    * `Components` JSON map's values become rows under the same renames —
+    * no date normalization, current membership carries none. */
+  def currentConstituents(spark: SparkSession,
+                          payloads: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val doc = StructType(Seq(StructField(
+      "Components", MapType(StringType, componentFields))))
+    spark.createDataset(payloads).toDF("index_symbol", "payload")
+      .select(col("index_symbol"),
+        explode(map_values(from_json(col("payload"), doc)("Components")))
+          .as("c"))
+      .select(
+        col("index_symbol"),
+        col("c.Code").as("symbol"),
+        col("c.Name").as("name"),
+        col("c.Sector").as("sector"),
+        col("c.Weight").cast(DoubleType).as("weight"),
+        col("c.IsActiveNow").as("is_active_in_index"))
+  }
+
   /** Parse per-index detail payloads and normalize the historical
     * constituents (`get_index_historical_constituents`,
     * `my_eodhd.py:103-121`): the `HistoricalTickerComponents` JSON map's

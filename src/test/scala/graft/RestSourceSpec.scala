@@ -181,6 +181,21 @@ class RestSourceSpec extends SparkSpec {
     assert(!b.getAs[Boolean]("is_active_in_index"))
   }
 
+  test("currentConstituents parses the Components map, no date columns") {
+    val payload =
+      """{"Components":{"0":{"Code":"AAA","Name":"AAA Corp",
+        |"Sector":"Energy","Weight":"12.5","IsActiveNow":true}},
+        |"HistoricalTickerComponents":{}}""".stripMargin
+    val rows = RestSource.currentConstituents(
+      spark, Seq("IDX_A" -> payload)).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("index_symbol") == "IDX_A")
+    assert(r.getAs[String]("symbol") == "AAA")
+    assert(r.getAs[Double]("weight") == 12.5)
+    assert(!r.schema.fieldNames.contains("start_date"))
+  }
+
   test("empty constituents map yields zero rows, not a parse error") {
     val df = RestSource.historicalConstituents(
       spark, Seq("IDX_E" -> """{"HistoricalTickerComponents":{}}"""))
