@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Round-over-round bench regression self-report.
 
-Usage: bench_delta.py CURRENT_STATS.json PRIOR.json OUT.json
+Usage: bench_delta.py CURRENT_STATS.json PRIOR.json OUT.json [--ab BASE_REF]
 
 CURRENT_STATS is a full per-query stats file (Bench's durable output, with
 {"stats": {q: {min,med,max}}}). PRIOR may be the same format OR a committed
@@ -13,6 +13,14 @@ instead of relying on judge archaeology:
               (both rounds' own min..med spread, i.e. a move is only real
               if the windows [min,med] of the two rounds don't overlap).
   new/gone  — queries present in only one round.
+
+With --ab BASE_REF, any flagged REGRESSION is immediately adjudicated by
+scripts/bench_ab.py — a same-window interleaved A/B of the base ref vs
+HEAD (the round-9 hostcheck2 protocol, automated) — and the flag is
+downgraded to "host-drift" unless the in-window ratio confirms it. The
+A/B artifact lands next to OUT as OUT_ab.json and its per-query verdicts
+are merged into OUT, so one refresh run yields a drift-immune delta with
+zero manual adjudication files.
 """
 import json
 import re
@@ -64,7 +72,7 @@ def load_stats(path):
     raise SystemExit(f"{path}: no per-query stats found")
 
 
-def main(cur_path, prior_path, out_path):
+def main(cur_path, prior_path, out_path, ab_base=None):
     cur, cur_nf = load_stats(cur_path)
     prior, prior_nf = load_stats(prior_path)
     deltas, flagged = {}, []
@@ -91,20 +99,51 @@ def main(cur_path, prior_path, out_path):
             entry["flag"] = "regression" if pct > 0 else "improvement"
             flagged.append(q)
         deltas[q] = entry
+    regs = [q for q in flagged if deltas[q].get("flag") == "regression"]
+    ab_verdicts = None
+    if ab_base and regs:
+        # adjudicate every flagged regression in ONE interleaved window
+        import os
+        import subprocess
+        ab_out = out_path[:-5] + "_ab.json" \
+            if out_path.endswith(".json") else out_path + "_ab.json"
+        here = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(
+            [sys.executable, os.path.join(here, "bench_ab.py"),
+             "--base-ref", ab_base, "--queries", ",".join(regs),
+             "--out", ab_out], check=True)
+        with open(ab_out) as f:
+            ab_verdicts = json.load(f)["queries"]
+        for q, v in ab_verdicts.items():
+            deltas[q]["ab_ratio"] = v["ratio"]
+            deltas[q]["ab_verdict"] = v["verdict"]
+            if v["verdict"] == "host-drift":
+                deltas[q]["flag"] = "host-drift"
+        regs = [q for q in regs
+                if deltas[q].get("flag") == "regression"]
     out = {"current": cur_path, "prior": prior_path,
            "noise_floor": {"current": cur_nf, "prior": prior_nf},
            "n_compared": len([d for d in deltas.values() if "pct" in d]),
            "flagged": flagged, "queries": deltas}
+    if ab_verdicts is not None:
+        out["ab_adjudicated"] = True
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    regs = [q for q in flagged if deltas[q].get("flag") == "regression"]
     print(f"compared {out['n_compared']} queries; "
-          f"{len(regs)} regressions, "
-          f"{len(flagged) - len(regs)} improvements flagged -> {out_path}")
+          f"{len(regs)} regressions"
+          f"{' (after A/B adjudication)' if ab_verdicts is not None else ''}, "
+          f"{len(flagged) - len(regs)} improvements/drift flagged "
+          f"-> {out_path}")
     return 0
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 4:
+    args = sys.argv[1:]
+    ab = None
+    if "--ab" in args:
+        i = args.index("--ab")
+        ab = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if len(args) != 3:
         raise SystemExit(__doc__)
-    sys.exit(main(*sys.argv[1:]))
+    sys.exit(main(*args, ab_base=ab))

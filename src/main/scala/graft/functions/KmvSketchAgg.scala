@@ -124,9 +124,14 @@ case class KmvSketchAgg(
 }
 
 object KmvSketchAgg {
-  /** `kmv_sketch_agg(h)` or `kmv_sketch_agg(h, k)` with foldable int k. */
+  /** `kmv_sketch_agg(h)` or `kmv_sketch_agg(h, k)` with foldable int k.
+    * Anything else (wrong arity, non-literal or non-int k) gets a clean
+    * analysis-time error rather than a registry MatchError. */
   val builder: PartialFunction[Seq[Expression], Expression] = {
     case Seq(c) => KmvSketchAgg(c)
     case Seq(c, Literal(kk: Int, IntegerType)) => KmvSketchAgg(c, kk)
+    case args => throw new IllegalArgumentException(
+      s"kmv_sketch_agg expects (bigint[, int literal k]), got " +
+        s"${args.length} arg(s): ${args.map(_.sql).mkString(", ")}")
   }
 }

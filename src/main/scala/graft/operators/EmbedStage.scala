@@ -111,15 +111,30 @@ object EmbedStage {
   private val buildNanos = new java.util.concurrent.atomic.LongAdder
   def buildSeconds: Double = buildNanos.sum() / 1e9
 
+  /** Memoized per (dir, mtime): the IVF cell count for corpus `d` —
+    * [[IvfIndex.cellsFor]] of the corpus row count (a metadata-only
+    * parquet count). Public so consumers that materialize the centroid
+    * matrix as a plan literal (sim9's drift audit) size it to the stage's
+    * actual cid domain instead of the fixture floor. */
+  def cells(s: SparkSession, d: String): Int =
+    cellsMemo.computeIfAbsent(
+      s"$d|${StageCache.parquetMtime(s"$d/embeddings.parquet")}",
+      _ => IvfIndex.cellsFor(
+        s.read.parquet(s"$d/embeddings.parquet").count()))
+
+  private val cellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+
   /** Get (building if absent) the vector-index stage for corpus dir `d`. */
   def apply(s: SparkSession, d: String): Stage = {
     import VectorOps.Dim
+    val nc = cells(s, d)
     val dir = StageCache.dir("/tmp/graft_embed_stage",
       s"v$Version|D=$Dim|T=$LshTables|b=$BitsPair,$BitsQuery" +
-        s"|C=${IvfIndex.C}|M=${PqIndex.M}|$d|" +
+        s"|C=$nc|M=${PqIndex.M}|$d|" +
         StageCache.parquetMtime(s"$d/embeddings.parquet"))
     buildNanos.add(math.round(
-      StageCache.getOrBuild(dir)(build(s, d, _)) * 1e9))
+      StageCache.getOrBuild(dir)(build(s, d, _, nc)) * 1e9))
     // fanOut is a no-op when the stage was written with ≥ par partitions
     // (the usual case — the build fans out); it only fires when a stage
     // built by a smaller session is read by a larger one.
@@ -128,16 +143,17 @@ object EmbedStage {
       Tables.fanOut(s.read.parquet(s"$dir/buckets")))
   }
 
-  private def build(s: SparkSession, d: String, dir: String): Unit = {
+  private def build(s: SparkSession, d: String, dir: String,
+                    nc: Int): Unit = {
     import VectorOps._
-    // fanOut: the per-row index math (C centroid dots, M argmin encodes,
-    // tables×bits sign tests) is the hot path — a single-file fixture
-    // must not serialize it onto one core.
+    // fanOut: the per-row index math (cells centroid dots, M argmin
+    // encodes, tables×bits sign tests) is the hot path — a single-file
+    // fixture must not serialize it onto one core.
     val emb = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), quant(col("embedding")).as("qv"))
     emb
       .select(col("vec_id"), col("qv"), normSq(col("qv")).as("nsq"),
-        IvfIndex.dots(col("qv"), Dim).as("dl"),
+        IvfIndex.dots(col("qv"), Dim, nc).as("dl"),
         PqIndex.encode(PqIndex.dls(col("qv"), Dim)).as("codes"))
       .select(col("vec_id"), col("qv"), col("nsq"), col("dl"),
         IvfIndex.assign(col("dl")).as("cid"), col("codes"))

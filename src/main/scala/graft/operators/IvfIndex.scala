@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   * bit-for-bit. Dots stay in long arithmetic: |qv|≤~5e6 per axis,
   * centroid axes ≤1e6, 64 axes → |dot| ≤ 3.2e14 « 2^63.
   *
+  * The QUANTIZER SCALES WITH THE CORPUS: the centroid family is defined
+  * for every index j (one LCG over the flattened (j, axis) index), and a
+  * stage build uses [[cellsFor]] cells — `max(C, n / TargetCellSize)` —
+  * so the inverted-list size is pinned at ≈[[TargetCellSize]] and the
+  * cell-local pair space Σ|cell|² = cells·target² = n·target stays LINEAR
+  * in n (the IVF scaling law; with a FIXED cell count, an N× corpus makes
+  * every list N× denser and pair work grows ~quadratically — the shape
+  * the 20× scale probe flagged on sim14 in round 9). [[C]] is the floor:
+  * every oracle fixture (≤2k vectors « C·target) sits on it, so the
+  * DuckDB oracles — which bake the C-row centroid matrix as literal SQL —
+  * keep replaying assignment bit-for-bit at the verified SFs.
+  *
   * The C dots are computed through ONE higher-order expression over the
   * centroid-matrix literal, not C unrolled dim-term sums: a 16×64
   * unrolled tree is ~1000 Catalyst nodes whose per-query analysis/
@@ -33,25 +45,36 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  val C = 16 // coarse centroids
+  val C = 16 // coarse-centroid FLOOR (exact cell count at the oracle SFs)
   val P = 4  // probed centroids per query
 
+  /** Target inverted-list size. A corpus of n vectors gets
+    * `max(C, n / TargetCellSize)` cells, so list density — and with it
+    * the cell-local pair space per row — is bounded regardless of n. */
+  val TargetCellSize = 256L
+
+  /** Data-dependent cell count for an n-vector corpus (see scaladoc). */
+  def cellsFor(n: Long): Int = math.max(C.toLong, n / TargetCellSize).toInt
+
   /** Deterministic centroid axis values on the 1e-6 quantization grid,
-    * in [-1e6, 1e6] (an LCG over the flattened index — fixed plan
-    * constants, see scaladoc). */
+    * in [-1e6, 1e6] (an LCG over the flattened index — plan constants
+    * defined for EVERY j, so the quantizer grows without retraining,
+    * see scaladoc). */
   def centroid(j: Int, dim: Int): IndexedSeq[Long] =
     (0 until dim).map { k =>
       val idx = j * dim + k
       ((1103515245L * idx + 12345L) % 2000001L) - 1000000L
     }
 
-  def matrix(dim: Int): Seq[Seq[Long]] =
-    (0 until C).map(j => centroid(j, dim): Seq[Long])
+  /** The first `cells` centroids — a PREFIX family: matrix(dim, c') for
+    * c' > c extends matrix(dim, c) without changing existing rows. */
+  def matrix(dim: Int, cells: Int = C): Seq[Seq[Long]] =
+    (0 until cells).map(j => centroid(j, dim): Seq[Long])
 
-  /** All C centroid inner products of a quantized array<long> column, as
-    * one array<long> column (index = centroid id). */
-  def dots(qv: Column, dim: Int): Column = {
-    val cmat = typedLit(matrix(dim))
+  /** All `cells` centroid inner products of a quantized array<long>
+    * column, as one array<long> column (index = centroid id). */
+  def dots(qv: Column, dim: Int, cells: Int = C): Column = {
+    val cmat = typedLit(matrix(dim, cells))
     transform(cmat, c =>
       aggregate(zip_with(qv, c, (x, w) => x * w), lit(0L), (a, v) => a + v))
   }

@@ -794,7 +794,11 @@ object SimilarityQueries {
       },
       (s, d) => {
         import graft.operators.IvfIndex
-        val cmat = typedLit(IvfIndex.matrix(Dim))
+        // sized to the stage's actual cid domain (the quantizer scales
+        // with the corpus; the fixture floor is C, but a probe replica's
+        // stage assigns cids beyond it and a C-row literal would
+        // element_at into null)
+        val cmat = typedLit(IvfIndex.matrix(Dim, EmbedStage.cells(s, d)))
         val rsqCol = aggregate(
           zip_with(col("qv"), element_at(cmat, col("cid") + 1),
             (x, c) => (x - c) * (x - c)),
@@ -1250,17 +1254,15 @@ object SimilarityQueries {
     // a co-located equi join whose pair space is Σ|cell|², bounded by
     // the quantizer's cell sizes, never n².
     //
-    // Scale attribution (20× probe: 35.8×, the board's steepest row,
-    // under the 40× bar): the fixture quantizer is IvfIndex's FIXED
-    // C=16 plan-time centroid set (chosen so the DuckDB oracle replays
-    // assignment bit-for-bit), so a 20× corpus makes every cell 20×
-    // denser and Σ|cell|² grows ~quadratically in density. That is a
-    // fixture artifact, not the operator's scaling law: a production
-    // IVF build re-trains the coarse quantizer with cell count ∝
-    // n/target_cell_size (IvfIndex scaladoc), which pins |cell| ≈
-    // target and makes Σ|cell|² = cells·target² = n·target — LINEAR in
-    // n. The cell-local join shape here is exactly that plan; only the
-    // toy C is fixture-bound.
+    // Scale law (closed in round 10): the stage's quantizer now grows
+    // with the corpus — EmbedStage builds with IvfIndex.cellsFor(n) =
+    // max(C, n/TargetCellSize) cells, pinning |cell| ≈ target so
+    // Σ|cell|² = cells·target² = n·target is LINEAR in n. Round 9's
+    // fixture-bound C=16 made a 20× corpus 20× denser per cell and
+    // measured 35.8× here; the data-dependent cell count removes that
+    // quadratic density term while every oracle SF (n ≤ 2k « C·target)
+    // stays on the C floor, so the DuckDB oracle still replays
+    // assignment bit-for-bit.
     //
     // Parity: sim4's exact integer-grid scoring and assignment replay;
     // ranks tiebreak on cand_id; k=3.

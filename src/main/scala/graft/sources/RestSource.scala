@@ -76,21 +76,38 @@ object RestSource {
               lastBody = s"connection failure: ${e.getMessage}"
               None
           }
-        codeOpt match {
-          case Some(code) =>
-            val body = readAll(
-              if (code >= 400) conn.getErrorStream else conn.getInputStream)
+        // The body read is in the SAME IOException envelope as the status
+        // read: a read-timeout or reset mid-payload after a 200 status is
+        // just as transient as a refused connect, and a GET re-request is
+        // safe, so both retry on the 5xx schedule.
+        val bodyOpt = codeOpt.flatMap { code =>
+          try Some((code, readAll(
+            if (code >= 400) conn.getErrorStream else conn.getInputStream)))
+          catch {
+            case e: java.io.IOException =>
+              lastCode = -1
+              lastBody = s"mid-body failure (status $code): ${e.getMessage}"
+              None
+          }
+        }
+        bodyOpt match {
+          case Some((code, body)) =>
             code match {
               case 200 => return Ok(body)
               case 403 => return Forbidden
               case 429 =>
                 lastCode = code; lastBody = body
                 // no sleep after the final attempt — the caller gets the
-                // exception immediately, not a backoff it can't use
+                // exception immediately, not a backoff it can't use.
+                // Retry-After is vendor input: negative values would make
+                // Thread.sleep throw and a huge value would park the
+                // driver, so out-of-range headers fall back to the
+                // exponential schedule and in-range ones are capped.
                 if (attempt < maxRetries) sleep(
                   Option(conn.getHeaderField("Retry-After"))
                     .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-                    .map(_ * 1000L)
+                    .filter(_ >= 0L)
+                    .map(s => math.min(s * 1000L, MaxRetryAfterMs))
                     .getOrElse(backoffMs(baseBackoffMs, attempt)))
               case c if c >= 500 =>
                 lastCode = code; lastBody = body
@@ -99,7 +116,7 @@ object RestSource {
               case c =>
                 throw new HttpFetchException(c, url, body)
             }
-          case None => // connection-level failure: same schedule as 5xx
+          case None => // connection- or body-level failure: 5xx schedule
             if (attempt < maxRetries)
               sleep(backoffMs(baseBackoffMs, attempt))
         }
@@ -119,6 +136,10 @@ object RestSource {
       case Ok(b)     => b
       case Forbidden => throw new HttpFetchException(403, url, "forbidden")
     }
+
+  /** Upper bound on an honored Retry-After (vendor input must not be able
+    * to park the driver arbitrarily long). */
+  private val MaxRetryAfterMs = 30000L
 
   private def backoffMs(base: Long, attempt: Int): Long =
     base << math.min(attempt, 16)

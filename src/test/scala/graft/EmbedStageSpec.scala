@@ -25,6 +25,13 @@ class EmbedStageSpec extends SparkSpec {
         IvfIndex.assign(col("dl")).as("cid"), col("codes"))
   }
 
+  test("every oracle fixture corpus sits on the C-floor quantizer") {
+    // the inline derivation above uses the default (floor) cell count;
+    // it only equals the stage if the stage built with the same one
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1"))
+      assert(EmbedStage.cells(spark, s"/root/testdata/$d") == IvfIndex.C, d)
+  }
+
   test("vectors table equals the inline index derivation") {
     val cols = Seq("vec_id", "qv", "nsq", "dl", "cid", "codes").map(col)
     val a = stage.vectors.select(cols: _*)

@@ -40,6 +40,41 @@ class IvfSpec extends SparkSpec {
     assert(cids.forall(c => c >= 0 && c < IvfIndex.C))
   }
 
+  test("cellsFor pins list density: floor at the oracle SFs, ∝n above") {
+    // every oracle fixture sits on the C floor — the bit-exact DuckDB
+    // replay of assignment depends on this
+    for (n <- Seq(0L, 500L, 2000L, 4095L))
+      assert(IvfIndex.cellsFor(n) == IvfIndex.C, s"n=$n")
+    // above the floor the cell count tracks n/target (linear pair space)
+    assert(IvfIndex.cellsFor(20000L) == 78)  // 10× sf0.1 replica
+    assert(IvfIndex.cellsFor(40000L) == 156) // 20× sf0.1 replica
+    assert(IvfIndex.cellsFor(1000000L) == 1000000L / IvfIndex.TargetCellSize)
+  }
+
+  test("the centroid family is a prefix: growing cells keeps old rows") {
+    val small = IvfIndex.matrix(Dim)
+    val big = IvfIndex.matrix(Dim, 64)
+    assert(big.take(IvfIndex.C) == small)
+    assert(big.length == 64)
+    // all axis values stay on the quantization grid's range
+    assert(big.flatten.forall(v => v >= -1000000L && v <= 1000000L))
+  }
+
+  test("a grown quantizer still partitions, with cids beyond the floor") {
+    val (df, _) = planted(600, 0, 0.0)
+    val cells = 32
+    val asg = df.select(col("vec_id"),
+        IvfIndex.dots(col("qv"), Dim, cells).as("dl"))
+      .select(col("vec_id"), IvfIndex.assign(col("dl")).as("cid"))
+    assert(asg.count() == 600)
+    val cids = asg.select("cid").distinct().collect().map(_.getInt(0))
+    assert(cids.forall(c => c >= 0 && c < cells))
+    // the extra centroids genuinely attract mass (the LCG family isn't
+    // degenerate beyond the fixture prefix)
+    assert(cids.exists(_ >= IvfIndex.C),
+      "no vector assigned beyond the C floor with a grown quantizer")
+  }
+
   test("P-probe candidate join recovers planted near-duplicates") {
     val (df, pairs) = planted(n = 200, dups = 50, noise = 0.02)
     val dots = withDots(df)

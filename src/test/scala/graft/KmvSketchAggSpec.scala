@@ -62,6 +62,26 @@ class KmvSketchAggSpec extends SparkSpec {
     }
   }
 
+  test("builder rejects bad arity / non-literal k with a clean error") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("h")
+    // wrong arity
+    val e1 = intercept[Exception] {
+      df.agg(expr("kmv_sketch_agg(h, 64, 3)")).collect()
+    }
+    assert(e1.getMessage.contains("kmv_sketch_agg expects"))
+    // non-int-literal k (bigint literal)
+    val e2 = intercept[Exception] {
+      df.agg(expr("kmv_sketch_agg(h, cast(64 as bigint))")).collect()
+    }
+    assert(e2.getMessage.contains("kmv_sketch_agg expects"))
+    // column k
+    val e3 = intercept[Exception] {
+      df.agg(expr("kmv_sketch_agg(h, h)")).collect()
+    }
+    assert(e3.getMessage.contains("kmv_sketch_agg expects"))
+  }
+
   test("nulls are skipped; default k is 64") {
     import spark.implicits._
     val df = Seq(Some(5L), None, Some(1L), Some(5L)).toDF("h")

@@ -125,6 +125,88 @@ class RestSourceSpec extends SparkSpec {
     } finally srv.foreach(_.stop(0))
   }
 
+  // --- raw-socket server: scripted byte-level responses (truncated body,
+  // hostile Retry-After) that com.sun HttpServer can't produce -----------
+  private def withRawServer[T](responses: Seq[(String, Boolean)])
+                              (body: Int => T): T = {
+    val srv = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      responses.foreach { case (resp, rstAbort) =>
+        val s = srv.accept()
+        try {
+          // drain the request head (up to the blank line)
+          val in = s.getInputStream
+          var last4 = 0
+          var b = in.read()
+          var done = false
+          while (b != -1 && !done) {
+            last4 = ((last4 << 8) | b) & 0xffffffff
+            if (last4 == 0x0d0a0d0a) done = true else b = in.read()
+          }
+          s.getOutputStream.write(
+            resp.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          s.getOutputStream.flush()
+          // SO_LINGER 0 → close sends a TCP RST: the client's in-flight
+          // body read throws (a clean FIN would read as EOF, which
+          // HttpURLConnection accepts even short of Content-Length)
+          if (rstAbort) s.setSoLinger(true, 0)
+        } finally s.close()
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    try body(srv.getLocalPort) finally srv.close()
+  }
+
+  test("a mid-body drop after a 200 status retries on the 5xx schedule") {
+    // Content-Length promises 100 bytes, the connection is RST-aborted
+    // after 7: the body read (not the status read) throws, and the
+    // adapter must treat that as the same transient failure as a refused
+    // connect rather than surfacing a raw IOException.
+    val truncated =
+      "HTTP/1.1 200 OK\r\nContent-Length: 100\r\nConnection: close\r\n\r\npartial"
+    val full =
+      "HTTP/1.1 200 OK\r\nContent-Length: 2\r\nConnection: close\r\n\r\nok"
+    withRawServer(Seq(truncated -> true, full -> false)) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val r = RestSource.get(s"http://127.0.0.1:$port/p",
+        baseBackoffMs = 4L, readTimeoutMs = 2000, sleep = sleeps += _)
+      assert(r == RestSource.Ok("ok"))
+      assert(sleeps.toSeq == Seq(4L)) // one body failure, exponential base
+    }
+  }
+
+  test("negative Retry-After falls back to the exponential schedule") {
+    val tooSoon =
+      "HTTP/1.1 429 Too Many\r\nRetry-After: -5\r\nContent-Length: 0\r\n" +
+        "Connection: close\r\n\r\n"
+    val full =
+      "HTTP/1.1 200 OK\r\nContent-Length: 2\r\nConnection: close\r\n\r\nok"
+    withRawServer(Seq(tooSoon -> false, full -> false)) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val r = RestSource.get(s"http://127.0.0.1:$port/p",
+        baseBackoffMs = 4L, sleep = sleeps += _)
+      assert(r == RestSource.Ok("ok"))
+      // -5 would make Thread.sleep throw; the adapter must ignore it
+      assert(sleeps.toSeq == Seq(4L))
+    }
+  }
+
+  test("an enormous Retry-After is capped, not honored verbatim") {
+    val parkMe =
+      "HTTP/1.1 429 Too Many\r\nRetry-After: 999999\r\nContent-Length: 0\r\n" +
+        "Connection: close\r\n\r\n"
+    val full =
+      "HTTP/1.1 200 OK\r\nContent-Length: 2\r\nConnection: close\r\n\r\nok"
+    withRawServer(Seq(parkMe -> false, full -> false)) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val r = RestSource.get(s"http://127.0.0.1:$port/p",
+        baseBackoffMs = 4L, sleep = sleeps += _)
+      assert(r == RestSource.Ok("ok"))
+      assert(sleeps.toSeq == Seq(30000L)) // vendor can't park the driver
+    }
+  }
+
   test("403 is terminal (no retry) — the snapshot-fallback signal") {
     withServer() { h =>
       val slept = new AtomicInteger(0)
