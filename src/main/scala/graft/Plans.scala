@@ -50,6 +50,13 @@ object Plans {
     check("o2: TakeOrderedAndProject") {
       planOf("o2_topk").contains("TakeOrdered")
     }
+    // head-N preview is a bare CollectLimit over the scan — no sort, no
+    // heap (the o4 contract: preview cost is O(n) rows fetched, period)
+    check("o4: unordered head is CollectLimit, no Sort") {
+      val p = planOf("o4_head_preview")
+      p.contains("CollectLimit") && !p.contains("Sort") &&
+        !p.contains("TakeOrdered")
+    }
     // the fused Gold pass: the daily substrate joins broadcast (never a
     // shuffle join), and the whole window battery shares ONE sort — a
     // second Sort would mean a feature broke the shared (user, ts) frame
@@ -861,14 +868,16 @@ object Plans {
       val p = planOf("a34_kmv_overlap")
       p.contains("kmv_sketch_agg")
     }
-    // a25b: ONE corpus-sized pass — both consumers read the persisted
-    // vocabulary frame (as many cached reads as parquet scans), the
-    // shard and merge tiers are both sketch aggregates, no window
-    check("a25b: merge rides cached vocab frame, sketch aggs, no window") {
+    // a25b: the shard and merge tiers are both native sketch aggregates
+    // (map-side-combined — partial state is ≤64 longs, the exchanges
+    // carry sketches), the exact audit is its own partial-distinct
+    // branch, nothing is persisted (the old vocabulary-frame cache was
+    // the board's GC outlier), no window anywhere
+    check("a25b: sketch-agg tiers, no cache, no window") {
       val p = planOf("a25b_kmv_merge")
-      val imts = "InMemoryTableScan".r.findAllIn(p).length
-      imts >= 2 && "Scan parquet".r.findAllIn(p).length == imts &&
-        "kmv_sketch_agg".r.findAllIn(p).length >= 2 && !p.contains("Window")
+      !p.contains("InMemoryTableScan") &&
+        "kmv_sketch_agg".r.findAllIn(p).length >= 4 && // 2 tiers × partial+final
+        !p.contains("Window")
     }
     // a43: ANALYZE is ONE scan into ONE partial+final aggregate — no
     // melt explode before the agg, no persisted intermediate, no join;

@@ -64,4 +64,46 @@ object ModelRegistry {
     list(spark, path)
       .filter(col("model_name") === modelName && col("is_latest") === 1L)
       .drop("is_latest")
+
+  /** A PINNED version's rows — unlike [[latest]], a missing version is an
+    * ERROR: a pin that silently re-resolved (to latest, or to whatever
+    * survived [[retain]]) would score with a model the caller did not
+    * choose. Empty-check is a driver read of the metadata-sized registry. */
+  def pinned(spark: SparkSession, path: String, modelName: String,
+             version: Long): DataFrame = {
+    val rows = SnapshotTable.read(spark, path)
+      .filter(col("model_name") === modelName &&
+        col("version") === version)
+    if (rows.isEmpty) throw new NoSuchElementException(
+      s"registry $path has no version $version of '$modelName' " +
+        "(GC'd by retain or never registered) — refusing to re-resolve")
+    rows
+  }
+
+  /** Retention GC: keep the newest `keep` versions per model_name, drop
+    * everything older in ONE replace commit. The registry grows a version
+    * per registration forever without this; with it the table stays
+    * KB-sized regardless of training cadence.
+    *
+    * Crash-safety rides the snapshot format's atomic manifest commit:
+    * readers see the pre-GC or post-GC registry, never a half-vacuumed
+    * one, and time travel to pre-GC versions still works until the
+    * format's own vacuum drops the unreferenced files. `is_latest` is
+    * rank-derived, so it survives by construction (the newest version is
+    * always in the kept suffix). Returns (rows kept, rows dropped). */
+  def retain(spark: SparkSession, path: String, keep: Int): (Long, Long) = {
+    require(keep >= 1, s"retain keeps at least the latest version, got $keep")
+    val w = Window.partitionBy("model_name").orderBy(col("version").desc)
+    val ranked = SnapshotTable.read(spark, path)
+      .withColumn("__vrank", dense_rank().over(w))
+    val counts = ranked.agg(
+      sum(when(col("__vrank") <= keep, 1L).otherwise(0L)),
+      sum(when(col("__vrank") > keep, 1L).otherwise(0L))).head()
+    val dropped = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    if (dropped > 0L)
+      SnapshotTable.commit(spark,
+        ranked.filter(col("__vrank") <= keep).drop("__vrank"),
+        path, replace = true)
+    (if (counts.isNullAt(0)) 0L else counts.getLong(0), dropped)
+  }
 }

@@ -763,30 +763,32 @@ object AggQueries {
       (s, d) => {
         import graft.operators.TextOps.{hash32, shingles}
         val kth = least(lit(64), col("n_exact")).cast("int")
-        // ONE corpus-sized pass: per (source, hash), the ≤7-element set
-        // of shards holding it. Both consumers — the per-shard sketch
-        // builds and the exact-count audit — read this VOCABULARY-sized
-        // frame (persisted; a naive formulation ran two independent
-        // corpus-sized distincts instead)
-        val perHash = Tables.fanOut(Tables.documents(s, d))
+        // The raw gram stream, NOT pre-deduplicated: kmv_sketch_agg's
+        // buffer rejects duplicates itself, so the per-shard sketch pass
+        // is a pure map-side-combined aggregate whose partial state is
+        // ≤64 longs per (source, shard, partition) — the shuffle carries
+        // sketches, never gram rows. (The previous shape routed BOTH
+        // consumers through a persisted groupBy(source, h) +
+        // collect_set(shard) vocabulary frame: one corpus-sized shuffle
+        // of every distinct gram plus a heap-resident array cache — the
+        // board's GC outlier, max 17.9s on a 2s median. Recomputing the
+        // gram stream per branch is cheaper than materializing it.)
+        def grams = Tables.fanOut(Tables.documents(s, d))
           .select(col("source"), (col("doc_id") % 7).as("shard"),
             explode(shingles(col("text"), 2)).as("gr"))
           .select(col("source"), col("shard"), hash32(col("gr")).as("h"))
-          .groupBy("source", "h")
-          .agg(collect_set(col("shard")).as("shards"))
-          .persist()
-        val perShard = perHash
-          .select(col("source"), col("h"), explode(col("shards")).as("shard"))
+        val perShard = grams
           .groupBy("source", "shard")
           .agg(expr("kmv_sketch_agg(h, 64)").as("mins"))
         val merged = perShard
           .select(col("source"), explode(col("mins")).as("h"))
           .groupBy("source")
           .agg(expr("kmv_sketch_agg(h, 64)").as("mins"))
-        // audit column: exact per-source distinct count (a hash present
-        // in several shards is one perHash row, counted once)
-        val nExact = perHash.groupBy("source")
-          .agg(count(lit(1)).as("n_exact"))
+        // audit branch: exact per-source distinct count — inherently a
+        // distinct over the gram vocabulary, so it gets its own pass
+        // (partial distinct map-side) instead of taxing the sketch path
+        val nExact = grams.groupBy("source")
+          .agg(count_distinct(col("h")).as("n_exact"))
         merged.join(broadcast(nExact), "source")
           .select(col("source"), col("n_exact"),
             kth.cast("long").as("k"),

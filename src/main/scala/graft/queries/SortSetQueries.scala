@@ -42,6 +42,26 @@ object SortSetQueries {
         Tables.orders(s, d).select("o_orderkey", "o_totalprice")
           .orderBy(col("o_totalprice").asc, col("o_orderkey")).limit(50)),
 
+    // O4: head-N preview (df.show()/head(n) — §2.6's last cell, the only
+    // one without an oracle row through round 9). show() itself prints,
+    // but its plan shape IS hashable: an UNORDERED limit compiles to
+    // CollectLimit — no sort, no per-partition heap, the driver takes the
+    // first n rows in scan order. The result SET is well-defined because
+    // the projection reads ONE parquet split (nation: 25 rows, one row
+    // group at every SF) whose file order is the key order the fixture
+    // generator writes, so "first 8 in scan order" ≡ "first 8 by
+    // n_nationkey" — exactly what the oracle's ordered LIMIT replays.
+    // Plan-pinned in graft.Plans: CollectLimit and NO Sort/TakeOrdered (a
+    // sorted limit would silently collapse this into o2's shape and the
+    // preview semantics would go untested).
+    QueryDef(
+      "o4_head_preview",
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |ORDER BY n_nationkey LIMIT 8""".stripMargin),
+      (s, d) =>
+        Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+          .limit(8)),
+
     // U1: union-all of two branch projections (pd.concat shape).
     QueryDef(
       "u1_union_all",

@@ -92,17 +92,39 @@ object StreamingOps {
                        goldPath: String, batchId: Long): Unit =
     if (!batch.isEmpty) {
       val s = batch.sparkSession
+      // phase profiling seam (SPARK_GRAFT_STPROF=1): splits addBatch into
+      // bronze-write / refresh-compute / merge so StreamProfile's
+      // per-batch durationMs can be attributed — off, it adds nothing
+      val prof = sys.env.contains("SPARK_GRAFT_STPROF")
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        if (prof) System.err.println(
+          f"[stprof] goldBatch $batchId $label " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
       batch.persist() // three readers: bronze write, refresh, unpersist
-      batch.write.mode("overwrite").parquet(s"$bronzePath/batch_id=$batchId")
+      timed("bronzeWrite") {
+        batch.write.mode("overwrite")
+          .parquet(s"$bronzePath/batch_id=$batchId")
+      }
       // drop the partition-discovery column: bronze consumers see the bar
       // schema, not the sink's layout detail
       val bronze = s.read.parquet(bronzePath).drop("batch_id")
-      val refreshed = graft.operators.IncrementalGold.refresh(
+      var refreshed = graft.operators.IncrementalGold.refresh(
         s, bronze, batch)
-      graft.operators.MergeUpsert.upsertPartitioned(
-        s, refreshed, goldPath,
-        keyCols = Seq("user_id", "day"), partitionCol = "day",
-        orderCol = "day")
+      if (prof) { // materialize compute separately from the sink merge
+        refreshed = refreshed.persist()
+        timed("refreshCompute")(refreshed.count())
+      }
+      timed("merge") {
+        graft.operators.MergeUpsert.upsertPartitioned(
+          s, refreshed, goldPath,
+          keyCols = Seq("user_id", "day"), partitionCol = "day",
+          orderCol = "day")
+      }
+      if (prof) refreshed.unpersist()
       batch.unpersist()
       ()
     }

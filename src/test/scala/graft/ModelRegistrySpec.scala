@@ -43,6 +43,47 @@ class ModelRegistrySpec extends SparkSpec {
     assert(latest.head.getAs[Double]("coef") == 0.9)
   }
 
+  test("retain keeps the newest N versions; is_latest survives; a pinned " +
+    "reader of a GC'd version fails loudly") {
+    val dir = freshDir("registry_spec_retain")
+    for (v <- 1 to 4)
+      ModelRegistry.register(spark, dir, "m", model("A", v / 10.0))
+    ModelRegistry.register(spark, dir, "solo", model("B", 1.0))
+
+    val (kept, dropped) = ModelRegistry.retain(spark, dir, keep = 2)
+    assert(kept == 3L && dropped == 2L) // m: v3,v4; solo: v1
+
+    val l = ModelRegistry.list(spark, dir).collect()
+    assert(l.map(r => (r.getAs[String]("model_name"),
+      r.getAs[Long]("version"))).toSet ==
+      Set(("m", 3L), ("m", 4L), ("solo", 1L)))
+    // is_latest survives GC: still exactly one latest per model, still
+    // the newest version
+    val latest = ModelRegistry.latest(spark, dir, "m").collect()
+    assert(latest.length == 1 && latest.head.getAs[Long]("version") == 4L)
+    // the single-version model is untouched (retain never drops below 1)
+    assert(ModelRegistry.latest(spark, dir, "solo").count() == 1)
+
+    // a pin to a surviving version resolves
+    assert(ModelRegistry.pinned(spark, dir, "m", 3L).count() == 1)
+    // a pin to a GC'd version fails loudly — never silent re-resolution
+    val e = intercept[NoSuchElementException] {
+      ModelRegistry.pinned(spark, dir, "m", 1L)
+    }
+    assert(e.getMessage.contains("no version 1"))
+
+    // idempotence: a second retain with nothing to drop commits nothing
+    val before = graft.operators.SnapshotTable.versions(spark, dir).last
+    val (k2, d2) = ModelRegistry.retain(spark, dir, keep = 2)
+    assert(d2 == 0L)
+    assert(graft.operators.SnapshotTable.versions(spark, dir).last == before)
+    assert(k2 == 3L) // m: v3,v4; solo: v1
+
+    // version assignment still derives from committed state post-GC:
+    // the next registration continues the sequence, not a reused number
+    assert(ModelRegistry.register(spark, dir, "m", model("A", 0.9)) == 5L)
+  }
+
   test("payloads must not shadow registry columns") {
     val dir = freshDir("registry_spec_shadow")
     intercept[IllegalArgumentException] {
