@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, plus decode / feature-extract / frame-sample
-  * transforms over `mapPartitions`.
+  * with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample transforms over `mapPartitions`.
   *
   * The Spark-side mechanics — schema, batch-per-partition iteration,
   * deterministic output shape — are real and tested. The media DECODE step
@@ -67,6 +67,77 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Integer-exact bounded-box dims: the largest (w', h') with w' ≤ maxW,
+    * h' ≤ maxH preserving aspect by integer division. The binding axis is
+    * chosen by cross-multiplication (maxW·h ≤ maxH·w → width-bound), so
+    * the arithmetic is pure int64 — a SQL oracle replays it bit-for-bit,
+    * no float scale factor anywhere. In-bounds dims pass through. */
+  def scaledDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (maxW.toLong * h <= maxH.toLong * w)
+      (maxW, math.max(1L, h.toLong * maxW / w).toInt)
+    else
+      (math.max(1L, w.toLong * maxH / h).toInt, maxH)
+
+  /** STUB resized payload: a real implementation decodes, scales, and
+    * re-encodes; the stand-in emits EXACTLY `outW * 3 + outH` bytes (a
+    * "row stride" stand-in contract the mm5 oracle audits) derived from a
+    * rolling hash of the source bytes — deterministic, and never a copy
+    * of the input. */
+  private[operators] def stubResize(payload: Array[Byte], outW: Int,
+                                    outH: Int): Array[Byte] = {
+    val n = outW * 3 + outH
+    val out = new Array[Byte](n)
+    var h = 1125899906842597L ^ (outW.toLong << 32 | outH.toLong)
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    var j = 0
+    while (j < n) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(j) = (h >>> 56).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Bounded-box RESIZE over partitions: image/video rows whose dims
+    * exceed (maxW, maxH) get [[scaledDims]] and a stub payload of the
+    * resized size; audio, null-dim, null-payload, and in-bounds rows pass
+    * through UNTOUCHED (same object, no copy). Schema is unchanged. Like
+    * the other media transforms this is a narrow per-partition map — the
+    * payload never crosses a shuffle, and at 100 TB the transform
+    * parallelizes per input split with no skew term (cost ∝ bytes). */
+  def resize(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val ki = schema.fieldIndex("kind")
+    val pi = schema.fieldIndex("payload")
+    val wi = schema.fieldIndex("width")
+    val hi = schema.fieldIndex("height")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val kind = row.getString(ki)
+        val sized = (kind == "image" || kind == "video") &&
+          !row.isNullAt(wi) && !row.isNullAt(hi) && !row.isNullAt(pi)
+        if (!sized) row
+        else {
+          val w = row.getInt(wi)
+          val h = row.getInt(hi)
+          val (ow, oh) = scaledDims(w, h, maxW, maxH)
+          if (ow == w && oh == h) row
+          else {
+            val vals = row.toSeq.toArray
+            vals(pi) = stubResize(row.getAs[Array[Byte]](pi), ow, oh)
+            vals(wi) = ow
+            vals(hi) = oh
+            Row.fromSeq(vals.toIndexedSeq)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Frame sampling (video analog): emit one row per sampled frame offset —

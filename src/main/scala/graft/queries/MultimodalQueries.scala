@@ -248,6 +248,91 @@ object MultimodalQueries {
             ((count(lit(1)) - 1) * max("chunk_bytes")).cast("long")
               .as("reclaim_bytes"))
           .filter(col("n_copies") > 1)
+      }),
+
+    // MM5: bounded-box RESIZE audit — the remaining media transform from
+    // the brief (decode/extract/frame-sample live in operators.Multimodal
+    // since round 6; resize landed round 10). The Spark side runs the
+    // REAL operator (Multimodal.resize: mapPartitions, payload never
+    // shuffles, pass-through rows untouched); the audit projects the
+    // operator's OUTPUT metadata — final dims, actual octet_length of the
+    // produced payload, resized flag — so the hash compare proves the
+    // operator's two contracts end-to-end: the integer-exact scaledDims
+    // arithmetic (cross-multiplied axis choice, int division, ≥1 guard)
+    // and the stub payload-size contract (outW·3 + outH bytes).
+    //
+    // Dims are synthesized per media row from n_chars (the fixture has no
+    // codec-probed dims, same stand-in doctrine as mm2's durations);
+    // audio rows carry NULL dims and must pass through byte-identical.
+    // maxW=640 / maxH=480 are deliberately ASYMMETRIC so both branches of
+    // the cross-multiplication fire across the corpus.
+    //
+    // Parity: every number is exact int64 arithmetic on both engines; the
+    // only payload-derived output is octet_length, which the stub pins to
+    // the arithmetic the oracle replays.
+    QueryDef(
+      "mm5_resize_audit",
+      Some("""WITH media AS (
+             |  SELECT doc_id AS media_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    CAST(length(text) AS BIGINT) AS n_chars
+             |  FROM documents WHERE length(text) >= 1),
+             |dims AS (
+             |  SELECT media_id, kind, n_bytes,
+             |    CASE WHEN kind = 'audio' THEN NULL
+             |         ELSE (n_chars * 7) % 1600 + 16 END AS w,
+             |    CASE WHEN kind = 'audio' THEN NULL
+             |         ELSE (n_chars * 13) % 1200 + 16 END AS h
+             |  FROM media),
+             |r AS (
+             |  SELECT media_id, kind, n_bytes, w, h,
+             |    CASE WHEN w IS NULL OR (w <= 640 AND h <= 480) THEN 0
+             |         ELSE 1 END AS resized,
+             |    CASE WHEN w IS NULL OR (w <= 640 AND h <= 480) THEN w
+             |         WHEN 640 * h <= 480 * w THEN 640
+             |         ELSE GREATEST(1, (w * 480) // h) END AS ow,
+             |    CASE WHEN w IS NULL OR (w <= 640 AND h <= 480) THEN h
+             |         WHEN 640 * h <= 480 * w
+             |           THEN GREATEST(1, (h * 640) // w)
+             |         ELSE 480 END AS oh
+             |  FROM dims)
+             |SELECT media_id, kind,
+             |  CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+             |  CAST(CASE WHEN resized = 1 THEN ow * 3 + oh
+             |       ELSE n_bytes END AS BIGINT) AS out_bytes,
+             |  CAST(resized AS BIGINT) AS resized
+             |FROM r""".stripMargin),
+      (s, d) => {
+        import graft.operators.Multimodal
+        val isAudio = pmod(col("media_id"), lit(3)) === 1
+        val media = Tables.documents(s, d)
+          .filter(length(col("text")) >= 1)
+          .select(
+            col("doc_id").as("media_id"),
+            col("text"),
+            length(col("text")).cast("long").as("n_chars"))
+          .select(
+            col("media_id"),
+            when(pmod(col("media_id"), lit(3)) === 0, "image")
+              .when(isAudio, "audio").otherwise("video").as("kind"),
+            col("text").cast("binary").as("payload"),
+            when(isAudio, lit(null))
+              .otherwise((col("n_chars") * 7 % 1600 + 16).cast("int"))
+              .as("width"),
+            when(isAudio, lit(null))
+              .otherwise((col("n_chars") * 13 % 1200 + 16).cast("int"))
+              .as("height"))
+          .withColumn("orig_w", col("width"))
+          .withColumn("orig_h", col("height"))
+        Multimodal.resize(media, maxW = 640, maxH = 480)
+          .select(col("media_id"), col("kind"),
+            col("width").cast("long").as("out_w"),
+            col("height").cast("long").as("out_h"),
+            expr("octet_length(payload)").cast("long").as("out_bytes"),
+            (!(col("width") <=> col("orig_w")) ||
+              !(col("height") <=> col("orig_h"))).cast("long").as("resized"))
       })
   )
 }

@@ -308,6 +308,52 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("frame_ms").collect()
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1000L, 2000L))
   }
+
+  test("scaledDims: bounds, asymmetric box, integer exactness, >=1 guard") {
+    // in-bounds passes through
+    assert(Multimodal.scaledDims(640, 480, 640, 480) == (640, 480))
+    assert(Multimodal.scaledDims(10, 10, 640, 480) == (10, 10))
+    // width-bound vs height-bound chosen by cross-multiplication
+    assert(Multimodal.scaledDims(1280, 720, 640, 480) == (640, 360))
+    assert(Multimodal.scaledDims(720, 1280, 640, 480) == (270, 480))
+    // exact integer division (no float drift): 1000x750 -> 640x480
+    assert(Multimodal.scaledDims(1000, 750, 640, 480) == (640, 480))
+    // degenerate aspect cannot collapse a dim to 0
+    assert(Multimodal.scaledDims(100000, 1, 640, 480) == (640, 1))
+    assert(Multimodal.scaledDims(1, 100000, 640, 480)._1 == 1)
+  }
+
+  test("resize: stub size contract, pass-through identity, determinism") {
+    val big = "payload-bytes-of-a-big-image".getBytes
+    val small = "small".getBytes
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "image", big,
+        Integer.valueOf(1280), Integer.valueOf(720), null),
+      org.apache.spark.sql.Row(2L, "image", small,
+        Integer.valueOf(320), Integer.valueOf(200), null),
+      org.apache.spark.sql.Row(3L, "audio", big, null, null,
+        java.lang.Long.valueOf(9000L)),
+      org.apache.spark.sql.Row(4L, "video", null,
+        Integer.valueOf(1920), Integer.valueOf(1080), null))
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.resize(df, 640, 480).orderBy("media_id").collect()
+    // resized row: new dims + stub payload of exactly outW*3 + outH bytes
+    assert(out(0).getInt(3) == 640 && out(0).getInt(4) == 360)
+    val p1 = out(0).getAs[Array[Byte]]("payload")
+    assert(p1.length == 640 * 3 + 360)
+    // in-bounds image: byte-identical pass-through
+    assert(out(1).getAs[Array[Byte]]("payload").sameElements(small))
+    assert(out(1).getInt(3) == 320 && out(1).getInt(4) == 200)
+    // audio (null dims) and null-payload rows pass through untouched
+    assert(out(2).getAs[Array[Byte]]("payload").sameElements(big))
+    assert(out(2).isNullAt(3))
+    assert(out(3).isNullAt(2))
+    assert(out(3).getInt(3) == 1920)
+    // deterministic: same input -> same stub bytes
+    val again = Multimodal.resize(df, 640, 480).orderBy("media_id")
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(p1.sameElements(again))
+  }
 }
 
 class IncrementalSyncSpec extends SparkSpec {
