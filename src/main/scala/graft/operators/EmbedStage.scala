@@ -146,6 +146,18 @@ object EmbedStage {
   private def build(s: SparkSession, d: String, dir: String,
                     nc: Int): Unit = {
     import VectorOps._
+    // Loud scale boundary: this build stores the FLAT dot array (dl,
+    // O(cells) per row) and flat-argmax assignment — the right plan up to
+    // a few thousand cells (every fixture/probe scale; O(n·cells·dim)
+    // build). Beyond it both the build term (quadratic in n) and the
+    // per-row dl storage are the wrong plan: switch cid to
+    // IvfIndex.assignHier (two-level, O(√cells·dim)/vector, spec-proven
+    // in IvfSpec) and keep only parent-level dots for query-side probing.
+    // A silent fallthrough here would burn a cluster; fail instead.
+    require(nc <= IvfIndex.HierarchyThreshold,
+      s"EmbedStage: $nc cells exceeds the flat-quantizer regime " +
+        s"(≤${IvfIndex.HierarchyThreshold}) — wire IvfIndex.assignHier " +
+        "for this corpus size (see scaladoc)")
     // fanOut: the per-row index math (cells centroid dots, M argmin
     // encodes, tables×bits sign tests) is the hot path — a single-file
     // fixture must not serialize it onto one core.

@@ -95,4 +95,66 @@ object IvfIndex {
   /** DuckDB text of [[assign]] over a list column expression `dl`. */
   def oracleAssign(dl: String): String =
     s"CAST(list_position($dl, list_max($dl)) - 1 AS INT)"
+
+  // ---------------------------------------------------------------------
+  // Hierarchical (two-level) quantizer — the beyond-threshold regime
+  // ---------------------------------------------------------------------
+
+  /** Flat assignment costs O(cells·dim) per vector; with cells ∝ n the
+    * whole index build is O(n²·dim/target) — fine through hundreds of
+    * cells (every fixture and probe scale), quadratic at warehouse n.
+    * Above this cell count the flat path is the wrong plan and the build
+    * must switch to the two-level quantizer below (the same move FAISS
+    * makes: assign against a coarse net first). [[EmbedStage]] enforces
+    * the boundary loudly. 4096 cells ≈ a 1M-vector corpus at the default
+    * target — far above anything the local fixtures reach. */
+  val HierarchyThreshold = 4096
+
+  /** Two-level cell geometry for `cells` total: G = ⌈√cells⌉ PARENT
+    * centroids (the existing LCG family — parents are coarse anchors),
+    * each with up to B = ⌈cells/G⌉ CHILDREN placed NEAR their parent:
+    * child (g, i) = parent g + a small LCG jitter in [-1e5, 1e5] per
+    * axis (10% of the coordinate range). Locality is the point — a
+    * vector's best child almost always lives under its best parent, so
+    * argmax(parents) → argmax(children of winner) ≈ argmax(all children)
+    * at O((G + B)·dim) = O(√cells·dim) per vector: the build term drops
+    * from quadratic to n^1.5 (and to n·√target with a fixed parent
+    * fanout). Child cid = g·B + i, a partition of [0, cells). */
+  def hierGeometry(cells: Int): (Int, Int) = {
+    val g = math.ceil(math.sqrt(cells.toDouble)).toInt
+    (g, (cells + g - 1) / g)
+  }
+
+  /** Child centroid (parent `g`, slot `i`): parent + bounded jitter. */
+  def childCentroid(g: Int, i: Int, dim: Int): IndexedSeq[Long] = {
+    val p = centroid(g, dim)
+    (0 until dim).map { k =>
+      val idx = (g.toLong << 22) + (i.toLong << 8) + k
+      val jit = ((2862933555777941757L * idx + 3037000493L) % 200001L)
+        .abs - 100000L
+      math.max(-1000000L, math.min(1000000L, p(k) + jit))
+    }
+  }
+
+  /** Two-level assignment column: argmax over the G parent dots picks a
+    * block, exact argmax over that block's ≤B children picks the cell.
+    * Pure long arithmetic, deterministic (ties to the lowest index at
+    * both levels), output ∈ [0, cells). The last parent's child count is
+    * truncated so ids never exceed the cell count. */
+  def assignHier(qv: Column, dim: Int, cells: Int): Column = {
+    val (g, b) = hierGeometry(cells)
+    val parents = typedLit((0 until g).map(j => centroid(j, dim): Seq[Long]))
+    val children = typedLit((0 until g).map { gg =>
+      val nKids = math.min(b, cells - gg * b)
+      (0 until nKids).map(i => childCentroid(gg, i, dim): Seq[Long]): Seq[Seq[Long]]
+    })
+    def dot(c: Column): Column =
+      aggregate(zip_with(qv, c, (x, w) => x * w), lit(0L), (a, v) => a + v)
+    val pDots = transform(parents, dot(_))
+    val block = array_position(pDots, array_max(pDots)) - 1 // 0-based
+    val kids = element_at(children, (block + 1).cast("int"))
+    val kDots = transform(kids, dot(_))
+    val local = array_position(kDots, array_max(kDots)) - 1
+    (block * b + local).cast("int")
+  }
 }

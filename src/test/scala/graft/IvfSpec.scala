@@ -75,6 +75,69 @@ class IvfSpec extends SparkSpec {
       "no vector assigned beyond the C floor with a grown quantizer")
   }
 
+  test("hierarchical assignment: partition, range, determinism") {
+    val (df, _) = planted(400, 0, 0.0)
+    val cells = 100 // G=10 parents × B=10 children
+    val asg = df.select(col("vec_id"),
+      IvfIndex.assignHier(col("qv"), Dim, cells).as("cid"))
+    assert(asg.count() == 400)
+    val cids = asg.collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(cids.forall { case (_, c) => c >= 0 && c < cells })
+    // deterministic across runs
+    val again = df.select(col("vec_id"),
+      IvfIndex.assignHier(col("qv"), Dim, cells).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(cids.toMap == again.toMap)
+    // a truncated last block never mints an out-of-range id
+    val odd = df.select(
+      IvfIndex.assignHier(col("qv"), Dim, 97).as("cid"))
+      .collect().map(_.getInt(0))
+    assert(odd.forall(c => c >= 0 && c < 97))
+  }
+
+  test("hierarchical locality: planted children land in their own block; " +
+    "two-level argmax agrees with flat argmax over the same family") {
+    import spark.implicits._
+    val cells = 64
+    val (_, b) = IvfIndex.hierGeometry(cells)
+    // (1) vectors placed AT child centroids must win level 1 for their
+    // own parent (children sit within the ±1e5 jitter of their parent,
+    // other parents are LCG-far) — the block-level locality claim. The
+    // EXACT sibling chosen inside the block is legitimately unstable for
+    // an inner-product quantizer (siblings share the parent direction;
+    // IP-argmax among them is jitter-order noise), so only the block is
+    // asserted per planted vector.
+    val planted = (0 until cells).map { cid =>
+      (cid.toLong, IvfIndex.childCentroid(cid / b, cid % b, Dim).toSeq)
+    }
+    val blockHits = planted.toDF("expected_cid", "qv")
+      .select(col("expected_cid"),
+        IvfIndex.assignHier(col("qv"), Dim, cells).as("cid"))
+      .collect()
+      .count(r => r.getInt(1) / b == r.getLong(0).toInt / b)
+    assert(blockHits == cells,
+      s"only $blockHits/$cells planted children kept their parent block")
+
+    // (2) on arbitrary vectors, the O(√cells·dim) two-level argmax must
+    // agree with the O(cells·dim) FLAT argmax over the SAME child family
+    // almost always (the parent term dominates the jitter term, so the
+    // best child's parent is the best parent) — this is the claim that
+    // lets the warehouse-scale build drop the quadratic term
+    val (df, _) = this.planted(400, 0, 0.0)
+    val childMat = (0 until cells)
+      .map(cid => IvfIndex.childCentroid(cid / b, cid % b, Dim): Seq[Long])
+    val dl = transform(typedLit(childMat), c =>
+      aggregate(zip_with(col("qv"), c, (x, y) => x * y),
+        lit(0L), (a, v) => a + v))
+    val both = df.select(
+      IvfIndex.assign(dl).as("flat"),
+      IvfIndex.assignHier(col("qv"), Dim, cells).as("hier"))
+      .collect()
+    val agree = both.count(r => r.getInt(0) == r.getInt(1))
+    assert(agree >= 360, // ≥90%
+      s"two-level agreed with flat on only $agree/400 vectors")
+  }
+
   test("P-probe candidate join recovers planted near-duplicates") {
     val (df, pairs) = planted(n = 200, dups = 50, noise = 0.02)
     val dots = withDots(df)
