@@ -90,10 +90,15 @@ def main():
                        "note": "no flagged regressions"}, f, indent=1)
         return 0
 
+    import os
     sha = sh(["git", "rev-parse", "--short", a.base_ref]).stdout.strip()
     base_dir = f"/tmp/graft_ab_{sha}"
-    existing = sh(["git", "worktree", "list", "--porcelain"]).stdout
-    if base_dir not in existing:
+    # decide by the DIRECTORY, not the worktree registry: a wiped /tmp
+    # leaves a stale registration behind and a registry-only check would
+    # then skip the add and crash in a nonexistent cwd. prune first so a
+    # stale registration never blocks the re-add.
+    if not os.path.isdir(base_dir):
+        sh(["git", "worktree", "prune"])
         sh(["git", "worktree", "add", "--detach", base_dir, a.base_ref])
 
     # untimed warm pass per side: pays the one-off sbt compile (base may

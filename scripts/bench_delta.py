@@ -121,6 +121,10 @@ def main(cur_path, prior_path, out_path, ab_base=None):
                 deltas[q]["flag"] = "host-drift"
         regs = [q for q in regs
                 if deltas[q].get("flag") == "regression"]
+        # keep the summary list consistent with the per-query flags: a
+        # downgraded row must not survive in "flagged"
+        flagged = [q for q in flagged
+                   if deltas[q].get("flag") in ("regression", "improvement")]
     out = {"current": cur_path, "prior": prior_path,
            "noise_floor": {"current": cur_nf, "prior": prior_nf},
            "n_compared": len([d for d in deltas.values() if "pct" in d]),
@@ -142,6 +146,8 @@ if __name__ == "__main__":
     ab = None
     if "--ab" in args:
         i = args.index("--ab")
+        if i + 1 >= len(args):
+            raise SystemExit(__doc__)
         ab = args[i + 1]
         args = args[:i] + args[i + 2:]
     if len(args) != 3:

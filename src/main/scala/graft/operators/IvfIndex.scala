@@ -53,8 +53,18 @@ object IvfIndex {
     * the cell-local pair space per row — is bounded regardless of n. */
   val TargetCellSize = 256L
 
-  /** Data-dependent cell count for an n-vector corpus (see scaladoc). */
-  def cellsFor(n: Long): Int = math.max(C.toLong, n / TargetCellSize).toInt
+  /** Data-dependent cell count for an n-vector corpus (see scaladoc).
+    * Computed in Long and bounds-checked: a silent .toInt wrap at
+    * extreme n would go NEGATIVE and sail under EmbedStage's
+    * `require(nc <= HierarchyThreshold)` scale boundary — the exact
+    * silent fallthrough that guard exists to prevent. */
+  def cellsFor(n: Long): Int = {
+    val c = math.max(C.toLong, n / TargetCellSize)
+    require(c <= Int.MaxValue,
+      s"cellsFor: $c cells for n=$n overflows Int — this corpus is far " +
+        "beyond the flat-quantizer regime; wire assignHier (scaladoc)")
+    c.toInt
+  }
 
   /** Deterministic centroid axis values on the 1e-6 quantization grid,
     * in [-1e6, 1e6] (an LCG over the flattened index — plan constants

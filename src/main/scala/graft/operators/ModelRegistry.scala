@@ -90,7 +90,15 @@ object ModelRegistry {
     * one, and time travel to pre-GC versions still works until the
     * format's own vacuum drops the unreferenced files. `is_latest` is
     * rank-derived, so it survives by construction (the newest version is
-    * always in the kept suffix). Returns (rows kept, rows dropped). */
+    * always in the kept suffix). Returns (rows kept, rows dropped).
+    *
+    * Writer contract: retain is an ADMINISTRATIVE operation that widens
+    * the single-registrar rule to the WHOLE table — its replace commit is
+    * derived from a snapshot read, so a registration (of ANY model name)
+    * that commits between that read and retain's commit would be erased.
+    * Run it with no concurrent registrations (maintenance window /
+    * after-training hook), the same exclusivity a table-format VACUUM or
+    * REPLACE demands. */
   def retain(spark: SparkSession, path: String, keep: Int): (Long, Long) = {
     require(keep >= 1, s"retain keeps at least the latest version, got $keep")
     val w = Window.partitionBy("model_name").orderBy(col("version").desc)

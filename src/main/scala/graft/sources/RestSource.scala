@@ -107,7 +107,11 @@ object RestSource {
                   Option(conn.getHeaderField("Retry-After"))
                     .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
                     .filter(_ >= 0L)
-                    .map(s => math.min(s * 1000L, MaxRetryAfterMs))
+                    // cap BEFORE the seconds→millis multiply: a huge
+                    // parseable value would overflow Long negative and
+                    // crash Thread.sleep — the exact failure this branch
+                    // exists to absorb
+                    .map(s => math.min(s, MaxRetryAfterMs / 1000L) * 1000L)
                     .getOrElse(backoffMs(baseBackoffMs, attempt)))
               case c if c >= 500 =>
                 lastCode = code; lastBody = body

@@ -193,9 +193,12 @@ class RestSourceSpec extends SparkSpec {
   }
 
   test("an enormous Retry-After is capped, not honored verbatim") {
+    // 9.3e15 seconds also overflows a seconds→millis multiply: the cap
+    // must be applied BEFORE the unit conversion or the sleep goes
+    // negative and Thread.sleep throws
     val parkMe =
-      "HTTP/1.1 429 Too Many\r\nRetry-After: 999999\r\nContent-Length: 0\r\n" +
-        "Connection: close\r\n\r\n"
+      "HTTP/1.1 429 Too Many\r\nRetry-After: 9300000000000000\r\n" +
+        "Content-Length: 0\r\nConnection: close\r\n\r\n"
     val full =
       "HTTP/1.1 200 OK\r\nContent-Length: 2\r\nConnection: close\r\n\r\nok"
     withRawServer(Seq(parkMe -> false, full -> false)) { port =>
