@@ -92,26 +92,39 @@ object ModelRegistry {
     * rank-derived, so it survives by construction (the newest version is
     * always in the kept suffix). Returns (rows kept, rows dropped).
     *
-    * Writer contract: retain is an ADMINISTRATIVE operation that widens
-    * the single-registrar rule to the WHOLE table — its replace commit is
-    * derived from a snapshot read, so a registration (of ANY model name)
-    * that commits between that read and retain's commit would be erased.
-    * Run it with no concurrent registrations (maintenance window /
-    * after-training hook), the same exclusivity a table-format VACUUM or
-    * REPLACE demands. */
+    * Concurrency: the GC's replace commit is derived from a snapshot
+    * read, so it is published CONDITIONALLY (`expectedHead` — the
+    * format's compare-and-swap): a registration of ANY model landing
+    * between the read and the commit fails the CAS instead of being
+    * silently erased, and retain re-reads the new head and retries.
+    * Registrations therefore never lose; only the GC repeats its
+    * metadata-sized work. */
   def retain(spark: SparkSession, path: String, keep: Int): (Long, Long) = {
     require(keep >= 1, s"retain keeps at least the latest version, got $keep")
     val w = Window.partitionBy("model_name").orderBy(col("version").desc)
-    val ranked = SnapshotTable.read(spark, path)
-      .withColumn("__vrank", dense_rank().over(w))
-    val counts = ranked.agg(
-      sum(when(col("__vrank") <= keep, 1L).otherwise(0L)),
-      sum(when(col("__vrank") > keep, 1L).otherwise(0L))).head()
-    val dropped = if (counts.isNullAt(1)) 0L else counts.getLong(1)
-    if (dropped > 0L)
-      SnapshotTable.commit(spark,
-        ranked.filter(col("__vrank") <= keep).drop("__vrank"),
-        path, replace = true)
-    (if (counts.isNullAt(0)) 0L else counts.getLong(0), dropped)
+    var attempt = 0
+    while (true) {
+      val head = SnapshotTable.versions(spark, path).lastOption.getOrElse(0)
+      if (head == 0) return (0L, 0L) // empty registry: nothing to GC
+      val ranked = SnapshotTable.read(spark, path, Some(head))
+        .withColumn("__vrank", dense_rank().over(w))
+      val counts = ranked.agg(
+        sum(when(col("__vrank") <= keep, 1L).otherwise(0L)),
+        sum(when(col("__vrank") > keep, 1L).otherwise(0L))).head()
+      val kept = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+      val dropped = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+      if (dropped == 0L) return (kept, 0L)
+      try {
+        SnapshotTable.commit(spark,
+          ranked.filter(col("__vrank") <= keep).drop("__vrank"),
+          path, replace = true, expectedHead = Some(head))
+        return (kept, dropped)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 5) throw e // registrar storm — surface it
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -328,11 +328,20 @@ object SnapshotTable {
     * one atomic rename — there is no crash window where one exists
     * without the other — and verbatim manifest copies (deleteWhere,
     * restore) carry it through maintenance commits. */
+  /** `expectedHead = Some(v)` makes the commit CONDITIONAL (the
+    * compare-and-swap every table format's REPLACE/OVERWRITE needs):
+    * under the commit lock, if the head version is not exactly `v`
+    * (0 = empty table), the staged files are reclaimed and
+    * [[java.util.ConcurrentModificationException]] is thrown instead of
+    * publishing — a maintenance rewrite derived from a snapshot read can
+    * then never erase a commit that landed after that read; the caller
+    * re-reads and retries. */
   def commit(spark: SparkSession, df: DataFrame, tablePath: String,
              replace: Boolean = true,
              statsCols: Seq[String] = Seq.empty,
              commitTime: Option[Long] = None,
-             txn: Option[(String, Long)] = None): Int = {
+             txn: Option[(String, Long)] = None,
+             expectedHead: Option[Int] = None): Int = {
     require(statsCols.forall(c => !c.contains("\t") && !c.contains("=")),
       "stats column names must not contain tab or '='")
     require(txn.forall { case (app, _) =>
@@ -356,6 +365,15 @@ object SnapshotTable {
         stats.getOrElse(p.getName, Map.empty))))
     withCommitLock(spark, tablePath) { f =>
       val head = versions(spark, tablePath).lastOption
+      expectedHead.foreach { e =>
+        if (head.getOrElse(0) != e) {
+          f.delete(dataDir, true) // reclaim staged files before failing
+          throw new java.util.ConcurrentModificationException(
+            s"conditional commit at $tablePath expected head v$e but " +
+              s"found v${head.getOrElse(0)} — a commit landed after the " +
+              "caller's snapshot read; re-read and retry")
+        }
+      }
       val headTxns = head.map(readTxns(spark, tablePath, _))
         .getOrElse(Map.empty[String, Long])
       val replayed = txn.exists { case (app, id) =>

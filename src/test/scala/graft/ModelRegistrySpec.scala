@@ -84,6 +84,34 @@ class ModelRegistrySpec extends SparkSpec {
     assert(ModelRegistry.register(spark, dir, "m", model("A", 0.9)) == 5L)
   }
 
+  test("conditional commit: a stale expectedHead fails loudly, staged " +
+    "files are reclaimed, and the interleaved registration survives") {
+    import graft.operators.SnapshotTable
+    val dir = freshDir("registry_spec_cas")
+    ModelRegistry.register(spark, dir, "m", model("A", 0.1)) // v1
+    val pinned = SnapshotTable.versions(spark, dir).last     // = 1
+    // a registration lands AFTER the maintenance job's snapshot read
+    ModelRegistry.register(spark, dir, "late", model("B", 1.0)) // v2
+    // the stale rewrite must fail the CAS, not erase 'late'
+    val stale = SnapshotTable.read(spark, dir, Some(pinned))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commit(spark, stale, dir, replace = true,
+        expectedHead = Some(pinned))
+    }
+    assert(ModelRegistry.latest(spark, dir, "late").count() == 1)
+    // no torn state: the failed commit left no new version behind
+    assert(SnapshotTable.versions(spark, dir).last == 2)
+    // a fresh retain (which re-reads the true head) still works and
+    // keeps both models
+    val (kept, dropped) = ModelRegistry.retain(spark, dir, keep = 1)
+    assert(kept == 2L && dropped == 0L)
+    // and a CORRECT expectedHead commits fine
+    val v = SnapshotTable.commit(spark,
+      SnapshotTable.read(spark, dir), dir, replace = true,
+      expectedHead = Some(2))
+    assert(v == 3)
+  }
+
   test("payloads must not shadow registry columns") {
     val dir = freshDir("registry_spec_shadow")
     intercept[IllegalArgumentException] {
