@@ -91,12 +91,31 @@ def main():
         return 0
 
     import os
+    import shutil
     sha = sh(["git", "rev-parse", "--short", a.base_ref]).stdout.strip()
+    full_sha = sh(["git", "rev-parse", a.base_ref]).stdout.strip()
     base_dir = f"/tmp/graft_ab_{sha}"
     # decide by the DIRECTORY, not the worktree registry: a wiped /tmp
     # leaves a stale registration behind and a registry-only check would
     # then skip the add and crash in a nonexistent cwd. prune first so a
     # stale registration never blocks the re-add.
+    # An EXISTING dir is only reused when it is a complete, clean checkout
+    # of the requested sha: a run killed mid `git worktree add` (or a
+    # hand-edited tree) would otherwise be silently timed as the base.
+    if os.path.isdir(base_dir):
+        try:
+            head = sh(["git", "rev-parse", "HEAD"],
+                      cwd=base_dir).stdout.strip()
+            dirty = sh(["git", "status", "--porcelain"],
+                       cwd=base_dir).stdout.strip()
+            ok = head == full_sha and not dirty
+        except Exception:
+            ok = False
+        if not ok:
+            print(f"[ab] {base_dir} is stale/partial; recreating")
+            subprocess.run(["git", "worktree", "remove", "--force",
+                            base_dir], cwd=REPO, capture_output=True)
+            shutil.rmtree(base_dir, ignore_errors=True)
     if not os.path.isdir(base_dir):
         sh(["git", "worktree", "prune"])
         sh(["git", "worktree", "add", "--detach", base_dir, a.base_ref])

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Round-over-round bench regression self-report.
 
-Usage: bench_delta.py CURRENT_STATS.json PRIOR.json OUT.json [--ab BASE_REF]
+Usage: bench_delta.py CURRENT_STATS.json PRIOR.json OUT.json
+                      [--ab BASE_REF] [--prior-delta DELTA.json]
 
 CURRENT_STATS is a full per-query stats file (Bench's durable output, with
 {"stats": {q: {min,med,max}}}). PRIOR may be the same format OR a committed
@@ -14,13 +15,20 @@ instead of relying on judge archaeology:
               if the windows [min,med] of the two rounds don't overlap).
   new/gone  — queries present in only one round.
 
-With --ab BASE_REF, any flagged REGRESSION is immediately adjudicated by
-scripts/bench_ab.py — a same-window interleaved A/B of the base ref vs
-HEAD (the round-9 hostcheck2 protocol, automated) — and the flag is
-downgraded to "host-drift" unless the in-window ratio confirms it. The
-A/B artifact lands next to OUT as OUT_ab.json and its per-query verdicts
-are merged into OUT, so one refresh run yields a drift-immune delta with
-zero manual adjudication files.
+With --prior-delta (the PREVIOUS round's committed delta output), queries
+whose CUMULATIVE two-round move exceeds the same 25% bar are flagged too
+("cumulative-regression"/"cumulative-improvement", in
+"cumulative_flagged"), even when each individual round stayed under the
+bar — a 15%/round creep can no longer compound unexamined across rounds.
+
+With --ab BASE_REF, any flagged regression (single-round or cumulative)
+is immediately adjudicated by scripts/bench_ab.py — a same-window
+interleaved A/B of the base ref vs HEAD (the round-9 hostcheck2 protocol,
+automated) — and the flag is downgraded to "host-drift" unless the
+in-window ratio confirms it. Downgraded rows move to "ab_downgraded" (not
+silently dropped: a real-but-noisy regression stays visible for the next
+round's cumulative check). The A/B artifact lands next to OUT as
+OUT_ab.json and its per-query verdicts are merged into OUT.
 """
 import json
 import re
@@ -28,6 +36,8 @@ import sys
 
 STAT_RE = re.compile(
     r'"([A-Za-z0-9_]+)":\{"min":([0-9.]+),"med":([0-9.]+),"max":([0-9.]+)\}')
+
+BAR_PCT = 25.0
 
 
 def load_stats(path):
@@ -72,10 +82,15 @@ def load_stats(path):
     raise SystemExit(f"{path}: no per-query stats found")
 
 
-def main(cur_path, prior_path, out_path, ab_base=None):
-    cur, cur_nf = load_stats(cur_path)
-    prior, prior_nf = load_stats(prior_path)
-    deltas, flagged = {}, []
+def compute_deltas(cur, cur_nf, prior, prior_nf, prior_deltas=None):
+    """Pure delta computation. Returns (deltas, flagged, cum_flagged).
+
+    prior_deltas: the PREVIOUS round's per-query delta dict ({q: {"pct":
+    ...}}), enabling the cumulative two-round rule: flag when
+    (1 + pct/100)·(1 + prior_pct/100) moves more than BAR_PCT% in either
+    direction and the row wasn't already flagged this round.
+    """
+    deltas, flagged, cum_flagged = {}, [], []
     for q in sorted(set(cur) | set(prior)):
         if q not in prior:
             deltas[q] = {"status": "new", "med": cur[q]["med"]}
@@ -88,19 +103,57 @@ def main(cur_path, prior_path, out_path, ab_base=None):
         entry = {"prior_med": p["med"], "med": c["med"],
                  "pct": round(pct, 1)}
         # real move = >25%, the two rounds' own [min, med] noise windows
-        # don't overlap (each round's med/min spread is its noise envelope),
-        # AND the absolute move exceeds both rounds' measured noise floors
-        # (a shift smaller than the no-op query's own cost is unattributable
-        # — two same-code runs were observed to flag disjoint ~0.1s drifts
-        # on sub-second queries without this guard)
+        # don't overlap (each round's med/min spread is its noise
+        # envelope), AND the absolute move exceeds both rounds' measured
+        # noise floors (a shift smaller than the no-op query's own cost is
+        # unattributable — two same-code runs were observed to flag
+        # disjoint ~0.1s drifts on sub-second queries without this guard)
         beyond_noise = (c["min"] > p["med"] or c["med"] < p["min"])
         beyond_floor = abs(c["med"] - p["med"]) > max(cur_nf, prior_nf)
-        if abs(pct) > 25 and beyond_noise and beyond_floor:
+        if abs(pct) > BAR_PCT and beyond_noise and beyond_floor:
             entry["flag"] = "regression" if pct > 0 else "improvement"
             flagged.append(q)
+        elif prior_deltas and q in prior_deltas \
+                and "pct" in prior_deltas[q]:
+            # cumulative two-round rule: sub-bar moves compound
+            prior_pct = prior_deltas[q]["pct"]
+            cum = ((1.0 + pct / 100.0) * (1.0 + prior_pct / 100.0)
+                   - 1.0) * 100.0
+            if abs(cum) > BAR_PCT:
+                entry["cum_pct"] = round(cum, 1)
+                entry["flag"] = ("cumulative-regression" if cum > 0
+                                 else "cumulative-improvement")
+                cum_flagged.append(q)
         deltas[q] = entry
-    regs = [q for q in flagged if deltas[q].get("flag") == "regression"]
-    ab_verdicts = None
+    return deltas, flagged, cum_flagged
+
+
+def merge_ab_verdicts(deltas, ab_verdicts):
+    """Fold A/B verdicts into the per-query entries. A host-drift verdict
+    downgrades the flag; the query moves to the returned `downgraded`
+    list (kept visible, never silently dropped)."""
+    downgraded = []
+    for q, v in ab_verdicts.items():
+        deltas[q]["ab_ratio"] = v["ratio"]
+        deltas[q]["ab_verdict"] = v["verdict"]
+        if v["verdict"] == "host-drift":
+            deltas[q]["flag"] = "host-drift"
+            downgraded.append(q)
+    return downgraded
+
+
+def main(cur_path, prior_path, out_path, ab_base=None, prior_delta=None):
+    cur, cur_nf = load_stats(cur_path)
+    prior, prior_nf = load_stats(prior_path)
+    prior_deltas = None
+    if prior_delta:
+        with open(prior_delta) as f:
+            prior_deltas = json.load(f)["queries"]
+    deltas, flagged, cum_flagged = compute_deltas(
+        cur, cur_nf, prior, prior_nf, prior_deltas)
+    regs = [q for q in flagged + cum_flagged
+            if deltas[q].get("flag", "").endswith("regression")]
+    ab_verdicts, downgraded = None, []
     if ab_base and regs:
         # adjudicate every flagged regression in ONE interleaved window
         import os
@@ -114,21 +167,21 @@ def main(cur_path, prior_path, out_path, ab_base=None):
              "--out", ab_out], check=True)
         with open(ab_out) as f:
             ab_verdicts = json.load(f)["queries"]
-        for q, v in ab_verdicts.items():
-            deltas[q]["ab_ratio"] = v["ratio"]
-            deltas[q]["ab_verdict"] = v["verdict"]
-            if v["verdict"] == "host-drift":
-                deltas[q]["flag"] = "host-drift"
+        downgraded = merge_ab_verdicts(deltas, ab_verdicts)
         regs = [q for q in regs
-                if deltas[q].get("flag") == "regression"]
-        # keep the summary list consistent with the per-query flags: a
-        # downgraded row must not survive in "flagged"
+                if deltas[q].get("flag", "").endswith("regression")]
+        # keep the summary lists consistent with the per-query flags: a
+        # downgraded row must not survive in "flagged"/"cumulative_flagged"
         flagged = [q for q in flagged
                    if deltas[q].get("flag") in ("regression", "improvement")]
+        cum_flagged = [q for q in cum_flagged if deltas[q].get("flag")
+                       in ("cumulative-regression",
+                           "cumulative-improvement")]
     out = {"current": cur_path, "prior": prior_path,
            "noise_floor": {"current": cur_nf, "prior": prior_nf},
            "n_compared": len([d for d in deltas.values() if "pct" in d]),
-           "flagged": flagged, "queries": deltas}
+           "flagged": flagged, "cumulative_flagged": cum_flagged,
+           "ab_downgraded": downgraded, "queries": deltas}
     if ab_verdicts is not None:
         out["ab_adjudicated"] = True
     with open(out_path, "w") as f:
@@ -136,20 +189,25 @@ def main(cur_path, prior_path, out_path, ab_base=None):
     print(f"compared {out['n_compared']} queries; "
           f"{len(regs)} regressions"
           f"{' (after A/B adjudication)' if ab_verdicts is not None else ''}, "
-          f"{len(flagged) - len(regs)} improvements/drift flagged "
-          f"-> {out_path}")
+          f"{len(flagged) + len(cum_flagged) - len(regs)} "
+          f"improvements/cumulative flagged, "
+          f"{len(downgraded)} A/B-downgraded -> {out_path}")
     return 0
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    ab = None
-    if "--ab" in args:
-        i = args.index("--ab")
-        if i + 1 >= len(args):
-            raise SystemExit(__doc__)
-        ab = args[i + 1]
-        args = args[:i] + args[i + 2:]
+    ab, prior_delta = None, None
+    for opt in ("--ab", "--prior-delta"):
+        if opt in args:
+            i = args.index(opt)
+            if i + 1 >= len(args):
+                raise SystemExit(__doc__)
+            if opt == "--ab":
+                ab = args[i + 1]
+            else:
+                prior_delta = args[i + 1]
+            args = args[:i] + args[i + 2:]
     if len(args) != 3:
         raise SystemExit(__doc__)
-    sys.exit(main(*args, ab_base=ab))
+    sys.exit(main(*args, ab_base=ab, prior_delta=prior_delta))

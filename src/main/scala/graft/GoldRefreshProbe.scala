@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure the Gold INCREMENTAL-refresh win as history grows —
+  * the round-10 verdict's open item on st8: the fixture spans fewer days
+  * than [[graft.operators.IncrementalGold.LookbackRows]], so each st8
+  * micro-batch legitimately costs ≈ a full Gold build there and the
+  * incremental claim was asserted, not shown.
+  *
+  * Method: STRETCH the fixture's event timestamps by k ∈ {1, 4, 16}
+  * (same rows, same per-user structure, k× the day span — days get
+  * thinner, history gets deeper), take the LAST stretched day as the
+  * arriving batch, and time
+  *   full    — GoldFeatures.goldTableFused over the whole history
+  *             (the reference notebook's recompute-everything refresh), vs
+  *   refresh — IncrementalGold.refresh (affected users × bounded
+  *             22-day-row lookback slice).
+  * Expected shape: full stays ~flat (row count fixed), refresh cost drops
+  * toward the lookback slice as span ≫ lookback, so the full/refresh
+  * ratio rises from ≈1× (fixture span) to ≫1× — the property that makes
+  * a daily 100 TB gold refresh affordable. The probe also equality-checks
+  * the refreshed days against the full build's same rows, so the speedup
+  * is never quoted on a divergent answer.
+  *
+  * Usage: runMain graft.GoldRefreshProbe [sfDir]
+  * SPARK_GRAFT_PROBE_OUT writes the JSON artifact.
+  */
+object GoldRefreshProbe {
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder("local[32]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev = Tables.events(spark, d).select("user_id", "ts", "value")
+    val bounds = ev.agg(min("ts"), max("ts")).head()
+    val t0 = bounds.getTimestamp(0).getTime
+    val t1 = bounds.getTimestamp(1).getTime
+
+    def time(df: => DataFrame): Double = {
+      val s0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      spark.sharedState.cacheManager.clearCache()
+      (System.nanoTime() - s0) / 1e9
+    }
+
+    val rows = Seq(1L, 4L, 16L).map { k =>
+      val stretched = ev.select(col("user_id"),
+        timestamp_millis(lit(t0) + (unix_millis(col("ts")) - t0) * k)
+          .as("ts"),
+        col("value"))
+      // persist: both sides must read the SAME materialized history, not
+      // re-derive the stretch inside their own timed lineage
+      val hist = stretched.repartition(32).persist()
+      val nRows = hist.count()
+      val spanDays = ((t1 - t0) * k / 86400000L) + 1
+      val lastDay = hist.agg(max(to_date(col("ts")))).head().getDate(0)
+      val batch = hist.filter(to_date(col("ts")) === lit(lastDay))
+      val nBatch = batch.count()
+      val fullSec = time(graft.operators.GoldFeatures.goldTableFused(hist))
+      val refrSec = time(
+        graft.operators.IncrementalGold.refresh(spark, hist, batch))
+      // the speedup must not be quoted on a wrong answer: the refreshed
+      // days equal the full build's rows for those days, bit-for-bit
+      val full = graft.operators.GoldFeatures.goldTableFused(hist)
+      val refreshed = graft.operators.IncrementalGold
+        .refresh(spark, hist, batch)
+      val firstNew = batch.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("fnd"))
+      val fullSame = full.join(broadcast(firstNew), "user_id")
+        .filter(col("day") >= col("fnd")).drop("fnd")
+      val diverged = refreshed.exceptAll(fullSame).count() +
+        fullSame.exceptAll(refreshed).count()
+      require(diverged == 0,
+        s"k=$k: refresh diverged from the full build on $diverged rows")
+      hist.unpersist()
+      val ratio = fullSec / refrSec
+      println(f"[gold] k=$k%-3d span=$spanDays%4dd rows=$nRows " +
+        f"batch=$nBatch full=$fullSec%6.2fs refresh=$refrSec%6.2fs " +
+        f"full/refresh=$ratio%5.2fx")
+      (k, spanDays, nRows, nBatch, fullSec, refrSec, ratio)
+    }
+    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
+      val json = rows.map { case (k, sp, n, nb, f, r, ratio) =>
+        f"""  "k$k": {"span_days": $sp, "rows": $n, "batch_rows": $nb, """ +
+          f""""full_sec": $f%.2f, "refresh_sec": $r%.2f, """ +
+          f""""speedup": $ratio%.2f}"""
+      }.mkString("{\n \"points\": {\n", ",\n", "\n }\n}")
+      val p = new java.io.PrintWriter(path); p.write(json); p.close()
+      println(s"[gold] artifact -> $path")
+    }
+    spark.stop()
+  }
+}

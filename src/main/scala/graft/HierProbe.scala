@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the ANN scale-boundary probe. The vector index
+  * ([[graft.operators.EmbedStage]]) switches quantizer regime at
+  * [[graft.operators.IvfIndex.HierarchyThreshold]] cells (≈1.05M vectors
+  * at the default list target): flat all-cell assignment below, two-level
+  * parent→child ([[graft.operators.IvfIndex.assignHier]]) above. This
+  * main measures BOTH sides of that seam on synthetic replicas of the
+  * fixture embedding corpus:
+  *
+  *  - per point: corpus size, cell count, regime, stage BUILD seconds,
+  *    wall time of the probed searches (sim4), the cell-local kNN join
+  *    (sim14) and semantic dedup (sim5), and the sim8 recall audit
+  *    (recall@10 of the probed search vs the exact brute-force ranking
+  *    over the SAME corpus — the honest quality cost of the quantizer).
+  *  - a FORCED-hier point ("<N>h") rebuilds one flat-regime corpus with
+  *    the two-level geometry at the same cell count, so flat and hier
+  *    compare head-to-head on identical data (build cost, query cost,
+  *    recall) — the seam evidence a threshold crossing alone can't give,
+  *    because the flat build is quadratic and unaffordable at the
+  *    boundary itself (that unaffordability IS the motivation).
+  *
+  * Replicas are embeddings-only (the sim family reads nothing else):
+  * ScaleProbe's id-offset + per-replica jitter scheme, so no N-way exact
+  * duplicates collapse the cells. Default points: 50, 100, 100h, 750
+  * (750 × sf0.1 = 1.5M vectors → 5859 cells, the hier regime).
+  *
+  * Usage: runMain graft.HierProbe <srcDir> <workDir> [--fresh] [pt ...]
+  * `--fresh` resynthesizes replicas (new mtime → cache-busts the stage,
+  * so build_sec is a real build, not a cache hit — use for artifacts).
+  * SPARK_GRAFT_PROBE_OUT writes the JSON artifact.
+  */
+object HierProbe {
+
+  private val DefaultPoints = Seq("50", "100", "100h", "750")
+  private val ProbeQueries = Seq("sim4_ivf_topk", "sim14_knn_join",
+    "sim5_semdedup")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: HierProbe <srcDir> <workDir> [--fresh] [point ...]")
+    val (src, work) = (args(0), args(1))
+    var fresh = false
+    val pts = Seq.newBuilder[String]
+    args.drop(2).foreach {
+      case "--fresh" => fresh = true
+      case p => pts += p
+    }
+    val points = { val p = pts.result(); if (p.isEmpty) DefaultPoints else p }
+    val spark = GraftSession.builder("local[32]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val rows = points.map { pt =>
+      val forced = pt.endsWith("h")
+      val factor = (if (forced) pt.dropRight(1) else pt).toLong
+      val dir = s"$work/x$pt"
+      synthesizeEmbeddings(spark, src, dir, factor, fresh)
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val cells = graft.operators.IvfIndex.cellsFor(n)
+      graft.operators.IvfIndex.forceHier = forced
+      try {
+        val hier = graft.operators.IvfIndex.isHier(cells)
+        val b0 = graft.operators.EmbedStage.buildSeconds
+        val t0 = System.nanoTime()
+        graft.operators.EmbedStage(spark, dir)
+        val applySec = (System.nanoTime() - t0) / 1e9
+        val buildSec = graft.operators.EmbedStage.buildSeconds - b0
+        val cached = buildSec < 0.01
+        println(f"[hier] x$pt n=$n cells=$cells " +
+          f"regime=${if (hier) "hier" else "flat"} " +
+          f"build=$buildSec%.1fs${if (cached) " (CACHED)" else ""}")
+        val timings = ProbeQueries.map { q =>
+          val qt0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          spark.sharedState.cacheManager.clearCache()
+          val sec = (System.nanoTime() - qt0) / 1e9
+          println(f"[hier] x$pt $q%-16s $sec%7.2fs")
+          q -> sec
+        }
+        val rec = SparkEntry.queries("sim8_recall_audit")(spark, dir)
+          .select(avg("recall"), min("recall")).head()
+        println(f"[hier] x$pt recall@10 mean=${rec.getDouble(0)}%.3f " +
+          f"min=${rec.getDouble(1)}%.3f")
+        (pt, forced, n, cells, hier, buildSec, cached, timings,
+          rec.getDouble(0), rec.getDouble(1))
+      } finally graft.operators.IvfIndex.forceHier = false
+    }
+
+    // per-vector build cost is the law being probed: flat grows ∝ n
+    // (cells ∝ n per-row term), hier ∝ √n with a ~40× smaller constant
+    // at the boundary
+    rows.foreach { case (pt, _, n, cells, hier, b, cached, ts, rm, _) =>
+      val per = b * 1e6 / n
+      println(f"[hier] SUMMARY x$pt%-5s n=$n%9d cells=$cells%5d " +
+        f"${if (hier) "hier" else "flat"}%4s build/vec=$per%7.2fus" +
+        f"${if (cached) " (cached)" else ""} " +
+        ts.map { case (q, s) => f"${q.take(5)}=$s%.1fs" }.mkString(" ") +
+        f" recall=$rm%.3f")
+    }
+    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
+      val json = rows.map {
+        case (pt, forced, n, cells, hier, b, cached, ts, rm, rmin) =>
+          val qj = ts.map { case (q, s) => f""""$q": $s%.2f""" }
+            .mkString(", ")
+          f"""  "x$pt": {"factor": "$pt", "forced_hier": $forced, """ +
+            f""""n": $n, "cells": $cells, """ +
+            f""""regime": "${if (hier) "hier" else "flat"}", """ +
+            f""""build_sec": $b%.2f, "build_cached": $cached, """ +
+            f""""build_us_per_vec": ${b * 1e6 / n}%.2f, $qj, """ +
+            f""""recall_mean": $rm%.4f, "recall_min": $rmin%.4f}"""
+      }.mkString("{\n \"points\": {\n", ",\n", "\n }\n}")
+      val p = new java.io.PrintWriter(path); p.write(json); p.close()
+      println(s"[hier] artifact -> $path")
+    }
+    spark.stop()
+  }
+
+  /** N× embeddings-only replica with ScaleProbe's geometry rules:
+    * contiguous vec_id offsets, tiny deterministic per-replica jitter so
+    * no cross-replica exact duplicates exist and every ANN cell fills
+    * organically. */
+  private def synthesizeEmbeddings(spark: SparkSession, src: String,
+                                   dir: String, factor: Long,
+                                   fresh: Boolean): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ready = new org.apache.hadoop.fs.Path(dir, s"_HIER_READY_$factor")
+    if (!fresh && fs.exists(ready)) return
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val step = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    emb.withColumn("__k", explode(sequence(lit(0L), lit(factor - 1))))
+      .select((col("vec_id") + col("__k") * lit(step)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((col("__k") * 37 + i) % 97).cast("float")
+            * lit(1e-4f)).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    fs.create(ready, true).close()
+  }
+}

@@ -69,11 +69,14 @@ object VectorOps {
   *
   * Tables:
   *  - `vectors(vec_id, qv, nsq, dl, cid, codes)` — the quantized vector,
-  *    its exact squared norm, the C centroid inner products (`dl`, kept so
-  *    query-side probe ranking reads the same column instead of
-  *    recomputing), the assigned IVF list (`cid` — at cluster scale the
-  *    table is BUCKETED by this column and a probe touches P/C of the
-  *    data), and the M PQ codes.
+  *    its exact squared norm, the centroid inner products (`dl`: the
+  *    full cell-dot array in the flat regime, the ⌈√cells⌉ PARENT dots
+  *    in the beyond-threshold hierarchical regime — kept so query-side
+  *    probe ranking reads a stored column instead of recomputing; probe
+  *    through [[probeCells]], which expands correctly in both regimes),
+  *    the assigned IVF list (`cid` — at cluster scale the table is
+  *    BUCKETED by this column and a probe touches P/cells of the data),
+  *    and the M PQ codes.
   *  - `buckets(vec_id, table_id, bucket_pair, bucket_query)` — the
   *    [[SignLsh]] bucket ids per hash table at both operating widths
   *    (8-bit pairwise path / 12-bit multiprobe query path). Bucket-size
@@ -125,13 +128,25 @@ object EmbedStage {
   private val cellsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]
 
+  /** Regime-aware probe expansion for corpus `d` (see
+    * [[IvfIndex.probeCells]]): explodes each query row into its top-P
+    * probe cells, reading the stage's `dl` (all-cell dots when flat,
+    * parent dots when hierarchical) and — hier only — `qv`. The sim
+    * consumers go through this instead of ranking `dl` inline so a
+    * beyond-threshold stage is probed with the matching two-level plan. */
+  def probeCells(s: SparkSession, d: String, q: DataFrame, qid: String,
+                 p: Int = IvfIndex.P): DataFrame =
+    IvfIndex.probeCells(q, qid, VectorOps.Dim, cells(s, d), p)
+
   /** Get (building if absent) the vector-index stage for corpus dir `d`. */
   def apply(s: SparkSession, d: String): Stage = {
     import VectorOps.Dim
     val nc = cells(s, d)
+    // the regime is part of the cache identity: a forceHier run must not
+    // reuse (or poison) the flat stage for the same corpus
     val dir = StageCache.dir("/tmp/graft_embed_stage",
       s"v$Version|D=$Dim|T=$LshTables|b=$BitsPair,$BitsQuery" +
-        s"|C=$nc|M=${PqIndex.M}|$d|" +
+        s"|C=$nc|H=${IvfIndex.isHier(nc)}|M=${PqIndex.M}|$d|" +
         StageCache.parquetMtime(s"$d/embeddings.parquet"))
     buildNanos.add(math.round(
       StageCache.getOrBuild(dir)(build(s, d, _, nc)) * 1e9))
@@ -146,29 +161,39 @@ object EmbedStage {
   private def build(s: SparkSession, d: String, dir: String,
                     nc: Int): Unit = {
     import VectorOps._
-    // Loud scale boundary: this build stores the FLAT dot array (dl,
-    // O(cells) per row) and flat-argmax assignment — the right plan up to
-    // a few thousand cells (every fixture/probe scale; O(n·cells·dim)
-    // build). Beyond it both the build term (quadratic in n) and the
-    // per-row dl storage are the wrong plan: switch cid to
-    // IvfIndex.assignHier (two-level, O(√cells·dim)/vector, spec-proven
-    // in IvfSpec) and keep only parent-level dots for query-side probing.
-    // A silent fallthrough here would burn a cluster; fail instead.
-    require(nc <= IvfIndex.HierarchyThreshold,
-      s"EmbedStage: $nc cells exceeds the flat-quantizer regime " +
-        s"(≤${IvfIndex.HierarchyThreshold}) — wire IvfIndex.assignHier " +
-        "for this corpus size (see scaladoc)")
-    // fanOut: the per-row index math (cells centroid dots, M argmin
-    // encodes, tables×bits sign tests) is the hot path — a single-file
-    // fixture must not serialize it onto one core.
+    // fanOut: the per-row index math (centroid dots, M argmin encodes,
+    // tables×bits sign tests) is the hot path — a single-file fixture
+    // must not serialize it onto one core.
     val emb = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), quant(col("embedding")).as("qv"))
-    emb
-      .select(col("vec_id"), col("qv"), normSq(col("qv")).as("nsq"),
-        IvfIndex.dots(col("qv"), Dim, nc).as("dl"),
-        PqIndex.encode(PqIndex.dls(col("qv"), Dim)).as("codes"))
-      .select(col("vec_id"), col("qv"), col("nsq"), col("dl"),
-        IvfIndex.assign(col("dl")).as("cid"), col("codes"))
+    // Regime split (IvfIndex.isHier — one decision point shared with the
+    // query-side probe expansion):
+    //  - FLAT (≤ HierarchyThreshold cells — every fixture and committed
+    //    probe replica): dl = the full cell-dot array (O(cells)/row),
+    //    cid = argmax(dl). O(n·cells·dim) build — quadratic in n once
+    //    cells ∝ n, which is exactly why the boundary exists.
+    //  - HIER (beyond it): cid = IvfIndex.assignHier (two-level,
+    //    O(√cells·dim)/vector — the build term drops to n^1.5 with tiny
+    //    constants), dl = the G=⌈√cells⌉ PARENT dots only (O(√cells)/row
+    //    storage instead of the flat array that would dominate the table).
+    //    Queries probe through IvfIndex.probeCells, which expands parent
+    //    ranks into exact child cells; recall vs flat on the same corpus
+    //    is pinned by IvfSpec and measured at scale by graft.HierProbe.
+    val indexed =
+      if (!IvfIndex.isHier(nc))
+        emb.select(col("vec_id"), col("qv"), normSq(col("qv")).as("nsq"),
+            IvfIndex.dots(col("qv"), Dim, nc).as("dl"),
+            PqIndex.encode(PqIndex.dls(col("qv"), Dim)).as("codes"))
+          .select(col("vec_id"), col("qv"), col("nsq"), col("dl"),
+            IvfIndex.assign(col("dl")).as("cid"), col("codes"))
+      else
+        emb.select(col("vec_id"), col("qv"), normSq(col("qv")).as("nsq"),
+          IvfIndex.parentDots(col("qv"), Dim, nc).as("dl"),
+          IvfIndex.assignHier(col("qv"), Dim, nc).as("cid"),
+          PqIndex.encode(PqIndex.dls(col("qv"), Dim)).as("codes"))
+    indexed
+      .select(col("vec_id"), col("qv"), col("nsq"), col("dl"), col("cid"),
+        col("codes"))
       .write.mode("overwrite").parquet(s"$dir/vectors")
     val ps8 = SignLsh.planes(LshTables, BitsPair, Dim)
     val ps12 = SignLsh.planes(LshTables, BitsQuery, Dim)

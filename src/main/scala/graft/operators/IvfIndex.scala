@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index over quantized embeddings — the
@@ -55,14 +56,15 @@ object IvfIndex {
 
   /** Data-dependent cell count for an n-vector corpus (see scaladoc).
     * Computed in Long and bounds-checked: a silent .toInt wrap at
-    * extreme n would go NEGATIVE and sail under EmbedStage's
-    * `require(nc <= HierarchyThreshold)` scale boundary — the exact
-    * silent fallthrough that guard exists to prevent. */
+    * extreme n would go NEGATIVE and scramble the [[isHier]] regime
+    * routing — the exact silent fallthrough this guard exists to
+    * prevent. (2³¹ cells ≈ 5.5e11 vectors — int cids themselves, not
+    * the two-level quantizer, are the binding constraint there.) */
   def cellsFor(n: Long): Int = {
     val c = math.max(C.toLong, n / TargetCellSize)
     require(c <= Int.MaxValue,
-      s"cellsFor: $c cells for n=$n overflows Int — this corpus is far " +
-        "beyond the flat-quantizer regime; wire assignHier (scaladoc)")
+      s"cellsFor: $c cells for n=$n overflows the int cid domain — " +
+        "widen cid to long before running a corpus this size")
     c.toInt
   }
 
@@ -114,10 +116,12 @@ object IvfIndex {
     * whole index build is O(n²·dim/target) — fine through hundreds of
     * cells (every fixture and probe scale), quadratic at warehouse n.
     * Above this cell count the flat path is the wrong plan and the build
-    * must switch to the two-level quantizer below (the same move FAISS
-    * makes: assign against a coarse net first). [[EmbedStage]] enforces
-    * the boundary loudly. 4096 cells ≈ a 1M-vector corpus at the default
-    * target — far above anything the local fixtures reach. */
+    * SWITCHES to the two-level quantizer below (the same move FAISS
+    * makes: assign against a coarse net first) — [[EmbedStage]] routes on
+    * [[isHier]], storing parent dots as `dl` and [[assignHier]] cells as
+    * `cid`; [[probeCells]] expands queries correctly in both regimes.
+    * 4096 cells ≈ a 1M-vector corpus at the default target — far above
+    * anything the local fixtures reach, so every oracle SF stays flat. */
   val HierarchyThreshold = 4096
 
   /** Two-level cell geometry for `cells` total: G = ⌈√cells⌉ PARENT
@@ -152,12 +156,10 @@ object IvfIndex {
     * both levels), output ∈ [0, cells). The last parent's child count is
     * truncated so ids never exceed the cell count. */
   def assignHier(qv: Column, dim: Int, cells: Int): Column = {
-    val (g, b) = hierGeometry(cells)
-    val parents = typedLit((0 until g).map(j => centroid(j, dim): Seq[Long]))
-    val children = typedLit((0 until g).map { gg =>
-      val nKids = math.min(b, cells - gg * b)
-      (0 until nKids).map(i => childCentroid(gg, i, dim): Seq[Long]): Seq[Seq[Long]]
-    })
+    val (_, b) = hierGeometry(cells)
+    val parents = typedLit(
+      (0 until hierGeometry(cells)._1).map(j => centroid(j, dim): Seq[Long]))
+    val children = childrenLit(dim, cells)
     def dot(c: Column): Column =
       aggregate(zip_with(qv, c, (x, w) => x * w), lit(0L), (a, v) => a + v)
     val pDots = transform(parents, dot(_))
@@ -166,5 +168,112 @@ object IvfIndex {
     val kDots = transform(kids, dot(_))
     val local = array_position(kDots, array_max(kDots)) - 1
     (block * b + local).cast("int")
+  }
+
+  /** TEST/PROBE knob: force the two-level regime below
+    * [[HierarchyThreshold]] so flat and hier can be compared head-to-head
+    * on the SAME corpus (HierProbe's seam point; IvfSpec's recall
+    * comparison). Never set in production paths — the regime is otherwise
+    * a pure function of the cell count via [[isHier]]. */
+  @volatile var forceHier: Boolean = false
+
+  /** The quantizer regime for `cells`: flat (store all-cell dots,
+    * argmax assignment) at and below the threshold — every oracle SF and
+    * existing probe replica — two-level above it. One decision point
+    * shared by the stage build, the query-side probe expansion, and the
+    * effective-centroid lookup, so the stored `dl` column's meaning
+    * (all-cell dots vs parent dots) can never disagree with its readers. */
+  def isHier(cells: Int): Boolean = cells > HierarchyThreshold || forceHier
+
+  /** Parent-level dot array for the two-level regime: the G = ⌈√cells⌉
+    * prefix-family centroids. This is what the stage stores as `dl` above
+    * the threshold — O(√cells) per row instead of the flat path's
+    * O(cells). */
+  def parentDots(qv: Column, dim: Int, cells: Int): Column =
+    dots(qv, dim, hierGeometry(cells)._1)
+
+  /** The EFFECTIVE centroid of cell `cid` under the regime for `cells`:
+    * the prefix-family centroid when flat, the (parent, slot) child when
+    * two-level — the vector sim9's drift audit (and any other
+    * centroid-relative consumer) must measure against. */
+  def effCentroid(cid: Int, dim: Int, cells: Int): IndexedSeq[Long] =
+    if (!isHier(cells)) centroid(cid, dim)
+    else {
+      val (_, b) = hierGeometry(cells)
+      childCentroid(cid / b, cid % b, dim)
+    }
+
+  /** [[effCentroid]] for every cid in [0, cells) — the regime-correct
+    * replacement for [[matrix]] wherever a consumer indexes centroids by
+    * the STAGE's cid column. Identical to [[matrix]] in the flat regime,
+    * so fixture-scale plans (and their DuckDB oracles) are untouched. */
+  def effMatrix(dim: Int, cells: Int): Seq[Seq[Long]] =
+    (0 until cells).map(effCentroid(_, dim, cells): Seq[Long])
+
+  /** Child-centroid matrix literal, grouped by parent (element g = the
+    * ≤B children of parent g; the last parent's list is truncated so the
+    * flattened family has exactly `cells` members). O(cells·dim) longs as
+    * a plan constant — fine through ~10⁵ cells (a few MB broadcast once);
+    * past that the LCG family should be evaluated per-axis inside the
+    * expression (it is a pure formula of (g, i, k)) or shipped as a
+    * broadcast relation instead of a literal. */
+  private def childrenLit(dim: Int, cells: Int): Column = {
+    val (g, b) = hierGeometry(cells)
+    typedLit((0 until g).map { gg =>
+      val nKids = math.min(b, cells - gg * b)
+      (0 until nKids).map(i => childCentroid(gg, i, dim): Seq[Long]): Seq[Seq[Long]]
+    })
+  }
+
+  /** Regime-aware probe expansion: explode each query row into its top-`p`
+    * probe CELLS (the inverted lists a search then scores exactly). Input
+    * must carry the stage's `dl` column (flat: all-cell dots; hier: parent
+    * dots) plus — in the hier regime — the quantized vector `qv`; every
+    * other column is carried through unchanged, `dl` is dropped, and an
+    * int `cid` column is added (one output row per probed cell). `qid`
+    * names the query-key column the per-query rank partitions by.
+    *
+    * Flat: rank the stored dots, take p — exactly the inline
+    * posexplode/row_number plan the sim family always ran, so all oracle
+    * SFs replay bit-for-bit. Hier: rank the stored PARENT dots, take the
+    * p best blocks, exact-dot all their children (≤ p·B = O(p·√cells)
+    * work per query — never touching the corpus), and keep the global
+    * top-p children (ties to the lowest id at both levels, mirroring
+    * [[assignHier]]). Probe cost rides the tiny query side in both
+    * regimes. */
+  def probeCells(q: DataFrame, qid: String, dim: Int, cells: Int,
+                 p: Int = P): DataFrame = {
+    require(!q.columns.contains("cid"),
+      "probeCells adds `cid`; drop or rename the input's cid column")
+    val keep = q.columns.filterNot(_ == "dl").map(col)
+    if (!isHier(cells)) {
+      val w = Window.partitionBy(qid)
+        .orderBy(col("__pd").desc, col("__pos").asc)
+      q.select(keep :+ posexplode(col("dl")).as(Seq("__pos", "__pd")): _*)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= p)
+        .select(keep :+ col("__pos").as("cid"): _*)
+    } else {
+      val (_, b) = hierGeometry(cells)
+      val wP = Window.partitionBy(qid)
+        .orderBy(col("__pd").desc, col("__blk").asc)
+      val blocks = q
+        .select(keep :+ posexplode(col("dl")).as(Seq("__blk", "__pd")): _*)
+        .withColumn("__rn", row_number().over(wP))
+        .filter(col("__rn") <= p)
+        .select(keep :+ col("__blk"): _*)
+      def dot(c: Column): Column = aggregate(
+        zip_with(col("qv"), c, (x, w) => x * w), lit(0L), (a, v) => a + v)
+      val kids = element_at(childrenLit(dim, cells),
+        (col("__blk") + 1).cast("int"))
+      val kd = blocks.select((keep :+ col("__blk")) :+
+        posexplode(transform(kids, dot(_))).as(Seq("__i", "__kd")): _*)
+      val wK = Window.partitionBy(qid)
+        .orderBy(col("__kd").desc, col("cid").asc)
+      kd.withColumn("cid", (col("__blk") * b + col("__i")).cast("int"))
+        .withColumn("__rn", row_number().over(wK))
+        .filter(col("__rn") <= p)
+        .select(keep :+ col("cid"): _*)
+    }
   }
 }

@@ -123,6 +123,12 @@ object ModelRegistry {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
           if (attempt >= 5) throw e // registrar storm — surface it
+          // short randomized pause before re-reading: under a steady
+          // registrar stream an immediate retry tends to lose the next
+          // race too and burns all five attempts back-to-back; the work
+          // per attempt is metadata-sized, so 50-200ms buys a real win
+          // probability at negligible cost
+          Thread.sleep(50L + scala.util.Random.nextInt(150))
       }
     }
     throw new IllegalStateException("unreachable")

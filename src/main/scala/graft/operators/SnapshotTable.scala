@@ -532,24 +532,57 @@ object SnapshotTable {
     * compacted set, and a crash mid-rewrite leaves an orphan data dir
     * that no manifest references (vacuum-able garbage, never a broken
     * table). Returns the committed version. */
-  def compactSnapshot(spark: SparkSession, tablePath: String,
-                      targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val head = versions(spark, tablePath).lastOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"no committed snapshots at $tablePath"))
-    val f = fs(spark, new Path(tablePath))
-    val totalBytes = readManifest(spark, tablePath, head)
-      .map(rel => f.getFileStatus(new Path(tablePath, rel)).getLen).sum
-    val nFiles = math.max(1, math.ceil(
-      totalBytes.toDouble / targetBytes).toInt)
-    // readMor, not read: compaction must FOLD delete vectors into the
-    // rewritten data (a DV-blind rewrite would resurrect deleted rows —
-    // the new files are outside every old DV's scope). On a DV-free
-    // table readMor ≡ read.
-    commit(spark,
-      readMor(spark, tablePath, Some(head)).repartition(nFiles),
-      tablePath, replace = true)
+  /** Bounded retry around a conditional (expectedHead) commit: every
+    * read-modify-write maintenance writer publishes through this so a
+    * commit landing between its snapshot read and its publish is NEVER
+    * silently erased — the CAS fails, the body re-reads the new head and
+    * re-derives. A short randomized pause between attempts keeps a steady
+    * writer stream from burning all attempts back-to-back (the work per
+    * attempt is a re-derivation, but the contention window is
+    * metadata-sized). After `maxAttempts` CAS failures the contention is
+    * surfaced, not absorbed. */
+  private def retryCas(maxAttempts: Int = 5)(body: => Int): Int = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(50L + scala.util.Random.nextInt(150))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  def compactSnapshot(spark: SparkSession, tablePath: String,
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      onBeforePublish: () => Unit = () => ()): Int =
+    // CAS, like every writer whose output is DERIVED from a snapshot
+    // read: a replace commit published unconditionally would erase any
+    // commit that landed between this compaction's read and its publish.
+    // On CAS failure the rewrite re-reads and re-runs (compaction is
+    // idempotent maintenance — repeating it is safe and cheap relative
+    // to losing a data commit).
+    retryCas() {
+      val head = versions(spark, tablePath).lastOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed snapshots at $tablePath"))
+      val f = fs(spark, new Path(tablePath))
+      val totalBytes = readManifest(spark, tablePath, head)
+        .map(rel => f.getFileStatus(new Path(tablePath, rel)).getLen).sum
+      val nFiles = math.max(1, math.ceil(
+        totalBytes.toDouble / targetBytes).toInt)
+      // readMor, not read: compaction must FOLD delete vectors into the
+      // rewritten data (a DV-blind rewrite would resurrect deleted rows —
+      // the new files are outside every old DV's scope). On a DV-free
+      // table readMor ≡ read.
+      val rewritten = readMor(spark, tablePath, Some(head))
+        .repartition(nFiles)
+      onBeforePublish()
+      commit(spark, rewritten, tablePath, replace = true,
+        expectedHead = Some(head))
+    }
 
   /** Source-wins MERGE as a commit (the SCD-1 upsert of
     * [[MergeUpsert.upsertPartitioned]], snapshot flavor): target rows
@@ -562,22 +595,35 @@ object SnapshotTable {
     * file is rewritten — the manifest mechanics are identical. */
   def upsertSnapshot(spark: SparkSession, source: DataFrame,
                      tablePath: String, keyCols: Seq[String],
-                     orderCol: String): Int = {
+                     orderCol: String,
+                     onBeforePublish: () => Unit = () => ()): Int = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
     val deduped = source.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val merged = versions(spark, tablePath).lastOption match {
-      case None => deduped
-      case Some(v) =>
-        // readMor: the merge base must honor delete vectors, or the
-        // rewrite would resurrect deleted rows (see compactSnapshot)
-        readMor(spark, tablePath, Some(v))
-          .join(deduped.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(deduped)
+    // conditional publish (CAS + bounded retry): the merged frame is
+    // derived from a snapshot read, so a commit landing between that
+    // read and the publish must fail the CAS and force a re-merge —
+    // never be silently replaced (the lost-update window the format's
+    // expectedHead exists to close). `onBeforePublish` is a test seam:
+    // specs inject an interleaved commit there to prove the retry path.
+    retryCas() {
+      val head = versions(spark, tablePath).lastOption
+      val merged = head match {
+        case None => deduped
+        case Some(v) =>
+          // readMor: the merge base must honor delete vectors, or the
+          // rewrite would resurrect deleted rows (see compactSnapshot)
+          readMor(spark, tablePath, Some(v))
+            .join(deduped.select(keyCols.map(col): _*), keyCols,
+              "left_anti")
+            .unionByName(deduped)
+      }
+      onBeforePublish()
+      commit(spark, merged, tablePath, replace = true,
+        expectedHead = Some(head.getOrElse(0)))
     }
-    commit(spark, merged, tablePath, replace = true)
   }
 
   /** The three-clause MERGE (Delta `WHEN MATCHED UPDATE / WHEN NOT
@@ -598,23 +644,32 @@ object SnapshotTable {
     */
   def fullSync(spark: SparkSession, source: DataFrame, tablePath: String,
                keyCols: Seq[String], orderCol: String,
-               scope: org.apache.spark.sql.Column): Int = {
+               scope: org.apache.spark.sql.Column,
+               onBeforePublish: () => Unit = () => ()): Int = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
     val deduped = source.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val merged = versions(spark, tablePath).lastOption match {
-      case None => deduped
-      case Some(v) =>
-        // in-scope survivors must come from the source alone; out-of-
-        // scope rows survive unless the source updates their key
-        readMor(spark, tablePath, Some(v))
-          .filter(!scope)
-          .join(deduped.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(deduped)
+    // same CAS discipline as upsertSnapshot: the merge base is a
+    // snapshot read, so publish conditionally and re-merge on contention
+    retryCas() {
+      val head = versions(spark, tablePath).lastOption
+      val merged = head match {
+        case None => deduped
+        case Some(v) =>
+          // in-scope survivors must come from the source alone; out-of-
+          // scope rows survive unless the source updates their key
+          readMor(spark, tablePath, Some(v))
+            .filter(!scope)
+            .join(deduped.select(keyCols.map(col): _*), keyCols,
+              "left_anti")
+            .unionByName(deduped)
+      }
+      onBeforePublish()
+      commit(spark, merged, tablePath, replace = true,
+        expectedHead = Some(head.getOrElse(0)))
     }
-    commit(spark, merged, tablePath, replace = true)
   }
 
   /** Drop manifests older than `keepFrom` and delete every data file no
@@ -932,7 +987,15 @@ object SnapshotTable {
     * vectors reference the old paths and cannot follow); untouched files
     * carry over BY REFERENCE with their manifest stats verbatim. Restore
     * cost is proportional to the post-target-deleted file set, never the
-    * table. */
+    * table.
+    *
+    * Deliberately NOT a conditional (CAS) commit, unlike the derived
+    * maintenance writers (upsertSnapshot/fullSync/compactSnapshot):
+    * restore's contract is "make the head equal v`toVersion`" — a commit
+    * that lands mid-restore is post-dated data the operator asked to
+    * roll past, and it stays time-travel readable like everything else
+    * restore undoes. Only the per-writer txn watermarks merge against
+    * the TRUE head (under the lock) so idempotent writers never rewind. */
   def restoreSnapshot(spark: SparkSession, tablePath: String,
                       toVersion: Int): Int = {
     val vs = versions(spark, tablePath)

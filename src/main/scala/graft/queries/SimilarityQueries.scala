@@ -303,22 +303,20 @@ object SimilarityQueries {
            |  FROM scored) WHERE rn <= $TopK""".stripMargin
       },
       (s, d) => {
-        import graft.operators.IvfIndex
         // corpus assignment (cid) and the centroid-dot array (dl) are
-        // stage columns — the query path is probe ranking + the broadcast
-        // probe join + exact scoring of the probed lists only
+        // stage columns — the query path is probe expansion (regime-aware:
+        // flat dl rank at fixture scale, two-level parent→child expansion
+        // beyond the cell threshold) + the broadcast probe join + exact
+        // scoring of the probed lists only
         val v = EmbedStage(s, d).vectors
         val corpus = v.select(col("vec_id").as("cand_id"),
           col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"))
-        val qd = v.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
-            col("nsq").as("nsq_q"), posexplode(col("dl")))
-        val wProbe = Window.partitionBy("query_id")
-          .orderBy(col("col").desc, col("pos").asc)
-        val probes = qd.withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= IvfIndex.P)
-          .select(col("query_id"), col("qv_q"), col("nsq_q"),
-            col("pos").as("cid"))
+        val probes = EmbedStage.probeCells(s, d,
+            v.filter(col("vec_id") < NQ)
+              .select(col("vec_id").as("query_id"), col("qv"),
+                col("nsq").as("nsq_q"), col("dl")),
+            "query_id")
+          .withColumnRenamed("qv", "qv_q")
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
           (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
         val scored = corpus.join(broadcast(probes), "cid")
@@ -484,15 +482,12 @@ object SimilarityQueries {
         val v = EmbedStage(s, d).vectors
         val enc = v.select(col("vec_id").as("cand_id"), col("cid"),
           col("codes"))
-        val qd = v.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
-            posexplode(col("dl")))
-        val wProbe = Window.partitionBy("query_id")
-          .orderBy(col("col").desc, col("pos").asc)
-        val probes = qd.withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= IvfIndex.P)
-          .select(col("query_id"), col("pos").as("cid"),
-            PqIndex.luts(col("qv_q"), Dim).as("luts"))
+        val probes = EmbedStage.probeCells(s, d,
+            v.filter(col("vec_id") < NQ)
+              .select(col("vec_id").as("query_id"), col("qv"), col("dl")),
+            "query_id")
+          .select(col("query_id"), col("cid"),
+            PqIndex.luts(col("qv"), Dim).as("luts"))
         val scored = enc.join(broadcast(probes), "cid")
           .filter(col("cand_id") =!= col("query_id"))
           .select(col("query_id"), col("cand_id"),
@@ -580,21 +575,17 @@ object SimilarityQueries {
            |  FROM votes) WHERE vr = 1""".stripMargin
       },
       (s, d) => {
-        import graft.operators.IvfIndex
         val v = EmbedStage(s, d).vectors
         val labels = graft.Tables.embeddings(s, d).select(
           col("vec_id").as("cand_id"), col("label"))
         val corpus = v.select(col("vec_id").as("cand_id"),
           col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"))
-        val qd = v.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
-            col("nsq").as("nsq_q"), posexplode(col("dl")))
-        val wProbe = Window.partitionBy("query_id")
-          .orderBy(col("col").desc, col("pos").asc)
-        val probes = qd.withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= IvfIndex.P)
-          .select(col("query_id"), col("qv_q"), col("nsq_q"),
-            col("pos").as("cid"))
+        val probes = EmbedStage.probeCells(s, d,
+            v.filter(col("vec_id") < NQ)
+              .select(col("vec_id").as("query_id"), col("qv"),
+                col("nsq").as("nsq_q"), col("dl")),
+            "query_id")
+          .withColumnRenamed("qv", "qv_q")
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
           (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
         val wTop = Window.partitionBy("query_id")
@@ -682,11 +673,10 @@ object SimilarityQueries {
            |GROUP BY 1""".stripMargin
       },
       (s, d) => {
-        import graft.operators.IvfIndex
         val v = EmbedStage(s, d).vectors
         val qs = v.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
-            col("nsq").as("nsq_q"), col("dl"))
+            col("nsq").as("nsq_q"))
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
           (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
         val wTop = Window.partitionBy("query_id")
@@ -701,15 +691,13 @@ object SimilarityQueries {
           .crossJoin(broadcast(qs.select("query_id", "qv_q", "nsq_q")))
           .filter(col("cand_id") =!= col("query_id"))
           .select(col("query_id"), col("cand_id"), cosine.as("cosine")))
-        // approx leg: the sim4 probed-lists search
-        val wProbe = Window.partitionBy("query_id")
-          .orderBy(col("col").desc, col("pos").asc)
-        val probes = qs.select(col("query_id"), col("qv_q"), col("nsq_q"),
-            posexplode(col("dl")))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= IvfIndex.P)
-          .select(col("query_id"), col("qv_q"), col("nsq_q"),
-            col("pos").as("cid"))
+        // approx leg: the sim4 probed-lists search (regime-aware probes)
+        val probes = EmbedStage.probeCells(s, d,
+            v.filter(col("vec_id") < NQ)
+              .select(col("vec_id").as("query_id"), col("qv"),
+                col("nsq").as("nsq_q"), col("dl")),
+            "query_id")
+          .withColumnRenamed("qv", "qv_q")
         val approx = topK(corpusAll.join(broadcast(probes), "cid")
           .filter(col("cand_id") =!= col("query_id"))
           .select(col("query_id"), col("cand_id"), cosine.as("cosine")))
@@ -797,8 +785,10 @@ object SimilarityQueries {
         // sized to the stage's actual cid domain (the quantizer scales
         // with the corpus; the fixture floor is C, but a probe replica's
         // stage assigns cids beyond it and a C-row literal would
-        // element_at into null)
-        val cmat = typedLit(IvfIndex.matrix(Dim, EmbedStage.cells(s, d)))
+        // element_at into null) — effMatrix, not matrix: beyond the
+        // threshold the stage's cids name two-level CHILD centroids, and
+        // drift must be measured against the centroid actually assigned
+        val cmat = typedLit(IvfIndex.effMatrix(Dim, EmbedStage.cells(s, d)))
         val rsqCol = aggregate(
           zip_with(col("qv"), element_at(cmat, col("cid") + 1),
             (x, c) => (x - c) * (x - c)),
@@ -1367,22 +1357,17 @@ object SimilarityQueries {
            |  FROM scored) WHERE rn <= $TopK""".stripMargin
       },
       (s, d) => {
-        import graft.operators.IvfIndex
         val lab = graft.Tables.embeddings(s, d).select("vec_id", "label")
         val v = EmbedStage(s, d).vectors.join(lab, "vec_id")
         val corpus = v.select(col("vec_id").as("cand_id"),
           col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"),
           col("label"))
-        val qd = v.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("query_id"), col("label"),
-            col("qv").as("qv_q"), col("nsq").as("nsq_q"),
-            posexplode(col("dl")))
-        val wProbe = Window.partitionBy("query_id")
-          .orderBy(col("col").desc, col("pos").asc)
-        val probes = qd.withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= IvfIndex.P)
-          .select(col("query_id"), col("label"), col("qv_q"),
-            col("nsq_q"), col("pos").as("cid"))
+        val probes = EmbedStage.probeCells(s, d,
+            v.filter(col("vec_id") < NQ)
+              .select(col("vec_id").as("query_id"), col("label"),
+                col("qv"), col("nsq").as("nsq_q"), col("dl")),
+            "query_id")
+          .withColumnRenamed("qv", "qv_q")
         val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
           (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
         val scored = corpus.join(broadcast(probes), Seq("cid", "label"))

@@ -76,16 +76,22 @@ object RestSource {
               lastBody = s"connection failure: ${e.getMessage}"
               None
           }
-        // The body read is in the SAME IOException envelope as the status
-        // read: a read-timeout or reset mid-payload after a 200 status is
-        // just as transient as a refused connect, and a GET re-request is
-        // safe, so both retry on the 5xx schedule.
+        // The body read shares the status read's IOException envelope for
+        // RETRYABLE statuses: a reset mid-payload after a 200 is as
+        // transient as a refused connect and a GET re-request is safe.
+        // But the status line itself is AUTHORITATIVE — a mid-body
+        // failure after a TERMINAL status (403 → snapshot fallback, other
+        // 4xx → fail) keeps its terminal semantics instead of retrying as
+        // a generic connection failure: lastCode preserves the status,
+        // and the dispatch below handles it before any retry sleep.
+        var midBodyCode = -1
         val bodyOpt = codeOpt.flatMap { code =>
           try Some((code, readAll(
             if (code >= 400) conn.getErrorStream else conn.getInputStream)))
           catch {
             case e: java.io.IOException =>
-              lastCode = -1
+              lastCode = code
+              midBodyCode = code
               lastBody = s"mid-body failure (status $code): ${e.getMessage}"
               None
           }
@@ -120,7 +126,17 @@ object RestSource {
               case c =>
                 throw new HttpFetchException(c, url, body)
             }
-          case None => // connection- or body-level failure: 5xx schedule
+          case None =>
+            // terminal statuses stay terminal even when their body read
+            // died: a 403's Forbidden signal (the caller's snapshot-
+            // fallback trigger) and a 4xx's hard failure don't depend on
+            // payload bytes the vendor never delivered
+            if (midBodyCode == 403) return Forbidden
+            if (midBodyCode >= 400 && midBodyCode < 500 &&
+                midBodyCode != 429)
+              throw new HttpFetchException(midBodyCode, url, lastBody)
+            // pre-status connection failure or mid-body on a retryable
+            // status (200/429/5xx): the 5xx schedule
             if (attempt < maxRetries)
               sleep(backoffMs(baseBackoffMs, attempt))
         }

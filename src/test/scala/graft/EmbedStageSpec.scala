@@ -63,4 +63,40 @@ class EmbedStageSpec extends SparkSpec {
     EmbedStage(spark, dir).vectors.count()
     assert(EmbedStage.buildSeconds == before)
   }
+
+  test("forced two-level stage: parent-dot dl, assignHier cids, its own " +
+    "cache identity, and a working probed search") {
+    stage.vectors.count() // flat stage built first
+    IvfIndex.forceHier = true
+    try {
+      val nc = EmbedStage.cells(spark, dir) // fixture floor (C)
+      val (g, b) = IvfIndex.hierGeometry(nc)
+      val hv = EmbedStage(spark, dir).vectors
+      // dl stores the G parent dots, not the flat cell array
+      assert(hv.select(size(col("dl"))).distinct().head().getInt(0) == g)
+      // cid is the two-level assignment, in range, matching a recompute
+      val expect = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          IvfIndex.assignHier(VectorOps.quant(col("embedding")), VectorOps.Dim, nc)
+            .as("ecid"))
+      val joined = hv.select(col("vec_id"), col("cid")).join(expect, "vec_id")
+      assert(joined.filter(col("cid") =!= col("ecid")).isEmpty)
+      assert(hv.filter(col("cid") < 0 || col("cid") >= nc).isEmpty)
+      // the probed search end-to-end: every query gets candidates from
+      // its expanded child cells (regime-aware probeCells)
+      val probes = EmbedStage.probeCells(spark, dir,
+        hv.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("qv"), col("dl")),
+        "query_id")
+      assert(probes.groupBy("query_id").count()
+        .filter(col("count") =!= IvfIndex.P).isEmpty)
+      val cand = hv.select(col("vec_id").as("cand_id"), col("cid"))
+        .join(probes.select("query_id", "cid"), "cid")
+        .filter(col("cand_id") =!= col("query_id"))
+      assert(cand.select("query_id").distinct().count() == 5)
+    } finally IvfIndex.forceHier = false
+    // the flat stage was not poisoned: same call serves the flat layout
+    assert(stage.vectors.select(size(col("dl"))).distinct()
+      .head().getInt(0) == IvfIndex.C)
+  }
 }

@@ -138,6 +138,100 @@ class IvfSpec extends SparkSpec {
       s"two-level agreed with flat on only $agree/400 vectors")
   }
 
+  test("probeCells (flat) reproduces the inline rank plan exactly") {
+    val (df, _) = planted(120, 0, 0.0)
+    val dots = withDots(df)
+    // the inline plan every sim consumer ran before the helper existed
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("col").desc, col("pos").asc)
+    val inline = dots.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"), posexplode(col("dl")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IvfIndex.P)
+      .select(col("query_id"), col("pos").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val helper = IvfIndex.probeCells(
+      dots.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("qv"), col("dl")),
+      "query_id", Dim, IvfIndex.C)
+      .select("query_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(helper == inline)
+  }
+
+  test("probeCells (hier) matches the JVM-computed two-level expansion") {
+    val (df, _) = planted(30, 0, 0.0)
+    val cells = 60 // G=8 parents, B=8, last block truncated to 4 children
+    val (g, b) = IvfIndex.hierGeometry(cells)
+    val q = df.select(col("vec_id").as("query_id"), col("qv"),
+      IvfIndex.parentDots(col("qv"), Dim, cells).as("dl"))
+    IvfIndex.forceHier = true
+    val got =
+      try IvfIndex.probeCells(q, "query_id", Dim, cells)
+        .select("query_id", "cid")
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      finally IvfIndex.forceHier = false
+    // independent JVM reference: top-P parents by dot (ties to low id),
+    // then global top-P children of those blocks (ties to low cid)
+    val parents = (0 until g).map(IvfIndex.centroid(_, Dim))
+    val expect = df.select("vec_id", "qv").collect().map { r =>
+      val qv = r.getSeq[Long](1)
+      def dot(c: IndexedSeq[Long]) =
+        qv.zip(c).map { case (x, y) => x * y }.sum
+      val blocks = parents.zipWithIndex.map { case (c, j) => (dot(c), j) }
+        .sortBy { case (d, j) => (-d, j) }.take(IvfIndex.P).map(_._2)
+      val kids = blocks.flatMap { blk =>
+        val nKids = math.min(b, cells - blk * b)
+        (0 until nKids).map { i =>
+          (dot(IvfIndex.childCentroid(blk, i, Dim)), blk * b + i)
+        }
+      }
+      r.getLong(0) ->
+        kids.sortBy { case (d, cid) => (-d, cid) }
+          .take(IvfIndex.P).map(_._2).toSet
+    }.toMap
+    assert(got == expect)
+    // every probed cid matches its effective centroid's family position
+    got.values.flatten.foreach(cid => assert(cid >= 0 && cid < cells))
+  }
+
+  test("hier probe recall on the planted set is >= the flat path's at " +
+    "the same cell count") {
+    val (df, pairs) = planted(n = 200, dups = 50, noise = 0.02)
+    val cells = 64
+    def recovered(useHier: Boolean): Int = {
+      IvfIndex.forceHier = useHier
+      try {
+        val (dl, cid) =
+          if (useHier)
+            (IvfIndex.parentDots(col("qv"), Dim, cells),
+              IvfIndex.assignHier(col("qv"), Dim, cells))
+          else
+            (IvfIndex.dots(col("qv"), Dim, cells),
+              IvfIndex.assign(IvfIndex.dots(col("qv"), Dim, cells)))
+        val corpus = df.select(col("vec_id").as("cand_id"), cid.as("cid"))
+        val probes = IvfIndex.probeCells(
+          df.filter(col("vec_id") < 50)
+            .select(col("vec_id").as("query_id"), col("qv"), dl.as("dl")),
+          "query_id", Dim, cells)
+        val cand = corpus.join(probes.select("query_id", "cid"), "cid")
+          .filter(col("cand_id") =!= col("query_id"))
+          .select("query_id", "cand_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        pairs.count(cand.contains)
+      } finally IvfIndex.forceHier = false
+    }
+    val flat = recovered(useHier = false)
+    val hier = recovered(useHier = true)
+    // the brief's acceptance bar: the two-level quantizer must not pay
+    // for its n^1.5 build with recall — on the same planted set, at the
+    // same cell count, it recovers at least what flat does
+    assert(hier >= flat,
+      s"hier recovered $hier/${pairs.size}, flat $flat/${pairs.size}")
+    assert(hier >= 45, s"hier recovered only $hier/${pairs.size}")
+  }
+
   test("P-probe candidate join recovers planted near-duplicates") {
     val (df, pairs) = planted(n = 200, dups = 50, noise = 0.02)
     val dots = withDots(df)

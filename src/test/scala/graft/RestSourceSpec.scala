@@ -176,6 +176,38 @@ class RestSourceSpec extends SparkSpec {
     }
   }
 
+  test("a mid-body drop after a 403 still surfaces Forbidden (the " +
+    "snapshot-fallback signal does not depend on body bytes)") {
+    // a consistently truncated 403 must not masquerade as a generic
+    // connection failure: the status line is authoritative
+    val truncated403 =
+      "HTTP/1.1 403 Forbidden\r\nContent-Length: 100\r\n" +
+        "Connection: close\r\n\r\npartial"
+    withRawServer(Seq(truncated403 -> true)) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val r = RestSource.get(s"http://127.0.0.1:$port/p",
+        baseBackoffMs = 4L, readTimeoutMs = 2000, sleep = sleeps += _)
+      assert(r == RestSource.Forbidden)
+      assert(sleeps.isEmpty) // terminal: no retry schedule entered
+    }
+  }
+
+  test("a mid-body drop after a 404 fails fast with the status, not as " +
+    "a connection failure") {
+    val truncated404 =
+      "HTTP/1.1 404 Not Found\r\nContent-Length: 100\r\n" +
+        "Connection: close\r\n\r\npartial"
+    withRawServer(Seq(truncated404 -> true)) { port =>
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val e = intercept[RestSource.HttpFetchException] {
+        RestSource.get(s"http://127.0.0.1:$port/p",
+          baseBackoffMs = 4L, readTimeoutMs = 2000, sleep = sleeps += _)
+      }
+      assert(e.code == 404)
+      assert(sleeps.isEmpty)
+    }
+  }
+
   test("negative Retry-After falls back to the exponential schedule") {
     val tooSoon =
       "HTTP/1.1 429 Too Many\r\nRetry-After: -5\r\nContent-Length: 0\r\n" +

@@ -94,6 +94,69 @@ class SnapshotTableSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("old"))
   }
 
+  test("upsert survives an interleaved commit: the CAS fails, the merge " +
+    "re-derives, and the interleaved rows are in the final table") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "old", 0)).toDF("id", "x", "ord"), t)
+    // a registration-style commit lands BETWEEN the upsert's snapshot
+    // read and its publish (exactly once — the retry must then succeed)
+    var fired = false
+    val v = upsertSnapshot(spark,
+      Seq((2L, "new", 1)).toDF("id", "x", "ord"), t,
+      keyCols = Seq("id"), orderCol = "ord",
+      onBeforePublish = () => if (!fired) {
+        fired = true
+        commit(spark, Seq((9L, "interleaved", 0)).toDF("id", "x", "ord"),
+          t, replace = false)
+      })
+    // v1 base, v2 interleaved, v3 failed-CAS retry's successful publish
+    assert(v == 3, s"expected the retried upsert at v3, got v$v")
+    val rows = read(spark, t).select("id", "x")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "old", 2L -> "new", 9L -> "interleaved"),
+      s"lost update: $rows")
+  }
+
+  test("fullSync and compactSnapshot survive an interleaved commit the " +
+    "same way") {
+    val s = spark
+    import s.implicits._
+    val t = tbl()
+    commit(spark, Seq((1L, "keep", 0), (5L, "sync_me", 0))
+      .toDF("id", "x", "ord"), t)
+    var fired = false
+    // the interleaved row is OUT of the sync scope (id < 5): fullSync's
+    // delete clause may legitimately remove in-scope rows the source no
+    // longer carries, so surviving-the-race is only observable (and only
+    // required) for data the sync semantics don't delete
+    val v = fullSync(spark, Seq((6L, "synced", 1)).toDF("id", "x", "ord"),
+      t, keyCols = Seq("id"), orderCol = "ord", scope = col("id") >= 5L,
+      onBeforePublish = () => if (!fired) {
+        fired = true
+        commit(spark, Seq((2L, "interleaved", 0)).toDF("id", "x", "ord"),
+          t, replace = false)
+      })
+    assert(v == 3)
+    val rows = read(spark, t).select("id", "x")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // in-scope id=5 replaced by the source's id=6; out-of-scope id=1 and
+    // the interleaved id=2 both survive
+    assert(rows == Map(1L -> "keep", 2L -> "interleaved", 6L -> "synced"),
+      s"lost update: $rows")
+    var fired2 = false
+    val vc = compactSnapshot(spark, t,
+      onBeforePublish = () => if (!fired2) {
+        fired2 = true
+        commit(spark, Seq((11L, "late", 0)).toDF("id", "x", "ord"),
+          t, replace = false)
+      })
+    assert(vc == 5)
+    assert(read(spark, t).select("id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 6L, 11L), "compaction erased the interleaved commit")
+  }
+
   test("concurrent committers never lose or clobber a commit") {
     val s = spark
     import s.implicits._
