@@ -29,8 +29,13 @@ import org.apache.spark.sql.functions._
   * (750 × sf0.1 = 1.5M vectors → 5859 cells, the hier regime).
   *
   * Usage: runMain graft.HierProbe <srcDir> <workDir> [--fresh] [pt ...]
-  * `--fresh` resynthesizes replicas (new mtime → cache-busts the stage,
-  * so build_sec is a real build, not a cache hit — use for artifacts).
+  * Point suffixes: "<N>h" forces the two-level geometry on a flat-regime
+  * corpus (the seam comparison); "<N>d" synthesizes a DIRECTION-DIVERSE
+  * corpus of the same size instead of jittered replicas (separates the
+  * fixture's 2k-base-direction cap on cell occupancy from the
+  * quantizer's own law — see synthesizeEmbeddings). `--fresh`
+  * resynthesizes replicas (new mtime → cache-busts the stage, so
+  * build_sec is a real build, not a cache hit — use for artifacts).
   * SPARK_GRAFT_PROBE_OUT writes the JSON artifact.
   */
 object HierProbe {
@@ -55,9 +60,10 @@ object HierProbe {
 
     val rows = points.map { pt =>
       val forced = pt.endsWith("h")
-      val factor = (if (forced) pt.dropRight(1) else pt).toLong
+      val diverse = pt.endsWith("d")
+      val factor = (if (forced || diverse) pt.dropRight(1) else pt).toLong
       val dir = s"$work/x$pt"
-      synthesizeEmbeddings(spark, src, dir, factor, fresh)
+      synthesizeEmbeddings(spark, src, dir, factor, fresh, diverse)
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val cells = graft.operators.IvfIndex.cellsFor(n)
       graft.operators.IvfIndex.forceHier = forced
@@ -122,24 +128,46 @@ object HierProbe {
   /** N× embeddings-only replica with ScaleProbe's geometry rules:
     * contiguous vec_id offsets, tiny deterministic per-replica jitter so
     * no cross-replica exact duplicates exist and every ANN cell fills
-    * organically. */
+    * organically.
+    *
+    * `diverse = true` instead synthesizes factor×|fixture| vectors with
+    * INDEPENDENT pseudo-random directions (xxhash64 per (vec_id, axis) →
+    * uniform floats in [-1, 1]). The replica scheme keeps the fixture's
+    * 2k base DIRECTIONS and only jitters them — genuinely near-duplicate
+    * data, which is what dedup probes want, but it caps ANN cell
+    * occupancy at ~2k cells no matter how many cells the quantizer
+    * grows (a direction-based partition cannot split co-directional
+    * near-dups), inflating cell-local pair work BY CONSTRUCTION. The
+    * diverse corpus separates that fixture property from the
+    * quantizer's own law. */
   private def synthesizeEmbeddings(spark: SparkSession, src: String,
                                    dir: String, factor: Long,
-                                   fresh: Boolean): Unit = {
+                                   fresh: Boolean,
+                                   diverse: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ready = new org.apache.hadoop.fs.Path(dir, s"_HIER_READY_$factor")
     if (!fresh && fs.exists(ready)) return
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val step = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    emb.withColumn("__k", explode(sequence(lit(0L), lit(factor - 1))))
-      .select((col("vec_id") + col("__k") * lit(step)).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => x + ((col("__k") * 37 + i) % 97).cast("float")
-            * lit(1e-4f)).as("embedding"),
-        col("label"))
-      .repartition(32)
+    val out =
+      if (!diverse)
+        emb.withColumn("__k", explode(sequence(lit(0L), lit(factor - 1))))
+          .select((col("vec_id") + col("__k") * lit(step)).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + ((col("__k") * 37 + i) % 97).cast("float")
+                * lit(1e-4f)).as("embedding"),
+            col("label"))
+      else
+        spark.range(step * factor).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(VectorDim - 1)), k =>
+            ((xxhash64(col("id") * VectorDim + k) % 1000001L)
+              .cast("double") / 1000000.0).cast("float")).as("embedding"),
+          (col("id") % 10).cast("int").as("label"))
+    out.repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
     fs.create(ready, true).close()
   }
+
+  private val VectorDim = graft.operators.VectorOps.Dim
 }
