@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Dev tool: measure the Gold INCREMENTAL-refresh win as history grows —
@@ -51,22 +51,37 @@ object GoldRefreshProbe {
         timestamp_millis(lit(t0) + (unix_millis(col("ts")) - t0) * k)
           .as("ts"),
         col("value"))
-      // persist: both sides must read the SAME materialized history, not
-      // re-derive the stretch inside their own timed lineage
-      val hist = stretched.repartition(32).persist()
+      // materialize the history DAY-PARTITIONED, the bronze layout a
+      // production gold pipeline keeps (and the shape the incremental
+      // refresh's scan bound needs — an unpartitioned history makes
+      // refresh pay the full scan regardless of the lookback, which is
+      // exactly what the first version of this probe measured)
+      val dir = s"/tmp/graft_gold_probe/k$k"
+      stretched.withColumn("day", to_date(col("ts")))
+        .repartition(col("day"))
+        .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(dir)
+      val hist = spark.read.parquet(dir)
       val nRows = hist.count()
       val spanDays = ((t1 - t0) * k / 86400000L) + 1
-      val lastDay = hist.agg(max(to_date(col("ts")))).head().getDate(0)
-      val batch = hist.filter(to_date(col("ts")) === lit(lastDay))
+      val lastDay = hist.agg(max(col("day"))).head().getDate(0)
+      val batch = hist.filter(col("day") === lit(lastDay))
       val nBatch = batch.count()
-      val fullSec = time(graft.operators.GoldFeatures.goldTableFused(hist))
-      val refrSec = time(
-        graft.operators.IncrementalGold.refresh(spark, hist, batch))
+      // the existing gold table's key set (what a live pipeline has on
+      // disk when the batch arrives) — materialized untimed, read back
+      // so the timed refresh pays only the key SCAN, as production would
+      hist.select("user_id", "day").distinct()
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_goldkeys")
+      val goldKeys = spark.read.parquet(s"$dir/_goldkeys")
+      val fullSec = time(
+        graft.operators.GoldFeatures.goldTableFused(hist.drop("day")))
+      val refrSec = time(graft.operators.IncrementalGold.refresh(
+        spark, hist, batch, Some(goldKeys)))
       // the speedup must not be quoted on a wrong answer: the refreshed
       // days equal the full build's rows for those days, bit-for-bit
-      val full = graft.operators.GoldFeatures.goldTableFused(hist)
+      val full = graft.operators.GoldFeatures.goldTableFused(
+        hist.drop("day"))
       val refreshed = graft.operators.IncrementalGold
-        .refresh(spark, hist, batch)
+        .refresh(spark, hist, batch, Some(goldKeys))
       val firstNew = batch.groupBy("user_id")
         .agg(min(to_date(col("ts"))).as("fnd"))
       val fullSame = full.join(broadcast(firstNew), "user_id")
@@ -75,7 +90,6 @@ object GoldRefreshProbe {
         fullSame.exceptAll(refreshed).count()
       require(diverged == 0,
         s"k=$k: refresh diverged from the full build on $diverged rows")
-      hist.unpersist()
       val ratio = fullSec / refrSec
       println(f"[gold] k=$k%-3d span=$spanDays%4dd rows=$nRows " +
         f"batch=$nBatch full=$fullSec%6.2fs refresh=$refrSec%6.2fs " +

@@ -112,8 +112,14 @@ object StreamingOps {
       // drop the partition-discovery column: bronze consumers see the bar
       // schema, not the sink's layout detail
       val bronze = s.read.parquet(bronzePath).drop("batch_id")
+      // incremental-MV day universe: the existing gold table's own keys
+      // (gold = the battery over all bronze, so its key set is bronze's
+      // distinct (user, day) — see IncrementalGold.refresh). Absent on
+      // the very first batch → refresh falls back to the bronze scan.
+      val goldKeys = scala.util.Try(
+        s.read.parquet(goldPath).select("user_id", "day")).toOption
       var refreshed = graft.operators.IncrementalGold.refresh(
-        s, bronze, batch)
+        s, bronze, batch, goldKeys)
       if (prof) { // materialize compute separately from the sink merge
         refreshed = refreshed.persist()
         timed("refreshCompute")(refreshed.count())
