@@ -77,6 +77,10 @@ def main():
     if a.queries:
         queries = [q.strip() for q in a.queries.split(",") if q.strip()]
     elif a.delta:
+        # single-round regressions only: a cumulative-regression's legs
+        # are under the bar, so this base ref structurally cannot confirm
+        # it (see bench_delta's docstring) — adjudicate those explicitly
+        # via --queries against the round-(N-2) ref instead
         with open(a.delta) as f:
             d = json.load(f)
         queries = [q for q in d.get("flagged", [])

@@ -21,14 +21,19 @@ whose CUMULATIVE two-round move exceeds the same 25% bar are flagged too
 "cumulative_flagged"), even when each individual round stayed under the
 bar — a 15%/round creep can no longer compound unexamined across rounds.
 
-With --ab BASE_REF, any flagged regression (single-round or cumulative)
-is immediately adjudicated by scripts/bench_ab.py — a same-window
-interleaved A/B of the base ref vs HEAD (the round-9 hostcheck2 protocol,
-automated) — and the flag is downgraded to "host-drift" unless the
-in-window ratio confirms it. Downgraded rows move to "ab_downgraded" (not
-silently dropped: a real-but-noisy regression stays visible for the next
-round's cumulative check). The A/B artifact lands next to OUT as
-OUT_ab.json and its per-query verdicts are merged into OUT.
+With --ab BASE_REF, every SINGLE-ROUND flagged regression is immediately
+adjudicated by scripts/bench_ab.py — a same-window interleaved A/B of
+the base ref vs HEAD (the round-9 hostcheck2 protocol, automated) — and
+the flag is downgraded to "host-drift" unless the in-window ratio
+confirms it. Downgraded rows move to "ab_downgraded" (not silently
+dropped: a real-but-noisy regression stays visible for the next round's
+cumulative check). Cumulative flags are deliberately NOT sent to that
+A/B: both their legs are under the bar, so an in-window ratio against
+the one-round-old base is under bench_ab's confirm bar by construction
+and would auto-downgrade every true creep — they keep their flag for a
+two-round-base (round N-2 ref) adjudication. The A/B artifact lands
+next to OUT as OUT_ab.json and its per-query verdicts are merged into
+OUT.
 """
 import json
 import re
@@ -115,11 +120,23 @@ def compute_deltas(cur, cur_nf, prior, prior_nf, prior_deltas=None):
             flagged.append(q)
         elif prior_deltas and q in prior_deltas \
                 and "pct" in prior_deltas[q]:
-            # cumulative two-round rule: sub-bar moves compound
+            # cumulative two-round rule: SUB-BAR moves that compound.
+            # Guards (all three required):
+            #  - prior leg itself under the bar — an over-bar prior move
+            #    was already flagged and adjudicated in ITS round; letting
+            #    it compound with a flat current round would re-flag a
+            #    settled regression every round forever
+            #  - same direction — a creep is monotone; a bounce is its own
+            #    adjudication (mix3 round 11: +18.7 then -13.5)
+            #  - the current leg exceeds the measured noise floor — two
+            #    sub-floor drifts compounding past 25% is exactly the
+            #    unattributable-shift class the single-round floor guard
+            #    exists for
             prior_pct = prior_deltas[q]["pct"]
             cum = ((1.0 + pct / 100.0) * (1.0 + prior_pct / 100.0)
                    - 1.0) * 100.0
-            if abs(cum) > BAR_PCT:
+            if abs(cum) > BAR_PCT and abs(prior_pct) <= BAR_PCT \
+                    and pct * prior_pct > 0 and beyond_floor:
                 entry["cum_pct"] = round(cum, 1)
                 entry["flag"] = ("cumulative-regression" if cum > 0
                                  else "cumulative-improvement")
@@ -151,8 +168,14 @@ def main(cur_path, prior_path, out_path, ab_base=None, prior_delta=None):
             prior_deltas = json.load(f)["queries"]
     deltas, flagged, cum_flagged = compute_deltas(
         cur, cur_nf, prior, prior_nf, prior_deltas)
-    regs = [q for q in flagged + cum_flagged
-            if deltas[q].get("flag", "").endswith("regression")]
+    # only SINGLE-ROUND regressions go to the base-ref A/B: a cumulative
+    # flag exists precisely because each leg is under the bar, so an
+    # in-window ratio vs the ONE-round-old base is under the bar by
+    # construction and would auto-downgrade every true creep — the
+    # cumulative rows keep their flag and their evidence for a
+    # two-round-base adjudication instead
+    regs = [q for q in flagged
+            if deltas[q].get("flag", "") == "regression"]
     ab_verdicts, downgraded = None, []
     if ab_base and regs:
         # adjudicate every flagged regression in ONE interleaved window
@@ -186,11 +209,14 @@ def main(cur_path, prior_path, out_path, ab_base=None, prior_delta=None):
         out["ab_adjudicated"] = True
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    cum_regs = [q for q in cum_flagged
+                if deltas[q].get("flag") == "cumulative-regression"]
     print(f"compared {out['n_compared']} queries; "
           f"{len(regs)} regressions"
           f"{' (after A/B adjudication)' if ab_verdicts is not None else ''}, "
-          f"{len(flagged) + len(cum_flagged) - len(regs)} "
-          f"improvements/cumulative flagged, "
+          f"{len(cum_regs)} cumulative regressions (need two-round-base A/B), "
+          f"{len(flagged) + len(cum_flagged) - len(regs) - len(cum_regs)} "
+          f"improvements flagged, "
           f"{len(downgraded)} A/B-downgraded -> {out_path}")
     return 0
 

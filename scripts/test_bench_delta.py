@@ -68,6 +68,27 @@ def test_cumulative_rule():
         {"q": stats(1.1)}, 0.0, {"q": stats(1.0)}, 0.0,
         {"q": {"status": "new"}})
     assert cum == []
+    # an over-bar prior leg was already flagged and adjudicated in its
+    # own round: a flat current round must not re-flag it cumulatively
+    deltas, _, cum = compute_deltas(
+        {"q": stats(1.0)}, 0.0, {"q": stats(1.0)}, 0.0,
+        {"q": {"pct": 30.0}})
+    assert cum == [], "settled regression re-flagged"
+    # opposite-direction legs are a bounce, not a creep
+    deltas, _, cum = compute_deltas(
+        {"q": stats(2.0)}, 0.0, {"q": stats(1.64)}, 0.0,
+        {"q": {"pct": -20.0}})
+    assert cum == []  # +22% after -20% nets under the bar anyway; and
+    # even a compounding-looking opposite pair must stay unflagged:
+    deltas, _, cum = compute_deltas(
+        {"q": stats(0.9)}, 0.0, {"q": stats(1.0)}, 0.0,
+        {"q": {"pct": 24.0}})
+    assert cum == []
+    # two sub-noise-floor drifts compounding past the bar stay unflagged
+    deltas, _, cum = compute_deltas(
+        {"q": stats(0.115, 0.001)}, 0.2, {"q": stats(0.1, 0.001)}, 0.0,
+        {"q": {"pct": 15.0}})
+    assert cum == [], "sub-floor creep flagged"
 
 
 def test_ab_downgrade_kept_visible():

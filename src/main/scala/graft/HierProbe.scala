@@ -70,9 +70,7 @@ object HierProbe {
       try {
         val hier = graft.operators.IvfIndex.isHier(cells)
         val b0 = graft.operators.EmbedStage.buildSeconds
-        val t0 = System.nanoTime()
         graft.operators.EmbedStage(spark, dir)
-        val applySec = (System.nanoTime() - t0) / 1e9
         val buildSec = graft.operators.EmbedStage.buildSeconds - b0
         val cached = buildSec < 0.01
         println(f"[hier] x$pt n=$n cells=$cells " +

@@ -174,9 +174,8 @@ object IvfIndex {
     * both levels), output ∈ [0, cells). The last parent's child count is
     * truncated so ids never exceed the cell count. */
   def assignHier(qv: Column, dim: Int, cells: Int): Column = {
-    val (_, b) = hierGeometry(cells)
-    val parents = typedLit(
-      (0 until hierGeometry(cells)._1).map(j => centroid(j, dim): Seq[Long]))
+    val (g, b) = hierGeometry(cells)
+    val parents = typedLit((0 until g).map(j => centroid(j, dim): Seq[Long]))
     val children = childrenLit(dim, cells)
     def dot(c: Column): Column =
       aggregate(zip_with(qv, c, (x, w) => x * w), lit(0L), (a, v) => a + v)

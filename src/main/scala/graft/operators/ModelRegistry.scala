@@ -102,35 +102,28 @@ object ModelRegistry {
   def retain(spark: SparkSession, path: String, keep: Int): (Long, Long) = {
     require(keep >= 1, s"retain keeps at least the latest version, got $keep")
     val w = Window.partitionBy("model_name").orderBy(col("version").desc)
-    var attempt = 0
-    while (true) {
+    // the format's shared CAS-retry policy (bounded attempts, randomized
+    // 50-200ms backoff so a steady registrar stream doesn't burn every
+    // attempt back-to-back; a genuine storm is surfaced, not absorbed)
+    SnapshotTable.retryCas() {
       val head = SnapshotTable.versions(spark, path).lastOption.getOrElse(0)
-      if (head == 0) return (0L, 0L) // empty registry: nothing to GC
-      val ranked = SnapshotTable.read(spark, path, Some(head))
-        .withColumn("__vrank", dense_rank().over(w))
-      val counts = ranked.agg(
-        sum(when(col("__vrank") <= keep, 1L).otherwise(0L)),
-        sum(when(col("__vrank") > keep, 1L).otherwise(0L))).head()
-      val kept = if (counts.isNullAt(0)) 0L else counts.getLong(0)
-      val dropped = if (counts.isNullAt(1)) 0L else counts.getLong(1)
-      if (dropped == 0L) return (kept, 0L)
-      try {
-        SnapshotTable.commit(spark,
-          ranked.filter(col("__vrank") <= keep).drop("__vrank"),
-          path, replace = true, expectedHead = Some(head))
-        return (kept, dropped)
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempt += 1
-          if (attempt >= 5) throw e // registrar storm — surface it
-          // short randomized pause before re-reading: under a steady
-          // registrar stream an immediate retry tends to lose the next
-          // race too and burns all five attempts back-to-back; the work
-          // per attempt is metadata-sized, so 50-200ms buys a real win
-          // probability at negligible cost
-          Thread.sleep(50L + scala.util.Random.nextInt(150))
+      if (head == 0) (0L, 0L) // empty registry: nothing to GC
+      else {
+        val ranked = SnapshotTable.read(spark, path, Some(head))
+          .withColumn("__vrank", dense_rank().over(w))
+        val counts = ranked.agg(
+          sum(when(col("__vrank") <= keep, 1L).otherwise(0L)),
+          sum(when(col("__vrank") > keep, 1L).otherwise(0L))).head()
+        val kept = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+        val dropped = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+        if (dropped == 0L) (kept, 0L)
+        else {
+          SnapshotTable.commit(spark,
+            ranked.filter(col("__vrank") <= keep).drop("__vrank"),
+            path, replace = true, expectedHead = Some(head))
+          (kept, dropped)
+        }
       }
     }
-    throw new IllegalStateException("unreachable")
   }
 }

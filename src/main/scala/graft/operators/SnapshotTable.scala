@@ -539,9 +539,11 @@ object SnapshotTable {
     * re-derives. A short randomized pause between attempts keeps a steady
     * writer stream from burning all attempts back-to-back (the work per
     * attempt is a re-derivation, but the contention window is
-    * metadata-sized). After `maxAttempts` CAS failures the contention is
-    * surfaced, not absorbed. */
-  private def retryCas(maxAttempts: Int = 5)(body: => Int): Int = {
+    * metadata-sized). After `maxAttempts` CAS failures the contention
+    * (a writer storm) is surfaced, not absorbed. Package-visible: every
+    * snapshot-derived writer — including [[ModelRegistry]]'s GC — shares
+    * this one retry policy instead of growing drift-prone copies. */
+  private[operators] def retryCas[A](maxAttempts: Int = 5)(body: => A): A = {
     var attempt = 0
     while (true) {
       try return body

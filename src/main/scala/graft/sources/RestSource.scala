@@ -90,7 +90,14 @@ object RestSource {
             if (code >= 400) conn.getErrorStream else conn.getInputStream)))
           catch {
             case e: java.io.IOException =>
-              lastCode = code
+              // lastCode stays -1 (the transport-failure sentinel): if a
+              // RETRYABLE status (200/429/5xx) keeps dying mid-body until
+              // retries exhaust, the terminal exception must read as
+              // "never got the payload", not as a nonsensical
+              // HTTP-200/500 failure. Terminal statuses never reach
+              // exhaustion — the dispatch below returns/throws on
+              // midBodyCode before any retry.
+              lastCode = -1
               midBodyCode = code
               lastBody = s"mid-body failure (status $code): ${e.getMessage}"
               None

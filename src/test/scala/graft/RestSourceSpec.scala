@@ -208,6 +208,20 @@ class RestSourceSpec extends SparkSpec {
     }
   }
 
+  test("persistently truncated 200 bodies exhaust retries with the " +
+    "transport-failure sentinel, not a bogus HTTP-200 error code") {
+    val truncated =
+      "HTTP/1.1 200 OK\r\nContent-Length: 100\r\nConnection: close\r\n\r\npartial"
+    withRawServer(Seq.fill(3)(truncated -> true)) { port =>
+      val e = intercept[RestSource.HttpFetchException] {
+        RestSource.get(s"http://127.0.0.1:$port/p", maxRetries = 2,
+          baseBackoffMs = 4L, readTimeoutMs = 2000, sleep = _ => ())
+      }
+      assert(e.code == -1, s"exhausted mid-body retries surfaced ${e.code}")
+      assert(e.getMessage.contains("mid-body failure (status 200)"))
+    }
+  }
+
   test("negative Retry-After falls back to the exponential schedule") {
     val tooSoon =
       "HTTP/1.1 429 Too Many\r\nRetry-After: -5\r\nContent-Length: 0\r\n" +
