@@ -26,8 +26,12 @@ adjudicated by scripts/bench_ab.py — a same-window interleaved A/B of
 the base ref vs HEAD (the round-9 hostcheck2 protocol, automated) — and
 the flag is downgraded to "host-drift" unless the in-window ratio
 confirms it. Downgraded rows move to "ab_downgraded" (not silently
-dropped: a real-but-noisy regression stays visible for the next round's
-cumulative check). Cumulative flags are deliberately NOT sent to that
+dropped: the next round's cumulative check re-reads a downgraded row
+with its A/B-measured in-window ratio as the prior leg — the refuted
+raw pct was window noise, but the ratio is that round's REAL residual,
+so a genuine slow creep hiding under host drift still compounds into a
+cumulative flag instead of vanishing with the downgrade).
+Cumulative flags are deliberately NOT sent to that
 A/B: both their legs are under the bar, so an in-window ratio against
 the one-round-old base is under bench_ab's confirm bar by construction
 and would auto-downgrade every true creep — they keep their flag for a
@@ -132,7 +136,18 @@ def compute_deltas(cur, cur_nf, prior, prior_nf, prior_deltas=None):
             #    sub-floor drifts compounding past 25% is exactly the
             #    unattributable-shift class the single-round floor guard
             #    exists for
-            prior_pct = prior_deltas[q]["pct"]
+            #  - EXCEPT a prior host-drift downgrade: its raw pct was
+            #    refuted by the interleaved A/B, but the A/B's in-window
+            #    ratio is that round's REAL residual (under the bar by
+            #    construction of the downgrade) — it substitutes as the
+            #    prior leg, so a genuine creep hiding under host drift
+            #    still compounds here instead of vanishing with the
+            #    downgrade
+            pq = prior_deltas[q]
+            if pq.get("flag") == "host-drift" and "ab_ratio" in pq:
+                prior_pct = (pq["ab_ratio"] - 1.0) * 100.0
+            else:
+                prior_pct = pq["pct"]
             cum = ((1.0 + pct / 100.0) * (1.0 + prior_pct / 100.0)
                    - 1.0) * 100.0
             if abs(cum) > BAR_PCT and abs(prior_pct) <= BAR_PCT \

@@ -91,6 +91,34 @@ def test_cumulative_rule():
     assert cum == [], "sub-floor creep flagged"
 
 
+def test_cumulative_after_host_drift_downgrade():
+    # a prior host-drift downgrade's RAW pct (over-bar, refuted) is
+    # replaced by its A/B in-window ratio as the prior leg, so a real
+    # creep that hid under host drift still compounds into a flag...
+    deltas, _, cum = compute_deltas(
+        {"q": stats(1.15)}, 0.0, {"q": stats(1.0)}, 0.0,
+        {"q": {"pct": 40.0, "flag": "host-drift", "ab_ratio": 1.18}})
+    assert cum == ["q"], "creep under a host-drift downgrade vanished"
+    assert abs(deltas["q"]["cum_pct"] - 35.7) < 0.2
+    # ...while a CLEAN downgrade (ratio ≈ 1) does not re-flag: the raw
+    # over-bar pct was window noise, not a prior leg to compound
+    deltas, _, cum = compute_deltas(
+        {"q": stats(1.15)}, 0.0, {"q": stats(1.0)}, 0.0,
+        {"q": {"pct": 40.0, "flag": "host-drift", "ab_ratio": 1.02}})
+    assert cum == []
+    # an A/B ratio under 1 is an opposite-direction leg — a bounce
+    deltas, _, cum = compute_deltas(
+        {"q": stats(1.2)}, 0.0, {"q": stats(1.0)}, 0.0,
+        {"q": {"pct": 40.0, "flag": "host-drift", "ab_ratio": 0.93}})
+    assert cum == []
+    # a downgraded row with no recorded ratio keeps the settled-raw-pct
+    # exclusion (nothing credible to compound)
+    deltas, _, cum = compute_deltas(
+        {"q": stats(1.15)}, 0.0, {"q": stats(1.0)}, 0.0,
+        {"q": {"pct": 40.0, "flag": "host-drift"}})
+    assert cum == []
+
+
 def test_ab_downgrade_kept_visible():
     deltas = {"q1": {"pct": 40.0, "flag": "regression"},
               "q2": {"pct": 30.0, "flag": "regression"}}
@@ -131,6 +159,7 @@ def test_main_end_to_end():
 if __name__ == "__main__":
     test_single_round_flags()
     test_cumulative_rule()
+    test_cumulative_after_host_drift_downgrade()
     test_ab_downgrade_kept_visible()
     test_main_end_to_end()
     print("bench_delta tests: OK")

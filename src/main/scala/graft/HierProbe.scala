@@ -37,6 +37,17 @@ import org.apache.spark.sql.functions._
   * resynthesizes replicas (new mtime → cache-busts the stage, so
   * build_sec is a real build, not a cache hit — use for artifacts).
   * SPARK_GRAFT_PROBE_OUT writes the JSON artifact.
+  *
+  * `--sweep f1,f2,...` instead measures the hier probe budget's
+  * RECALL-vs-COST curve on each point: the exact top-10 neighbor set of
+  * a 50-query sample is computed once by brute force, then the probed
+  * search re-runs at each HierProbeFrac value, reporting per-frac
+  * recall@10 (mean and min over queries), the probe budgets (blocks ×
+  * cells/block), the probed corpus share, and the probed-search wall.
+  * This is the evidence the default [[graft.operators.IvfIndex
+  * .HierProbeFrac]] is chosen from — measured on the direction-diverse
+  * corpus, the adversarial no-structure case (the r11 fixed-P budget
+  * read recall 0.02 there while the jittered-replica corpus read 1.0).
   */
 object HierProbe {
 
@@ -49,14 +60,24 @@ object HierProbe {
       "usage: HierProbe <srcDir> <workDir> [--fresh] [point ...]")
     val (src, work) = (args(0), args(1))
     var fresh = false
+    var sweep: Seq[Double] = Nil
+    var expectSweep = false
     val pts = Seq.newBuilder[String]
     args.drop(2).foreach {
       case "--fresh" => fresh = true
+      case "--sweep" => expectSweep = true
+      case v if expectSweep =>
+        sweep = v.split(",").toSeq.map(_.toDouble); expectSweep = false
       case p => pts += p
     }
     val points = { val p = pts.result(); if (p.isEmpty) DefaultPoints else p }
     val spark = GraftSession.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (sweep.nonEmpty) {
+      runSweep(spark, src, work, points, sweep, fresh)
+      spark.stop(); return
+    }
 
     val rows = points.map { pt =>
       val forced = pt.endsWith("h")
@@ -66,8 +87,7 @@ object HierProbe {
       synthesizeEmbeddings(spark, src, dir, factor, fresh, diverse)
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val cells = graft.operators.IvfIndex.cellsFor(n)
-      graft.operators.IvfIndex.forceHier = forced
-      try {
+      graft.operators.IvfIndex.withForceHier(forced) {
         val hier = graft.operators.IvfIndex.isHier(cells)
         val b0 = graft.operators.EmbedStage.buildSeconds
         graft.operators.EmbedStage(spark, dir)
@@ -91,7 +111,7 @@ object HierProbe {
           f"min=${rec.getDouble(1)}%.3f")
         (pt, forced, n, cells, hier, buildSec, cached, timings,
           rec.getDouble(0), rec.getDouble(1))
-      } finally graft.operators.IvfIndex.forceHier = false
+      }
     }
 
     // per-vector build cost is the law being probed: flat grows ∝ n
@@ -121,6 +141,94 @@ object HierProbe {
       println(s"[hier] artifact -> $path")
     }
     spark.stop()
+  }
+
+  /** Recall-vs-cost curve for the hier probe budget (see object doc).
+    * 50 query vectors (vs the sim family's NQ=5 — a stabler mean), exact
+    * leg computed once per point, probed leg re-run per frac. */
+  private def runSweep(spark: SparkSession, src: String, work: String,
+                       points: Seq[String], fracs: Seq[Double],
+                       fresh: Boolean): Unit = {
+    import graft.operators.{EmbedStage, IvfIndex, VectorOps}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val nq = 50
+    val topK = 10
+    val out = points.map { pt =>
+      val forced = pt.endsWith("h")
+      val diverse = pt.endsWith("d")
+      val factor = (if (forced || diverse) pt.dropRight(1) else pt).toLong
+      val dir = s"$work/x$pt"
+      synthesizeEmbeddings(spark, src, dir, factor, fresh, diverse)
+      graft.operators.IvfIndex.withForceHier(forced) {
+        val v = EmbedStage(spark, dir).vectors
+        val n = v.count()
+        val cells = EmbedStage.cells(spark, dir)
+        require(IvfIndex.isHier(cells),
+          s"sweep point x$pt is not in the hier regime ($cells cells)")
+        val qs = v.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+            col("nsq").as("nsq_q"))
+        val cosine = VectorOps.dotL(col("qv_q"), col("qv_c")).cast("double") /
+          (sqrt(col("nsq_q").cast("double")) *
+            sqrt(col("nsq_c").cast("double")))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        val corpus = v.select(col("vec_id").as("cand_id"),
+          col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"))
+        def topk(scored: DataFrame) = scored
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= topK).select("query_id", "cand_id")
+        val exact = topk(corpus
+          .crossJoin(broadcast(qs))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), cosine.as("cosine")))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        println(f"[sweep] x$pt n=$n cells=$cells exact leg done " +
+          f"(${exact.size} queries)")
+        val rows = fracs.map { f =>
+          val (bP, c) = IvfIndex.hierBudget(cells, frac = f)
+          val t0 = System.nanoTime()
+          val probes = IvfIndex.probeCells(
+            v.filter(col("vec_id") < nq)
+              .select(col("vec_id").as("query_id"), col("qv"),
+                col("nsq").as("nsq_q"), col("dl")),
+            "query_id", VectorOps.Dim, cells, hierFrac = f)
+            .withColumnRenamed("qv", "qv_q")
+          val approx = topk(corpus.join(broadcast(probes), "cid")
+            .filter(col("cand_id") =!= col("query_id"))
+            .select(col("query_id"), col("cand_id"), cosine.as("cosine")))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          val wall = (System.nanoTime() - t0) / 1e9
+          val rec = exact.map { case (q, ex) =>
+            approx.getOrElse(q, Set.empty[Long]).count(ex.contains)
+              .toDouble / ex.size
+          }.toSeq
+          val (rm, rmin) = (rec.sum / rec.size, rec.min)
+          val share = bP.toDouble * c * IvfIndex.TargetCellSize / n
+          println(f"[sweep] x$pt frac=$f%.2f budget=${bP}x$c " +
+            f"(~${share * 100}%.1f%% corpus) recall mean=$rm%.3f " +
+            f"min=$rmin%.3f wall=$wall%.1fs")
+          (f, bP, c, share, rm, rmin, wall)
+        }
+        (pt, n, cells, rows)
+      }
+    }
+    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
+      val json = out.map { case (pt, n, cells, rows) =>
+        val rj = rows.map { case (f, bP, c, share, rm, rmin, wall) =>
+          f"""   {"frac": $f%.3f, "blocks": $bP, "cells_per_block": $c, """ +
+            f""""corpus_share": $share%.4f, "recall_mean": $rm%.4f, """ +
+            f""""recall_min": $rmin%.4f, "probe_wall_sec": $wall%.2f}"""
+        }.mkString(",\n")
+        f"""  "x$pt": {"n": $n, "cells": $cells, "n_queries": $nq, """ +
+          f""""top_k": $topK, "curve": [\n$rj\n  ]}"""
+      }.mkString("{\n \"points\": {\n", ",\n", "\n }\n}")
+      val p = new java.io.PrintWriter(path); p.write(json); p.close()
+      println(s"[sweep] artifact -> $path")
+    }
   }
 
   /** N× embeddings-only replica with ScaleProbe's geometry rules:

@@ -3,13 +3,25 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool: LEG-LEVEL scale attribution for the two rows the round-10
-  * probes left un-named — tx3_token_count (the board's steepest 20× row,
-  * 11.0×) and a28_cms_topk (steepest 40× spot-probe, 17.4×). Each query
-  * is decomposed into its candidate cost terms and every term is timed
-  * on the fixture AND an N× replica, so the observed super-linearity (or
+/** Dev tool: LEG-LEVEL scale attribution for the rows the full-board
+  * scale sweeps flag as frontier (steepest-ratio) entries. Each query is
+  * decomposed into its candidate cost terms and every term is timed on
+  * the fixture AND an N× replica, so the observed super-linearity (or
   * its absence) gets attributed to a specific expression instead of a
-  * guess:
+  * guess. Round 10 named tx3_token_count and a28_cms_topk; round 12 adds
+  * the r11 20×-sweep frontier — f12_json_extract_cast (13.4×),
+  * j6_interval_join (11.8×), tx8_pii_scrub (10.5×):
+  *
+  *  f12 — events scan floor, the from_json parse alone, the try_cast
+  *        leg, full query. The parse is per-CHAR (props payload), so its
+  *        leg is judged against the props char ratio.
+  *  j6  — lineitem/orders scan floors, the bare equi join (no band
+  *        filter), full query. Replicas keep 1:N join density by
+  *        construction, so every leg should track the row ratio.
+  *  tx8 — events scan floor, the mask (regexp_replace) leg, the three
+  *        countMatches legs as one, the extract leg, full query. All
+  *        per-char regex automata over props, judged like tx3's.
+  *
   *
   *  tx3 — null scan (row/IO floor), whitespace split, BPE regex
   *        extract-all, full query. If the regex leg's ratio tracks the
@@ -84,6 +96,49 @@ object TermProbe {
         .orderBy(col("cms_count").desc, col("user_id")).limit(20)),
       "a28_full" -> (d => SparkEntry.queries("a28_cms_topk")(spark, d)))
 
+    // ---- f12 legs ------------------------------------------------------
+    def evFull(d: String) = Tables.fanOut(Tables.events(spark, d))
+    val f12Legs: Seq[(String, String => DataFrame)] = Seq(
+      "f12_scan_floor" -> (d => evFull(d).select(col("event_id"),
+        length(col("props")).cast("long").as("n"))),
+      "f12_json_parse" -> (d => evFull(d).select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k_value"))),
+      "f12_try_cast" -> (d => evFull(d).select(col("event_id"),
+        expr("try_cast(event_type AS double)").as("type_as_num"))),
+      "f12_full" -> (d => SparkEntry.queries("f12_json_extract_cast")(spark, d)))
+
+    // ---- j6 legs -------------------------------------------------------
+    val j6Legs: Seq[(String, String => DataFrame)] = Seq(
+      "j6_lineitem_floor" -> (d => Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))),
+      "j6_orders_floor" -> (d => Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderdate"))),
+      "j6_equi_join" -> (d => Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"),
+          col("l_shipdate"))),
+      "j6_full" -> (d => SparkEntry.queries("j6_interval_join")(spark, d)))
+
+    // ---- tx8 legs ------------------------------------------------------
+    import graft.operators.TextOps.{maskAll, countMatches}
+    import graft.operators.TextOps.{DigitRun => digitRun,
+      EmailPat => emailPat, SsnPat => ssnPat}
+    val tx8Legs: Seq[(String, String => DataFrame)] = Seq(
+      "tx8_scan_floor" -> (d => evFull(d).select(col("event_id"),
+        length(col("props")).cast("long").as("n"))),
+      "tx8_mask" -> (d => evFull(d).select(col("event_id"),
+        maskAll(col("props"), digitRun, "<N>").as("masked"))),
+      "tx8_counts" -> (d => evFull(d).select(col("event_id"),
+        countMatches(col("props"), digitRun).as("a"),
+        countMatches(col("props"), emailPat).as("b"),
+        countMatches(col("props"), ssnPat).as("c"))),
+      "tx8_extract" -> (d => evFull(d).select(col("event_id"),
+        regexp_extract(col("props"), "([0-9]+)", 1).as("run"))),
+      "tx8_full" -> (d => SparkEntry.queries("tx8_pii_scrub")(spark, d)))
+
     // the replica's text is longer than N× the fixture's (per-replica
     // word suffixes); report the char ratio so tx3 legs are judged
     // against CHARS, not rows
@@ -92,7 +147,14 @@ object TermProbe {
     println(f"[term] chars: base=$baseChars rep=$repChars " +
       f"char_ratio=${repChars.toDouble / baseChars}%.1f (factor=$factor)")
 
-    val results = (tx3Legs ++ a28Legs).map { case (name, fn) =>
+    // optional group selector: --legs tx3,f12 runs only those families
+    val groups: Map[String, Seq[(String, String => DataFrame)]] = Map(
+      "tx3" -> tx3Legs, "a28" -> a28Legs, "f12" -> f12Legs,
+      "j6" -> j6Legs, "tx8" -> tx8Legs)
+    val selected = args.sliding(2).collectFirst {
+      case Array("--legs", g) => g.split(",").toSeq }
+      .getOrElse(Seq("tx3", "a28", "f12", "j6", "tx8"))
+    val results = selected.flatMap(groups).map { case (name, fn) =>
       fn(src).limit(1).count() // plan warm-up outside the timing
       val b = time(fn(src))
       val g = time(fn(rep))

@@ -96,8 +96,11 @@ object EmbedStage {
 
   /** Bump when the stage schema or any index constant changes.
     * v2: round 11 — splitmix centroid family (the LCG's ~128-direction
-    * argmax degeneracy), two-level regime wiring. */
-  private val Version = 2
+    * argmax degeneracy), two-level regime wiring.
+    * v3: round 12 — child jitter moved to the XXH64 family so the probe
+    * side can evaluate child dots in-expression (no child-matrix plan
+    * literal) with exact JVM/Column parity. */
+  private val Version = 3
 
   /** LSH operating points (see `queries/SimilarityQueries.scala` for the
     * recall arithmetic): 4 OR-amplified tables; 8-bit buckets on the

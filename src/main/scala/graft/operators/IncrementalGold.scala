@@ -30,6 +30,10 @@ object IncrementalGold {
     * rows; +1 for the row itself. */
   val LookbackRows = 22
 
+  /** Sentinel "check everything" lookback floor for users whose universe
+    * window is shorter than the full lookback (see the staleness guard). */
+  private val FloorMin = java.sql.Date.valueOf("0001-01-01")
+
   /** Recompute gold rows for exactly the (user, day) pairs at or after
     * each user's first NEW day in `batch`, reading only affected users'
     * bounded history from `bronze` (which must already include the batch
@@ -61,33 +65,72 @@ object IncrementalGold {
     // The (user, day) universe the lookback ranks over. With `goldKeys`
     // (the EXISTING gold table's key columns — incremental-MV
     // maintenance: gold is the battery over all bronze, so its key set
-    // IS bronze's distinct (user, day); the caller owns that invariant),
-    // the pass costs O(gold keys ∪ batch) — day-row-sized, ~1/events-
-    // per-day of bronze — and bronze is never scanned for it. Without
-    // it, fall back to the bronze distinct (first batch, or a caller
-    // with no materialized gold): correct on any input, O(history).
+    // IS bronze's distinct (user, day)), the pass costs O(gold keys ∪
+    // batch) — day-row-sized, ~1/events-per-day of bronze — and bronze
+    // is never scanned for it. The invariant is GUARDED, not assumed
+    // (round-12, closing the r11 ADVICE): a bounded staleness probe
+    // (below) anti-joins the affected users' bronze days inside their
+    // lookback windows against the claimed universe; any orphan (bronze
+    // backfill, gold wipe, unretried failed merge) falls the refresh
+    // back to the bronze-scan universe — correct on any input,
+    // O(history). The bronze-scan path is also the first-batch fallback.
     // This was the round-11 probe's last data-sized refresh term — with
     // the bronze-scan days dim, refresh measured ≈ full-build cost even
     // on a 480-day partitioned history, because the dim pass re-read
     // what the slice bound was built to skip.
-    val days = goldKeys match {
+    val bronzeUniverse = () =>
+      hist.select("user_id", "day", "first_new_day").distinct()
+    goldKeys match {
       case Some(gk) =>
-        // affected-user join BEFORE the distinct: the broadcast join cuts
-        // the key set to the batch's users (measured 4M → 460k on the
-        // 40×-replica probe), so the distinct shuffles the affected
-        // slice, never the whole key universe
-        gk.select("user_id", "day")
+        val fast = gk.select("user_id", "day")
+          // affected-user join BEFORE the distinct: the broadcast join
+          // cuts the key set to the batch's users (measured 4M → 460k on
+          // the 40×-replica probe), so the distinct shuffles the affected
+          // slice, never the whole key universe
           .join(broadcast(firstNew), "user_id")
           .unionByName(batch.select(col("user_id"),
               to_date(col("ts")).as("day")).distinct()
             .join(broadcast(firstNew), "user_id"))
           .select("user_id", "day", "first_new_day")
           .distinct()
-      case None =>
-        hist.select("user_id", "day", "first_new_day").distinct()
+        if (universeFresh(hist, firstNew, fast)) assemble(hist, firstNew, fast)
+        else {
+          System.err.println("[IncrementalGold] gold key set is stale for " +
+            "affected users (bronze backfill / wiped or half-merged gold?)" +
+            " — falling back to the bronze-scan day universe")
+          assemble(hist, firstNew, bronzeUniverse())
+        }
+      case None => assemble(hist, firstNew, bronzeUniverse())
     }
-    // bounded lookback: of each user's days BEFORE the first new day,
-    // keep the most recent LookbackRows-1; every day >= it stays
+  }
+
+  /** Lookback-ranked day slices + the Gold battery over them, for a
+    * given (user, day, first_new_day) universe. */
+  private def assemble(hist: DataFrame, firstNew: DataFrame,
+                       days: DataFrame): DataFrame = {
+    val (keptDays, minKept) = keptAndFloor(days)
+    val bounded =
+      if (minKept.isEmpty) hist
+      else hist.filter(col("day") >= lit(minKept.get))
+    val slice = bounded
+      .join(broadcast(keptDays.select("user_id", "day")),
+        Seq("user_id", "day"), "left_semi")
+      .drop("day", "first_new_day")
+    GoldFeatures.goldTableFused(slice)
+      .join(broadcast(firstNew), "user_id")
+      .filter(col("day") >= col("first_new_day"))
+      .drop("first_new_day")
+  }
+
+  /** The kept (user, day) set for a universe — each user's most recent
+    * LookbackRows−1 days before their first new day, plus every day at
+    * or after it — and the GLOBAL pruning floor (min kept day; every
+    * kept pair is at or after it, so the slice scan may skip everything
+    * older via a plain predicate on the (partition) day column — the
+    * scan bound that makes the refresh O(lookback window), not
+    * O(history); the one-row collect is control-plane, a scalar date). */
+  private def keptAndFloor(days: DataFrame)
+      : (DataFrame, Option[java.sql.Date]) = {
     val wDays = Window.partitionBy("user_id").orderBy(col("day").desc)
     val keptDays = days.filter(col("day") < col("first_new_day"))
       .withColumn("rk", row_number().over(wDays))
@@ -95,26 +138,52 @@ object IncrementalGold {
       .select("user_id", "day")
       .unionByName(days.filter(col("day") >= col("first_new_day"))
         .select("user_id", "day"))
-    // Partition-pruning floor: every kept (user, day) is at or after the
-    // GLOBAL earliest kept day, so the slice scan may skip everything
-    // older via a plain predicate on the (partition) day column — the
-    // scan bound that makes the refresh O(lookback window), not
-    // O(history). The one-row collect is control-plane (a scalar date,
-    // like the batched-ingest key universe); the per-user semi join
-    // below refines the superset exactly as before, so results are
-    // unchanged on any bronze shape. The days-DIM pass above still scans
-    // all partitions, but column-pruned to (user_id, day) — on parquet a
-    // thin-column listing, not a data read.
     val minKept = keptDays.agg(min("day")).head()
-    val bounded =
-      if (minKept.isNullAt(0)) hist
-      else hist.filter(col("day") >= lit(minKept.getDate(0)))
-    val slice = bounded
-      .join(broadcast(keptDays), Seq("user_id", "day"), "left_semi")
-      .drop("day", "first_new_day")
-    GoldFeatures.goldTableFused(slice)
-      .join(broadcast(firstNew), "user_id")
-      .filter(col("day") >= col("first_new_day"))
-      .drop("first_new_day")
+    (keptDays,
+      if (minKept.isNullAt(0)) None else Some(minKept.getDate(0)))
+  }
+
+  /** Staleness guard for the gold-key fast path: TRUE iff, for every
+    * affected user, bronze holds no (user, day) inside that user's
+    * ranking-relevant window that the claimed universe is missing.
+    *
+    * Soundness bound: an orphan day can only change the kept-day slices
+    * (or silently lose its own gold row) if it ranks INSIDE the user's
+    * lookback window — i.e. is strictly more recent than the user's
+    * LookbackRows−1-th claimed prior day, or at/after the first new day.
+    * So the check scans bronze only from each user's claimed floor
+    * forward; for a user whose claimed window is SHORT (fewer than the
+    * full lookback of prior days — a genuinely young user, or a wiped /
+    * half-merged gold table, indistinguishable without looking) the
+    * floor drops to day zero and that user's full (thin, column-pruned,
+    * distinct-reduced) bronze day set is checked. Steady state cost: one
+    * extra pass over the same partition-pruned lookback slice the
+    * refresh reads anyway. */
+  private def universeFresh(hist: DataFrame, firstNew: DataFrame,
+                            days: DataFrame): Boolean = {
+    val wDays = Window.partitionBy("user_id").orderBy(col("day").desc)
+    val floors = days.filter(col("day") < col("first_new_day"))
+      .withColumn("rk", row_number().over(wDays))
+      .filter(col("rk") < LookbackRows)
+      .groupBy("user_id")
+      .agg(min("day").as("__floor"), count(lit(1)).as("__n"))
+      .select(col("user_id"),
+        when(col("__n") === LookbackRows - 1, col("__floor"))
+          .otherwise(lit(FloorMin)).as("__floor"))
+    // users with NO claimed prior days at all also get the zero floor
+    val userFloor = firstNew.select("user_id")
+      .join(floors, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("__floor"), lit(FloorMin)).as("__floor"))
+    val gf = userFloor.agg(min("__floor")).head()
+    if (gf.isNullAt(0)) return true // empty batch: nothing to refresh
+    val globalFloor = gf.getDate(0)
+    hist.filter(col("day") >= lit(globalFloor)) // partition-prunable
+      .select("user_id", "day").distinct()
+      .join(broadcast(userFloor), "user_id")
+      .filter(col("day") >= col("__floor"))
+      .join(days.select("user_id", "day"), Seq("user_id", "day"),
+        "left_anti")
+      .isEmpty
   }
 }

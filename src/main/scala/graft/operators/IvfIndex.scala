@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   val C = 16 // coarse-centroid FLOOR (exact cell count at the oracle SFs)
-  val P = 4  // probed centroids per query
+  val P = 4  // probed cells per query in the FLAT regime (every oracle
+             // SF), and the floor of the scaled hier budget — hierBudget
 
   /** Target inverted-list size. A corpus of n vectors gets
     * `max(C, n / TargetCellSize)` cells, so list density — and with it
@@ -154,35 +155,62 @@ object IvfIndex {
     * fanout). Child cid = g·B + i, a partition of [0, cells). */
   def hierGeometry(cells: Int): (Int, Int) = {
     val g = math.ceil(math.sqrt(cells.toDouble)).toInt
-    (g, (cells + g - 1) / g)
+    val b = (cells + g - 1) / g
+    require(b < (1 << 14),
+      s"hierGeometry: block fanout $b for $cells cells overflows the " +
+        "childIdx slot field — widen the packing before a corpus this size")
+    (g, b)
   }
 
-  /** Child centroid (parent `g`, slot `i`): parent + bounded jitter. */
+  /** Child centroid (parent `g`, slot `i`): parent + bounded jitter.
+    *
+    * The jitter mixer is Spark's own XXH64 (seed 42 — exactly what the
+    * builtin `xxhash64` computes over a long column), NOT the r11 LCG:
+    * round 12 moved the probe-side child dots in-expression (so the
+    * O(cells·dim) child matrix never rides a plan literal — see
+    * [[childDots]]), and under ANSI mode a wrapping-multiply mixer
+    * cannot be evaluated as a Column. XXH64 is the one full-avalanche
+    * mixer with a public static JVM twin AND a builtin SQL surface, so
+    * both sides compute the identical family with zero plan payload
+    * (`IvfSpec` pins the parity). Child centroids exist only in the
+    * hier regime — beyond every oracle SF — so no DuckDB oracle ever
+    * replays this formula. */
   def childCentroid(g: Int, i: Int, dim: Int): IndexedSeq[Long] = {
     val p = centroid(g, dim)
     (0 until dim).map { k =>
-      val idx = (g.toLong << 22) + (i.toLong << 8) + k
-      val jit = ((2862933555777941757L * idx + 3037000493L) % 200001L)
-        .abs - 100000L
-      math.max(-1000000L, math.min(1000000L, p(k) + jit))
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(childIdx(g, i, k), 42L)
+      math.max(-1000000L,
+        math.min(1000000L, p(k) + math.floorMod(h, 200001L) - 100000L))
     }
   }
+
+  /** Flattened (parent, slot, axis) index the jitter mixer hashes —
+    * shared by the JVM and Column paths so they can never disagree.
+    * g ≤ ⌈√cells⌉ ≤ 46341 (int cid domain) < 2²²'s headroom and slots
+    * are < 2¹⁴, so the packing never collides or overflows. */
+  private def childIdx(g: Long, i: Long, k: Long): Long =
+    (g << 22) + (i << 8) + k
 
   /** Two-level assignment column: argmax over the G parent dots picks a
     * block, exact argmax over that block's ≤B children picks the cell.
     * Pure long arithmetic, deterministic (ties to the lowest index at
     * both levels), output ∈ [0, cells). The last parent's child count is
-    * truncated so ids never exceed the cell count. */
+    * truncated so ids never exceed the cell count.
+    *
+    * Child dots route through [[childDots]]: the child-matrix literal up
+    * to [[ChildLitMaxCells]] (cheapest per corpus row — this is the
+    * n-row build hot path), the in-expression formula beyond it, so a
+    * 25M-vector build crosses the literal boundary silently-correctly
+    * instead of planting a ~100MB literal (or require-failing) there. */
   def assignHier(qv: Column, dim: Int, cells: Int): Column = {
     val (g, b) = hierGeometry(cells)
     val parents = typedLit((0 until g).map(j => centroid(j, dim): Seq[Long]))
-    val children = childrenLit(dim, cells)
     def dot(c: Column): Column =
       aggregate(zip_with(qv, c, (x, w) => x * w), lit(0L), (a, v) => a + v)
     val pDots = transform(parents, dot(_))
-    val block = array_position(pDots, array_max(pDots)) - 1 // 0-based
-    val kids = element_at(children, (block + 1).cast("int"))
-    val kDots = transform(kids, dot(_))
+    val block = (array_position(pDots, array_max(pDots)) - 1).cast("int")
+    val kDots = childDots(qv, block, dim, cells)
     val local = array_position(kDots, array_max(kDots)) - 1
     (block * b + local).cast("int")
   }
@@ -190,9 +218,20 @@ object IvfIndex {
   /** TEST/PROBE knob: force the two-level regime below
     * [[HierarchyThreshold]] so flat and hier can be compared head-to-head
     * on the SAME corpus (HierProbe's seam point; IvfSpec's recall
-    * comparison). Never set in production paths — the regime is otherwise
-    * a pure function of the cell count via [[isHier]]. */
-  @volatile var forceHier: Boolean = false
+    * comparison). Private — every consumer scopes it through
+    * [[withForceHier]], which restores the prior value on EVERY exit
+    * path, so a stage build and its query-side probe/effCentroid reads
+    * can never observe different regimes for the same corpus (the r11
+    * ADVICE desync hazard of a bare global toggle). */
+  @volatile private var forceHier: Boolean = false
+
+  /** Run `f` with the forced-hier knob set to `on`, restoring the prior
+    * value afterwards. The ONLY way to toggle the regime override. */
+  def withForceHier[T](on: Boolean = true)(f: => T): T = {
+    val prev = forceHier
+    forceHier = on
+    try f finally forceHier = prev
+  }
 
   /** The quantizer regime for `cells`: flat (store all-cell dots,
     * argmax assignment) at and below the threshold — every oracle SF and
@@ -227,14 +266,25 @@ object IvfIndex {
   def effMatrix(dim: Int, cells: Int): Seq[Seq[Long]] =
     (0 until cells).map(effCentroid(_, dim, cells): Seq[Long])
 
+  /** Hard ceiling on the child-matrix PLAN LITERAL: 10⁵ cells × 64 axes
+    * ≈ 50MB of literal longs is the most a build plan should ever carry
+    * (≈25M vectors at the default list target). [[childDots]] switches
+    * to the in-expression formula beyond it; [[childrenLit]] itself
+    * require-fails loudly so no caller can plant a bigger literal. */
+  val ChildLitMaxCells = 100000
+
   /** Child-centroid matrix literal, grouped by parent (element g = the
     * ≤B children of parent g; the last parent's list is truncated so the
     * flattened family has exactly `cells` members). O(cells·dim) longs as
-    * a plan constant — fine through ~10⁵ cells (a few MB broadcast once);
-    * past that the centroid formula should be evaluated per-axis inside the
-    * expression (it is a pure formula of (g, i, k)) or shipped as a
-    * broadcast relation instead of a literal. */
+    * a plan constant — the cheapest per-row evaluation for the n-row
+    * BUILD side, and guarded by [[ChildLitMaxCells]]: past the boundary
+    * callers must use [[childDotsFormula]] (the same family evaluated
+    * per-axis in-expression, no literal at all). */
   private def childrenLit(dim: Int, cells: Int): Column = {
+    require(cells <= ChildLitMaxCells,
+      s"childrenLit: $cells cells would plant a ${cells.toLong * dim * 8 /
+        (1 << 20)}MB child-matrix literal in the plan — use the " +
+        "childDotsFormula path beyond ChildLitMaxCells")
     val (g, b) = hierGeometry(cells)
     typedLit((0 until g).map { gg =>
       val nKids = math.min(b, cells - gg * b)
@@ -242,26 +292,130 @@ object IvfIndex {
     })
   }
 
-  /** Regime-aware probe expansion: explode each query row into its top-`p`
-    * probe CELLS (the inverted lists a search then scores exactly). Input
-    * must carry the stage's `dl` column (flat: all-cell dots; hier: parent
+  /** LITERAL-path child dot array for the block in column `blk`: element
+    * i = ⟨qv, childCentroid(blk, i, ·)⟩, length = the block's (possibly
+    * truncated) child count. Build-side evaluation under
+    * [[ChildLitMaxCells]]; [[IvfSpec]] pins byte-equality with the
+    * formula path. */
+  private[graft] def childDotsLit(qv: Column, blk: Column, dim: Int,
+                                  cells: Int): Column = {
+    val kids = element_at(childrenLit(dim, cells), (blk + 1).cast("int"))
+    transform(kids, c =>
+      aggregate(zip_with(qv, c, (x, w) => x * w), lit(0L), (a, v) => a + v))
+  }
+
+  /** FORMULA-path child dot array — the same values as [[childDotsLit]]
+    * with NO child-matrix literal: per axis k the child coordinate is
+    * re-derived in-expression as clamp(parent(blk)[k] + jitter), jitter =
+    * pmod(xxhash64(childIdx), 2·10⁵+1) − 10⁵ — exactly the JVM
+    * [[childCentroid]] (XXH64 seed 42 is what the `xxhash64` builtin
+    * computes over a long column; parity is spec-pinned). The only plan
+    * constant is the O(√cells·dim) PARENT matrix. This is what the
+    * query-side probe expansion always uses — query rows are few, so the
+    * per-row formula overhead is noise, and the probe plan stays lean at
+    * any cell count — and what the build uses beyond [[ChildLitMaxCells]].
+    *
+    * ANSI-safe by construction: every intermediate fits a long (xxhash64
+    * replaces the wrapping-multiply mixer a splitmix evaluation would
+    * need; |qv·axis| ≤ 5e12, 64-axis sums ≤ 3.2e14). */
+  private[graft] def childDotsFormula(qv: Column, blk: Column, dim: Int,
+                                      cells: Int): Column = {
+    val (g, b) = hierGeometry(cells)
+    val parents = typedLit((0 until g).map(j => centroid(j, dim): Seq[Long]))
+    val prow = element_at(parents, (blk + 1).cast("int"))
+    val blkL = blk.cast("long")
+    val nKids = least(lit(b.toLong), lit(cells.toLong) - blkL * lit(b.toLong))
+    transform(sequence(lit(0L), nKids - lit(1L)), i =>
+      aggregate(
+        transform(prow, (pk, k) => {
+          val idx = shiftleft(blkL, 22) + shiftleft(i, 8) + k.cast("long")
+          val jit = pmod(xxhash64(idx), lit(200001L)) - lit(100000L)
+          element_at(qv, k + 1) *
+            greatest(lit(-1000000L), least(lit(1000000L), pk + jit))
+        }),
+        lit(0L), (a, v) => a + v))
+  }
+
+  /** Build-side routing: literal under [[ChildLitMaxCells]] (cheapest on
+    * the n-row hot path), formula beyond (no oversized literal, same
+    * values). */
+  private def childDots(qv: Column, blk: Column, dim: Int,
+                        cells: Int): Column =
+    if (cells <= ChildLitMaxCells) childDotsLit(qv, blk, dim, cells)
+    else childDotsFormula(qv, blk, dim, cells)
+
+  // ---------------------------------------------------------------------
+  // Probe budgets — how much of the corpus a query expands
+  // ---------------------------------------------------------------------
+
+  /** Default fraction of each level's fanout a hier-regime probe
+    * expands: ⌈frac·G⌉ parent blocks, top ⌈frac·B⌉ child cells kept per
+    * expanded block, so the probed corpus fraction is ≈frac² regardless
+    * of n — the property that keeps recall FLAT as cells grow ∝ n
+    * (r11's fixed P=4 probed a 1/n-shrinking fraction and measured
+    * recall 0.02 at 1.5M diverse vectors, `PROBE_r11_hier_diverse.json`).
+    * The value is set from the measured recall-vs-cost curve on the
+    * direction-diverse corpus (`PROBE_r12_hier_recall.json` — the
+    * adversarial no-cluster-structure case; real corpora recall higher
+    * at the same budget). */
+  val HierProbeFrac = 0.25
+
+  /** Hier-regime probe budgets for `cells`: (parent blocks expanded,
+    * child cells kept per block). Each level takes ⌈frac·fanout⌉,
+    * floored at the caller's `p` and capped at the fanout. */
+  def hierBudget(cells: Int, p: Int = P,
+                 frac: Double = HierProbeFrac): (Int, Int) = {
+    val (g, b) = hierGeometry(cells)
+    (math.min(g, math.max(p, math.ceil(g * frac).toInt)),
+      math.min(b, math.max(p, math.ceil(b * frac).toInt)))
+  }
+
+  /** Column names [[probeCells]] reserves for its own working state —
+    * an input carrying any of them would be silently clobbered or would
+    * corrupt the window ranking, so the helper rejects them loudly. */
+  private val ProbeInternalCols =
+    Seq("cid", "__pos", "__pd", "__blk", "__i", "__kd", "__rn")
+
+  /** Regime-aware probe expansion: explode each query row into its probe
+    * CELLS (the inverted lists a search then scores exactly). Input must
+    * carry the stage's `dl` column (flat: all-cell dots; hier: parent
     * dots) plus — in the hier regime — the quantized vector `qv`; every
     * other column is carried through unchanged, `dl` is dropped, and an
     * int `cid` column is added (one output row per probed cell). `qid`
     * names the query-key column the per-query rank partitions by.
     *
-    * Flat: rank the stored dots, take p — exactly the inline
+    * FLAT: rank the stored dots, take the top `p` — exactly the inline
     * posexplode/row_number plan the sim family always ran, so all oracle
-    * SFs replay bit-for-bit. Hier: rank the stored PARENT dots, take the
-    * p best blocks, exact-dot all their children (≤ p·B = O(p·√cells)
-    * work per query — never touching the corpus), and keep the global
-    * top-p children (ties to the lowest id at both levels, mirroring
-    * [[assignHier]]). Probe cost rides the tiny query side in both
-    * regimes. */
+    * SFs replay bit-for-bit (`p` = [[P]] everywhere the oracles look).
+    *
+    * HIER: the budget SCALES with the cell count — [[hierBudget]] gives
+    * (bP, c): rank the stored parent dots, expand the bP best blocks,
+    * formula-dot their children ([[childDotsFormula]] — no child-matrix
+    * literal in the plan), and keep the top `c` cells PER BLOCK (ties to
+    * the lowest id at both levels). Two deliberate choices, both forced
+    * by the r11 recall collapse (mean 0.02 at 1.5M diverse vectors,
+    * `PROBE_r11_hier_diverse.json`):
+    *  - the budget is a FRACTION of each level's fanout, not a constant:
+    *    a fixed probe count over cells ∝ n probes a 1/n-shrinking slice
+    *    of the corpus, so recall decays toward random as the corpus
+    *    grows. frac·G blocks × frac·B cells holds the probed fraction at
+    *    ≈frac² — recall stays flat, query cost stays a stated, bounded
+    *    corpus share.
+    *  - the per-cell keep is PER BLOCK, not a global rank: a child dot is
+    *    its parent dot ± the 10% jitter term, so a global rank over
+    *    expanded children collapses back to the parent rank and
+    *    re-concentrates the whole budget on the best one or two parents —
+    *    exactly the fixed-P failure with extra steps. Per-block keeps the
+    *    parent diversity the block expansion paid for.
+    * Probe cost rides the tiny query side in both regimes: per query row
+    * bP·B = O(frac·cells) formula dots, and downstream each kept cell
+    * scores one ≈[[TargetCellSize]] inverted list. */
   def probeCells(q: DataFrame, qid: String, dim: Int, cells: Int,
-                 p: Int = P): DataFrame = {
-    require(!q.columns.contains("cid"),
-      "probeCells adds `cid`; drop or rename the input's cid column")
+                 p: Int = P, hierFrac: Double = HierProbeFrac): DataFrame = {
+    val clash = q.columns.filter(ProbeInternalCols.contains)
+    require(clash.isEmpty,
+      s"probeCells reserves ${clash.mkString(", ")} as working/output " +
+        "columns; drop or rename them on the input")
     val keep = q.columns.filterNot(_ == "dl").map(col)
     if (!isHier(cells)) {
       val w = Window.partitionBy(qid)
@@ -272,24 +426,22 @@ object IvfIndex {
         .select(keep :+ col("__pos").as("cid"): _*)
     } else {
       val (_, b) = hierGeometry(cells)
+      val (bP, c) = hierBudget(cells, p, hierFrac)
       val wP = Window.partitionBy(qid)
         .orderBy(col("__pd").desc, col("__blk").asc)
       val blocks = q
         .select(keep :+ posexplode(col("dl")).as(Seq("__blk", "__pd")): _*)
         .withColumn("__rn", row_number().over(wP))
-        .filter(col("__rn") <= p)
+        .filter(col("__rn") <= bP)
         .select(keep :+ col("__blk"): _*)
-      def dot(c: Column): Column = aggregate(
-        zip_with(col("qv"), c, (x, w) => x * w), lit(0L), (a, v) => a + v)
-      val kids = element_at(childrenLit(dim, cells),
-        (col("__blk") + 1).cast("int"))
       val kd = blocks.select((keep :+ col("__blk")) :+
-        posexplode(transform(kids, dot(_))).as(Seq("__i", "__kd")): _*)
-      val wK = Window.partitionBy(qid)
-        .orderBy(col("__kd").desc, col("cid").asc)
-      kd.withColumn("cid", (col("__blk") * b + col("__i")).cast("int"))
-        .withColumn("__rn", row_number().over(wK))
-        .filter(col("__rn") <= p)
+        posexplode(childDotsFormula(col("qv"), col("__blk"), dim, cells))
+          .as(Seq("__i", "__kd")): _*)
+      val wK = Window.partitionBy(col(qid), col("__blk"))
+        .orderBy(col("__kd").desc, col("__i").asc)
+      kd.withColumn("__rn", row_number().over(wK))
+        .filter(col("__rn") <= c)
+        .withColumn("cid", (col("__blk") * b + col("__i")).cast("int"))
         .select(keep :+ col("cid"): _*)
     }
   }

@@ -67,8 +67,7 @@ class EmbedStageSpec extends SparkSpec {
   test("forced two-level stage: parent-dot dl, assignHier cids, its own " +
     "cache identity, and a working probed search") {
     stage.vectors.count() // flat stage built first
-    IvfIndex.forceHier = true
-    try {
+    IvfIndex.withForceHier() {
       val nc = EmbedStage.cells(spark, dir) // fixture floor (C)
       val (g, b) = IvfIndex.hierGeometry(nc)
       val hv = EmbedStage(spark, dir).vectors
@@ -88,13 +87,16 @@ class EmbedStageSpec extends SparkSpec {
         hv.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("qv"), col("dl")),
         "query_id")
+      // budgeted expansion: bP blocks × keepC cells per block (the floor
+      // geometry has no truncated block, so the count is exact)
+      val (bP, keepC) = IvfIndex.hierBudget(nc)
       assert(probes.groupBy("query_id").count()
-        .filter(col("count") =!= IvfIndex.P).isEmpty)
+        .filter(col("count") =!= bP * keepC).isEmpty)
       val cand = hv.select(col("vec_id").as("cand_id"), col("cid"))
         .join(probes.select("query_id", "cid"), "cid")
         .filter(col("cand_id") =!= col("query_id"))
       assert(cand.select("query_id").distinct().count() == 5)
-    } finally IvfIndex.forceHier = false
+    }
     // the flat stage was not poisoned: same call serves the flat layout
     assert(stage.vectors.select(size(col("dl"))).distinct()
       .head().getInt(0) == IvfIndex.C)

@@ -163,33 +163,33 @@ class IvfSpec extends SparkSpec {
     val (df, _) = planted(30, 0, 0.0)
     val cells = 60 // G=8 parents, B=8, last block truncated to 4 children
     val (g, b) = IvfIndex.hierGeometry(cells)
+    val (bP, keepC) = IvfIndex.hierBudget(cells)
     val q = df.select(col("vec_id").as("query_id"), col("qv"),
       IvfIndex.parentDots(col("qv"), Dim, cells).as("dl"))
-    IvfIndex.forceHier = true
-    val got =
-      try IvfIndex.probeCells(q, "query_id", Dim, cells)
+    val got = IvfIndex.withForceHier() {
+      IvfIndex.probeCells(q, "query_id", Dim, cells)
         .select("query_id", "cid")
         .collect().map(r => r.getLong(0) -> r.getInt(1))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      finally IvfIndex.forceHier = false
-    // independent JVM reference: top-P parents by dot (ties to low id),
-    // then global top-P children of those blocks (ties to low cid)
+    }
+    // independent JVM reference: top-bP parents by dot (ties to low id),
+    // then top-keepC children PER BLOCK (ties to low cid) — the
+    // parent-diversity allocation (a global child rank would collapse to
+    // the parent rank, the r11 recall failure)
     val parents = (0 until g).map(IvfIndex.centroid(_, Dim))
     val expect = df.select("vec_id", "qv").collect().map { r =>
       val qv = r.getSeq[Long](1)
       def dot(c: IndexedSeq[Long]) =
         qv.zip(c).map { case (x, y) => x * y }.sum
       val blocks = parents.zipWithIndex.map { case (c, j) => (dot(c), j) }
-        .sortBy { case (d, j) => (-d, j) }.take(IvfIndex.P).map(_._2)
+        .sortBy { case (d, j) => (-d, j) }.take(bP).map(_._2)
       val kids = blocks.flatMap { blk =>
         val nKids = math.min(b, cells - blk * b)
         (0 until nKids).map { i =>
           (dot(IvfIndex.childCentroid(blk, i, Dim)), blk * b + i)
-        }
+        }.sortBy { case (d, cid) => (-d, cid) }.take(keepC)
       }
-      r.getLong(0) ->
-        kids.sortBy { case (d, cid) => (-d, cid) }
-          .take(IvfIndex.P).map(_._2).toSet
+      r.getLong(0) -> kids.map(_._2).toSet
     }.toMap
     assert(got == expect)
     // every probed cid matches its effective centroid's family position
@@ -200,9 +200,8 @@ class IvfSpec extends SparkSpec {
     "the same cell count") {
     val (df, pairs) = planted(n = 200, dups = 50, noise = 0.02)
     val cells = 64
-    def recovered(useHier: Boolean): Int = {
-      IvfIndex.forceHier = useHier
-      try {
+    def recovered(useHier: Boolean): Int =
+      IvfIndex.withForceHier(useHier) {
         val (dl, cid) =
           if (useHier)
             (IvfIndex.parentDots(col("qv"), Dim, cells),
@@ -220,8 +219,7 @@ class IvfSpec extends SparkSpec {
           .select("query_id", "cand_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         pairs.count(cand.contains)
-      } finally IvfIndex.forceHier = false
-    }
+      }
     val flat = recovered(useHier = false)
     val hier = recovered(useHier = true)
     // the brief's acceptance bar: the two-level quantizer must not pay
@@ -230,6 +228,72 @@ class IvfSpec extends SparkSpec {
     assert(hier >= flat,
       s"hier recovered $hier/${pairs.size}, flat $flat/${pairs.size}")
     assert(hier >= 45, s"hier recovered only $hier/${pairs.size}")
+  }
+
+  test("childDotsFormula equals childDotsLit on every block, including " +
+    "the truncated last one (the no-literal probe plan is byte-honest)") {
+    import spark.implicits._
+    val (df, _) = planted(40, 0, 0.0)
+    for (cells <- Seq(60, 97, 100)) {
+      val (g, _) = IvfIndex.hierGeometry(cells)
+      val withBlk = df.crossJoin(
+        (0 until g).toDF("blk").select(col("blk").cast("int").as("blk")))
+      val both = withBlk.select(
+        IvfIndex.childDotsLit(col("qv"), col("blk"), Dim, cells).as("lit"),
+        IvfIndex.childDotsFormula(col("qv"), col("blk"), Dim, cells)
+          .as("formula"))
+      assert(both.filter(col("lit") =!= col("formula")).isEmpty,
+        s"formula/literal child dots diverged at cells=$cells")
+    }
+  }
+
+  test("the child-matrix literal is guarded: beyond ChildLitMaxCells the " +
+    "literal path refuses and assignHier routes to the formula path") {
+    // literal path: loud require, no silent multi-MB plan constant
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.childDotsLit(col("qv"), lit(0), Dim,
+        IvfIndex.ChildLitMaxCells + 1)
+    }
+    assert(ex.getMessage.contains("literal"))
+    // routed path: assignHier past the boundary still plans AND evaluates
+    // (via the formula — this would throw if it touched childrenLit)
+    val (df, _) = planted(5, 0, 0.0)
+    val cells = IvfIndex.ChildLitMaxCells + 50
+    val cids = df.select(
+      IvfIndex.assignHier(col("qv"), Dim, cells).as("cid"))
+      .collect().map(_.getInt(0))
+    assert(cids.forall(c => c >= 0 && c < cells))
+  }
+
+  test("hierBudget scales with the fanout, floored at p, capped at the " +
+    "fanout — the probed corpus fraction no longer shrinks as 1/n") {
+    // fixture-ish scale: frac·fanout below the floor → p at both levels
+    assert(IvfIndex.hierBudget(16) == (4, 4))
+    // the r11 diverse probe point: 5859 cells, G=77, B=77 → ⌈frac·77⌉
+    val (g, b) = IvfIndex.hierGeometry(5859)
+    val (bP, c) = IvfIndex.hierBudget(5859)
+    assert(bP == math.ceil(g * IvfIndex.HierProbeFrac).toInt)
+    assert(c == math.ceil(b * IvfIndex.HierProbeFrac).toInt)
+    // probed fraction ≈ frac² of all cells, independent of n
+    val frac = bP.toDouble * c / 5859
+    assert(frac > 0.04 && frac < 0.09, s"probed cell fraction $frac")
+    // frac=1 probes everything, never more
+    assert(IvfIndex.hierBudget(5859, frac = 1.0) == (g, b))
+    // caller's p floors both budgets
+    assert(IvfIndex.hierBudget(5859, p = 40, frac = 0.0) == (40, 40))
+  }
+
+  test("probeCells rejects inputs carrying its reserved working columns") {
+    val (df, _) = planted(10, 0, 0.0)
+    val q = withDots(df).select(col("vec_id").as("query_id"), col("qv"),
+      col("dl"))
+    for (bad <- Seq("cid", "__pd", "__rn", "__blk")) {
+      val ex = intercept[IllegalArgumentException] {
+        IvfIndex.probeCells(q.withColumn(bad, lit(1)),
+          "query_id", Dim, IvfIndex.C)
+      }
+      assert(ex.getMessage.contains(bad))
+    }
   }
 
   test("P-probe candidate join recovers planted near-duplicates") {

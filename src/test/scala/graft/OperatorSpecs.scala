@@ -1211,6 +1211,33 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(full.exceptAll(incr).count() == 0 &&
       incr.exceptAll(full).count() == 0)
   }
+
+  test("goldKeys fast path: fresh keys match the full recompute; STALE " +
+    "keys (half-merged gold) trip the guard and fall back, not corrupt") {
+    val cutoff = bronze.agg(date_sub(max(to_date(col("ts"))), 3))
+      .head().getDate(0)
+    val batch = bronze.filter(to_date(col("ts")) >= lit(cutoff))
+    val full = GoldFeatures.goldTableFused(bronze)
+      .filter(col("day") >= lit(cutoff))
+    // the true pre-batch gold key set: bronze's distinct (user, day)
+    // before the cutoff — the invariant the fast path documents
+    val trueKeys = bronze
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .filter(col("day") < lit(cutoff))
+    val fresh = IncrementalGold.refresh(spark, bronze, batch, Some(trueKeys))
+    assert(full.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(full).count() == 0)
+    // stale: one user's most recent pre-batch days vanished from gold
+    // (wiped partition / unretried failed merge). Those days sit INSIDE
+    // the lookback window, so the unguarded fast path would rank wrong
+    // slices; the guard must detect and take the bronze-scan universe.
+    val u = bronze.select("user_id").head().getLong(0)
+    val staleKeys = trueKeys.filter(!(col("user_id") === u &&
+      col("day") >= date_sub(lit(cutoff), 6)))
+    val stale = IncrementalGold.refresh(spark, bronze, batch, Some(staleKeys))
+    assert(full.exceptAll(stale).count() == 0 &&
+      stale.exceptAll(full).count() == 0)
+  }
 }
 
 class StreamingGoldSpec extends SparkSpec {
