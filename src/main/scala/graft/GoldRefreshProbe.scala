@@ -24,10 +24,34 @@ import org.apache.spark.sql.functions._
   * the refreshed days against the full build's same rows, so the speedup
   * is never quoted on a divergent answer.
   *
+  * Round 12 adds the FLOOR COMPOSITION the wall numbers demand: a
+  * SparkListener tallies, for each timed run, the Spark STAGE count, the
+  * summed task time, and the records read — so the measured ≈constant
+  * local refresh wall decomposes into (stages × per-stage scheduling
+  * constant) + (a data term that actually shrinks with the slice). The
+  * first real-cluster run can then confirm or kill the cluster-scale
+  * extrapolation from one table instead of re-deriving it.
+  *
   * Usage: runMain graft.GoldRefreshProbe [sfDir]
   * SPARK_GRAFT_PROBE_OUT writes the JSON artifact.
   */
 object GoldRefreshProbe {
+
+  /** Stage/task/input tally over a timed region (driver-side listener;
+    * local[32] delivers events in-process, and `waitUntilEmpty` drains
+    * the bus before reading). */
+  private final class StageTally extends
+      org.apache.spark.scheduler.SparkListener {
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.LongAdder
+    val recordsRead = new java.util.concurrent.atomic.LongAdder
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      taskMs.add(sc.stageInfo.taskMetrics.executorRunTime)
+      recordsRead.add(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -39,12 +63,18 @@ object GoldRefreshProbe {
     val t0 = bounds.getTimestamp(0).getTime
     val t1 = bounds.getTimestamp(1).getTime
 
-    def time(df: => DataFrame): Double = {
+    def timed(df: => DataFrame): (Double, StageTally) = {
+      val tally = new StageTally
+      spark.sparkContext.addSparkListener(tally)
       val s0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - s0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      (System.nanoTime() - s0) / 1e9
+      Thread.sleep(1000) // drain the (async) listener bus before reading
+      spark.sparkContext.removeSparkListener(tally)
+      (wall, tally)
     }
+    def time(df: => DataFrame): Double = timed(df)._1
 
     val rows = Seq(1L, 4L, 16L).map { k =>
       val stretched = ev.select(col("user_id"),
@@ -72,10 +102,10 @@ object GoldRefreshProbe {
       hist.select("user_id", "day").distinct()
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/_goldkeys")
       val goldKeys = spark.read.parquet(s"$dir/_goldkeys")
-      val fullSec = time(
+      val (fullSec, fullTally) = timed(
         graft.operators.GoldFeatures.goldTableFused(hist.drop("day")))
-      val refrSec = time(graft.operators.IncrementalGold.refresh(
-        spark, hist, batch, Some(goldKeys)))
+      val (refrSec, refrTally) = timed(graft.operators.IncrementalGold
+        .refresh(spark, hist, batch, Some(goldKeys)))
       // the speedup must not be quoted on a wrong answer: the refreshed
       // days equal the full build's rows for those days, bit-for-bit
       val full = graft.operators.GoldFeatures.goldTableFused(
@@ -94,13 +124,28 @@ object GoldRefreshProbe {
       println(f"[gold] k=$k%-3d span=$spanDays%4dd rows=$nRows " +
         f"batch=$nBatch full=$fullSec%6.2fs refresh=$refrSec%6.2fs " +
         f"full/refresh=$ratio%5.2fx")
-      (k, spanDays, nRows, nBatch, fullSec, refrSec, ratio)
+      println(f"[gold]   full:    stages=${fullTally.stages.get}%3d " +
+        f"task=${fullTally.taskMs.sum}%6dms " +
+        f"input_rows=${fullTally.recordsRead.sum}%9d")
+      println(f"[gold]   refresh: stages=${refrTally.stages.get}%3d " +
+        f"task=${refrTally.taskMs.sum}%6dms " +
+        f"input_rows=${refrTally.recordsRead.sum}%9d " +
+        f"(~${refrSec * 1000 / refrTally.stages.get}%.0fms wall/stage)")
+      (k, spanDays, nRows, nBatch, fullSec, refrSec, ratio,
+        (fullTally.stages.get, fullTally.taskMs.sum,
+          fullTally.recordsRead.sum),
+        (refrTally.stages.get, refrTally.taskMs.sum,
+          refrTally.recordsRead.sum))
     }
     sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
-      val json = rows.map { case (k, sp, n, nb, f, r, ratio) =>
+      val json = rows.map { case (k, sp, n, nb, f, r, ratio, ft, rt) =>
         f"""  "k$k": {"span_days": $sp, "rows": $n, "batch_rows": $nb, """ +
           f""""full_sec": $f%.2f, "refresh_sec": $r%.2f, """ +
-          f""""speedup": $ratio%.2f}"""
+          f""""speedup": $ratio%.2f, """ +
+          f""""full_stages": ${ft._1}, "full_task_ms": ${ft._2}, """ +
+          f""""full_input_rows": ${ft._3}, """ +
+          f""""refresh_stages": ${rt._1}, "refresh_task_ms": ${rt._2}, """ +
+          f""""refresh_input_rows": ${rt._3}}"""
       }.mkString("{\n \"points\": {\n", ",\n", "\n }\n}")
       val p = new java.io.PrintWriter(path); p.write(json); p.close()
       println(s"[gold] artifact -> $path")

@@ -38,14 +38,14 @@ import org.apache.spark.sql.functions._
   * build_sec is a real build, not a cache hit — use for artifacts).
   * SPARK_GRAFT_PROBE_OUT writes the JSON artifact.
   *
-  * `--sweep f1,f2,...` instead measures the hier probe budget's
+  * `--sweep s1,s2,...` instead measures the probe budget's
   * RECALL-vs-COST curve on each point: the exact top-10 neighbor set of
   * a 50-query sample is computed once by brute force, then the probed
-  * search re-runs at each HierProbeFrac value, reporting per-frac
+  * search re-runs at each target CORPUS SHARE value, reporting per-share
   * recall@10 (mean and min over queries), the probe budgets (blocks ×
-  * cells/block), the probed corpus share, and the probed-search wall.
+  * cells/block), the realized corpus share, and the probed-search wall.
   * This is the evidence the default [[graft.operators.IvfIndex
-  * .HierProbeFrac]] is chosen from — measured on the direction-diverse
+  * .TargetProbeShare]] is chosen from — measured on the direction-diverse
   * corpus, the adversarial no-structure case (the r11 fixed-P budget
   * read recall 0.02 there while the jittered-replica corpus read 1.0).
   */
@@ -188,13 +188,13 @@ object HierProbe {
         println(f"[sweep] x$pt n=$n cells=$cells exact leg done " +
           f"(${exact.size} queries)")
         val rows = fracs.map { f =>
-          val (bP, c) = IvfIndex.hierBudget(cells, frac = f)
+          val (bP, c) = IvfIndex.hierBudget(cells, share = f)
           val t0 = System.nanoTime()
           val probes = IvfIndex.probeCells(
             v.filter(col("vec_id") < nq)
               .select(col("vec_id").as("query_id"), col("qv"),
                 col("nsq").as("nsq_q"), col("dl")),
-            "query_id", VectorOps.Dim, cells, hierFrac = f)
+            "query_id", VectorOps.Dim, cells, share = f)
             .withColumnRenamed("qv", "qv_q")
           val approx = topk(corpus.join(broadcast(probes), "cid")
             .filter(col("cand_id") =!= col("query_id"))
@@ -208,7 +208,7 @@ object HierProbe {
           }.toSeq
           val (rm, rmin) = (rec.sum / rec.size, rec.min)
           val share = bP.toDouble * c * IvfIndex.TargetCellSize / n
-          println(f"[sweep] x$pt frac=$f%.2f budget=${bP}x$c " +
+          println(f"[sweep] x$pt share=$f%.4f budget=${bP}x$c " +
             f"(~${share * 100}%.1f%% corpus) recall mean=$rm%.3f " +
             f"min=$rmin%.3f wall=$wall%.1fs")
           (f, bP, c, share, rm, rmin, wall)
@@ -219,7 +219,8 @@ object HierProbe {
     sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
       val json = out.map { case (pt, n, cells, rows) =>
         val rj = rows.map { case (f, bP, c, share, rm, rmin, wall) =>
-          f"""   {"frac": $f%.3f, "blocks": $bP, "cells_per_block": $c, """ +
+          f"""   {"target_share": $f%.4f, "blocks": $bP, """ +
+            f""""cells_per_block": $c, """ +
             f""""corpus_share": $share%.4f, "recall_mean": $rm%.4f, """ +
             f""""recall_min": $rmin%.4f, "probe_wall_sec": $wall%.2f}"""
         }.mkString(",\n")

@@ -617,11 +617,16 @@ object Plans {
         !p.contains("CartesianProduct")
     }
     // sim14: the kNN join's pair space must come from the cell equi key
-    // (Σ|cell|² bounded), never an all-pairs loop over the corpus
-    check("sim14: cell equi-join, no all-pairs scan") {
+    // (Σ|cell|² bounded), never an all-pairs loop over the corpus; and
+    // the top-k window must rank the pair stream INSIDE the join's cid
+    // partitioning (window keys (cid, query_id) — a superset of the
+    // join key, so no second exchange of the Σ|cell|²-row intermediate;
+    // only the two join-input exchanges may appear)
+    check("sim14: cell equi-join, no all-pairs scan, no pair re-shuffle") {
       val p = planOf("sim14_knn_join")
       !p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin")
+        !p.contains("BroadcastNestedLoopJoin") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 2
     }
     // j16: the key-free interval join must ride the bucket EQUI key
     // (hash/SMJ/broadcast-hash — partition-parallel at any scale), never

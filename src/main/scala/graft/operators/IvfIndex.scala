@@ -348,26 +348,48 @@ object IvfIndex {
   // Probe budgets — how much of the corpus a query expands
   // ---------------------------------------------------------------------
 
-  /** Default fraction of each level's fanout a hier-regime probe
-    * expands: ⌈frac·G⌉ parent blocks, top ⌈frac·B⌉ child cells kept per
-    * expanded block, so the probed corpus fraction is ≈frac² regardless
-    * of n — the property that keeps recall FLAT as cells grow ∝ n
-    * (r11's fixed P=4 probed a 1/n-shrinking fraction and measured
-    * recall 0.02 at 1.5M diverse vectors, `PROBE_r11_hier_diverse.json`).
-    * The value is set from the measured recall-vs-cost curve on the
-    * direction-diverse corpus (`PROBE_r12_hier_recall.json` — the
-    * adversarial no-cluster-structure case; real corpora recall higher
-    * at the same budget). */
-  val HierProbeFrac = 0.25
+  /** Target fraction of the CORPUS a probe expands — the stated, bounded
+    * query cost, constant in n. Both regimes derive their budgets from
+    * this one number, so the probed share is continuous across the
+    * regime seam (at 4096 cells flat expands 512 cells = 12.5%; at 4097
+    * the two-level budget expands 23×23 cells = 12.9%) and recall stays
+    * FLAT as cells grow ∝ n — r11's fixed P=4 probed a 1/n-shrinking
+    * slice and measured recall 0.02 at 1.5M diverse vectors
+    * (`PROBE_r11_hier_diverse.json`).
+    *
+    * The value is a point ON A MEASURED CURVE, not a recall guarantee:
+    * on the direction-DIVERSE 1.5M corpus (the adversarial case — zero
+    * cluster structure, so the quantizer has only co-direction to work
+    * with) recall@10 is ≈0.70 mean at this share, 0.87 at 26%, 1.0 only
+    * at full scan (`PROBE_r12_hier_sweep.json`); on the jittered-replica
+    * (near-dup structured) corpus it is 1.0 at every measured share.
+    * Real embedding corpora sit between the two; deployments pick their
+    * own point via the `share` parameter of [[probeCells]]. Recall
+    * exceeds share at every measured point (0.70 vs 0.125, 0.87 vs
+    * 0.26), so the probe always beats random cell selection — but no
+    * sub-linear IVF probe can promise high recall on structureless
+    * data, and this engine states that instead of hiding it. */
+  val TargetProbeShare = 0.125
+
+  /** FLAT-regime probe budget: ⌈share·cells⌉ cells, floored at the
+    * caller's `p`, capped at `cells`. At the [[C]]-cell oracle floor the
+    * share term (⌈0.125·16⌉ = 2) sits under the P=4 floor, so every
+    * oracle-verified plan keeps the exact historical P=4 expansion —
+    * byte-stable by arithmetic, not by a special case. */
+  def flatBudget(cells: Int, p: Int = P,
+                 share: Double = TargetProbeShare): Int =
+    math.min(cells, math.max(p, math.ceil(cells * share).toInt))
 
   /** Hier-regime probe budgets for `cells`: (parent blocks expanded,
-    * child cells kept per block). Each level takes ⌈frac·fanout⌉,
-    * floored at the caller's `p` and capped at the fanout. */
+    * child cells kept per block). Each level takes ⌈√share·fanout⌉ —
+    * √share per level ⇒ ≈share of all cells — floored at the caller's
+    * `p` and capped at the fanout. */
   def hierBudget(cells: Int, p: Int = P,
-                 frac: Double = HierProbeFrac): (Int, Int) = {
+                 share: Double = TargetProbeShare): (Int, Int) = {
     val (g, b) = hierGeometry(cells)
-    (math.min(g, math.max(p, math.ceil(g * frac).toInt)),
-      math.min(b, math.max(p, math.ceil(b * frac).toInt)))
+    val f = math.sqrt(share)
+    (math.min(g, math.max(p, math.ceil(g * f).toInt)),
+      math.min(b, math.max(p, math.ceil(b * f).toInt)))
   }
 
   /** Column names [[probeCells]] reserves for its own working state —
@@ -384,23 +406,25 @@ object IvfIndex {
     * int `cid` column is added (one output row per probed cell). `qid`
     * names the query-key column the per-query rank partitions by.
     *
-    * FLAT: rank the stored dots, take the top `p` — exactly the inline
-    * posexplode/row_number plan the sim family always ran, so all oracle
-    * SFs replay bit-for-bit (`p` = [[P]] everywhere the oracles look).
+    * FLAT: rank the stored dots, take the top [[flatBudget]] cells —
+    * exactly the inline posexplode/row_number plan the sim family always
+    * ran, with the budget = p = [[P]] at the [[C]]-cell oracle floor
+    * (byte-stable everywhere the oracles look) and scaling as
+    * ⌈share·cells⌉ in the grown-flat band above it (a fixed count over
+    * growing cells would shrink the probed share toward zero well before
+    * the hier threshold).
     *
-    * HIER: the budget SCALES with the cell count — [[hierBudget]] gives
-    * (bP, c): rank the stored parent dots, expand the bP best blocks,
-    * formula-dot their children ([[childDotsFormula]] — no child-matrix
-    * literal in the plan), and keep the top `c` cells PER BLOCK (ties to
-    * the lowest id at both levels). Two deliberate choices, both forced
-    * by the r11 recall collapse (mean 0.02 at 1.5M diverse vectors,
+    * HIER: [[hierBudget]] gives (bP, c): rank the stored parent dots,
+    * expand the bP best blocks, formula-dot their children
+    * ([[childDotsFormula]] — no child-matrix literal in the plan), and
+    * keep the top `c` cells PER BLOCK (ties to the lowest id at both
+    * levels). Two deliberate choices, both forced by the r11 recall
+    * collapse (mean 0.02 at 1.5M diverse vectors,
     * `PROBE_r11_hier_diverse.json`):
     *  - the budget is a FRACTION of each level's fanout, not a constant:
-    *    a fixed probe count over cells ∝ n probes a 1/n-shrinking slice
-    *    of the corpus, so recall decays toward random as the corpus
-    *    grows. frac·G blocks × frac·B cells holds the probed fraction at
-    *    ≈frac² — recall stays flat, query cost stays a stated, bounded
-    *    corpus share.
+    *    √share·G blocks × √share·B cells holds the probed corpus share
+    *    at ≈`share` regardless of n — recall stays on the measured
+    *    curve, query cost stays a stated, bounded corpus share.
     *  - the per-cell keep is PER BLOCK, not a global rank: a child dot is
     *    its parent dot ± the 10% jitter term, so a global rank over
     *    expanded children collapses back to the parent rank and
@@ -408,10 +432,11 @@ object IvfIndex {
     *    exactly the fixed-P failure with extra steps. Per-block keeps the
     *    parent diversity the block expansion paid for.
     * Probe cost rides the tiny query side in both regimes: per query row
-    * bP·B = O(frac·cells) formula dots, and downstream each kept cell
+    * bP·B = O(√share·cells) formula dots, and downstream each kept cell
     * scores one ≈[[TargetCellSize]] inverted list. */
   def probeCells(q: DataFrame, qid: String, dim: Int, cells: Int,
-                 p: Int = P, hierFrac: Double = HierProbeFrac): DataFrame = {
+                 p: Int = P,
+                 share: Double = TargetProbeShare): DataFrame = {
     val clash = q.columns.filter(ProbeInternalCols.contains)
     require(clash.isEmpty,
       s"probeCells reserves ${clash.mkString(", ")} as working/output " +
@@ -422,11 +447,11 @@ object IvfIndex {
         .orderBy(col("__pd").desc, col("__pos").asc)
       q.select(keep :+ posexplode(col("dl")).as(Seq("__pos", "__pd")): _*)
         .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= p)
+        .filter(col("__rn") <= flatBudget(cells, p, share))
         .select(keep :+ col("__pos").as("cid"): _*)
     } else {
       val (_, b) = hierGeometry(cells)
-      val (bP, c) = hierBudget(cells, p, hierFrac)
+      val (bP, c) = hierBudget(cells, p, share)
       val wP = Window.partitionBy(qid)
         .orderBy(col("__pd").desc, col("__blk").asc)
       val blocks = q

@@ -1294,11 +1294,23 @@ object SimilarityQueries {
             col("qv").as("qv_c"), col("nsq").as("nsq_c"), col("cid"))
           val cosine = dotL(col("qv_q"), col("qv_c")).cast("double") /
             (nrmOf(col("nsq_q")) * nrmOf(col("nsq_c")))
-          val wTop = Window.partitionBy("query_id")
+          // The top-k window partitions by (cid, query_id), NOT query_id
+          // alone. Semantically identical — single-probe means every
+          // candidate row of a query carries the query's own cell id, so
+          // the extra key splits nothing — but the plan changes: the
+          // join's HashPartitioning(cid) already satisfies the window's
+          // clustering on a SUPERSET of keys, so the scored pair stream
+          // (Σ|cell|² rows — n·target, the biggest intermediate in the
+          // whole sim family) is ranked WHERE IT WAS JOINED instead of
+          // being exchanged a second time by query_id. Measured at the
+          // 1.5M-vector hier point (x750): one less Exchange over ~384M
+          // pair rows (PROBE_r12 / Plans pins the single-exchange shape).
+          val wTop = Window.partitionBy("cid", "query_id")
             .orderBy(col("cosine").desc, col("cand_id"))
           q.join(c, "cid")
             .filter(col("cand_id") =!= col("query_id"))
-            .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
+            .select(col("cid"), col("query_id"), col("cand_id"),
+              cosine.as("cosine"))
             .withColumn("rn", row_number().over(wTop))
             .filter(col("rn") <= KnnK)
             .select(col("query_id"), col("cand_id"),

@@ -265,22 +265,34 @@ class IvfSpec extends SparkSpec {
     assert(cids.forall(c => c >= 0 && c < cells))
   }
 
-  test("hierBudget scales with the fanout, floored at p, capped at the " +
-    "fanout — the probed corpus fraction no longer shrinks as 1/n") {
-    // fixture-ish scale: frac·fanout below the floor → p at both levels
-    assert(IvfIndex.hierBudget(16) == (4, 4))
-    // the r11 diverse probe point: 5859 cells, G=77, B=77 → ⌈frac·77⌉
+  test("probe budgets target a constant corpus share: P=4 exactly at the " +
+    "oracle floor, ∝cells above it, continuous across the regime seam") {
+    // ORACLE BYTE-STABILITY PIN: at the C-cell floor the share term
+    // (⌈0.125·16⌉ = 2) sits under the P floor, so every verified SF
+    // keeps the exact historical P=4 probe plan
+    assert(IvfIndex.flatBudget(IvfIndex.C) == IvfIndex.P)
+    assert(IvfIndex.hierBudget(IvfIndex.C) == (4, 4))
+    // grown-flat band: the budget tracks ⌈share·cells⌉ (a fixed count
+    // would shrink the probed share toward zero before the threshold)
+    assert(IvfIndex.flatBudget(781) == 98)   // the x100 replica point
+    assert(IvfIndex.flatBudget(4096) == 512) // the last flat cell count
+    // hier side of the seam: ⌈√share·fanout⌉ per level ⇒ ≈share overall
     val (g, b) = IvfIndex.hierGeometry(5859)
     val (bP, c) = IvfIndex.hierBudget(5859)
-    assert(bP == math.ceil(g * IvfIndex.HierProbeFrac).toInt)
-    assert(c == math.ceil(b * IvfIndex.HierProbeFrac).toInt)
-    // probed fraction ≈ frac² of all cells, independent of n
-    val frac = bP.toDouble * c / 5859
-    assert(frac > 0.04 && frac < 0.09, s"probed cell fraction $frac")
-    // frac=1 probes everything, never more
-    assert(IvfIndex.hierBudget(5859, frac = 1.0) == (g, b))
+    val f = math.sqrt(IvfIndex.TargetProbeShare)
+    assert(bP == math.ceil(g * f).toInt && c == math.ceil(b * f).toInt)
+    val share = bP.toDouble * c / 5859
+    assert(share > 0.10 && share < 0.16, s"probed cell share $share")
+    // seam continuity: flat at 4096 cells = 12.5%; hier at 4097 ≈ 12.9%
+    val (bP2, c2) = IvfIndex.hierBudget(4097)
+    val seam = bP2.toDouble * c2 / 4097
+    assert(math.abs(seam - 0.125) < 0.02, s"seam share $seam")
+    // share=1 probes everything, never more
+    assert(IvfIndex.hierBudget(5859, share = 1.0) == (g, b))
+    assert(IvfIndex.flatBudget(781, share = 1.0) == 781)
     // caller's p floors both budgets
-    assert(IvfIndex.hierBudget(5859, p = 40, frac = 0.0) == (40, 40))
+    assert(IvfIndex.hierBudget(5859, p = 40, share = 0.0) == (40, 40))
+    assert(IvfIndex.flatBudget(781, p = 200, share = 0.0) == 200)
   }
 
   test("probeCells rejects inputs carrying its reserved working columns") {
