@@ -30,8 +30,9 @@ object IncrementalGold {
     * rows; +1 for the row itself. */
   val LookbackRows = 22
 
-  /** Sentinel "check everything" lookback floor for users whose universe
-    * window is shorter than the full lookback (see the staleness guard). */
+  /** Sentinel "scan everything for this user" lookback floor, used when
+    * a user's claimed window is shorter than the full lookback (see the
+    * orphan union below). */
   private val FloorMin = java.sql.Date.valueOf("0001-01-01")
 
   /** Recompute gold rows for exactly the (user, day) pairs at or after
@@ -67,54 +68,77 @@ object IncrementalGold {
     // maintenance: gold is the battery over all bronze, so its key set
     // IS bronze's distinct (user, day)), the pass costs O(gold keys ∪
     // batch) — day-row-sized, ~1/events-per-day of bronze — and bronze
-    // is never scanned for it. The invariant is GUARDED, not assumed
-    // (round-12, closing the r11 ADVICE): a bounded staleness probe
-    // (below) anti-joins the affected users' bronze days inside their
-    // lookback windows against the claimed universe; any orphan (bronze
-    // backfill, gold wipe, unretried failed merge) falls the refresh
-    // back to the bronze-scan universe — correct on any input,
-    // O(history). The bronze-scan path is also the first-batch fallback.
-    // This was the round-11 probe's last data-sized refresh term — with
-    // the bronze-scan days dim, refresh measured ≈ full-build cost even
-    // on a 480-day partitioned history, because the dim pass re-read
-    // what the slice bound was built to skip.
-    val bronzeUniverse = () =>
-      hist.select("user_id", "day", "first_new_day").distinct()
-    goldKeys match {
+    // is never dim-scanned for it. That invariant is SELF-HEALED, not
+    // assumed (round 12, closing the r11 ADVICE): the universe is the
+    // claimed key set UNION the bronze days inside each affected user's
+    // ranking-relevant window that the claim lacks (see [[orphanDays]]'
+    // soundness bound) — so a bronze backfill, wiped gold partition, or
+    // unretried failed merge converges to the bronze-scan answer instead
+    // of silently ranking wrong slices, while a fresh gold table costs
+    // only one bounded thin-column scan (the same partition-pruned
+    // region the slice scan reads anyway). The reverse direction —
+    // PHANTOM gold keys for days bronze lost — remains the caller's
+    // invariant, as it always was: gold is defined as the battery over
+    // bronze, and bronze histories only grow.
+    // Without goldKeys (first batch): the bronze distinct — correct on
+    // any input, O(history) but column-pruned.
+    val days = goldKeys match {
       case Some(gk) =>
+        // affected-user join BEFORE the distinct: the broadcast join
+        // cuts the key set to the batch's users (measured 4M → 460k on
+        // the 40×-replica probe), so the distinct shuffles the affected
+        // slice, never the whole key universe
+        // checkpointed so the floors pass, the orphan anti-join, and the
+        // dim materialization below read the gold-keys parquet ONCE, not
+        // once per consuming action
         val fast = gk.select("user_id", "day")
-          // affected-user join BEFORE the distinct: the broadcast join
-          // cuts the key set to the batch's users (measured 4M → 460k on
-          // the 40×-replica probe), so the distinct shuffles the affected
-          // slice, never the whole key universe
           .join(broadcast(firstNew), "user_id")
           .unionByName(batch.select(col("user_id"),
               to_date(col("ts")).as("day")).distinct()
             .join(broadcast(firstNew), "user_id"))
           .select("user_id", "day", "first_new_day")
           .distinct()
-        if (universeFresh(hist, firstNew, fast)) assemble(hist, firstNew, fast)
-        else {
-          System.err.println("[IncrementalGold] gold key set is stale for " +
-            "affected users (bronze backfill / wiped or half-merged gold?)" +
-            " — falling back to the bronze-scan day universe")
-          assemble(hist, firstNew, bronzeUniverse())
+          .localCheckpoint()
+        orphanDays(hist, firstNew, fast) match {
+          case Some(orphans) => fast.unionByName(orphans)
+          case None => fast
         }
-      case None => assemble(hist, firstNew, bronzeUniverse())
+      case None =>
+        hist.select("user_id", "day", "first_new_day").distinct()
     }
-  }
-
-  /** Lookback-ranked day slices + the Gold battery over them, for a
-    * given (user, day, first_new_day) universe. */
-  private def assemble(hist: DataFrame, firstNew: DataFrame,
-                       days: DataFrame): DataFrame = {
-    val (keptDays, minKept) = keptAndFloor(days)
+    // ONE materialization of the day dim serves every downstream action
+    // (the lookback ranking feeds the minKept collect, the slice
+    // semi-join, AND the output filter — without this, each of those
+    // actions re-derives the whole universe chain; the r12 stage tally
+    // measured ~half of refresh's stages as exactly that recompute).
+    // localCheckpoint is day-row-sized and cleaned by the ContextCleaner
+    // when unreferenced; a long-lived cluster deployment would swap in a
+    // reliable checkpoint dir (the ConnectedComponents pattern) to
+    // survive executor loss.
+    val dim = days.localCheckpoint()
+    // bounded lookback: of each user's days BEFORE the first new day,
+    // keep the most recent LookbackRows-1; every day >= it stays
+    val wDays = Window.partitionBy("user_id").orderBy(col("day").desc)
+    val keptDays = dim.filter(col("day") < col("first_new_day"))
+      .withColumn("rk", row_number().over(wDays))
+      .filter(col("rk") < LookbackRows)
+      .select("user_id", "day")
+      .unionByName(dim.filter(col("day") >= col("first_new_day"))
+        .select("user_id", "day"))
+    // Partition-pruning floor: every kept (user, day) is at or after the
+    // GLOBAL earliest kept day, so the slice scan may skip everything
+    // older via a plain predicate on the (partition) day column — the
+    // scan bound that makes the refresh O(lookback window), not
+    // O(history). The one-row collect is control-plane (a scalar date,
+    // like the batched-ingest key universe); the per-user semi join
+    // below refines the superset exactly as before, so results are
+    // unchanged on any bronze shape.
+    val minKept = keptDays.agg(min("day")).head()
     val bounded =
-      if (minKept.isEmpty) hist
-      else hist.filter(col("day") >= lit(minKept.get))
+      if (minKept.isNullAt(0)) hist
+      else hist.filter(col("day") >= lit(minKept.getDate(0)))
     val slice = bounded
-      .join(broadcast(keptDays.select("user_id", "day")),
-        Seq("user_id", "day"), "left_semi")
+      .join(broadcast(keptDays), Seq("user_id", "day"), "left_semi")
       .drop("day", "first_new_day")
     GoldFeatures.goldTableFused(slice)
       .join(broadcast(firstNew), "user_id")
@@ -122,47 +146,28 @@ object IncrementalGold {
       .drop("first_new_day")
   }
 
-  /** The kept (user, day) set for a universe — each user's most recent
-    * LookbackRows−1 days before their first new day, plus every day at
-    * or after it — and the GLOBAL pruning floor (min kept day; every
-    * kept pair is at or after it, so the slice scan may skip everything
-    * older via a plain predicate on the (partition) day column — the
-    * scan bound that makes the refresh O(lookback window), not
-    * O(history); the one-row collect is control-plane, a scalar date). */
-  private def keptAndFloor(days: DataFrame)
-      : (DataFrame, Option[java.sql.Date]) = {
-    val wDays = Window.partitionBy("user_id").orderBy(col("day").desc)
-    val keptDays = days.filter(col("day") < col("first_new_day"))
-      .withColumn("rk", row_number().over(wDays))
-      .filter(col("rk") < LookbackRows)
-      .select("user_id", "day")
-      .unionByName(days.filter(col("day") >= col("first_new_day"))
-        .select("user_id", "day"))
-    val minKept = keptDays.agg(min("day")).head()
-    (keptDays,
-      if (minKept.isNullAt(0)) None else Some(minKept.getDate(0)))
-  }
-
-  /** Staleness guard for the gold-key fast path: TRUE iff, for every
-    * affected user, bronze holds no (user, day) inside that user's
-    * ranking-relevant window that the claimed universe is missing.
+  /** Bronze (user, day) pairs inside each affected user's
+    * RANKING-RELEVANT window that the claimed universe `fast` is
+    * missing, as rows unionable onto it — or None when there are no
+    * affected users.
     *
     * Soundness bound: an orphan day can only change the kept-day slices
-    * (or silently lose its own gold row) if it ranks INSIDE the user's
-    * lookback window — i.e. is strictly more recent than the user's
-    * LookbackRows−1-th claimed prior day, or at/after the first new day.
-    * So the check scans bronze only from each user's claimed floor
-    * forward; for a user whose claimed window is SHORT (fewer than the
-    * full lookback of prior days — a genuinely young user, or a wiped /
-    * half-merged gold table, indistinguishable without looking) the
-    * floor drops to day zero and that user's full (thin, column-pruned,
-    * distinct-reduced) bronze day set is checked. Steady state cost: one
-    * extra pass over the same partition-pruned lookback slice the
-    * refresh reads anyway. */
-  private def universeFresh(hist: DataFrame, firstNew: DataFrame,
-                            days: DataFrame): Boolean = {
+    * (or silently lose its own gold row) if it outranks the user's
+    * LookbackRows−1-th claimed prior day, or sits at/after the first new
+    * day — i.e. is at or above the user's claimed lookback floor. So the
+    * scan covers bronze only from each user's claimed floor forward; for
+    * a user whose claimed window is SHORT (fewer than the full lookback
+    * of prior days — a genuinely young user, or a wiped / half-merged
+    * gold table, indistinguishable without looking) the floor drops to
+    * day zero and that user's full (thin, column-pruned,
+    * distinct-reduced) bronze day set is swept. Steady-state cost: one
+    * thin pass over the same partition-pruned lookback region the slice
+    * scan reads; the global floor (a one-row control-plane collect)
+    * keeps the scan's day predicate on the partition column. */
+  private def orphanDays(hist: DataFrame, firstNew: DataFrame,
+                         fast: DataFrame): Option[DataFrame] = {
     val wDays = Window.partitionBy("user_id").orderBy(col("day").desc)
-    val floors = days.filter(col("day") < col("first_new_day"))
+    val floors = fast.filter(col("day") < col("first_new_day"))
       .withColumn("rk", row_number().over(wDays))
       .filter(col("rk") < LookbackRows)
       .groupBy("user_id")
@@ -176,14 +181,16 @@ object IncrementalGold {
       .select(col("user_id"),
         coalesce(col("__floor"), lit(FloorMin)).as("__floor"))
     val gf = userFloor.agg(min("__floor")).head()
-    if (gf.isNullAt(0)) return true // empty batch: nothing to refresh
-    val globalFloor = gf.getDate(0)
-    hist.filter(col("day") >= lit(globalFloor)) // partition-prunable
+    if (gf.isNullAt(0)) return None // empty batch: nothing to refresh
+    Some(hist
+      .filter(col("day") >= lit(gf.getDate(0))) // partition-prunable
       .select("user_id", "day").distinct()
       .join(broadcast(userFloor), "user_id")
       .filter(col("day") >= col("__floor"))
-      .join(days.select("user_id", "day"), Seq("user_id", "day"),
+      .drop("__floor")
+      .join(fast.select("user_id", "day"), Seq("user_id", "day"),
         "left_anti")
-      .isEmpty
+      .join(broadcast(firstNew), "user_id")
+      .select("user_id", "day", "first_new_day"))
   }
 }

@@ -1213,7 +1213,7 @@ class IncrementalGoldSpec extends SparkSpec {
   }
 
   test("goldKeys fast path: fresh keys match the full recompute; STALE " +
-    "keys (half-merged gold) trip the guard and fall back, not corrupt") {
+    "keys (half-merged gold) are healed by the orphan union, not corrupt") {
     val cutoff = bronze.agg(date_sub(max(to_date(col("ts"))), 3))
       .head().getDate(0)
     val batch = bronze.filter(to_date(col("ts")) >= lit(cutoff))
@@ -1229,8 +1229,8 @@ class IncrementalGoldSpec extends SparkSpec {
       fresh.exceptAll(full).count() == 0)
     // stale: one user's most recent pre-batch days vanished from gold
     // (wiped partition / unretried failed merge). Those days sit INSIDE
-    // the lookback window, so the unguarded fast path would rank wrong
-    // slices; the guard must detect and take the bronze-scan universe.
+    // the lookback window, so the r11 fast path would rank wrong slices;
+    // the orphan union must re-add them from the bounded bronze sweep.
     val u = bronze.select("user_id").head().getLong(0)
     val staleKeys = trueKeys.filter(!(col("user_id") === u &&
       col("day") >= date_sub(lit(cutoff), 6)))
