@@ -1051,9 +1051,6 @@ object PipelineQueries {
         }
         val tz = fresh("zorder_table")
         val tl = fresh("linear_table")
-        SnapshotTable.commit(s,
-          ZOrder.cluster(ev, "user_id", "event_id", NFiles), tz,
-          statsCols = Seq("user_id", "event_id"))
         // linear layout via the same EXACT bucketing as the z side
         // (ZOrder.byBucket): repartitionByRange samples with a session-
         // history-dependent seed, so its file boundaries wiggle between
@@ -1068,8 +1065,25 @@ object PipelineQueries {
           ZOrder.byBucket(j, pid, NFiles)
             .sortWithinPartitions("user_id").drop("ulo2", "uhi2")
         }
-        SnapshotTable.commit(s, linear, tl,
-          statsCols = Seq("user_id", "event_id"))
+        // r13: the two layout builds are independent tables — commit them
+        // concurrently (optimization-guide §2.6: overlap independent
+        // jobs so one write's straggler tail back-fills the other);
+        // 32-file writes + per-file stats are I/O-bound, and the two
+        // tables share nothing but the source scan
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          try Await.result(Future.sequence(Seq(
+            Future(SnapshotTable.commit(s,
+              ZOrder.cluster(ev, "user_id", "event_id", NFiles), tz,
+              statsCols = Seq("user_id", "event_id"))),
+            Future(SnapshotTable.commit(s, linear, tl,
+              statsCols = Seq("user_id", "event_id"))))), Duration.Inf)
+          finally pool.shutdown()
+        }
         // range bounds from the manifest stats (exact min/max — metadata,
         // not a scan): middle quarter in both dimensions
         val ze = SnapshotTable.entries(s, tz)

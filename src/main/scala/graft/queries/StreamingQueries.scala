@@ -97,6 +97,41 @@ object StreamingQueries {
     fs.setTimes(tgt, mtime, -1)
   }
 
+  /** Write several same-schema chunks as exactly one parquet FILE each
+    * (same contract as [[writeOneFile]]) in ONE Spark job: the chunks are
+    * unioned under an index column, shuffled so each index lands whole in
+    * one task, written with `partitionBy` (one file per index), then the
+    * part files are renamed to their targets with pinned mod-times.
+    * r13 optimization: the per-chunk `coalesce(1)` writes each re-scanned
+    * the source and each paid a full job round-trip; the chunked-ingest
+    * fixtures are all derived from one frame, so one job suffices. Row
+    * ORDER inside a chunk file is shuffle-nondeterministic, which is
+    * immaterial: every downstream stateful operator re-shuffles by key
+    * before ordering, so within-batch arrival order was never data. */
+  private def writeChunkFiles(s: SparkSession,
+                              chunks: Seq[(DataFrame, String, Long)]): Unit = {
+    require(chunks.nonEmpty)
+    val tagged = chunks.zipWithIndex.map { case ((df, _, _), k) =>
+      df.withColumn("__k", lit(k)) }.reduce(_ unionByName _)
+    val tmpRoot = chunks.head._2 + "__multi_tmp"
+    tagged.repartition(col("__k"))
+      .write.mode("overwrite").partitionBy("__k").parquet(tmpRoot)
+    val root = new Path(tmpRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    chunks.zipWithIndex.foreach { case ((_, target, mtime), k) =>
+      val dir = new Path(tmpRoot, s"__k=$k")
+      val part = fs.listStatus(dir).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part file under $dir — empty chunk $k?"))
+      val tgt = new Path(target)
+      fs.mkdirs(tgt.getParent)
+      fs.rename(part, tgt)
+      fs.setTimes(tgt, mtime, -1)
+    }
+    fs.delete(root, true)
+  }
+
   /** The trend-segmentation oracle (state machine unrolled as a
     * recursive CTE) — shared by st6 (flatMapGroupsWithState) and st13
     * (transformWithState): two stateful APIs, one truth. */
@@ -195,19 +230,16 @@ object StreamingQueries {
           cutInsideUserPair(ev, t0, t1 + 1, sameHour = true), t1 + 1)
         // deterministic, widely spaced mod-times (file-source order key)
         val mt0 = 1700000000000L
-        for (k <- 0 until 2) {
-          val chunk = ev.filter(
-            col("ts") >= timestamp_millis(lit(cuts(k))) &&
-              col("ts") < timestamp_millis(lit(cuts(k + 1))))
-          writeOneFile(s, chunk, s"$srcDir/chunk_$k.parquet",
-            mt0 + k * 60000L)
-        }
         import s.implicits._
         val sentinel = Seq(
           (-1L, new java.sql.Timestamp(t1 + 30L * 24 * 3600 * 1000), 0.0))
           .toDF("user_id", "ts", "value")
-        writeOneFile(s, sentinel, s"$srcDir/chunk_2.parquet",
-          mt0 + 2 * 60000L)
+        writeChunkFiles(s, (0 until 2).map { k =>
+          (ev.filter(
+            col("ts") >= timestamp_millis(lit(cuts(k))) &&
+              col("ts") < timestamp_millis(lit(cuts(k + 1)))),
+            s"$srcDir/chunk_$k.parquet", mt0 + k * 60000L)
+        } :+ ((sentinel, s"$srcDir/chunk_2.parquet", mt0 + 2 * 60000L)))
 
         withStreamPartitions(s, 8) {
           val stream = s.readStream
@@ -279,13 +311,12 @@ object StreamingQueries {
         val span = bounds.getTimestamp(1).getTime - t0 + 1
         val cuts = (0 to 2).map(k => t0 + span * k / 2)
         val mt0 = 1700000000000L
-        for (k <- 0 until 2) {
-          val chunk = ev.filter(
+        writeChunkFiles(s, (0 until 2).map { k =>
+          (ev.filter(
             col("ts") >= timestamp_millis(lit(cuts(k))) &&
-              col("ts") < timestamp_millis(lit(cuts(k + 1))))
-          writeOneFile(s, chunk, s"$srcDir/chunk_$k.parquet",
-            mt0 + k * 60000L)
-        }
+              col("ts") < timestamp_millis(lit(cuts(k + 1)))),
+            s"$srcDir/chunk_$k.parquet", mt0 + k * 60000L)
+        })
         // 4 partitions, not the stream default 8: a stream-stream join
         // keeps FOUR state stores per partition (two per side) and every
         // micro-batch commits all of them; at fixture volume that fixed
@@ -352,8 +383,9 @@ object StreamingQueries {
           .withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTES"))
         val chunk1 = withTs.filter(col("doc_id") > mid).unionAll(dups)
         val mt0 = 1700000000000L
-        writeOneFile(s, chunk0, s"$srcDir/chunk_0.parquet", mt0)
-        writeOneFile(s, chunk1, s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        writeChunkFiles(s, Seq(
+          (chunk0, s"$srcDir/chunk_0.parquet", mt0),
+          (chunk1, s"$srcDir/chunk_1.parquet", mt0 + 60000L)))
 
         withStreamPartitions(s, 8) {
           val stream = s.readStream
@@ -459,10 +491,11 @@ object StreamingQueries {
         val cut = cutInsideUserPair(ev, t0, t1 + 1, sameHour = false,
           maxGapUs = 21600L * 1000000L)
         val mt0 = 1700000000000L
-        writeOneFile(s, ev.filter(col("ts") < timestamp_millis(lit(cut))),
-          s"$srcDir/chunk_0.parquet", mt0)
-        writeOneFile(s, ev.filter(col("ts") >= timestamp_millis(lit(cut))),
-          s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        writeChunkFiles(s, Seq(
+          (ev.filter(col("ts") < timestamp_millis(lit(cut))),
+            s"$srcDir/chunk_0.parquet", mt0),
+          (ev.filter(col("ts") >= timestamp_millis(lit(cut))),
+            s"$srcDir/chunk_1.parquet", mt0 + 60000L)))
 
         withStreamPartitions(s, 8) {
           import s.implicits._
@@ -568,10 +601,11 @@ object StreamingQueries {
         val span = bounds.getTimestamp(1).getTime - t0 + 1
         val cut = t0 + span / 2
         val mt0 = 1700000000000L
-        writeOneFile(s, ev.filter(col("ts") < timestamp_millis(lit(cut))),
-          s"$srcDir/chunk_0.parquet", mt0)
-        writeOneFile(s, ev.filter(col("ts") >= timestamp_millis(lit(cut))),
-          s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        writeChunkFiles(s, Seq(
+          (ev.filter(col("ts") < timestamp_millis(lit(cut))),
+            s"$srcDir/chunk_0.parquet", mt0),
+          (ev.filter(col("ts") >= timestamp_millis(lit(cut))),
+            s"$srcDir/chunk_1.parquet", mt0 + 60000L)))
 
         withStreamPartitions(s, 8) {
           val stream = s.readStream
@@ -637,10 +671,11 @@ object StreamingQueries {
         val span = bounds.getTimestamp(1).getTime - t0 + 1
         val cut = t0 + span / 2
         val mt0 = 1700000000000L
-        writeOneFile(s, ev.filter(col("ts") < timestamp_millis(lit(cut))),
-          s"$srcDir/chunk_0.parquet", mt0)
-        writeOneFile(s, ev.filter(col("ts") >= timestamp_millis(lit(cut))),
-          s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        writeChunkFiles(s, Seq(
+          (ev.filter(col("ts") < timestamp_millis(lit(cut))),
+            s"$srcDir/chunk_0.parquet", mt0),
+          (ev.filter(col("ts") >= timestamp_millis(lit(cut))),
+            s"$srcDir/chunk_1.parquet", mt0 + 60000L)))
 
         withStreamPartitions(s, 8) {
           import s.implicits._
@@ -741,22 +776,22 @@ object StreamingQueries {
         }
 
         // run 1: chunks 0 and 1 only
-        writeOneFile(s, chunk(0), s"$srcDir/chunk_0.parquet", mt0)
-        writeOneFile(s, chunk(1), s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        writeChunkFiles(s, Seq(
+          (chunk(0), s"$srcDir/chunk_0.parquet", mt0),
+          (chunk(1), s"$srcDir/chunk_1.parquet", mt0 + 60000L)))
         runOnce()
         val afterRun1 = s.read.parquet(s"$base/sink")
           .filter(col("user_id") =!= -1L).count()
 
         // run 2: a NEW query over the SAME checkpoint sees only the new
         // files — the last data chunk plus the watermark-flushing sentinel
-        writeOneFile(s, chunk(2), s"$srcDir/chunk_2.parquet",
-          mt0 + 120000L)
         import s.implicits._
         val sentinel = Seq(
           (-1L, new java.sql.Timestamp(t1 + 30L * 24 * 3600 * 1000), 0.0))
           .toDF("user_id", "ts", "value")
-        writeOneFile(s, sentinel, s"$srcDir/chunk_3.parquet",
-          mt0 + 180000L)
+        writeChunkFiles(s, Seq(
+          (chunk(2), s"$srcDir/chunk_2.parquet", mt0 + 120000L),
+          (sentinel, s"$srcDir/chunk_3.parquet", mt0 + 180000L)))
         runOnce()
 
         val out = s.read.parquet(s"$base/sink")
@@ -825,13 +860,12 @@ object StreamingQueries {
         val cut = mid - math.floorMod(mid, 86400000L) + 12L * 3600 * 1000
         val cuts = Seq(t0, cut, t1 + 1)
         val mt0 = 1700000000000L
-        for (k <- 0 until 2) {
-          val chunk = ev.filter(
+        writeChunkFiles(s, (0 until 2).map { k =>
+          (ev.filter(
             col("ts") >= timestamp_millis(lit(cuts(k))) &&
-              col("ts") < timestamp_millis(lit(cuts(k + 1))))
-          writeOneFile(s, chunk, s"$srcDir/chunk_$k.parquet",
-            mt0 + k * 60000L)
-        }
+              col("ts") < timestamp_millis(lit(cuts(k + 1)))),
+            s"$srcDir/chunk_$k.parquet", mt0 + k * 60000L)
+        })
         // the cut must split some (user, day): batch 2 then refreshes a
         // day batch 1 already materialized, exercising the MERGE-update
         // path (not just appends)
@@ -1158,14 +1192,13 @@ object StreamingQueries {
           (-2L, -999L, new java.sql.Timestamp(tMax + 3 * 3600 * 1000L),
             0.0, "click"))
           .toDF("event_id", "user_id", "ts", "value", "event_type")
-        for (k <- 0 until 2) {
+        writeChunkFiles(s, (0 until 2).map { k =>
           val chunk0 = ev.filter(
             col("ts") >= timestamp_millis(lit(cuts(k))) &&
               col("ts") < timestamp_millis(lit(cuts(k + 1))))
           val chunk = if (k == 1) chunk0.unionByName(sentinel) else chunk0
-          writeOneFile(s, chunk, s"$srcDir/chunk_$k.parquet",
-            mt0 + k * 60000L)
-        }
+          (chunk, s"$srcDir/chunk_$k.parquet", mt0 + k * 60000L)
+        })
         // 4 partitions, not the stream default 8: a stream-stream join
         // keeps FOUR state stores per partition (two per side) and every
         // micro-batch commits all of them; at fixture volume that fixed
@@ -1229,10 +1262,11 @@ object StreamingQueries {
         val span = bounds.getTimestamp(1).getTime - t0 + 1
         val cut = t0 + span / 2
         val mt0 = 1700000000000L
-        writeOneFile(s, ev.filter(col("ts") < timestamp_millis(lit(cut))),
-          s"$srcDir/chunk_0.parquet", mt0)
-        writeOneFile(s, ev.filter(col("ts") >= timestamp_millis(lit(cut))),
-          s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        writeChunkFiles(s, Seq(
+          (ev.filter(col("ts") < timestamp_millis(lit(cut))),
+            s"$srcDir/chunk_0.parquet", mt0),
+          (ev.filter(col("ts") >= timestamp_millis(lit(cut))),
+            s"$srcDir/chunk_1.parquet", mt0 + 60000L)))
 
         // transformWithState keeps its state variables in RocksDB column
         // families — the provider is a per-stream requirement, pinned
@@ -1312,8 +1346,9 @@ object StreamingQueries {
           q.awaitTermination()
         }
         // run 1: chunks 0+1 → two txn-stamped commits
-        writeOneFile(s, chunk(0), s"$srcDir/chunk_0.parquet", mt0)
-        writeOneFile(s, chunk(1), s"$srcDir/chunk_1.parquet", mt0 + 60000L)
+        writeChunkFiles(s, Seq(
+          (chunk(0), s"$srcDir/chunk_0.parquet", mt0),
+          (chunk(1), s"$srcDir/chunk_1.parquet", mt0 + 60000L)))
         runOnce()
         require(SnapshotTable.versions(s, tbl).size == 2,
           "st14: run 1 must land two commits (one per micro-batch)")
