@@ -82,22 +82,15 @@ object IncrementalGold {
     // bronze, and bronze histories only grow.
     // Without goldKeys (first batch): the bronze distinct — correct on
     // any input, O(history) but column-pruned.
-    // the persisted claimed-universe frame, when one exists and is NOT
-    // itself `dim` (orphan path) — unpersisted after dim materializes
-    var fastCache: Option[DataFrame] = None
     val days = goldKeys match {
       case Some(gk) =>
         // affected-user join BEFORE the distinct: the broadcast join
         // cuts the key set to the batch's users (measured 4M → 460k on
         // the 40×-replica probe), so the distinct shuffles the affected
         // slice, never the whole key universe
-        // persisted (lazily — r13: a localCheckpoint here was an EAGER
-        // extra materialization job; the cache gives the same
-        // read-the-gold-keys-parquet-ONCE reuse to the floors pass, the
-        // orphan anti-join, and the dim materialization, with the first
-        // consumer — the floors collect, which runs unconditionally —
-        // paying the one compute). Unpersisted below once `dim` is
-        // materialized and nothing can re-derive through it.
+        // checkpointed so the floors pass, the orphan anti-join, and the
+        // dim materialization below read the gold-keys parquet ONCE, not
+        // once per consuming action
         val fast = gk.select("user_id", "day")
           .join(broadcast(firstNew), "user_id")
           .unionByName(batch.select(col("user_id"),
@@ -105,14 +98,10 @@ object IncrementalGold {
             .join(broadcast(firstNew), "user_id"))
           .select("user_id", "day", "first_new_day")
           .distinct()
-          .persist()
+          .localCheckpoint()
         orphanDays(hist, firstNew, fast) match {
-          case Some(orphans) =>
-            // `dim` below persists the UNION — fast's own cache can be
-            // dropped once dim is materialized
-            fastCache = Some(fast)
-            fast.unionByName(orphans)
-          case None => fast // dim persists fast itself: keep its cache
+          case Some(orphans) => fast.unionByName(orphans)
+          case None => fast
         }
       case None =>
         hist.select("user_id", "day", "first_new_day").distinct()
@@ -122,15 +111,11 @@ object IncrementalGold {
     // semi-join, AND the output filter — without this, each of those
     // actions re-derives the whole universe chain; the r12 stage tally
     // measured ~half of refresh's stages as exactly that recompute).
-    // r13: persist, not localCheckpoint — the checkpoint was an EAGER
-    // job of its own; the cache defers materialization into the minKept
-    // collect below (which runs unconditionally), so the same
-    // compute-once guarantee costs one fewer Spark job per refresh. The
-    // cache is day-row-sized and dropped by the callers' per-query
-    // clearCache; a long-lived cluster deployment would swap in a
+    // localCheckpoint is day-row-sized and cleaned by the ContextCleaner
+    // when unreferenced; a long-lived cluster deployment would swap in a
     // reliable checkpoint dir (the ConnectedComponents pattern) to
     // survive executor loss.
-    val dim = days.persist()
+    val dim = days.localCheckpoint()
     // bounded lookback: of each user's days BEFORE the first new day,
     // keep the most recent LookbackRows-1; every day >= it stays
     val wDays = Window.partitionBy("user_id").orderBy(col("day").desc)
@@ -149,10 +134,6 @@ object IncrementalGold {
     // below refines the superset exactly as before, so results are
     // unchanged on any bronze shape.
     val minKept = keptDays.agg(min("day")).head()
-    // dim is materialized now (the collect above ran through it); fast
-    // only feeds dim and the already-collected floors, so its cache can
-    // go immediately instead of waiting for the caller's clearCache.
-    fastCache.foreach(_.unpersist(false))
     val bounded =
       if (minKept.isNullAt(0)) hist
       else hist.filter(col("day") >= lit(minKept.getDate(0)))
