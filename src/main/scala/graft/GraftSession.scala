@@ -26,7 +26,20 @@ object GraftSession {
     // native graft functions (ewm_nr, dot_long) in every session — the
     // standard extensions injection, so query code can call them without
     // per-session registration
-    "spark.sql.extensions" -> "graft.functions.GraftExtensions"
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    // r13: always use the sort-based shuffle writer. With shuffle
+    // partitions sized to the core count (the local default), EVERY SQL
+    // shuffle falls under the 200-partition bypass threshold, and the
+    // bypass writer opens one file PER REDUCE PARTITION per map task and
+    // then NIO-concatenates them — M×R file creates + copies per
+    // exchange. jstack sampling of a hot aggregate showed the map tasks
+    // spending most of their time in FileOutputStream.open0 /
+    // copyFileStreamNIO, and a 30s A/B on that stage ran 2.6× more
+    // iterations with the sort writer (one spillable buffer → ONE file +
+    // index per map task). At cluster scale (partitions ≫ 200) the
+    // bypass never engages, so this also makes local plans exercise the
+    // same writer a production shuffle uses.
+    "spark.shuffle.sort.bypassMergeThreshold" -> "1"
   )
 
   def builder(master: String, shufflePartitions: String): SparkSession.Builder = {

@@ -19,12 +19,21 @@ object JobTally {
     override def onJobStart(
         j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
       jobs.incrementAndGet()
+    val stageDetail = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Double, Int, String)]()
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       stages.incrementAndGet()
       tasks.addAndGet(sc.stageInfo.numTasks)
       taskMs.add(sc.stageInfo.taskMetrics.executorRunTime)
       gcMs.add(sc.stageInfo.taskMetrics.jvmGCTime)
+      val graftFrame = sc.stageInfo.details.linesIterator
+        .find(l => l.contains("graft") && !l.contains("JobTally"))
+        .getOrElse("").trim
+      stageDetail.add((sc.stageInfo.taskMetrics.executorRunTime / 1e3,
+        sc.stageInfo.numTasks,
+        (sc.stageInfo.name.linesIterator.next() + " | " + graftFrame)
+          .take(180)))
     }
   }
 
@@ -70,6 +79,13 @@ object JobTally {
       println(f"[jobtally] $n%-28s wall=$bw%6.2fs jobs=${bt.jobs.get}%3d " +
         f"stages=${bt.stages.get}%3d tasks=${bt.tasks.get}%4d " +
         f"taskTime=${bt.taskMs.sum / 1e3}%7.2fs gc=${bt.gcMs.sum / 1e3}%5.2fs")
+      if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        bt.stageDetail.asScala.toSeq.sortBy(-_._1).take(12).foreach {
+          case (sec, nt, name) =>
+            println(f"[jobtally]    stage $sec%7.2fs tasks=$nt%4d  $name")
+        }
+      }
     }
     spark.stop()
   }

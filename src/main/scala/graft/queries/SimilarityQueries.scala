@@ -789,10 +789,14 @@ object SimilarityQueries {
         // threshold the stage's cids name two-level CHILD centroids, and
         // drift must be measured against the centroid actually assigned
         val cmat = typedLit(IvfIndex.effMatrix(Dim, EmbedStage.cells(s, d)))
-        val rsqCol = aggregate(
-          zip_with(col("qv"), element_at(cmat, col("cid") + 1),
-            (x, c) => (x - c) * (x - c)),
-          lit(0L), (a, x) => a + x)
+        // r13: Σ(x−c)² via the native dot (xx − 2xc + cc, exact in longs
+        // — identical values, so identical rounding downstream) instead
+        // of the interpreted zip_with fold; all three dots are
+        // whole-stage-codegen'd [[graft.functions.DotLong]] loops.
+        val cvec = element_at(cmat, col("cid") + 1)
+        val dotL = graft.operators.VectorOps.dotL _
+        val rsqCol = dotL(col("qv"), col("qv")) +
+          dotL(cvec, cvec) - lit(2L) * dotL(col("qv"), cvec)
         val rows = EmbedStage(s, d).vectors
           .select(col("cid"), col("qv"),
             floor(rsqCol.cast("double") * 1.0e-6 + 0.5).cast("long")
@@ -993,22 +997,29 @@ object SimilarityQueries {
                 .cast("long").as("cq")))),
             e => e.getField("cq")).as("cq"))
         // ALL refined centroids as one broadcast row, cid-sorted so the
-        // fold's strict-less keeps the smallest cid on distance ties
+        // fold's strict-less keeps the smallest cid on distance ties.
+        // r13: each struct carries its precomputed squared norm `cc`
+        // (a trailing field — array_sort still orders by the unique
+        // leading cid1), so the fold's per-centroid distance is
+        // xx − 2·dot_long(qv,cq) + cc: one native long-loop per centroid
+        // instead of the interpreted per-element zip_with lambda.
+        // Identical long values → identical argmin and SSE.
+        val dotL = graft.operators.VectorOps.dotL _
         val cents = cent
-          .agg(array_sort(collect_list(struct(col("cid1"), col("cq"))))
+          .agg(array_sort(collect_list(struct(col("cid1"), col("cq"),
+              dotL(col("cq"), col("cq")).as("cc"))))
             .as("cents"))
-        val dRow = (cq: Column) => aggregate(
-          zip_with(col("qv"), cq, (x, c) => (x - c) * (x - c)),
-          lit(0L), (a, t) => a + t)
         val best = aggregate(col("cents"),
           struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid1")),
           (acc, c) => {
-            val dd = dRow(c.getField("cq"))
+            val dd = col("__xx") + c.getField("cc") -
+              lit(2L) * dotL(col("qv"), c.getField("cq"))
             when(dd < acc.getField("d"),
               struct(dd.as("d"), c.getField("cid1").as("cid1")))
               .otherwise(acc)
           })
         v.crossJoin(broadcast(cents))
+          .withColumn("__xx", dotL(col("qv"), col("qv")))
           .select(col("vec_id"), col("cid0"), best.as("best"))
           .select(col("vec_id"), col("cid0"),
             col("best.cid1").as("cid1"), col("best.d").as("d"))
@@ -1084,9 +1095,11 @@ object SimilarityQueries {
         val Iters = 3
         var asg = EmbedStage(s, d).vectors
           .select(col("vec_id"), col("qv"), col("cid"))
-        val dRow = (cq: Column) => aggregate(
-          zip_with(col("qv"), cq, (x, c) => (x - c) * (x - c)),
-          lit(0L), (a, t) => a + t)
+        // r13: per-centroid distance via the native dot (xx − 2xc + cc,
+        // exact long identity — same values, same argmin/SSE) instead of
+        // the interpreted zip_with fold; cc rides the broadcast struct
+        // as a trailing field (array_sort still orders by unique cid1).
+        val dotL = graft.operators.VectorOps.dotL _
         val perIter = (1 to Iters).map { it =>
           val cent = asg
             .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
@@ -1100,16 +1113,19 @@ object SimilarityQueries {
               e => e.getField("cq")).as("cq"))
           val cents = cent
             .agg(array_sort(collect_list(struct(col("cidc").as("cid1"),
-              col("cq")))).as("cents"))
+              col("cq"), dotL(col("cq"), col("cq")).as("cc"))))
+              .as("cents"))
           val best = aggregate(col("cents"),
             struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid1")),
             (acc, c) => {
-              val dd = dRow(c.getField("cq"))
+              val dd = col("__xx") + c.getField("cc") -
+                lit(2L) * dotL(col("qv"), c.getField("cq"))
               when(dd < acc.getField("d"),
                 struct(dd.as("d"), c.getField("cid1").as("cid1")))
                 .otherwise(acc)
             })
           val next = asg.crossJoin(broadcast(cents))
+            .withColumn("__xx", dotL(col("qv"), col("qv")))
             .select(col("vec_id"), col("qv"),
               col("cid").as("cid_prev"), best.as("best"))
             .select(col("vec_id"), col("qv"),
