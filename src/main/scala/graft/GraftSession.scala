@@ -39,7 +39,8 @@ object GraftSession {
     // index per map task). At cluster scale (partitions ≫ 200) the
     // bypass never engages, so this also makes local plans exercise the
     // same writer a production shuffle uses.
-    "spark.shuffle.sort.bypassMergeThreshold" -> "1"
+    "spark.shuffle.sort.bypassMergeThreshold" ->
+      sys.env.getOrElse("SPARK_GRAFT_BYPASS", "1")
   )
 
   def builder(master: String, shufflePartitions: String): SparkSession.Builder = {

@@ -20,13 +20,44 @@ object Scratch {
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
+    // optional ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
+    // optional: surface the INFO-level whole-stage-codegen bailout
+    // ("Found too long generated codes ... fallback to non-codegen")
+    if (sys.env.contains("SPARK_GRAFT_LOGWSCG"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.WholeStageCodegenExec",
+        org.apache.logging.log4j.Level.INFO)
+    // optional per-rep task metrics (SPARK_GRAFT_TASKSTATS=1): attribute a
+    // slow rep to executor compute vs everything else
+    val taskMs = new java.util.concurrent.atomic.LongAdder
+    val cpuNs = new java.util.concurrent.atomic.LongAdder
+    if (sys.env.contains("SPARK_GRAFT_TASKSTATS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null) {
+              taskMs.add(te.taskMetrics.executorRunTime)
+              cpuNs.add(te.taskMetrics.executorCpuTime)
+            }
+        })
     for (r <- 1 to reps; n <- names) {
+      taskMs.reset(); cpuNs.reset()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, d)
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
-      println(f"[scratch] run$r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val extra = if (sys.env.contains("SPARK_GRAFT_TASKSTATS")) {
+        Thread.sleep(300)
+        f" run=${taskMs.sum / 1e3}%.2f cpu=${cpuNs.sum / 1e9}%.2f"
+      } else ""
+      println(f"[scratch] run$r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        extra)
     }
     spark.stop()
   }

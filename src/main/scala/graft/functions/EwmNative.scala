@@ -89,6 +89,8 @@ class GraftExtensions
       new ExpressionInfo(classOf[EwmNr].getName, "ewm_nr"),
       { case Seq(c, a) => EwmNr(c, a) }: PartialFunction[Seq[Expression], Expression]))
     ext.injectFunction((DotLong.ident, DotLong.info, DotLong.builder))
+    ext.injectFunction((ShingleHash32.ident, ShingleHash32.info,
+      ShingleHash32.builder))
     // trainer inner loops as single expressions (planning-cost fusion;
     // arithmetic bit-identical to the unrolled projection chains)
     ext.injectFunction((TrainerNative.sigmoidIdent,

@@ -110,9 +110,7 @@ object DedupStage {
     // produces both the shingle-set rebuild and all K permutation minima
     val hashed = reps
       .select(col("th"), col("rep_id"), col("n_copies"),
-              explode_outer(shingles(col("text"))).as("sg"))
-      .select(col("th"), col("rep_id"), col("n_copies"),
-              hash32(col("sg")).as("h"))
+              explode_outer(TextOps.shingleHashes(col("text"))).as("h"))
       .dropDuplicates("th", "h") // exchange-reusing: still hash(th)
     val sigAggs = minhashParams(DedupParams.K).zipWithIndex.map {
       case ((a, b), j) => min((col("h") * a + b) % MinhashP).as(s"sig$j")

@@ -24,6 +24,17 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Hashed word n-gram stream as ONE native expression
+    * ([[graft.functions.ShingleHash32]]): bit-identical to
+    * `transform(shingles(text, n), g => hash32(g))` for non-null text
+    * (spec-pinned), without the interpreted higher-order-function tree,
+    * the per-gram string build, or the md5 hex round-trip. Null text
+    * yields null (the composed form yields an empty array) — identical
+    * under explode/explode_outer, the shape every consumer uses; guard
+    * with coalesce if a non-exploding consumer ever needs []. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    call_function("shingle_hash32", text, lit(n))
+
   /** Word n-gram shingles (default 3). Guarded: Spark's `sequence(1, k)`
     * counts DOWN when k < 1, so short docs must return an empty array
     * explicitly. */

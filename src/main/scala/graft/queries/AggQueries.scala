@@ -730,8 +730,8 @@ object AggQueries {
         val kth = least(lit(64), col("n_exact")).cast("int")
         Tables.fanOut(Tables.documents(s, d))
           .select(col("source"),
-            explode(shingles(col("text"), 2)).as("gr"))
-          .select(col("source"), hash32(col("gr")).as("h"))
+            explode(graft.operators.TextOps.shingleHashes(col("text"), 2))
+              .as("h"))
           .distinct() // the exact-count audit column needs distinct rows
           .groupBy("source")
           .agg(count(lit(1)).as("n_exact"),
@@ -763,20 +763,24 @@ object AggQueries {
       (s, d) => {
         import graft.operators.TextOps.{hash32, shingles}
         val kth = least(lit(64), col("n_exact")).cast("int")
-        // The raw gram stream, NOT pre-deduplicated: kmv_sketch_agg's
-        // buffer rejects duplicates itself, so the per-shard sketch pass
-        // is a pure map-side-combined aggregate whose partial state is
-        // ≤64 longs per (source, shard, partition) — the shuffle carries
-        // sketches, never gram rows. (The previous shape routed BOTH
-        // consumers through a persisted groupBy(source, h) +
-        // collect_set(shard) vocabulary frame: one corpus-sized shuffle
-        // of every distinct gram plus a heap-resident array cache — the
-        // board's GC outlier, max 17.9s on a 2s median. Recomputing the
-        // gram stream per branch is cheaper than materializing it.)
-        def grams = Tables.fanOut(Tables.documents(s, d))
+        // ONE gram explode feeds both consumers: the (source, shard, h)
+        // DISTINCT is a single exchange whose subtree is plan-identical
+        // under the sketch branch and the exact-audit branch, so
+        // ReuseExchange materializes the shingle/hash pass once. (r13:
+        // the previous shape re-ran the full explode+split per branch —
+        // that split/concat expression is the row's hot loop, and on
+        // reps where Spark leaves it on the interpreted eval path it
+        // dominated the board's noisiest row at 10-30s. A prior round's
+        // persisted collect_set vocabulary frame was the GC outlier —
+        // this shape shuffles the deduped 8-byte hashes once and caches
+        // nothing on the heap.) Semantics unchanged: kmv_sketch_agg's
+        // buffer dedupes anyway, and countDistinct over shard-distinct
+        // rows is the same per-source distinct count.
+        val grams = Tables.fanOut(Tables.documents(s, d))
           .select(col("source"), (col("doc_id") % 7).as("shard"),
-            explode(shingles(col("text"), 2)).as("gr"))
-          .select(col("source"), col("shard"), hash32(col("gr")).as("h"))
+            explode(graft.operators.TextOps.shingleHashes(col("text"), 2))
+              .as("h"))
+          .distinct()
         val perShard = grams
           .groupBy("source", "shard")
           .agg(expr("kmv_sketch_agg(h, 64)").as("mins"))
@@ -784,9 +788,9 @@ object AggQueries {
           .select(col("source"), explode(col("mins")).as("h"))
           .groupBy("source")
           .agg(expr("kmv_sketch_agg(h, 64)").as("mins"))
-        // audit branch: exact per-source distinct count — inherently a
-        // distinct over the gram vocabulary, so it gets its own pass
-        // (partial distinct map-side) instead of taxing the sketch path
+        // audit branch: exact per-source distinct count over the same
+        // deduped exchange (h can recur across shards — countDistinct,
+        // not count)
         val nExact = grams.groupBy("source")
           .agg(count_distinct(col("h")).as("n_exact"))
         merged.join(broadcast(nExact), "source")

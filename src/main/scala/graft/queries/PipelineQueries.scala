@@ -1375,8 +1375,11 @@ object PipelineQueries {
         dailyAgg(full.filter(col("event_id") % 50 =!= 0))
           .write.parquet(out)
         val view = s.read.parquet(out)
-        // staleness scan: current bronze fingerprints vs recorded ones
-        val cur = dailyAgg(full)
+        // staleness scan: current bronze fingerprints vs recorded ones.
+        // r13: persisted — the stale-count action and the refresh output
+        // both read it, and the fingerprint aggregate is the query's
+        // data-sized pass (one compute instead of two).
+        val cur = dailyAgg(full).persist()
         val keys = Seq("user_id", "day")
         val stale = cur.select(col("user_id"), col("day"),
             col("fp").as("fp_cur"))

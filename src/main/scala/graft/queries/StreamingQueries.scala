@@ -255,9 +255,15 @@ object StreamingQueries {
           q.awaitTermination()
         }
         // a (user, window) must have rows in BOTH chunks: the cross-batch
-        // window/watermark machinery is the thing this row proves
+        // window/watermark machinery is the thing this row proves.
+        // r13: a window split by the boundary necessarily IS the hour
+        // containing it (rows on both sides of the cut inside one hour),
+        // so the scan prunes to that hour before grouping — identical
+        // predicate, pushdown-friendly.
         val boundary = cuts(1)
         val crossing = ev
+          .filter(date_trunc("hour", col("ts")) ===
+            date_trunc("hour", timestamp_millis(lit(boundary))))
           .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("w"))
           .agg(
             sum(when(col("ts") < timestamp_millis(lit(boundary)), 1L)
@@ -800,9 +806,13 @@ object StreamingQueries {
           s"st7: run 1 already emitted everything ($afterRun1 windows) — " +
             "the restart proved nothing")
         // a window spanning the shutdown boundary received rows in BOTH
-        // runs: its state crossed the stop/restart, not just the flush
+        // runs: its state crossed the stop/restart, not just the flush.
+        // r13: such a window IS the hour containing the boundary — prune
+        // the scan to it (identical predicate, see st1).
         val boundary = cuts(2)
         val spanning = ev
+          .filter(date_trunc("hour", col("ts")) ===
+            date_trunc("hour", timestamp_millis(lit(boundary))))
           .withColumn("w", date_trunc("hour", col("ts")))
           .groupBy("user_id", "w")
           .agg(
@@ -868,8 +878,12 @@ object StreamingQueries {
         })
         // the cut must split some (user, day): batch 2 then refreshes a
         // day batch 1 already materialized, exercising the MERGE-update
-        // path (not just appends)
+        // path (not just appends). r13: a (user, day) split by the cut
+        // necessarily lives on the cut's own day — prune the scan to it
+        // (identical count, see st1's hour argument).
         val split = ev
+          .filter(to_date(col("ts")) ===
+            to_date(timestamp_millis(lit(cut))))
           .groupBy(col("user_id"), to_date(col("ts")).as("day"))
           .agg(
             sum(when(col("ts") < timestamp_millis(lit(cut)), 1L)

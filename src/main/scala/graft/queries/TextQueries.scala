@@ -1328,7 +1328,7 @@ object TextQueries {
         val dg = Tables.fanOut(Tables.documents(s, d))
           .select(col("doc_id"),
             explode(array_distinct(
-              transform(shingles(col("text")), g => hash32(g)))).as("g"))
+              graft.operators.TextOps.shingleHashes(col("text")))).as("g"))
           .persist() // feeds the first-occurrence dim AND the join back
         val first = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
         dg.join(first, "g")
