@@ -65,8 +65,10 @@ object MergeUpsert {
     */
   def insertIfAbsent(spark: SparkSession, source: DataFrame,
                      tablePath: String, keyCols: Seq[String],
-                     orderCol: String): Long = {
-    val fresh = newRows(spark, source, tablePath, keyCols, orderCol)
+                     orderCol: String,
+                     sourceKeyUnique: Boolean = false): Long = {
+    val fresh = newRows(spark, source, tablePath, keyCols, orderCol,
+      sourceKeyUnique)
     val obs = new Observation()
     fresh.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Append).parquet(tablePath)
@@ -75,10 +77,20 @@ object MergeUpsert {
 
   /** The WHEN-NOT-MATCHED row set [[insertIfAbsent]] appends. Public so
     * plan audits (graft.Plans) can assert the scale-critical property:
-    * the target side of the anti-join scans ONLY the key columns. */
+    * the target side of the anti-join scans ONLY the key columns.
+    *
+    * `sourceKeyUnique = true` (r13): the caller asserts the source is
+    * already key-unique — a windowed-aggregate or joined-pair
+    * micro-batch, unique by construction — so the first-row-per-key
+    * dedup window (one keyed shuffle of the source PER CALL; the
+    * streaming merge sink pays it per micro-batch) is provably the
+    * identity and is skipped. */
   def newRows(spark: SparkSession, source: DataFrame, tablePath: String,
-              keyCols: Seq[String], orderCol: String): DataFrame = {
-    val deduped = dedupSource(source, keyCols, orderCol)
+              keyCols: Seq[String], orderCol: String,
+              sourceKeyUnique: Boolean = false): DataFrame = {
+    val deduped =
+      if (sourceKeyUnique) source
+      else dedupSource(source, keyCols, orderCol)
     if (!tableExists(spark, tablePath)) deduped
     else {
       // keys-only target scan: the anti-join build side carries the key

@@ -251,7 +251,11 @@ object StreamingQueries {
             sinkPath = s"$base/sink",
             keyCols = Seq("user_id", "win_start"), orderCol = "win_start",
             checkpoint = s"$base/ckpt",
-            trigger = Some(Trigger.AvailableNow()))
+            trigger = Some(Trigger.AvailableNow()),
+            // the batch IS the (user_id, win_start) aggregate — key-
+            // unique by construction, so the sink skips its per-batch
+            // dedup shuffle (r13)
+            sourceKeyUnique = true)
           q.awaitTermination()
         }
         // a (user, window) must have rows in BOTH chunks: the cross-batch
@@ -341,7 +345,10 @@ object StreamingQueries {
             joined, sinkPath = s"$base/sink",
             keyCols = Seq("imp_id", "click_id"), orderCol = "imp_id",
             checkpoint = s"$base/ckpt",
-            trigger = Some(Trigger.AvailableNow()))
+            trigger = Some(Trigger.AvailableNow()),
+            // one row per matched (imp, click) event-id pair — key-unique
+            // by construction (r13)
+            sourceKeyUnique = true)
           q.awaitTermination()
         }
         s.read.parquet(s"$base/sink")
@@ -777,7 +784,11 @@ object StreamingQueries {
             sinkPath = s"$base/sink",
             keyCols = Seq("user_id", "win_start"), orderCol = "win_start",
             checkpoint = s"$base/ckpt",
-            trigger = Some(Trigger.AvailableNow()))
+            trigger = Some(Trigger.AvailableNow()),
+            // the batch IS the (user_id, win_start) aggregate — key-
+            // unique by construction, so the sink skips its per-batch
+            // dedup shuffle (r13)
+            sourceKeyUnique = true)
           q.awaitTermination()
         }
 
@@ -963,7 +974,9 @@ object StreamingQueries {
             .foreachBatch { (b: DataFrame, _: Long) =>
               graft.operators.MergeUpsert.insertIfAbsent(
                 b.sparkSession, b, s"$base/sink",
-                keyCols = Seq("event_id"), orderCol = "event_id")
+                keyCols = Seq("event_id"), orderCol = "event_id",
+                // commit slices are event_id-unique by construction (r13)
+                sourceKeyUnique = true)
               ()
             }
             .option("checkpointLocation", s"$base/ckpt")
@@ -1239,7 +1252,10 @@ object StreamingQueries {
             keyed, sinkPath = s"$base/sink",
             keyCols = Seq("imp_id", "merge_click"), orderCol = "imp_id",
             checkpoint = s"$base/ckpt",
-            trigger = Some(Trigger.AvailableNow()))
+            trigger = Some(Trigger.AvailableNow()),
+            // exactly one final disposition row per (imp, merge_click) —
+            // key-unique by construction (r13)
+            sourceKeyUnique = true)
           q.awaitTermination()
         }
         val out = s.read.parquet(s"$base/sink")

@@ -41,13 +41,15 @@ object StreamingOps {
     * rather than sink-side transactions. */
   def mergeSink(stream: DataFrame, sinkPath: String, keyCols: Seq[String],
                 orderCol: String, checkpoint: String,
-                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                sourceKeyUnique: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.MergeUpsert.insertIfAbsent(
-          batch.sparkSession, batch, sinkPath, keyCols, orderCol)
+          batch.sparkSession, batch, sinkPath, keyCols, orderCol,
+          sourceKeyUnique)
         ()
       }
       .outputMode("append")
