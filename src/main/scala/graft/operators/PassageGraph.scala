@@ -128,22 +128,26 @@ object PassageGraph {
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("doc_id"), col("deg"), expr(s"$Scale DIV nn").as("r"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val contrib = edges
         .join(ranks.select(col("doc_id").as("src"),
           col("deg").as("sdeg"), col("r")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(sum(expr("r DIV sdeg")).as("contrib"))
-      // lineage cut per round (the ConnectedComponents doctrine): the
-      // checkpointed frame is |V| rows of 3 longs, never the edges.
-      // deg is restored from the PREVIOUS round's checkpoint, not the
-      // degree aggregate — symmetric graph, so every deg≥1 node receives
-      // a contribution row and the inner join loses nothing.
-      ranks = contrib.join(ranks.select("doc_id", "deg"), "doc_id")
+      // lineage cut (the ConnectedComponents doctrine): the checkpointed
+      // frame is |V| rows of 3 longs, never the edges. deg is restored
+      // from the PREVIOUS checkpoint, not the degree aggregate —
+      // symmetric graph, so every deg≥1 node receives a contribution row
+      // and the inner join loses nothing. r13: cut every SECOND round
+      // (and the last): each eager checkpoint is its own Spark job, and
+      // a two-round lineage is still edges-free and broadcast-only — the
+      // job count halves with the plan depth bounded at 2 rounds.
+      val next = contrib.join(ranks.select("doc_id", "deg"), "doc_id")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("deg"),
           (base + expr(s"($dampPct * contrib) DIV 100")).as("r"))
-        .localCheckpoint(true)
+      ranks = if (k % 2 == 0 || k == iters) next.localCheckpoint(true)
+              else next
     }
     edges.unpersist(false)
     ranks
@@ -161,13 +165,16 @@ object PassageGraph {
     val edges = edgesIn.repartition(col("src")).persist()
     var dist = seeds.select(col("doc_id"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val next = edges
         .join(dist.select(col("doc_id").as("src"), col("dist")), "src")
         .select(col("dst").as("doc_id"), (col("dist") + 1L).as("dist"))
-      dist = dist.unionByName(next)
+      val relaxed = dist.unionByName(next)
         .groupBy("doc_id").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      // r13: checkpoint every second round (see pagerank) — the
+      // intermediate round's lineage is one |V|-frame join + aggregate
+      dist = if (k % 2 == 0 || k == iters) relaxed.localCheckpoint(true)
+             else relaxed
     }
     edges.unpersist(false)
     dist
